@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / query core: the Spark-first re-expression of the reference's
+  * auto-CRUD query engine.
+  *
+  * Reference semantics (cited file:line are in /root/reference):
+  *  - equality + from/to range filters: packages/protobase/src/ProtoModel.ts:173-191
+  *  - `key:value` tag + free-text search: packages/protobase/src/ProtoModel.ts:10-28,195-218
+  *  - orderBy/orderDirection + page/itemsPerPage: packages/protonode/src/lib/generateApi.ts:180-202
+  *  - group-index distinct options (prefix + limit): packages/protonode/src/lib/generateApi.ts:215-227
+  *  - FK link recovery (dimension join): packages/protonode/src/lib/generateApi.ts:168-178
+  *
+  * The reference evaluates these per-row in Node over full in-memory arrays;
+  * here each becomes a declarative Spark plan: filters/projections push into
+  * the parquet scan, pagination becomes a global sort + limit/offset
+  * (TakeOrderedAndProject — no full materialisation), link recovery is a
+  * broadcast hash join, group-options is a partial-agg distinct.
+  */
+object Relational {
+
+  /** AutoAPI `filter[k]=v` — equality conjunction. */
+  def filterEq(df: DataFrame, eq: Map[String, Any]): DataFrame =
+    eq.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+
+  /** AutoAPI `filter[k][from]/[to]` — inclusive range (ProtoModel.ts:176-185). */
+  def filterRange(df: DataFrame, field: String, from: Option[Any], to: Option[Any]): DataFrame = {
+    val lo = from.map(v => col(field) >= lit(v))
+    val hi = to.map(v => col(field) <= lit(v))
+    (lo ++ hi).foldLeft(df)(_ filter _)
+  }
+
+  /** ProtoModel search: `key:value` tags are exact matches; remaining free
+    * text is a case-insensitive substring match over any searchable field
+    * (ProtoModel.ts:195-218). `searchFields` = the string-typed columns.
+    */
+  def search(df: DataFrame, searchFields: Seq[String], tags: Map[String, String], freeText: String): DataFrame = {
+    val tagged = filterEq(df, tags)
+    if (freeText.isEmpty) tagged
+    else {
+      val needle = freeText.toLowerCase
+      val anyField = searchFields
+        .map(f => lower(col(f)).contains(needle))
+        .reduce(_ || _)
+      tagged.filter(anyField)
+    }
+  }
+
+  /** AutoAPI list pagination: global sort (with deterministic tiebreak) then
+    * page window (generateApi.ts:180-202). Sort+limit compiles to
+    * TakeOrderedAndProject: each partition keeps only page_end rows, so no
+    * global shuffle of the full table happens even at 100 TB.
+    */
+  def orderPage(df: DataFrame, orderBy: String, asc: Boolean, tiebreak: String,
+                page: Int, itemsPerPage: Int): DataFrame = {
+    val key = if (asc) col(orderBy).asc else col(orderBy).desc
+    df.orderBy(key, col(tiebreak).asc).offset(page * itemsPerPage).limit(itemsPerPage)
+  }
+
+  /** Group-index options: distinct values, case-insensitive prefix filter,
+    * ordered + limited (generateApi.ts:215-227). Filter-before-distinct so
+    * the predicate reaches the scan and the distinct is partial-aggregated.
+    */
+  def groupOptions(df: DataFrame, field: String, prefix: String, limit: Int): DataFrame =
+    df.filter(lower(col(field)).startsWith(prefix.toLowerCase))
+      .select(col(field).as("opt")).distinct()
+      .orderBy(col("opt")).limit(limit)
+
+  /** FK link recovery = dimension join (generateApi.ts:168-178). The
+    * reference collects distinct ids and point-reads them; at scale that is a
+    * broadcast hash join of the (small) dimension into the fact.
+    */
+  def recoverLinks(fact: DataFrame, dim: DataFrame, fk: String, pk: String,
+                   dimCols: Seq[String]): DataFrame = {
+    val dimSel = dim.select((pk +: dimCols).distinct.map(col): _*)
+    fact.join(broadcast(dimSel), fact(fk) === dimSel(pk), "left").drop(dimSel(pk))
+  }
+
+  /** Top-k per group via window rank — work stays inside each group's hash
+    * partition; no global sort.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String, tiebreak: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol).desc, col(tiebreak).asc)
+    // bigint to match ANSI row_number (oracle schema parity)
+    df.withColumn("rn", row_number().over(w).cast("bigint")).filter(col("rn") <= k)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_filter_eq" -> ((s, d) =>
+      filterEq(Tables.customer(s, d), Map("c_mktsegment" -> "BUILDING"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "q_filter_range" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      filterRange(
+        filterRange(o, "o_totalprice", Some(10000.0), Some(200000.0)),
+        "o_orderdate", Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("1998-12-31 00:00:00")))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_search_tags" -> ((s, d) =>
+      search(Tables.part(s, d), Seq("p_name", "p_brand", "p_type"),
+        Map("p_brand" -> "Brand#13"), "pro")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
+    "q_orderby_page" -> ((s, d) =>
+      orderPage(Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        "o_totalprice", asc = false, tiebreak = "o_orderkey", page = 2, itemsPerPage = 25)),
+
+    "q_group_options" -> ((s, d) =>
+      groupOptions(Tables.part(s, d), "p_type", "pro", 100)),
+
+    "q_join_links" -> ((s, d) =>
+      recoverLinks(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Tables.customer(s, d), "o_custkey", "c_custkey", Seq("c_name", "c_mktsegment"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
+    "q_join_multi" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA")
+        .groupBy(n("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_topk_group" -> ((s, d) =>
+      topKPerGroup(Tables.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")),
+
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_agg_stats" -> ((s, d) =>
+      Tables.customer(s, d).groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"))
+        .orderBy("c_mktsegment")),
+
+    "q_groupby_having" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("n") >= 3)
+        .orderBy("l_partkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_filter_eq" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
+    "q_filter_range" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders WHERE o_totalprice >= 10000.0 AND o_totalprice <= 200000.0 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate <= TIMESTAMP '1998-12-31 00:00:00' ORDER BY o_orderkey""",
+    "q_search_tags" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part WHERE p_brand = 'Brand#13' AND (lower(p_name) LIKE '%pro%' OR lower(p_brand) LIKE '%pro%' OR lower(p_type) LIKE '%pro%') ORDER BY p_partkey""",
+    "q_orderby_page" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25 OFFSET 50""",
+    "q_group_options" ->
+      """SELECT DISTINCT p_type AS opt FROM part WHERE lower(p_type) LIKE 'pro%' ORDER BY opt LIMIT 100""",
+    "q_join_links" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
+    "q_join_multi" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_stats" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal),4) AS avg_bal, round(min(c_acctbal),2) AS min_bal, round(max(c_acctbal),2) AS max_bal, round(stddev_samp(c_acctbal),4) AS sd_bal FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_groupby_having" ->
+      """SELECT l_partkey, count(*) AS n, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey"""
+  )
+}

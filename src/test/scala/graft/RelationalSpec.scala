@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1_agg groups and sums") {
+    val rows = run("q1_agg").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val flags = rows.map(_.getString(0)).distinct
+    assert(flags.forall(Set("A", "N", "R")))
+    assert(rows.forall(_.getLong(7) > 0)) // count_order
+  }
+
+  test("q_filter_eq only keeps the segment") {
+    val rows = run("q_filter_eq").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(4) == "BUILDING"))
+  }
+
+  test("q_filter_range bounds hold") {
+    val rows = run("q_filter_range").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r => val p = r.getDouble(2); p >= 10000.0 && p <= 200000.0 })
+  }
+
+  test("q_search_tags is tag AND substring") {
+    val rows = run("q_search_tags").collect()
+    assert(rows.forall(_.getString(2) == "Brand#13"))
+    assert(rows.forall { r =>
+      Seq(r.getString(1), r.getString(2), r.getString(3)).exists(_.toLowerCase.contains("pro"))
+    })
+  }
+
+  test("q_orderby_page returns one page, sorted desc") {
+    val rows = run("q_orderby_page").collect()
+    assert(rows.length == 25)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_group_options distinct prefix-filtered") {
+    val rows = run("q_group_options").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).toLowerCase.startsWith("pro")))
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("q_join_links keeps every order and is a broadcast join") {
+    val df = run("q_join_links")
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(df.count() == nOrders)
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_multi broadcasts dims and aggregates") {
+    val df = run("q_join_multi")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("q_topk_group caps k per group") {
+    val rows = run("q_topk_group").collect()
+    val byGroup = rows.groupBy(_.getString(0))
+    assert(byGroup.forall(_._2.length <= 3))
+    assert(rows.forall(_.getLong(3) <= 3))
+  }
+
+  test("q_distinct is small and unique") {
+    val rows = run("q_distinct").collect()
+    assert(rows.length == rows.distinct.length && rows.nonEmpty)
+  }
+
+  test("q_agg_stats sane") {
+    val rows = run("q_agg_stats").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(3) <= r.getDouble(4))) // min<=max
+  }
+
+  test("q_groupby_having enforces threshold") {
+    val rows = run("q_groupby_having").collect()
+    assert(rows.forall(_.getLong(1) >= 3))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = run("q_filter_eq")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("c_mktsegment"))
+  }
+}
