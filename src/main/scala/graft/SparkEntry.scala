@@ -13,7 +13,10 @@ object SparkEntry {
 
   private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles)
+      (Relational.queries, Relational.oracles),
+      (Etl.queries, Etl.oracles),
+      (Flow.queries, Flow.oracles),
+      (Events.queries, Events.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.Tables
+
+/** ETL transforms: Spark-first re-expression of the reference's custom ETL
+  * bundle (per-entity batch transforms applied between the object-store
+  * reader and the table-store writer).
+  *
+  * Reference semantics (files under /root/reference):
+  *  - promotions dedup-merge: packages/app/bundles/custom/models/ETL.ts:12-34
+  *    — first occurrence by id wins, later duplicates union their `products`
+  *    set into the kept record.
+  *  - checklists sanitize: models/ETL.ts:36-48 — empty-string list fields
+  *    normalised to empty lists / defaults.
+  *  - managements rename+normalize: models/ETL.ts:50-66 — `clientid→clientId`,
+  *    `productid→productId`, `status` values outside the domain mapped to a
+  *    default (`E0004→pending`, else `in-progress`).
+  *  - the S3 JSON-lines batch reader: packages/app/bundles/custom/apis/etl.ts
+  *    + aws/s3/s3-connector.ts — JSON-lines → typed records.
+  *
+  * The reference does all of this with row-at-a-time JS (reduce/findIndex —
+  * O(n²) dedup-merge). Here each is a declarative plan: dedup-merge is a
+  * single hash aggregation (min_by for first-wins scalars + collect_set for
+  * the merged set — partial-agg/map-side-combine friendly, one shuffle on the
+  * key); sanitize/rename are pure projections (whole-stage codegen, zero
+  * shuffle); JSON-lines parsing is schema-on-read projection.
+  */
+object Etl {
+
+  /** promotions: dedup by `key`, scalars taken from the first occurrence (by
+    * `orderCol`), `setCol` union-merged across duplicates. One hash agg —
+    * scales linearly, no pairwise work.
+    */
+  def dedupMerge(df: DataFrame, key: String, orderCol: String,
+                 scalarCols: Seq[String], setCol: String): DataFrame = {
+    val firsts = scalarCols.map(c => min_by(col(c), col(orderCol)).as(c))
+    val merged = array_join(array_sort(collect_set(col(setCol))), ",").as(s"${setCol}_set")
+    df.groupBy(col(key)).agg(firsts.head, (firsts.tail :+ merged): _*)
+  }
+
+  /** checklists: trim + empty-string normalisation over string fields. */
+  def sanitize(df: DataFrame, defaults: Map[String, String]): DataFrame =
+    defaults.foldLeft(df) { case (d, (c, dflt)) =>
+      d.withColumn(c, coalesce(nullif(trim(col(c)), lit("")), lit(dflt)))
+    }
+
+  /** managements: column renames + domain normalisation of a status column. */
+  def renameNormalize(df: DataFrame, renames: Map[String, String],
+                      statusCol: String, domain: Seq[String],
+                      remap: Map[String, String], fallback: String): DataFrame = {
+    val renamed = renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    val base: org.apache.spark.sql.Column = when(col(statusCol).isInCollection(domain), col(statusCol))
+    val mapped = remap.foldLeft(base) { case (c, (from, to)) =>
+      c.when(col(statusCol) === from, lit(to))
+    }.otherwise(lit(fallback))
+    renamed.withColumn(statusCol, mapped)
+  }
+
+  /** JSON-lines → typed columns: schema-on-read projection of a JSON string
+    * column (the S3 batch reader semantics without the row loop).
+    */
+  def parseJsonColumn(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    df.withColumn("_j", from_json(col(jsonCol), schema))
+      .select((df.columns.filter(_ != jsonCol).map(col) ++
+        schema.fields.map(f => col(s"_j.${f.name}").as(f.name))): _*)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dedup_merge" -> ((s, d) =>
+      dedupMerge(Tables.lineitem(s, d), key = "l_orderkey", orderCol = "l_linenumber",
+        scalarCols = Seq("l_suppkey", "l_quantity", "l_returnflag"), setCol = "l_partkey")
+        .orderBy("l_orderkey")),
+
+    "etl_sanitize" -> ((s, d) =>
+      sanitize(Tables.documents(s, d).select("doc_id", "lang", "source"),
+        Map("lang" -> "und", "source" -> "unknown"))
+        .orderBy("doc_id")),
+
+    "etl_rename_normalize" -> ((s, d) =>
+      renameNormalize(
+        Tables.events(s, d).select("event_id", "user_id", "event_type"),
+        renames = Map("user_id" -> "clientId"),
+        statusCol = "event_type",
+        domain = Seq("click", "view", "purchase"),
+        remap = Map("error" -> "pending"),
+        fallback = "in-progress")
+        .orderBy("event_id")),
+
+    "etl_jsonlines" -> ((s, d) =>
+      parseJsonColumn(
+        Tables.events(s, d).select("event_id", "event_type", "props"),
+        "props",
+        StructType(Seq(org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_dedup_merge" ->
+      """SELECT l_orderkey, arg_min(l_suppkey, l_linenumber) AS l_suppkey, arg_min(l_quantity, l_linenumber) AS l_quantity, arg_min(l_returnflag, l_linenumber) AS l_returnflag, array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS l_partkey_set FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "etl_sanitize" ->
+      """SELECT doc_id, coalesce(nullif(trim(lang), ''), 'und') AS lang, coalesce(nullif(trim(source), ''), 'unknown') AS source FROM documents ORDER BY doc_id""",
+    "etl_rename_normalize" ->
+      """SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type FROM events ORDER BY event_id""",
+    "etl_jsonlines" ->
+      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Events / time-series: the reference's append-only event log and the
+  * automations that monitor it.
+  *
+  * Reference semantics:
+  *  - events list endpoint: protolib/src/bundles/events — queried with
+  *    `filter[from]/[user]/[path] + orderBy=created & orderDirection=desc &
+  *    itemsPerPage=N` (see e.g. agentsApi.ts:85) → filtered time-ordered
+  *    top-N.
+  *  - automations / state machines react to event windows and session-like
+  *    bursts of activity.
+  *
+  * Spark-first: top-N is `ORDER BY ts DESC LIMIT n` → TakeOrderedAndProject
+  * (each partition keeps n rows; no global sort even on a 100 TB log).
+  * Windowed aggregation is a date_trunc bucket + hash agg (partial agg
+  * map-side). Sessionization is the classic lag-gap + running-sum pattern:
+  * one shuffle on user_id, then all window work stays partition-local.
+  * Streaming twins in graft.streaming.
+  */
+object Events {
+
+  /** The events endpoint: equality/range filters + time-ordered page. */
+  def recent(df: DataFrame, pred: org.apache.spark.sql.Column, ts: String,
+             tiebreak: String, n: Int): DataFrame =
+    df.filter(pred).orderBy(col(ts).desc, col(tiebreak).asc).limit(n)
+
+  /** Tumbling-window aggregation at a fixed granularity (date_trunc). */
+  def windowAgg(df: DataFrame, ts: String, granularity: String, keys: Seq[String]): DataFrame =
+    df.groupBy((date_trunc(granularity, col(ts)).as("window_start") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapSec`. session_seq is a
+    * running sum of session-start flags — the standard scale-out
+    * sessionization (one shuffle on key; windows partition-local).
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, tiebreak: String,
+                 gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val prev = lag(unix_micros(col(ts)), 1).over(w)
+    val isNew = when(prev.isNull || unix_micros(col(ts)) - prev > gapSec * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup on top of sessionize. */
+  def sessionStats(df: DataFrame, key: String, ts: String, gapSec: Long,
+                   tiebreak: String): DataFrame =
+    sessionize(df, key, ts, tiebreak, gapSec)
+      .groupBy(col(key), col("session_seq"))
+      .agg(
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_recent" -> ((s, d) =>
+      recent(Tables.events(s, d), col("event_type") === "error" && col("user_id") < 50,
+        "ts", "event_id", 100)
+        .select("event_id", "ts", "user_id", "event_type", "value")),
+
+    "events_window_agg" -> ((s, d) =>
+      windowAgg(Tables.events(s, d), "ts", "hour", Seq("event_type"))
+        .orderBy("window_start", "event_type")),
+
+    "events_sessionize" -> ((s, d) =>
+      sessionStats(Tables.events(s, d), key = "user_id", ts = "ts",
+        gapSec = 3600, tiebreak = "event_id")
+        .orderBy("user_id", "session_seq"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_recent" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_type = 'error' AND user_id < 50 ORDER BY ts DESC, event_id ASC LIMIT 100""",
+    "events_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "events_sessionize" ->
+      """WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600 * 1000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, value, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)), sess AS (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM flagged) SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events, round(sum(value), 2) AS sum_value FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Flow data operators: the reference's visual-flow node vocabulary
+  * (packages/protolib/src/bundles/flow/contextV2 and flow/context)
+  * re-expressed as set-oriented Spark transforms.
+  *
+  * Reference semantics:
+  *  - map/filter/forEach: contextV2/map.ts, filter.ts, forEach.ts — per-item
+  *    JS callbacks over arrays.
+  *  - split/join: contextV2/split.ts, join.ts — string↔list conversions.
+  *  - switch: contextV2/switch.ts + context/flowSwitch.ts — conditional
+  *    routing of a value to one of several outputs.
+  *  - inRange: context/flowInRange.ts — numeric range membership.
+  *  - edge detector: context/flowEdgeDetector.ts — rising/falling edge over a
+  *    stream of values (compares each value to the previously seen one).
+  *
+  * Row-at-a-time callbacks become whole-stage-codegen projections/filters
+  * (map/filter/switch/inRange — zero shuffle, scale-free). split becomes
+  * posexplode (parallel per row). The edge detector — stateful in the
+  * reference — becomes a lag window per key ordered by time: one shuffle on
+  * the key, state never leaves the executor. The streaming twin lives in
+  * graft.streaming.EdgeDetector.
+  */
+object Flow {
+
+  /** map: computed projection (contextV2/map.ts). */
+  def mapRows(df: DataFrame, outputs: Seq[(String, Column)]): DataFrame =
+    df.select(df.columns.map(col) ++ outputs.map { case (n, c) => c.as(n) }: _*)
+
+  /** filter: predicate (contextV2/filter.ts). */
+  def filterRows(df: DataFrame, pred: Column): DataFrame = df.filter(pred)
+
+  /** split: string → list, exploded with position (contextV2/split.ts). */
+  def splitExplode(df: DataFrame, strCol: String, sep: String,
+                   keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+ posexplode(split(col(strCol), sep)): _*)
+      .withColumnRenamed("pos", "pos")
+      .withColumnRenamed("col", "token")
+
+  /** join: list → delimited string (contextV2/join.ts). */
+  def joinList(df: DataFrame, strCol: String, sep: String, outSep: String,
+               as: String): DataFrame =
+    df.withColumn(as, array_join(split(col(strCol), sep), outSep))
+
+  /** switch: multi-way conditional routing (contextV2/switch.ts). Routes a
+    * value column to a named output — as data, a CASE label per row.
+    */
+  def switchRoute(df: DataFrame, on: String, routes: Seq[(Column, String)],
+                  default: String, as: String): DataFrame = {
+    val c = routes.tail.foldLeft(when(routes.head._1, lit(routes.head._2))) {
+      case (acc, (p, r)) => acc.when(p, lit(r))
+    }.otherwise(lit(default))
+    df.withColumn(as, c)
+  }
+
+  /** inRange: lo <= v <= hi flag (context/flowInRange.ts). */
+  def inRange(df: DataFrame, v: String, lo: Double, hi: Double, as: String): DataFrame =
+    df.withColumn(as, col(v) >= lo && col(v) <= hi)
+
+  /** edge detector (context/flowEdgeDetector.ts): rising edge = previous
+    * value below threshold, current at-or-above; per key, time-ordered.
+    * Shuffles once on the key; lag state stays inside each partition.
+    */
+  def risingEdge(df: DataFrame, key: String, ts: String, tiebreak: String,
+                 v: String, threshold: Double, as: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
+    val prev = lag(col(v), 1).over(w)
+    df.withColumn(as, when(prev.isNull, lit(false))
+      .otherwise(prev < threshold && col(v) >= threshold))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flow_map" -> ((s, d) =>
+      mapRows(Tables.events(s, d).select("event_id", "event_type", "value"),
+        Seq("value_x2" -> round(col("value") * 2, 2),
+            "kind" -> upper(col("event_type"))))
+        .orderBy("event_id")),
+
+    "flow_filter" -> ((s, d) =>
+      filterRows(Tables.events(s, d).select("event_id", "user_id", "event_type", "value"),
+        col("event_type") === "purchase" && col("value") > 50.0)
+        .orderBy("event_id")),
+
+    "flow_split" -> ((s, d) =>
+      splitExplode(Tables.documents(s, d).filter(col("doc_id") < 100),
+        "text", " ", Seq("doc_id"))
+        .orderBy("doc_id", "pos")),
+
+    "flow_join" -> ((s, d) =>
+      joinList(Tables.documents(s, d).select("doc_id", "text"), "text", " ", "|", "joined")
+        .select("doc_id", "joined")
+        .orderBy("doc_id")),
+
+    "flow_switch" -> ((s, d) =>
+      switchRoute(Tables.events(s, d).select("event_id", "event_type", "value"),
+        on = "event_type",
+        routes = Seq(
+          (col("event_type") === "error") -> "alerts",
+          (col("event_type") === "purchase" && col("value") > 100.0) -> "billing-large",
+          (col("event_type") === "purchase") -> "billing"),
+        default = "activity", as = "route")
+        .orderBy("event_id")),
+
+    "flow_in_range" -> ((s, d) =>
+      inRange(Tables.events(s, d).select("event_id", "value"), "value", 10.0, 100.0, "in_range")
+        .orderBy("event_id")),
+
+    "flow_edge_detector" -> ((s, d) =>
+      risingEdge(Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+        key = "user_id", ts = "ts", tiebreak = "event_id", v = "value",
+        threshold = 100.0, as = "rising")
+        .select("event_id", "user_id", "value", "rising")
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "flow_map" ->
+      """SELECT event_id, event_type, value, round(value * 2, 2) AS value_x2, upper(event_type) AS kind FROM events ORDER BY event_id""",
+    "flow_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase' AND value > 50.0 ORDER BY event_id""",
+    "flow_split" ->
+      """SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos, unnest(string_split(text, ' ')) AS token FROM documents WHERE doc_id < 100 ORDER BY doc_id, pos""",
+    "flow_join" ->
+      """SELECT doc_id, array_to_string(string_split(text, ' '), '|') AS joined FROM documents ORDER BY doc_id""",
+    "flow_switch" ->
+      """SELECT event_id, event_type, value, CASE WHEN event_type = 'error' THEN 'alerts' WHEN event_type = 'purchase' AND value > 100.0 THEN 'billing-large' WHEN event_type = 'purchase' THEN 'billing' ELSE 'activity' END AS route FROM events ORDER BY event_id""",
+    "flow_in_range" ->
+      """SELECT event_id, value, value >= 10.0 AND value <= 100.0 AS in_range FROM events ORDER BY event_id""",
+    "flow_edge_detector" ->
+      """SELECT event_id, user_id, value, CASE WHEN prev IS NULL THEN false ELSE prev < 100.0 AND value >= 100.0 END AS rising FROM (SELECT event_id, user_id, value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) ORDER BY event_id"""
+  )
+}
