@@ -16,7 +16,11 @@ object SparkEntry {
       (Relational.queries, Relational.oracles),
       (Etl.queries, Etl.oracles),
       (Flow.queries, Flow.oracles),
-      (Events.queries, Events.oracles)
+      (Events.queries, Events.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (Mm.queries, Mm.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

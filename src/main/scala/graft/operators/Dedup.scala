@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Near-duplicate detection for LLM training-data pipelines: MinHash + LSH
+  * band bucketing, n-gram Jaccard verification, and SimHash hamming-block
+  * near-dup — the dedup stack a 100 TB document corpus needs.
+  *
+  * Scale design (the whole point): **no all-pairs work anywhere.** Candidate
+  * pairs come exclusively from hash-bucket self-joins:
+  *   - MinHash: docs agreeing on a full LSH band (r consecutive minhashes)
+  *     land in the same bucket; only bucket-mates are paired. P(candidate)
+  *     for Jaccard j is 1-(1-j^r)^b — unrelated docs essentially never pair.
+  *   - SimHash: a 32-bit signature split into 4 byte-blocks; hamming(h1,h2)
+  *     <= 3 pigeonholes at least one equal block, so pairing only within
+  *     equal (block_idx, block_value) buckets finds every pair within the
+  *     hamming radius without comparing everything to everything.
+  * Each stage is explode -> hash-agg (map-side partial min/sum) or a
+  * shuffle join on a uniform hash key: linear in corpus size, skew-free.
+  *
+  * Portability: every hash is md5 (identical in Spark and DuckDB), so the
+  * oracle recomputes signatures/buckets bit-for-bit rather than trusting us.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a token array (empty when < n). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (id, shingle) pairs, distinct per doc. */
+  def explodeShingles(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(id), explode(shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+
+  /** k-wide MinHash signature per doc: minhash_i = min md5("i|"+shingle).
+    * One groupBy with k partial-agg mins — a single shuffle, no seed
+    * explosion: the k hashes ride as k aggregate columns.
+    */
+  def minhashSignatures(docs: DataFrame, id: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = explodeShingles(docs, id, textCol, n)
+    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: one bucket row per (band, signature-slice). Keeps the
+    * signature columns on the row so the pair join needs no lookback join.
+    */
+  def bandBuckets(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until k / rowsPerBand).map { b =>
+      concat_ws("|", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }
+    sig.withColumn("band_key", explode(array(bandKeys: _*)))
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing >= 1 band, with estimated
+    * similarity = fraction of agreeing signature positions.
+    */
+  def minhashPairs(docs: DataFrame, id: String, textCol: String,
+                   n: Int, k: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = bandBuckets(minhashSignatures(docs, id, textCol, n, k), k, rowsPerBand)
+    val a = buckets.select(col("band_key") +: col(id).as("id_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = buckets.select(col("band_key").as("bk2") +: col(id).as("id_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val est = (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    a.join(b, col("band_key") === col("bk2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), est.as("est_sim"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact n-gram Jaccard >= threshold. The
+    * expensive set intersection runs only on bucket-mates, never all pairs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String, textCol: String,
+                        n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val cand = minhashPairs(docs, id, textCol, n, k, rowsPerBand).select("id_a", "id_b")
+    val sets = docs.select(col(id),
+      shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+    val ja = sets.select(col(id).as("id_a"), col("sh").as("sh_a"))
+    val jb = sets.select(col(id).as("id_b"), col("sh").as("sh_b"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    cand.join(ja, "id_a").join(jb, "id_b")
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per doc over distinct shingles: per shingle a 32-bit
+    * md5 prefix; per bit, sum of +/-1 contributions; sign -> bit. One
+    * explode + one hash-agg (32 partial sums), then a pure projection packs
+    * the signature — linear, one shuffle.
+    */
+  def simhash32(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame = {
+    val sh = explodeShingles(docs, id, textCol, n)
+    val v = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    val sums = (0 until 32).map(i =>
+      sum(shiftright(col("v"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i"))
+    sh.select(col(id), v.as("v"))
+      .groupBy(col(id))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(id),
+        (0 until 32).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming, found via the 4
+    * byte-block pigeonhole buckets (hamming <= 3 guarantees a shared block).
+    */
+  def simhashPairs(docs: DataFrame, id: String, textCol: String,
+                   n: Int, maxHamming: Int): DataFrame = {
+    val sig = simhash32(docs, id, textCol, n)
+    val blockCols = (0 until 4).map(b => struct(lit(b).as("b"),
+      shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("blk")))
+    val blocks = sig.select(col(id), col("simhash"), explode(array(blockCols: _*)).as("bb"))
+      .select(col(id), col("simhash"), col("bb.b").as("b"), col("bb.blk").as("blk"))
+    val a = blocks.select(col(id).as("id_a"), col("simhash").as("h_a"), col("b"), col("blk"))
+    val bd = blocks.select(col(id).as("id_b"), col("simhash").as("h_b"),
+      col("b").as("b2"), col("blk").as("blk2"))
+    val hamming = bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("bigint")
+    a.join(bd, col("b") === col("b2") && col("blk") === col("blk2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash" -> ((s, d) =>
+      minhashPairs(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      simhashPairs(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", n = 3, maxHamming = 3)
+        .orderBy("id_a", "id_b"))
+  )
+
+  // ---- oracle SQL (generated so the 8-seed / 32-bit expansions stay in
+  // ---- lockstep with the Scala constants above)
+
+  private val tkCte =
+    raw"""tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)"""
+  private val shListCte =
+    """shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM tk WHERE len(t) >= 3)"""
+  private val shCte =
+    """sh AS (SELECT doc_id, unnest(sh) AS s FROM shs)"""
+  private val sigCte = "sig AS (SELECT doc_id, " +
+    (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ") +
+    " FROM sh GROUP BY doc_id)"
+  private val bkCte = "bk AS (SELECT doc_id, " +
+    (0 until 8).map(i => s"mh$i").mkString(", ") +
+    ", unnest([" +
+    (0 until 4).map(b => s"'$b|' || mh${2 * b} || '|' || mh${2 * b + 1}").mkString(", ") +
+    "]) AS band_key FROM sig)"
+  private val estExpr = "(" +
+    (0 until 8).map(i => s"(a.mh$i = b.mh$i)::INT").mkString(" + ") + ")::DOUBLE / 8"
+
+  private val nibV = (1 to 8).map(j =>
+    s"((strpos('0123456789abcdef', substr(md5(s), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))})")
+    .mkString(" + ")
+  private val sumCols = (0 until 32).map(i => s"sum(((v >> $i) & 1) * 2 - 1) AS s$i").mkString(", ")
+  private val hExpr = (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash" ->
+      s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_simhash" ->
+      s"""WITH $tkCte, $shListCte, $shCte, hv AS (SELECT doc_id, $nibV AS v FROM sh), bits AS (SELECT doc_id, $sumCols FROM hv GROUP BY doc_id), simh AS (SELECT doc_id, ($hExpr)::BIGINT AS h FROM bits), blocks AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS blk FROM simh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bands) SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM blocks a JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY id_a, id_b"""
+  )
+}

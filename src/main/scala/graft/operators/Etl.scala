@@ -36,9 +36,19 @@ object Etl {
     */
   def dedupMerge(df: DataFrame, key: String, orderCol: String,
                  scalarCols: Seq[String], setCol: String): DataFrame = {
-    val firsts = scalarCols.map(c => min_by(col(c), col(orderCol)).as(c))
+    // "First record wins" must stay deterministic even when orderCol ties
+    // (the test generator emits duplicate (key, orderCol) pairs) and must
+    // keep WHOLE-ROW semantics (reference ETL.ts:15-27 keeps the entire
+    // first record; per-column min_by could mix fields from different
+    // rows). A single min over one struct gives both: the winning row is
+    // the lexicographic min of (orderCol, scalars..., setCol) — a total
+    // order on rows — and all scalars are projected from that one row.
+    // Still one hash agg with map-side partial min: one shuffle, linear.
+    val ord = struct((orderCol +: scalarCols :+ setCol).map(col): _*)
     val merged = array_join(array_sort(collect_set(col(setCol))), ",").as(s"${setCol}_set")
-    df.groupBy(col(key)).agg(firsts.head, (firsts.tail :+ merged): _*)
+    df.groupBy(col(key))
+      .agg(min(ord).as("_first"), merged)
+      .select(col(key) +: scalarCols.map(c => col(s"_first.$c").as(c)) :+ col(s"${setCol}_set"): _*)
   }
 
   /** checklists: trim + empty-string normalisation over string fields. */
@@ -100,8 +110,10 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    // row_number window mirrors Spark's min(struct(...)) composite order
+    // exactly (arg_min can't take a composite key in DuckDB)
     "etl_dedup_merge" ->
-      """SELECT l_orderkey, arg_min(l_suppkey, l_linenumber) AS l_suppkey, arg_min(l_quantity, l_linenumber) AS l_quantity, arg_min(l_returnflag, l_linenumber) AS l_returnflag, array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS l_partkey_set FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+      """WITH ranked AS (SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey, l_quantity, l_returnflag, l_partkey) AS rn FROM lineitem), sets AS (SELECT l_orderkey, array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS l_partkey_set FROM lineitem GROUP BY l_orderkey) SELECT r.l_orderkey, r.l_suppkey, r.l_quantity, r.l_returnflag, s.l_partkey_set FROM ranked r JOIN sets s USING (l_orderkey) WHERE r.rn = 1 ORDER BY r.l_orderkey""",
     "etl_sanitize" ->
       """SELECT doc_id, coalesce(nullif(trim(lang), ''), 'und') AS lang, coalesce(nullif(trim(source), ''), 'unknown') AS source FROM documents ORDER BY doc_id""",
     "etl_rename_normalize" ->

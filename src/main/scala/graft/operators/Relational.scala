@@ -71,22 +71,38 @@ object Relational {
       .orderBy(col("opt")).limit(limit)
 
   /** FK link recovery = dimension join (generateApi.ts:168-178). The
-    * reference collects distinct ids and point-reads them; at scale that is a
-    * broadcast hash join of the (small) dimension into the fact.
+    * reference collects distinct ids and point-reads them; at scale that is
+    * a hash join of the dimension into the fact. The broadcast hint is
+    * OPT-IN (`hintBroadcast=true` for genuinely bounded dims like nation/
+    * region): a dimension that grows with the data (customer at sf100 is
+    * 15M rows) must not be force-broadcast — by default we let AQE /
+    * autoBroadcastJoinThreshold pick broadcast vs shuffle from actual sizes.
     */
   def recoverLinks(fact: DataFrame, dim: DataFrame, fk: String, pk: String,
-                   dimCols: Seq[String]): DataFrame = {
+                   dimCols: Seq[String], hintBroadcast: Boolean = false): DataFrame = {
     val dimSel = dim.select((pk +: dimCols).distinct.map(col): _*)
-    fact.join(broadcast(dimSel), fact(fk) === dimSel(pk), "left").drop(dimSel(pk))
+    val maybeHinted = if (hintBroadcast) broadcast(dimSel) else dimSel
+    fact.join(maybeHinted, fact(fk) === dimSel(pk), "left").drop(dimSel(pk))
   }
 
-  /** Top-k per group via window rank — work stays inside each group's hash
-    * partition; no global sort.
+  /** Top-k per group, two-phase so no single window partition ever holds a
+    * whole group (a low-cardinality group column would otherwise cap
+    * parallelism at #groups and sort each group in full — a scale-killer).
+    * Phase 1 ranks within (group, salt) — salts x groups parallel partitions,
+    * each keeping only k rows; phase 2 re-ranks the <= salts*k survivors per
+    * group. Top-k of the union of per-salt top-ks is exactly the global
+    * top-k, and the salt (hash of the tiebreak) never affects the result.
     */
-  def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String, tiebreak: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol).desc, col(tiebreak).asc)
+  def topKPerGroup(df: DataFrame, groupCol: String, orderCol: String, tiebreak: String,
+                   k: Int, salts: Int = 16): DataFrame = {
+    val ord: Seq[Column] = Seq(col(orderCol).desc, col(tiebreak).asc)
+    val w1 = Window.partitionBy(col(groupCol), pmod(hash(col(tiebreak)), lit(salts)))
+      .orderBy(ord: _*)
+    val pruned = df.withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= k).drop("_rn1")
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
     // bigint to match ANSI row_number (oracle schema parity)
-    df.withColumn("rn", row_number().over(w).cast("bigint")).filter(col("rn") <= k)
+    pruned.withColumn("rn", row_number().over(w2).cast("bigint")).filter(col("rn") <= k)
   }
 
   // ---------------------------------------------------------------- queries
@@ -136,9 +152,11 @@ object Relational {
     "q_group_options" -> ((s, d) =>
       groupOptions(Tables.part(s, d), "p_type", "pro", 100)),
 
+    // customer grows with scale factor: no broadcast hint — AQE decides
     "q_join_links" -> ((s, d) =>
       recoverLinks(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
-        Tables.customer(s, d), "o_custkey", "c_custkey", Seq("c_name", "c_mktsegment"))
+        Tables.customer(s, d), "o_custkey", "c_custkey", Seq("c_name", "c_mktsegment"),
+        hintBroadcast = false)
         .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
         .orderBy("o_orderkey")),
 
@@ -148,12 +166,20 @@ object Relational {
       val c  = Tables.customer(s, d)
       val n  = Tables.nation(s, d)
       val r  = Tables.region(s, d)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
+      // Selectivity first: the ASIA predicate keeps ~1/5 of customers, so
+      // reduce customer (via broadcast dims) and then orders BEFORE the big
+      // lineitem join — at 100 TB the lineitem shuffle is the dominant cost
+      // and must join against the smallest possible right side. nation and
+      // region are bounded dims: broadcast hints are correct there.
+      val asiaCust = c
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(r("r_name") === "ASIA")
-        .groupBy(n("n_name"))
+        .select(c("c_custkey"), n("n_name"))
+      val asiaOrders = o.join(asiaCust, o("o_custkey") === asiaCust("c_custkey"))
+        .select(o("o_orderkey"), asiaCust("n_name"))
+      li.join(asiaOrders, li("l_orderkey") === asiaOrders("o_orderkey"))
+        .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline, hyperplane-LSH
+  * bucketed ANN as the scale path, and embedding-cosine near-dup pairs.
+  *
+  * Scale design:
+  *  - `simTopK` broadcasts the (small) query set against the corpus — a
+  *    BroadcastNestedLoopJoin that scans the corpus once; per-query top-k is
+  *    a window over the query id. Exact, O(|Q| * N): the baseline.
+  *  - `simLshAnn` / `embeddingPairs` hash every vector into sign-pattern
+  *    buckets of random hyperplanes (L tables x b bits; b grows with log N
+  *    cluster-side) and only compares bucket-mates: candidate generation is
+  *    a shuffle join on the bucket key, never a cartesian product.
+  *
+  * Determinism/portability: hyperplane weights derive from md5 computed at
+  * plan-build time (same values embedded into the DuckDB oracle), and every
+  * dot product is the same left-fold over double-cast elements in both
+  * engines, so doubles — and therefore signs, roundings and rankings — match
+  * bit-for-bit. Zero UDFs: `zip_with`/`aggregate` are codegen'd built-ins.
+  */
+object Similarity {
+
+  /** Ordered-fold dot product with elementwise double cast (portable). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic pseudo-random hyperplanes: weight = first md5 nibble of
+    * "table|plane|dim" centered to [-7.5, 7.5]. Reproducible in SQL text.
+    */
+  def planes(tables: Int, bits: Int, dims: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => (0 until bits).map(p => (0 until dims).map(j =>
+      Character.digit(md5hex(s"$t|$p|$j").charAt(0), 16) - 7.5)))
+
+  /** Sign-pattern bucket string of one table's hyperplanes. */
+  def bucketSig(e: Column, table: Seq[Seq[Double]]): Column =
+    concat(table.map { w =>
+      when(dotD(e, array(w.map(lit): _*)) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** One row per (vector, table): (id, emb, t, bucket). */
+  def lshBuckets(df: DataFrame, id: String, emb: String,
+                 tabs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val sigs = tabs.zipWithIndex.map { case (tab, t) =>
+      struct(lit(t).as("t"), bucketSig(col(emb), tab).as("bucket"))
+    }
+    df.select(col(id), col(emb), explode(array(sigs: _*)).as("tb"))
+      .select(col(id), col(emb), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the query set, window rank
+    * per query on (rounded cosine desc, neighbor id) — rounding first makes
+    * the ranking reproducible across engines.
+    */
+  def simTopK(corpus: DataFrame, queriesDf: DataFrame, id: String, emb: String,
+              k: Int): DataFrame = {
+    val q = broadcast(queriesDf.select(col(id).as("query_id"), col(emb).as("qe")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(emb).as("ce"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 4).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** ANN: top-k among LSH bucket-mates only (recall < 1 by design — the
+    * oracle mirrors the same buckets, so results still compare exactly).
+    */
+  def simLshAnn(df: DataFrame, id: String, emb: String, queryPred: Column,
+                tabs: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val b = lshBuckets(df, id, emb, tabs)
+    val q = b.filter(queryPred).select(col(id).as("query_id"), col(emb).as("qe"),
+      col("t"), col("bucket"))
+    val c = b.select(col(id).as("neighbor_id"), col(emb).as("ce"),
+      col("t").as("t2"), col("bucket").as("bucket2"))
+    val cand = q.join(c, col("t") === col("t2") && col("bucket") === col("bucket2") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+      .groupBy("query_id", "neighbor_id").agg(first("qe").as("qe"), first("ce").as("ce"))
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qe"), col("ce")), 4).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs: LSH candidates (id_a < id_b across L tables,
+    * deduped) verified by exact cosine >= threshold.
+    */
+  def embeddingPairs(df: DataFrame, id: String, emb: String,
+                     tabs: Seq[Seq[Seq[Double]]], threshold: Double): DataFrame = {
+    val b = lshBuckets(df, id, emb, tabs)
+    val a = b.select(col(id).as("id_a"), col(emb).as("ea"), col("t"), col("bucket"))
+    val bb = b.select(col(id).as("id_b"), col(emb).as("eb"),
+      col("t").as("t2"), col("bucket").as("bucket2"))
+    a.join(bb, col("t") === col("t2") && col("bucket") === col("bucket2") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(first("ea").as("ea"), first("eb").as("eb"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  private val dims = 64
+  val annTabs: Seq[Seq[Seq[Double]]] = planes(tables = 4, bits = 6, dims = dims)
+  val dupTabs: Seq[Seq[Seq[Double]]] = planes(tables = 8, bits = 4, dims = dims)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      simTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_lsh_ann" -> ((s, d) =>
+      simLshAnn(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", col("vec_id") < 10, annTabs, k = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")),
+
+    "dedup_embedding" -> ((s, d) =>
+      embeddingPairs(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", dupTabs, threshold = 0.4)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b"))
+  )
+
+  // ---- oracle SQL generation (same plane literals, same fold order)
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  private def planesValues(tabs: Seq[Seq[Seq[Double]]]): String =
+    tabs.zipWithIndex.flatMap { case (tab, t) =>
+      tab.zipWithIndex.map { case (w, p) =>
+        s"($t, $p, [${w.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(", ")
+
+  /** bucket per (vec, table): ordered sign concat — mirrors bucketSig. */
+  private def bucketsCte(tabs: Seq[Seq[Seq[Double]]]): String =
+    s"""pl(tid, pid, w) AS (SELECT * FROM (VALUES ${planesValues(tabs)})), """ +
+      s"""bkt AS (SELECT vec_id, tid, string_agg(CASE WHEN ${sqlDot("embedding", "w")} >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket FROM embeddings CROSS JOIN pl GROUP BY vec_id, tid)"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings), p AS (SELECT query_id, neighbor_id, round(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM q CROSS JOIN c WHERE query_id != neighbor_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_lsh_ann" ->
+      s"""WITH ${bucketsCte(annTabs)}, e AS (SELECT vec_id, embedding FROM embeddings), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id WHERE a.vec_id < 10), p AS (SELECT query_id, neighbor_id, round(${sqlCos("x.embedding", "y.embedding")}, 4) AS cos_sim FROM cand JOIN e x ON query_id = x.vec_id JOIN e y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "dedup_embedding" ->
+      s"""WITH ${bucketsCte(dupTabs)}, e AS (SELECT vec_id, embedding FROM embeddings), cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlCos("x.embedding", "y.embedding")}, 4) AS cos_sim FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis for LLM training-data pipelines: token counting, quality
+  * scoring, language ID, content fingerprinting, exact dedup.
+  *
+  * These extend the reference's ETL surface (the brief mandates them beyond
+  * `/root/reference`): the reference's ETL bundle cleans CRM-ish records
+  * (packages/app/bundles/custom/models/ETL.ts); a 100 TB document pipeline
+  * needs the same shapes — projection, hash-agg — applied to text.
+  *
+  * Everything here is pure whole-stage-codegen projection or a single hash
+  * aggregation: zero shuffles for the per-document scores, one shuffle for
+  * the dedup group-by. No UDFs — `split`/`filter`/`regexp_*`/`md5` are all
+  * codegen'd built-ins, and every hash is md5 so the DuckDB oracle can
+  * recompute signatures bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Count of tokens matching any of `words` (stopword hits). */
+  def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  val stopEn: Seq[String] = Seq("the", "a", "of", "to", "in", "and", "is")
+  val stopEs: Seq[String] = Seq("el", "la", "de", "y", "que", "los")
+  val stopFr: Seq[String] = Seq("le", "la", "de", "et", "les", "des")
+
+  /** BPE-ish tokenisation: word runs + each punctuation mark separately. */
+  val bpePattern = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  /** Whitespace + regex token counts per document. */
+  def tokenCount(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))).cast("bigint"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(lower(col(textCol)), lit(bpePattern), lit(0))).cast("bigint"))
+
+  /** Quality signals: char/token counts, alpha & punct ratios, stopword
+    * ratio, and a deterministic composite score. All single-pass projection.
+    */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val len = length(t)
+    val alpha = length(regexp_replace(t, "[^a-zA-Z]", ""))
+    val punct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    val nTok = size(toks)
+    val stops = hitCount(toks, stopEn)
+    df.withColumn("n_chars_m", len.cast("bigint"))
+      .withColumn("n_tokens", nTok.cast("bigint"))
+      .withColumn("alpha_ratio", round(alpha.cast("double") / len, 4))
+      .withColumn("punct_ratio", round(punct.cast("double") / len, 4))
+      .withColumn("stop_ratio", round(stops.cast("double") / nTok, 4))
+      .withColumn("quality_score",
+        round(alpha.cast("double") / len - punct.cast("double") / len +
+          least(stops.cast("double") / nTok * 2, lit(0.5)), 4))
+  }
+
+  /** n-gram-free language ID: stopword hit votes per language, argmax with
+    * deterministic tie order (en > es > fr), 'und' when no list hits.
+    */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val en = hitCount(toks, stopEn)
+    val es = hitCount(toks, stopEs)
+    val fr = hitCount(toks, stopFr)
+    df.withColumn("en_hits", en.cast("bigint"))
+      .withColumn("es_hits", es.cast("bigint"))
+      .withColumn("fr_hits", fr.cast("bigint"))
+      .withColumn("lang_pred",
+        when(en === 0 && es === 0 && fr === 0, "und")
+          .when(en >= es && en >= fr, "en")
+          .when(es >= fr, "es")
+          .otherwise("fr"))
+  }
+
+  /** Normalised-content fingerprint: md5 over the sorted distinct token set
+    * — robust to token order and duplication, portable to the oracle.
+    */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp",
+      md5(array_join(array_sort(array_distinct(tokens(lower(col(textCol))))), " ")))
+
+  /** Exact dedup by content hash: one hash-agg groupBy (map-side combine,
+    * one shuffle on the 128-bit key — uniform, skew-free at any scale),
+    * keep-first = min doc id per hash.
+    */
+  def dedupExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokencount" -> ((s, d) =>
+      tokenCount(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "ws_tokens", "re_tokens")
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      quality(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio", "punct_ratio",
+          "stop_ratio", "quality_score")
+        .orderBy("doc_id")),
+
+    "text_langid" -> ((s, d) =>
+      langId(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "en_hits", "es_hits", "fr_hits", "lang_pred")
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      fingerprint(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, d) =>
+      dedupExact(Tables.documents(s, d), "doc_id", "text")
+        .select("content_hash", "keep_id", "n_dupes")
+        .orderBy("keep_id"))
+  )
+
+  private val enIn = stopEn.map(w => s"'$w'").mkString(", ")
+  private val esIn = stopEs.map(w => s"'$w'").mkString(", ")
+  private val frIn = stopFr.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokencount" ->
+      raw"""SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens, len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens FROM documents ORDER BY doc_id""",
+    "text_quality" ->
+      raw"""SELECT doc_id, length(text)::BIGINT AS n_chars_m, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens, round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio, round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text), 4) AS punct_ratio, round(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn)))::DOUBLE / len(string_split_regex(trim(text), '\s+')), 4) AS stop_ratio, round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text) + least(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn)))::DOUBLE / len(string_split_regex(trim(text), '\s+')) * 2, 0.5), 4) AS quality_score FROM documents ORDER BY doc_id""",
+    "text_langid" ->
+      raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents), h AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($enIn)))::BIGINT AS en_hits, len(list_filter(tk, x -> x IN ($esIn)))::BIGINT AS es_hits, len(list_filter(tk, x -> x IN ($frIn)))::BIGINT AS fr_hits FROM t) SELECT doc_id, en_hits, es_hits, fr_hits, CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und' WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred FROM h ORDER BY doc_id""",
+    "text_fingerprint" ->
+      raw"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp FROM documents ORDER BY doc_id""",
+    "dedup_exact" ->
+      raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+  )
+}
