@@ -20,7 +20,8 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
-      (Mm.queries, Mm.oracles)
+      (Mm.queries, Mm.oracles),
+      (graft.sources.Io.queries, graft.sources.Io.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

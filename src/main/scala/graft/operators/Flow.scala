@@ -62,17 +62,54 @@ object Flow {
   def inRange(df: DataFrame, v: String, lo: Double, hi: Double, as: String): DataFrame =
     df.withColumn(as, col(v) >= lo && col(v) <= hi)
 
-  /** edge detector (context/flowEdgeDetector.ts): rising edge = previous
-    * value below threshold, current at-or-above; per key, time-ordered.
-    * Shuffles once on the key; lag state stays inside each partition.
+  /** edge detector (context/flowEdgeDetector.ts handles BOTH edges): rising
+    * = previous value below threshold, current at-or-above; falling = the
+    * mirror. Per key, time-ordered; shuffles once on the key; lag state
+    * stays inside each partition. Streaming twin:
+    * graft.streaming.StreamOps.edgeDetector.
     */
-  def risingEdge(df: DataFrame, key: String, ts: String, tiebreak: String,
-                 v: String, threshold: Double, as: String): DataFrame = {
+  def edges(df: DataFrame, key: String, ts: String, tiebreak: String,
+            v: String, threshold: Double): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tiebreak))
     val prev = lag(col(v), 1).over(w)
-    df.withColumn(as, when(prev.isNull, lit(false))
-      .otherwise(prev < threshold && col(v) >= threshold))
+    df.withColumn("rising", when(prev.isNull, lit(false))
+        .otherwise(prev < threshold && col(v) >= threshold))
+      .withColumn("falling", when(prev.isNull, lit(false))
+        .otherwise(prev >= threshold && col(v) < threshold))
   }
+
+  /** risingEdge kept for the batch/streaming oracle pairing. */
+  def risingEdge(df: DataFrame, key: String, ts: String, tiebreak: String,
+                 v: String, threshold: Double, as: String): DataFrame =
+    edges(df, key, ts, tiebreak, v, threshold)
+      .withColumnRenamed("rising", as).drop("falling")
+
+  /** push (contextV2/push.ts): append an element to an array. */
+  def push(df: DataFrame, arr: Column, elem: Column, as: String): DataFrame =
+    df.withColumn(as, array_append(arr, elem))
+
+  /** addObjectKey (contextV2/addObjectKey.ts): add a field to a struct. */
+  def addObjectKey(df: DataFrame, structCol: String, key: String, value: Column): DataFrame =
+    df.withColumn(structCol, col(structCol).withField(key, value))
+
+  /** toJson (contextV2/toJson.ts): object -> JSON string. */
+  def toJsonStr(df: DataFrame, cols: Seq[String], as: String): DataFrame =
+    df.withColumn(as, to_json(struct(cols.map(col): _*)))
+
+  /** jsonParse (contextV2/jsonParse.ts): JSON string -> typed fields. */
+  def jsonParse(df: DataFrame, jsonCol: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.withColumn("_p", from_json(col(jsonCol), schema))
+      .select(df.columns.map(col) ++
+        schema.fields.map(f => col(s"_p.${f.name}").as(f.name)): _*)
+
+  /** forEach (contextV2/forEach.ts): per-element transform of an array. */
+  def forEachElem(df: DataFrame, arr: Column, f: Column => Column, as: String): DataFrame =
+    df.withColumn(as, transform(arr, f))
+
+  /** rewire (contextV2/rewire.ts): remap output column names. */
+  def rewire(df: DataFrame, renames: Map[String, String]): DataFrame =
+    df.select(df.columns.map(c => col(c).as(renames.getOrElse(c, c))): _*)
 
   // ---------------------------------------------------------------- queries
 
@@ -113,10 +150,50 @@ object Flow {
         .orderBy("event_id")),
 
     "flow_edge_detector" -> ((s, d) =>
-      risingEdge(Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+      edges(Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
         key = "user_id", ts = "ts", tiebreak = "event_id", v = "value",
-        threshold = 100.0, as = "rising")
-        .select("event_id", "user_id", "value", "rising")
+        threshold = 100.0)
+        .select("event_id", "user_id", "value", "rising", "falling")
+        .orderBy("event_id")),
+
+    "flow_push" -> ((s, d) =>
+      push(Tables.documents(s, d).select("doc_id", "text"),
+        slice(split(col("text"), " "), 1, 3), lit("EOS"), "pushed")
+        .select(col("doc_id"), array_join(col("pushed"), "|").as("pushed"))
+        .orderBy("doc_id")),
+
+    "flow_add_object_key" -> ((s, d) =>
+      addObjectKey(
+        Tables.events(s, d).select(col("event_id"),
+          struct(col("event_type"), col("value")).as("obj")),
+        "obj", "large", col("obj.value") > 50.0)
+        .select(col("event_id"), col("obj.event_type").as("event_type"),
+          col("obj.value").as("value"), col("obj.large").as("large"))
+        .orderBy("event_id")),
+
+    "flow_to_json" -> ((s, d) =>
+      toJsonStr(Tables.events(s, d).select("event_id", "event_type", "value"),
+        Seq("event_id", "event_type", "value"), "js")
+        .select("event_id", "js")
+        .orderBy("event_id")),
+
+    "flow_json_parse" -> ((s, d) =>
+      jsonParse(Tables.events(s, d).select("event_id", "props"), "props",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        .select(col("event_id"), col("k"), (col("k") * 2).as("k2"))
+        .orderBy("event_id")),
+
+    "flow_foreach" -> ((s, d) =>
+      forEachElem(Tables.documents(s, d).select("doc_id", "text"),
+        slice(split(col("text"), " "), 1, 5), t => upper(t), "upped")
+        .select(col("doc_id"), array_join(col("upped"), " ").as("upped"))
+        .orderBy("doc_id")),
+
+    "flow_rewire" -> ((s, d) =>
+      rewire(Tables.events(s, d).select("event_id", "user_id", "value"),
+        Map("user_id" -> "actor", "value" -> "metric"))
         .orderBy("event_id"))
   )
 
@@ -134,6 +211,18 @@ object Flow {
     "flow_in_range" ->
       """SELECT event_id, value, value >= 10.0 AND value <= 100.0 AS in_range FROM events ORDER BY event_id""",
     "flow_edge_detector" ->
-      """SELECT event_id, user_id, value, CASE WHEN prev IS NULL THEN false ELSE prev < 100.0 AND value >= 100.0 END AS rising FROM (SELECT event_id, user_id, value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) ORDER BY event_id"""
+      """SELECT event_id, user_id, value, CASE WHEN prev IS NULL THEN false ELSE prev < 100.0 AND value >= 100.0 END AS rising, CASE WHEN prev IS NULL THEN false ELSE prev >= 100.0 AND value < 100.0 END AS falling FROM (SELECT event_id, user_id, value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) ORDER BY event_id""",
+    "flow_push" ->
+      """SELECT doc_id, array_to_string(list_append(string_split(text, ' ')[1:3], 'EOS'), '|') AS pushed FROM documents ORDER BY doc_id""",
+    "flow_add_object_key" ->
+      """SELECT event_id, event_type, value, value > 50.0 AS large FROM events ORDER BY event_id""",
+    "flow_to_json" ->
+      """SELECT event_id, to_json(struct_pack(event_id := event_id, event_type := event_type, value := value))::VARCHAR AS js FROM events ORDER BY event_id""",
+    "flow_json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2 FROM events ORDER BY event_id""",
+    "flow_foreach" ->
+      """SELECT doc_id, array_to_string(list_transform(string_split(text, ' ')[1:5], t -> upper(t)), ' ') AS upped FROM documents ORDER BY doc_id""",
+    "flow_rewire" ->
+      """SELECT event_id, user_id AS actor, value AS metric FROM events ORDER BY event_id"""
   )
 }

@@ -30,8 +30,22 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  /** Ordered-fold dot product over already-double arrays. */
+  def dotRaw(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** (id, ne): unit-normalised double vectors. Normalising ONCE per vector
+    * turns every pairwise cosine downstream into a single dot fold — at
+    * millions of candidate pairs that is 3x fewer folds and no per-pair
+    * sqrt. The norm rides as a separate projection so it is computed once,
+    * not per element.
+    */
+  def normalized(df: DataFrame, id: String, emb: String): DataFrame =
+    df.select(col(id), col(emb))
+      .withColumn("_norm",
+        sqrt(aggregate(transform(col(emb), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+      .select(col(id), transform(col(emb), x => x.cast("double") / col("_norm")).as("ne"))
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -60,18 +74,21 @@ object Similarity {
       .select(col(id), col(emb), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
-  /** Exact brute-force cosine top-k: broadcast the query set, window rank
-    * per query on (rounded cosine desc, neighbor id) — rounding first makes
-    * the ranking reproducible across engines.
+  /** Exact brute-force cosine top-k: broadcast the (pre-normalised) query
+    * set, one dot fold per (corpus row, query), window rank per query on
+    * (rounded cosine desc, neighbor id) — rounding first makes the ranking
+    * reproducible across engines.
     */
   def simTopK(corpus: DataFrame, queriesDf: DataFrame, id: String, emb: String,
               k: Int): DataFrame = {
-    val q = broadcast(queriesDf.select(col(id).as("query_id"), col(emb).as("qe")))
-    val c = corpus.select(col(id).as("neighbor_id"), col(emb).as("ce"))
+    val q = broadcast(normalized(queriesDf, id, emb)
+      .select(col(id).as("query_id"), col("ne").as("qe")))
+    val c = normalized(corpus, id, emb)
+      .select(col(id).as("neighbor_id"), col("ne").as("ce"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qe"), col("ce")), 4).as("cos_sim"))
+        round(dotRaw(col("qe"), col("ce")), 4).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -83,17 +100,21 @@ object Similarity {
     */
   def simLshAnn(df: DataFrame, id: String, emb: String, queryPred: Column,
                 tabs: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
-    val b = lshBuckets(df, id, emb, tabs)
-    val q = b.filter(queryPred).select(col(id).as("query_id"), col(emb).as("qe"),
-      col("t"), col("bucket"))
-    val c = b.select(col(id).as("neighbor_id"), col(emb).as("ce"),
-      col("t").as("t2"), col("bucket").as("bucket2"))
+    // Candidate pairs travel as bare (query_id, neighbor_id) ints — the
+    // wide embedding arrays are joined back only AFTER the distinct, so the
+    // bucket self-join shuffle stays narrow.
+    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    val q = b.filter(queryPred).select(col(id).as("query_id"), col("t"), col("bucket"))
+    val c = b.select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
     val cand = q.join(c, col("t") === col("t2") && col("bucket") === col("bucket2") &&
         col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
-      .groupBy("query_id", "neighbor_id").agg(first("qe").as("qe"), first("ce").as("ce"))
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("qe"), col("ce")), 4).as("cos_sim"))
+      .select("query_id", "neighbor_id").distinct()
+    val n = normalized(df, id, emb)
+    val scored = cand
+      .join(n.select(col(id).as("query_id"), col("ne").as("qe")), "query_id")
+      .join(n.select(col(id).as("neighbor_id"), col("ne").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotRaw(col("qe"), col("ce")), 4).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -105,15 +126,20 @@ object Similarity {
     */
   def embeddingPairs(df: DataFrame, id: String, emb: String,
                      tabs: Seq[Seq[Seq[Double]]], threshold: Double): DataFrame = {
-    val b = lshBuckets(df, id, emb, tabs)
-    val a = b.select(col(id).as("id_a"), col(emb).as("ea"), col("t"), col("bucket"))
-    val bb = b.select(col(id).as("id_b"), col(emb).as("eb"),
-      col("t").as("t2"), col("bucket").as("bucket2"))
-    a.join(bb, col("t") === col("t2") && col("bucket") === col("bucket2") &&
+    // Same narrow-shuffle shape as simLshAnn: id-only candidate pairs,
+    // dedup, then join the pre-normalised vectors back for one dot fold.
+    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    val a = b.select(col(id).as("id_a"), col("t"), col("bucket"))
+    val bb = b.select(col(id).as("id_b"), col("t").as("t2"), col("bucket").as("bucket2"))
+    val cand = a.join(bb, col("t") === col("t2") && col("bucket") === col("bucket2") &&
         col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(first("ea").as("ea"), first("eb").as("eb"))
+      .select("id_a", "id_b").distinct()
+    val n = normalized(df, id, emb)
+    cand
+      .join(n.select(col(id).as("id_a"), col("ne").as("na")), "id_a")
+      .join(n.select(col(id).as("id_b"), col("ne").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("ea"), col("eb")), 4).as("cos_sim"))
+        round(dotRaw(col("na"), col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -121,7 +147,9 @@ object Similarity {
 
   private val dims = 64
   val annTabs: Seq[Seq[Seq[Double]]] = planes(tables = 4, bits = 6, dims = dims)
-  val dupTabs: Seq[Seq[Seq[Double]]] = planes(tables = 8, bits = 4, dims = dims)
+  // near-dup config: more bits per table bounds bucket sizes (b scales with
+  // log N cluster-side); more tables buys recall back
+  val dupTabs: Seq[Seq[Seq[Double]]] = planes(tables = 6, bits = 6, dims = dims)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => {
@@ -148,8 +176,13 @@ object Similarity {
 
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-  private def sqlCos(a: String, b: String): String =
-    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+  /** dot over already-double (normalised) lists — no per-element cast, so
+    * the fold replays Spark's dotRaw bit-for-bit. */
+  private def sqlDotRaw(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  /** mirrors `normalized`: norm once per vector, then elementwise divide. */
+  private val normCte =
+    s"""nrm AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nr) AS ne FROM (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr FROM embeddings))"""
 
   private def planesValues(tabs: Seq[Seq[Seq[Double]]]): String =
     tabs.zipWithIndex.flatMap { case (tab, t) =>
@@ -165,10 +198,10 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10), c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings), p AS (SELECT query_id, neighbor_id, round(${sqlCos("qe", "ce")}, 4) AS cos_sim FROM q CROSS JOIN c WHERE query_id != neighbor_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      s"""WITH $normCte, q AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE vec_id < 10), c AS (SELECT vec_id AS neighbor_id, ne AS ce FROM nrm), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("qe", "ce")}, 4) AS cos_sim FROM q CROSS JOIN c WHERE query_id != neighbor_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_lsh_ann" ->
-      s"""WITH ${bucketsCte(annTabs)}, e AS (SELECT vec_id, embedding FROM embeddings), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id WHERE a.vec_id < 10), p AS (SELECT query_id, neighbor_id, round(${sqlCos("x.embedding", "y.embedding")}, 4) AS cos_sim FROM cand JOIN e x ON query_id = x.vec_id JOIN e y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+      s"""WITH ${bucketsCte(annTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id WHERE a.vec_id < 10), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "dedup_embedding" ->
-      s"""WITH ${bucketsCte(dupTabs)}, e AS (SELECT vec_id, embedding FROM embeddings), cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlCos("x.embedding", "y.embedding")}, 4) AS cos_sim FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""
+      s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""
   )
 }

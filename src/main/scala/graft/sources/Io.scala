@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.Tables
+
+/** Sources and sinks: JSON-lines, CSV, partitioned parquet, file streams.
+  *
+  * Reference counterparts: the S3 JSON-lines batch reader
+  * (packages/app/bundles/custom/apis/etl.ts:38-52 + aws/s3/s3-connector.ts)
+  * and the DynamoDB batch writer (apis/etl.ts:44-52) — re-expressed as
+  * Spark's native distributed readers/writers.
+  *
+  * Scale notes: `writePartitioned` is the 100 TB table-layout story —
+  * partition directories give readers partition pruning (a `filter` on the
+  * partition column never touches other directories' files). JSON/CSV
+  * readers take an explicit schema so ingest never pays the
+  * infer-pass-over-everything cost at scale.
+  */
+object Io {
+
+  /** JSON-lines reader (one JSON object per line, the S3 batch layout). */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** Hive-style partitioned parquet layout: one directory per partition
+    * value -> readers get partition pruning for free.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** File streaming source: tail a directory as a stream (new files become
+    * micro-batches). Schema is mandatory — streaming never infers.
+    */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  // ------------------------------------------------------- round-trip queries
+  // Each writes to a scratch dir then reads back through the source under
+  // test; the oracle reads the original table — so a green row proves the
+  // writer+reader pair is lossless.
+
+  private val scratch = "/tmp/graft_io"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_jsonlines_file" -> ((s, d) => {
+      val out = s"$scratch/jsonl"
+      val src = Tables.events(s, d).select("event_id", "event_type", "value")
+      writeJsonLines(src, out)
+      readJsonLines(s, out, StructType(src.schema.fields))
+        .orderBy("event_id")
+    }),
+
+    "src_csv_roundtrip" -> ((s, d) => {
+      val out = s"$scratch/csv"
+      val src = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      writeCsv(src, out)
+      readCsv(s, out, StructType(src.schema.fields))
+        .orderBy("c_custkey")
+    }),
+
+    "sink_partitioned" -> ((s, d) => {
+      val out = s"$scratch/part"
+      writePartitioned(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        out, Seq("o_orderpriority"))
+      s.read.parquet(out)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "src_jsonlines_file" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
+    "src_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey""",
+    "sink_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators: the reference's
+  * automations react to live event streams (protolib/src/bundles/events —
+  * state machines and monitors consume `filter[from]` windows of the event
+  * log, e.g. agentsApi.ts:85), which in Spark is `readStream` -> the same
+  * declarative transforms -> `writeStream`.
+  *
+  * Batch analogs are the oracles: `Events.windowAgg` for [[windowedAgg]]
+  * and `Flow.risingEdge` for [[edgeDetector]] — the streaming specs feed
+  * identical rows through MemoryStream (across multiple batches, so state
+  * continuity is exercised) and assert result equality.
+  *
+  * Scale: windowed agg is watermark + tumbling window — partial-agg
+  * map-side, state bounded by (watermark horizon x key cardinality).
+  * The edge detector keeps exactly one value per key in the state store
+  * (`flatMapGroupsWithState`), so state is O(keys), shuffled once on the
+  * key — the same layout the batch lag-window uses, minus the sort.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per key with late-data watermark. Emits
+    * one row per (window_start, keys...) in Append mode once the watermark
+    * passes the window end.
+    */
+  def windowedAgg(events: DataFrame, ts: String, delay: String, win: String,
+                  keys: Seq[String]): DataFrame =
+    events.withWatermark(ts, delay)
+      .groupBy(window(col(ts), win) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start") +: keys.map(col) :+
+        col("n_events") :+ col("sum_value"): _*)
+
+  case class Reading(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
+  case class LastValue(value: Double)
+
+  /** Stateful rising-edge detector (streaming twin of Flow.risingEdge /
+    * reference context/flowEdgeDetector.ts): one LastValue per key in the
+    * state store; rows within a batch are ordered by (ts, event_id) so
+    * in-batch edges are deterministic.
+    */
+  def edgeDetector(readings: Dataset[Reading], threshold: Double): Dataset[Edge] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastValue, Edge](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[LastValue]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var prev: Option[Double] = state.getOption.map(_.value)
+          val out = sorted.map { r =>
+            val rising = prev.exists(p => p < threshold && r.value >= threshold)
+            prev = Some(r.value)
+            Edge(r.user_id, r.event_id, r.value, rising)
+          }
+          prev.foreach(v => state.update(LastValue(v)))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Etl, Flow}
+
+/** Etl / Flow / Events families: value invariants that the oracle's
+  * hash-compare can't express (determinism across runs, whole-row
+  * semantics, session gap bounds) plus plan-shape guards.
+  */
+class EtlFlowEventsSpec extends SparkSpec {
+
+  test("etl_dedup_merge is deterministic and keeps whole-row firsts") {
+    val a = run("etl_dedup_merge").collect()
+    val b = run("etl_dedup_merge").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    // whole-row: the winning (suppkey, quantity, returnflag) triple must
+    // exist together in some source row of that orderkey
+    val src = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_returnflag")
+      .collect()
+      .groupBy(_.getLong(0))
+    a.take(50).foreach { r =>
+      val rows = src(r.getLong(0))
+      assert(rows.exists(s => s.getLong(1) == r.getLong(1) &&
+        s.getDouble(2) == r.getDouble(2) && s.getString(3) == r.getString(3)))
+    }
+  }
+
+  test("etl_sanitize fills defaults, keeps non-empty values") {
+    val rows = run("etl_sanitize").collect()
+    assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+  }
+
+  test("flow split/join round-trips") {
+    val joined = run("flow_join").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    docs.take(20).foreach { d =>
+      assert(joined(d.getLong(0)) == d.getString(1).split(" ").mkString("|"))
+    }
+  }
+
+  test("flow_edge_detector: rising and falling edges are mutually exclusive") {
+    val rows = run("flow_edge_detector").collect()
+    assert(rows.exists(_.getBoolean(3)))
+    assert(rows.exists(_.getBoolean(4)))
+    assert(rows.forall(r => !(r.getBoolean(3) && r.getBoolean(4))))
+  }
+
+  test("flow_push appends, flow_foreach maps elementwise") {
+    val pushed = run("flow_push").collect()
+    assert(pushed.forall(_.getString(1).endsWith("|EOS")))
+    val upped = run("flow_foreach").collect()
+    assert(upped.forall(r => r.getString(1) == r.getString(1).toUpperCase))
+  }
+
+  test("flow to_json / json_parse round-trip semantics") {
+    val js = run("flow_to_json").collect()
+    assert(js.forall(_.getString(1).startsWith("{\"event_id\":")))
+    val parsed = run("flow_json_parse").collect()
+    assert(parsed.forall(r => r.getLong(2) == 2 * r.getLong(1)))
+  }
+
+  test("events_sessionize: gaps within a session never exceed the threshold") {
+    val sess = run("events_sessionize").collect()
+    assert(sess.nonEmpty)
+    // session_end of session n precedes session_start of session n+1 by > gap
+    sess.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      sorted.zip(sorted.tail).foreach { case (prev, next) =>
+        val gapUs = (next.getTimestamp(2).getTime - prev.getTimestamp(3).getTime) * 1000L
+        assert(gapUs > 3600L * 1000000L - 1000000L) // >= gap (ms precision)
+      }
+    }
+  }
+
+  test("q_topk_group plan is two-phase (salted partial rank first)") {
+    val p = plan(run("q_topk_group"))
+    assert(p.split("Window").length - 1 >= 2, "expected two window phases")
+    assert(p.contains("pmod"), "expected salt in phase-1 partitioning")
+  }
+
+  test("events_recent compiles to a global top-N, not a full sort") {
+    val p = plan(run("events_recent"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sources/sinks: the round-trip queries prove writer+reader losslessness
+  * against the original tables; partitioned layout is checked on disk.
+  */
+class IoSpec extends SparkSpec {
+
+  test("jsonlines write/read round-trip is lossless") {
+    val got = run("src_jsonlines_file")
+    val n = Tables.events(spark, sfDir).count()
+    assert(got.count() == n)
+    assert(got.schema.fieldNames.sameElements(Array("event_id", "event_type", "value")))
+  }
+
+  test("csv write/read round-trip is lossless") {
+    val got = run("src_csv_roundtrip").collect()
+    val src = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey").collect()
+    assert(got.length == src.length)
+    got.zip(src).foreach { case (g, s) => assert(g == s) }
+  }
+
+  test("partitioned write produces hive-style partition dirs") {
+    run("sink_partitioned").collect()
+    val dirs = new java.io.File("/tmp/graft_io/part").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("o_orderpriority=")))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Similarity search family: exactness of the brute-force baseline, bucketed
+  * plan shape for the LSH paths, metadata plumbing for mm_meta.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  test("sim_topk returns k ranked neighbors per query with valid cosines") {
+    val rows = run("sim_topk").collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.forall(_._2.length == 5))
+    assert(rows.forall { r => val c = r.getDouble(2); c >= -1.0001 && c <= 1.0001 })
+    byQuery.values.foreach { g =>
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }) // rank order
+    }
+  }
+
+  test("sim_lsh_ann never beats brute force and uses bucketed candidates") {
+    val ann = run("sim_lsh_ann").collect()
+    val exact = run("sim_topk").collect()
+    assert(ann.nonEmpty)
+    // every ANN neighbor's cosine is <= the exact rank-1 cosine of the query
+    val best = exact.filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ann.foreach { r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9) }
+    val p = plan(run("sim_lsh_ann"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_embedding pairs are ordered and clear the threshold") {
+    val rows = run("dedup_embedding").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+    val p = plan(run("dedup_embedding"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("mm_meta plumbing: sizes, hashes and stub decode are consistent") {
+    val rows = run("mm_meta").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = r.getLong(1)
+      assert(bytes > 0)
+      assert(r.getString(2).length == 32) // md5 hex
+      assert(r.getLong(3) == (bytes + 255) / 256)
+      assert(r.getLong(4) == 64 + bytes % 512)
+      assert(r.getLong(6) == 1 + bytes % 8)
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Flow}
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Reading
+
+/** Streaming twins verified against their batch analogs: identical rows fed
+  * through MemoryStream in two batches (so cross-batch state continuity is
+  * exercised) must reproduce the batch operators' output exactly.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val eventRows = {
+    import org.apache.spark.sql.Row
+    Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value")
+      .filter(col("user_id") < 20)
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => Reading(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+  }
+
+  test("streaming windowedAgg matches batch windowAgg") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val agg = StreamOps.windowedAgg(
+      input.toDF().withColumnRenamed("user_id", "event_type"),
+      ts = "ts", delay = "1 hour", win = "1 hour", keys = Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("win_out")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+
+      val batch = Events.windowAgg(
+        eventRows.toDF().withColumnRenamed("user_id", "event_type"),
+        "ts", "hour", Seq("event_type"))
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming edgeDetector matches batch rising edges across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val edges = StreamOps.edgeDetector(input.toDS(), threshold = 100.0)
+    val q = edges.writeStream.format("memory").queryName("edge_out")
+      .outputMode("append").start()
+    try {
+      // split on a time boundary so per-key order across batches matches
+      // the batch operator's (ts, event_id) order
+      val splitTs = eventRows(eventRows.length / 2).ts
+      val (b1, b2) = eventRows.partition(r => r.ts.compareTo(splitTs) <= 0)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("edge_out")
+        .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap // event_id -> rising
+
+      val batch = Flow.risingEdge(eventRows.toDF(),
+        key = "user_id", ts = "ts", tiebreak = "event_id", v = "value",
+        threshold = 100.0, as = "rising")
+        .select("event_id", "rising")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got.size == eventRows.length)
+      assert(got == batch)
+      assert(got.values.exists(identity)) // at least one edge fired
+    } finally q.stop()
+  }
+}

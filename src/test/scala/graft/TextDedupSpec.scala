@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+/** Text analysis + near-dup families: value invariants on sf0.001 plus the
+  * plan-shape guard that candidate generation is bucketed (no cartesian).
+  */
+class TextDedupSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+
+  test("text_tokencount matches a manual count") {
+    val row = run("text_tokencount").filter(col("doc_id") === 0).collect().head
+    val text = docs.filter(col("doc_id") === 0).collect().head.getString(1)
+    assert(row.getLong(1) == text.trim.split("\\s+").length.toLong)
+  }
+
+  test("text_quality ratios are in [0,1] and score is consistent") {
+    val rows = run("text_quality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (alpha, punct, stop) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(alpha >= 0 && alpha <= 1)
+      assert(punct >= 0 && punct <= 1)
+      assert(stop >= 0 && stop <= 1)
+    }
+  }
+
+  test("text_langid votes deterministically") {
+    val rows = run("text_langid").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (en, es, fr, lang) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      if (en == 0 && es == 0 && fr == 0) assert(lang == "und")
+      else if (lang == "en") assert(en >= es && en >= fr)
+    }
+  }
+
+  test("text_fingerprint is invariant under token permutation") {
+    val s = spark
+    import s.implicits._
+    val two = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta")).toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(two, "text").select("fp").collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("dedup_exact groups exact duplicates, keeps first") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((10L, "same text"), (3L, "same text"), (7L, "other")).toDF("doc_id", "text")
+    val out = TextOps.dedupExact(d, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 3L) // keep-first = min id
+  }
+
+  test("dedup_minhash finds planted near-dups, identical docs score 1.0") {
+    val pairs = run("dedup_minhash").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.exists(_.getDouble(2) >= 0.75)) // planted near-dups surface
+    val s = spark
+    import s.implicits._
+    val twins = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val p = Dedup.minhashPairs(twins, "doc_id", "text", 3, 8, 2).collect()
+    assert(p.length == 1 && p.head.getDouble(2) == 1.0)
+  }
+
+  test("dedup_ngram_jaccard verified pairs clear the threshold") {
+    val pairs = run("dedup_ngram_jaccard").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("dedup_simhash: identical docs at hamming 0; results within radius") {
+    val pairs = run("dedup_simhash").collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getLong(2) <= 3))
+    val s = spark
+    import s.implicits._
+    val twins = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val p = Dedup.simhashPairs(twins, "doc_id", "text", 3, 3).collect()
+    assert(p.length == 1 && p.head.getLong(2) == 0L)
+  }
+
+  test("candidate generation is bucketed: no cartesian product in any dedup plan") {
+    Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash").foreach { q =>
+      val p = plan(run(q))
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+}
