@@ -36,14 +36,21 @@ object Dedup {
   def explodeShingles(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame =
     docs.select(col(id), explode(shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
 
-  /** k-wide MinHash signature per doc: minhash_i = min md5("i|"+shingle).
-    * One groupBy with k partial-agg mins — a single shuffle, no seed
-    * explosion: the k hashes ride as k aggregate columns.
+  /** k-wide MinHash signature per doc. Hashing cost is the dominant term of
+    * signature generation, so each md5 yields FOUR 32-bit signature pieces
+    * (hex substrings): k hashes need only k/4 md5 calls per shingle (and
+    * Spark's subexpression elimination computes each seed's md5 once across
+    * its four min aggregates). One groupBy with k partial-agg mins — a
+    * single shuffle, no seed explosion.
     */
   def minhashSignatures(docs: DataFrame, id: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 pieces per md5)")
     val sh = explodeShingles(docs, id, textCol, n)
-    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh$i"))
+    val aggs = (0 until k).map { i =>
+      val (seed, piece) = (i / 4, i % 4)
+      min(substring(md5(concat(lit(s"$seed|"), col("sh"))), 1 + 8 * piece, 8)).as(s"mh$i")
+    }
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -160,7 +167,10 @@ object Dedup {
   private val shCte =
     """sh AS (SELECT doc_id, unnest(sh) AS s FROM shs)"""
   private val sigCte = "sig AS (SELECT doc_id, " +
-    (0 until 8).map(i => s"min(md5('$i|' || s)) AS mh$i").mkString(", ") +
+    (0 until 8).map { i =>
+      val (seed, piece) = (i / 4, i % 4)
+      s"min(substr(md5('$seed|' || s), ${1 + 8 * piece}, 8)) AS mh$i"
+    }.mkString(", ") +
     " FROM sh GROUP BY doc_id)"
   private val bkCte = "bk AS (SELECT doc_id, " +
     (0 until 8).map(i => s"mh$i").mkString(", ") +

@@ -61,6 +61,21 @@ object Relational {
     df.orderBy(key, col(tiebreak).asc).offset(page * itemsPerPage).limit(itemsPerPage)
   }
 
+  /** The full list-endpoint result envelope: the page plus `total`/`pages`
+    * (generateApi.ts:193-200 returns them with every page). Two cheap scans,
+    * not one expensive one: the count against a columnar source is answered
+    * from parquet footer metadata (no data read), and the page itself is a
+    * TakeOrderedAndProject — so the envelope costs barely more than the page.
+    */
+  def orderPageEnvelope(df: DataFrame, orderBy: String, asc: Boolean, tiebreak: String,
+                        page: Int, itemsPerPage: Int): DataFrame = {
+    val total = df.count()
+    val pages = (total + itemsPerPage - 1) / itemsPerPage
+    orderPage(df, orderBy, asc, tiebreak, page, itemsPerPage)
+      .withColumn("total", lit(total))
+      .withColumn("pages", lit(pages))
+  }
+
   /** Group-index options: distinct values, case-insensitive prefix filter,
     * ordered + limited (generateApi.ts:215-227). Filter-before-distinct so
     * the predicate reaches the scan and the distinct is partial-aggregated.
@@ -152,6 +167,10 @@ object Relational {
     "q_group_options" -> ((s, d) =>
       groupOptions(Tables.part(s, d), "p_type", "pro", 100)),
 
+    "q_orderby_page_envelope" -> ((s, d) =>
+      orderPageEnvelope(Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        "o_totalprice", asc = false, tiebreak = "o_orderkey", page = 2, itemsPerPage = 25)),
+
     // customer grows with scale factor: no broadcast hint — AQE decides
     "q_join_links" -> ((s, d) =>
       recoverLinks(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -223,6 +242,8 @@ object Relational {
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part WHERE p_brand = 'Brand#13' AND (lower(p_name) LIKE '%pro%' OR lower(p_brand) LIKE '%pro%' OR lower(p_type) LIKE '%pro%') ORDER BY p_partkey""",
     "q_orderby_page" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25 OFFSET 50""",
+    "q_orderby_page_envelope" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority, t.total, (t.total + 24) // 25 AS pages FROM orders CROSS JOIN (SELECT count(*) AS total FROM orders) t ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25 OFFSET 50""",
     "q_group_options" ->
       """SELECT DISTINCT p_type AS opt FROM part WHERE lower(p_type) LIKE 'pro%' ORDER BY opt LIMIT 100""",
     "q_join_links" ->

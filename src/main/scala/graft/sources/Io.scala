@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.StructType
 import graft.Tables
 
@@ -47,6 +48,22 @@ object Io {
                  format: String = "parquet"): DataFrame =
     spark.readStream.schema(schema).format(format).load(path)
 
+  /** KV batch-write shape: the reference batch-writes <= `batchSize` items
+    * per request to a key-value store (apis/etl.ts:44-52 -> DynamoDB
+    * batchWrite). Distributed equivalent: bucket rows per partition key
+    * into bounded, deterministically-ordered batches — one shuffle on the
+    * key, batch assembly partition-local. Emits one row per batch (key,
+    * seq, item count, content digest) — the unit a KV writer task sends.
+    */
+  def kvBatches(df: DataFrame, key: Column, payload: Column, batchSize: Int): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("payload")
+    df.select(key.as("pk"), payload.as("payload"))
+      .withColumn("batch_seq", floor((row_number().over(w) - 1) / lit(batchSize)))
+      .groupBy("pk", "batch_seq")
+      .agg(count(lit(1)).as("n_items"),
+        md5(array_join(array_sort(collect_list(col("payload"))), "\n")).as("digest"))
+  }
+
   // ------------------------------------------------------- round-trip queries
   // Each writes to a scratch dir then reads back through the source under
   // test; the oracle reads the original table — so a green row proves the
@@ -72,6 +89,13 @@ object Io {
         .orderBy("c_custkey")
     }),
 
+    "sink_kv_batches" -> ((s, d) =>
+      kvBatches(Tables.events(s, d),
+        key = pmod(col("user_id"), lit(50)),
+        payload = to_json(struct(col("event_id"), col("event_type"), col("value"))),
+        batchSize = 25)
+        .orderBy("pk", "batch_seq")),
+
     "sink_partitioned" -> ((s, d) => {
       val out = s"$scratch/part"
       writePartitioned(
@@ -90,6 +114,8 @@ object Io {
     "src_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey""",
     "sink_partitioned" ->
-      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sink_kv_batches" ->
+      """WITH p AS (SELECT user_id % 50 AS pk, to_json(struct_pack(event_id := event_id, event_type := event_type, value := value))::VARCHAR AS payload FROM events), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
   )
 }
