@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Column-API and SQL surface for graft's native expressions.
+  *
+  * `GraftExtensions` is the `SparkSessionExtensions` hook (SURVEY §4):
+  * sessions built via `GraftSession` (and the Verify/Bench mains) register
+  * `md5_prefix_long(str, offset, seed)` into the function registry, so the
+  * expression is reachable from `spark.sql(...)` text as well as from the
+  * typed helpers below.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("md5_prefix_long"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
+      (children: Seq[Expression]) => Md5PrefixLong(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue(),
+        String.valueOf(children(2).eval()))))
+  }
+}
+
+object GraftFunctions {
+  /** 32-bit md5 prefix of (seed ++ str) as a long — see [[Md5PrefixLong]]. */
+  def md5PrefixLong(c: Column, offset: Int, seed: String): Column =
+    GraftBridge.column(Md5PrefixLong(GraftBridge.expression(c), offset, seed))
+}

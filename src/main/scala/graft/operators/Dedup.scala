@@ -47,9 +47,12 @@ object Dedup {
                         n: Int, k: Int): DataFrame = {
     require(k % 4 == 0, "k must be a multiple of 4 (4 pieces per md5)")
     val sh = explodeShingles(docs, id, textCol, n)
+    // native expression: digest bytes -> long, no hex-string round trip.
+    // Longs here and the oracle's hex substrings are the same 4 bytes under
+    // order-preserving encodings, so min/equality semantics line up.
     val aggs = (0 until k).map { i =>
       val (seed, piece) = (i / 4, i % 4)
-      min(substring(md5(concat(lit(s"$seed|"), col("sh"))), 1 + 8 * piece, 8)).as(s"mh$i")
+      min(graft.functions.GraftFunctions.md5PrefixLong(col("sh"), 4 * piece, s"$seed|")).as(s"mh$i")
     }
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
@@ -106,7 +109,7 @@ object Dedup {
     */
   def simhash32(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame = {
     val sh = explodeShingles(docs, id, textCol, n)
-    val v = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    val v = graft.functions.GraftFunctions.md5PrefixLong(col("sh"), 0, "")
     val sums = (0 until 32).map(i =>
       sum(shiftright(col("v"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i"))
     sh.select(col(id), v.as("v"))

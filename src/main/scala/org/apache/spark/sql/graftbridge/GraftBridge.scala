@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. Spark 4 made the conversion utilities
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so a
+  * library that ships native Catalyst expressions needs this one-file
+  * residence inside the org.apache.spark.sql namespace — the standard
+  * pattern for Spark extension libraries. Nothing else of Spark's
+  * internals is touched.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.md5PrefixLong
+
+/** The native Md5PrefixLong expression: bit-parity with the built-in
+  * hex chain, SQL registration via GraftExtensions, null handling.
+  */
+class ExpressionSpec extends SparkSpec {
+
+  test("md5_prefix_long matches the built-in conv(substr(md5)) chain") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("", "a", "hello world", "κόσμε unicode", "x" * 1000).toDF("s")
+    for (piece <- 0 to 3; seed <- Seq("", "0|", "7|")) {
+      val rows = df.select(
+        md5PrefixLong(col("s"), 4 * piece, seed).as("native"),
+        conv(substring(md5(concat(lit(seed), col("s"))), 1 + 8 * piece, 8), 16, 10)
+          .cast("long").as("builtin")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"mismatch at piece=$piece seed=$seed"))
+    }
+  }
+
+  test("md5_prefix_long is registered for SQL text via GraftExtensions") {
+    val got = spark.sql("SELECT md5_prefix_long('abc', 0, '') AS v").collect().head.getLong(0)
+    val want = spark.sql("SELECT CAST(conv(substring(md5('abc'), 1, 8), 16, 10) AS BIGINT) AS v")
+      .collect().head.getLong(0)
+    assert(got == want)
+  }
+
+  test("md5_prefix_long propagates nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Some("a"), None).toDF("s")
+    val rows = df.select(md5PrefixLong(col("s"), 0, "")).collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+  }
+}
