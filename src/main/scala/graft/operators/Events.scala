@@ -62,9 +62,26 @@ object Events {
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("sum_value"))
 
+  /** Exact distinct-count per (possibly skewed) key, two-stage: dedup on
+    * (key, member) first — a shuffle on a HIGH-cardinality uniform composite
+    * key, so no reducer ever receives a whole hot key's rows — then count
+    * per key over the already-distinct pairs. The naive
+    * `count_distinct(member) GROUP BY key` ships every (key, member) pair
+    * of a hot key to one reducer; this shape is the standard skew-safe
+    * rewrite and stays exact (vs approx_count_distinct).
+    */
+  def distinctCountPerKey(df: DataFrame, key: String, member: String,
+                          as: String): DataFrame =
+    df.select(col(key), col(member)).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as(as))
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_distinct_users" -> ((s, d) =>
+      distinctCountPerKey(Tables.events(s, d), "event_type", "user_id", "n_users")
+        .orderBy("event_type")),
+
     "events_recent" -> ((s, d) =>
       recent(Tables.events(s, d), col("event_type") === "error" && col("user_id") < 50,
         "ts", "event_id", 100)
@@ -81,6 +98,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type""",
     "events_recent" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_type = 'error' AND user_id < 50 ORDER BY ts DESC, event_id ASC LIMIT 100""",
     "events_window_agg" ->

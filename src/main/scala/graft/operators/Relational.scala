@@ -167,6 +167,14 @@ object Relational {
     "q_group_options" -> ((s, d) =>
       groupOptions(Tables.part(s, d), "p_type", "pro", 100)),
 
+    // same result as q_group_options but served from a materialised group
+    // index (built here inline; in production maintained by ingest)
+    "q_group_options_indexed" -> ((s, d) => {
+      val idx = "/tmp/graft_io/gidx_p_type"
+      graft.plans.GroupIndex.build(Tables.part(s, d), "p_type", idx)
+      graft.plans.GroupIndex.options(s, idx, "p_type", "pro", 100)
+    }),
+
     "q_orderby_page_envelope" -> ((s, d) =>
       orderPageEnvelope(Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
         "o_totalprice", asc = false, tiebreak = "o_orderkey", page = 2, itemsPerPage = 25)),
@@ -245,6 +253,8 @@ object Relational {
     "q_orderby_page_envelope" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority, t.total, (t.total + 24) // 25 AS pages FROM orders CROSS JOIN (SELECT count(*) AS total FROM orders) t ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25 OFFSET 50""",
     "q_group_options" ->
+      """SELECT DISTINCT p_type AS opt FROM part WHERE lower(p_type) LIKE 'pro%' ORDER BY opt LIMIT 100""",
+    "q_group_options_indexed" ->
       """SELECT DISTINCT p_type AS opt FROM part WHERE lower(p_type) LIKE 'pro%' ORDER BY opt LIMIT 100""",
     "q_join_links" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",

@@ -48,6 +48,17 @@ object Io {
                  format: String = "parquet"): DataFrame =
     spark.readStream.schema(schema).format(format).load(path)
 
+  /** Bucketed table write: pre-shuffle the data ONCE at write time into
+    * `buckets` hash buckets of `key` (sorted within buckets). Two tables
+    * bucketed the same way join with ZERO exchange — the join that at
+    * 100 TB would shuffle both sides every query instead reads co-located
+    * buckets. This is the table-layout half of the scale story: pay the
+    * shuffle once at ingest, not per query.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** KV batch-write shape: the reference batch-writes <= `batchSize` items
     * per request to a key-value store (apis/etl.ts:44-52 -> DynamoDB
     * batchWrite). Distributed equivalent: bucket rows per partition key

@@ -12,6 +12,7 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
