@@ -10,6 +10,11 @@ import graft.sources.Io
 class BucketingSpec extends SparkSpec {
 
   test("same-bucketed tables join with zero shuffle") {
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
     Io.writeBucketed(Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_totalprice"),
       "orders_b", "o_custkey", 4)

@@ -54,6 +54,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file streaming source: directory tail -> windowed agg matches batch") {
+    val dir = "/tmp/graft_stream_in"
+    val fs = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(fs)
+    fs.mkdirs()
+    // two files arriving = two micro-batches
+    val src = Tables.events(spark, sfDir).select("ts", "event_type", "value")
+    val (a, b) = (src.filter(col("event_type") =!= "error"),
+      src.filter(col("event_type") === "error"))
+    a.write.mode("overwrite").parquet(s"$dir/f1")
+    val schema = src.schema
+    val stream = graft.sources.Io.fileStream(spark, s"$dir/f*", schema)
+    val agg = StreamOps.windowedAgg(stream, "ts", "1 hour", "1 hour", Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("file_win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      b.write.mode("overwrite").parquet(s"$dir/f2")
+      q.processAllAvailable()
+      val got = spark.table("file_win_out")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = graft.operators.Events.windowAgg(src, "ts", "hour", Seq("event_type"))
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming edgeDetector matches batch rising edges across batches") {
     val s = spark
     import s.implicits._
