@@ -22,6 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children.head,
         children(1).eval().asInstanceOf[Number].intValue(),
         String.valueOf(children(2).eval()))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => WordNgrams(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -29,4 +35,8 @@ object GraftFunctions {
   /** 32-bit md5 prefix of (seed ++ str) as a long — see [[Md5PrefixLong]]. */
   def md5PrefixLong(c: Column, offset: Int, seed: String): Column =
     GraftBridge.column(Md5PrefixLong(GraftBridge.expression(c), offset, seed))
+
+  /** Distinct word n-grams in one byte-scan — see [[WordNgrams]]. */
+  def wordNgrams(c: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(c), n))
 }

@@ -25,16 +25,16 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a token array (empty when < n). */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word n-gram shingles of a text column (empty when < n
+    * tokens): the native one-byte-scan kernel (graft.functions.WordNgrams),
+    * semantically equal to the split/transform/slice/array_join chain.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordNgrams(text, n)
 
   /** (id, shingle) pairs, distinct per doc. */
   def explodeShingles(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(id), explode(shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    docs.select(col(id), explode(shingles(col(textCol), n)).as("sh"))
 
   /** k-wide MinHash signature per doc. Hashing cost is the dominant term of
     * signature generation, so each md5 yields FOUR 32-bit signature pieces
@@ -91,8 +91,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String, textCol: String,
                         n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val cand = minhashPairs(docs, id, textCol, n, k, rowsPerBand).select("id_a", "id_b")
-    val sets = docs.select(col(id),
-      shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+    val sets = docs.select(col(id), shingles(col(textCol), n).as("sh"))
     val ja = sets.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val jb = sets.select(col(id).as("id_b"), col("sh").as("sh_b"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

@@ -29,6 +29,32 @@ class ExpressionSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("word_ngrams matches the split/slice/array_join chain on real docs") {
+    import graft.functions.GraftFunctions.wordNgrams
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val chain = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val bad = docs.select(wordNgrams(col("text"), 3).as("native"), chain.as("builtin"))
+      .filter(not(col("native") === col("builtin"))).count()
+    assert(bad == 0)
+  }
+
+  test("word_ngrams edge cases: multi-space, tabs, short and empty input") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.GraftFunctions.wordNgrams
+    val df = Seq("a  b\tc d", "a b", "", "   ", "x y z").toDF("t")
+    val rows = df.select(wordNgrams(col("t"), 3)).collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq())
+    assert(rows(2) == Seq())
+    assert(rows(3) == Seq())
+    assert(rows(4) == Seq("x y z"))
+  }
+
   test("md5_prefix_long propagates nulls") {
     val s = spark
     import s.implicits._
