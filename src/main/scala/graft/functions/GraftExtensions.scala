@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => WordNgrams(
         children.head,
         children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDot(children.head, children(1))))
   }
 }
 
@@ -39,4 +43,8 @@ object GraftFunctions {
   /** Distinct word n-grams in one byte-scan — see [[WordNgrams]]. */
   def wordNgrams(c: Column, n: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(c), n))
+
+  /** Fused ordered-fold dot product — see [[ArrayDot]]. */
+  def arrayDot(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

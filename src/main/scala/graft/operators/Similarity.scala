@@ -25,14 +25,17 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Ordered-fold dot product with elementwise double cast (portable). */
+  /** Ordered-fold dot product (native fused loop — Spark's higher-order
+    * `aggregate`/`zip_with` are CodegenFallback, i.e. an interpreted lambda
+    * plus an array allocation per pair; graft.functions.ArrayDot keeps the
+    * identical left-fold double math inside whole-stage codegen).
+    */
   def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.arrayDot(a, b)
 
-  /** Ordered-fold dot product over already-double arrays. */
+  /** Same kernel — arrays already double (pre-normalised vectors). */
   def dotRaw(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.arrayDot(a, b)
 
   /** (id, ne): unit-normalised double vectors. Normalising ONCE per vector
     * turns every pairwise cosine downstream into a single dot fold — at
@@ -42,9 +45,7 @@ object Similarity {
     */
   def normalized(df: DataFrame, id: String, emb: String): DataFrame =
     df.select(col(id), col(emb))
-      .withColumn("_norm",
-        sqrt(aggregate(transform(col(emb), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("_norm", sqrt(dotD(col(emb), col(emb))))
       .select(col(id), transform(col(emb), x => x.cast("double") / col("_norm")).as("ne"))
 
   private def md5hex(s: String): String =

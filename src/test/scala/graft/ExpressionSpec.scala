@@ -55,6 +55,34 @@ class ExpressionSpec extends SparkSpec {
     assert(rows(4) == Seq("x y z"))
   }
 
+  test("array_dot matches the zip_with/aggregate fold bitwise on embeddings") {
+    import graft.functions.GraftFunctions.arrayDot
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val a = e.select(col("vec_id"), col("embedding").as("x"))
+    val b = e.select(col("vec_id"), col("embedding").as("y"))
+    val both = a.join(b, "vec_id")
+    val chain = aggregate(zip_with(col("x"), col("y"),
+      (p, q) => p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val bad = both.select(arrayDot(col("x"), col("y")).as("native"), chain.as("builtin"))
+      .filter(col("native") =!= col("builtin")).count() // bitwise: no tolerance
+    assert(bad == 0)
+  }
+
+  test("array_dot: doubles, length mismatch -> null, null propagation") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.GraftFunctions.arrayDot
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+    val rows = df.select(arrayDot(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(1).isNullAt(0))
+    val viaSql = spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) v")
+      .collect().head.getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
   test("md5_prefix_long propagates nulls") {
     val s = spark
     import s.implicits._
