@@ -106,7 +106,28 @@ object Etl {
         "props",
         StructType(Seq(org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.LongType))))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // The reference's ETL pipeline end-to-end (apis/etl.ts): JSON-lines
+    // batch ingest -> per-entity transform -> dedup-merge -> KV batch
+    // write shape. One declarative plan, one oracle row.
+    "etl_pipeline_e2e" -> ((s, d) => {
+      val scratch = "/tmp/graft_io/jsonl_e2e"
+      val src = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      graft.sources.Io.writeJsonLines(src, scratch)
+      val ingested = graft.sources.Io.readJsonLines(s, scratch, StructType(src.schema.fields))
+      val normed = renameNormalize(ingested,
+        renames = Map("user_id" -> "clientId"), statusCol = "event_type",
+        domain = Seq("click", "view", "purchase"),
+        remap = Map("error" -> "pending"), fallback = "in-progress")
+      val merged = dedupMerge(normed, key = "clientId", orderCol = "event_id",
+        scalarCols = Seq("value"), setCol = "event_type")
+      graft.sources.Io.kvBatches(merged,
+        key = pmod(col("clientId"), lit(20)),
+        payload = to_json(struct(col("clientId"), col("value"), col("event_type_set"))),
+        batchSize = 25)
+        .orderBy("pk", "batch_seq")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +140,8 @@ object Etl {
     "etl_rename_normalize" ->
       """SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type FROM events ORDER BY event_id""",
     "etl_jsonlines" ->
-      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id"""
+      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""",
+    "etl_pipeline_e2e" ->
+      """WITH n AS (SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type, value FROM events), r AS (SELECT clientId, value, row_number() OVER (PARTITION BY clientId ORDER BY event_id, value, event_type) AS rn FROM n), sets AS (SELECT clientId, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_type_set FROM n GROUP BY clientId), m AS (SELECT r.clientId, r.value, s.event_type_set FROM r JOIN sets s USING (clientId) WHERE rn = 1), p AS (SELECT clientId % 20 AS pk, to_json(struct_pack(clientId := clientId, value := value, event_type_set := event_type_set))::VARCHAR AS payload FROM m), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
   )
 }
