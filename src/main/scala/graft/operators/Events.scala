@@ -30,12 +30,16 @@ object Events {
              tiebreak: String, n: Int): DataFrame =
     df.filter(pred).orderBy(col(ts).desc, col(tiebreak).asc).limit(n)
 
-  /** Tumbling-window aggregation at a fixed granularity (date_trunc). */
+  /** Tumbling-window aggregation at a fixed granularity (date_trunc).
+    * Sums/averages via Stable (exact decimal sums): double summation order
+    * differs between engines and a boundary-adjacent group flips a rounded
+    * output (observed at sf0.1) — decimal sums are order-free and exact.
+    */
   def windowAgg(df: DataFrame, ts: String, granularity: String, keys: Seq[String]): DataFrame =
     df.groupBy((date_trunc(granularity, col(ts)).as("window_start") +: keys.map(col)): _*)
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        Stable.sumRounded(col("value"), 2).as("sum_value"),
+        Stable.avgRounded(col("value"), count(lit(1)), 4).as("avg_value"))
 
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSec`. session_seq is a
@@ -60,7 +64,7 @@ object Events {
         min(col(ts)).as("session_start"),
         max(col(ts)).as("session_end"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        Stable.sumRounded(col("value"), 2).as("sum_value"))
 
   /** Exact distinct-count per (possibly skewed) key, two-stage: dedup on
     * (key, member) first — a shuffle on a HIGH-cardinality uniform composite
@@ -103,8 +107,8 @@ object Events {
     "events_recent" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_type = 'error' AND user_id < 50 ORDER BY ts DESC, event_id ASC LIMIT 100""",
     "events_window_agg" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value, ${Stable.sqlAvgRounded("value", 4)} AS avg_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "events_sessionize" ->
-      """WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, value, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)), sess AS (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM flagged) SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events, round(sum(value), 2) AS sum_value FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+      """WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, value, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)), sess AS (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM flagged) SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
   )
 }

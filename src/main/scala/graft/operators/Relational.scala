@@ -130,11 +130,13 @@ object Relational {
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          Stable.sumRounded(col("l_quantity"), 2).as("sum_qty"),
+          Stable.sumRounded(col("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(20,6)") *
+            (lit(1) - col("l_discount").cast("decimal(20,6)"))), 2)
+            .cast("double").as("sum_disc_price"),
+          Stable.avgRounded(col("l_quantity"), count(lit(1)), 4).as("avg_qty"),
+          Stable.avgRounded(col("l_discount"), count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -207,7 +209,9 @@ object Relational {
         .select(o("o_orderkey"), asiaCust("n_name"))
       li.join(asiaOrders, li("l_orderkey") === asiaOrders("o_orderkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(20,6)") *
+            (lit(1) - col("l_discount").cast("decimal(20,6)"))), 2)
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -226,7 +230,7 @@ object Relational {
       Tables.customer(s, d).groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n"),
-          round(avg(col("c_acctbal")), 4).as("avg_bal"),
+          Stable.avgRounded(col("c_acctbal"), count(lit(1)), 4).as("avg_bal"),
           round(min(col("c_acctbal")), 2).as("min_bal"),
           round(max(col("c_acctbal")), 2).as("max_bal"),
           round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"))
@@ -234,14 +238,14 @@ object Relational {
 
     "q_groupby_having" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), Stable.sumRounded(col("l_quantity"), 2).as("sum_qty"))
         .filter(col("n") >= 3)
         .orderBy("l_partkey"))
   )
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      s"""SELECT l_returnflag, l_linestatus, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty, round(sum(CAST(l_extendedprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_base_price, round(sum(CAST(l_extendedprice AS DECIMAL(20,6)) * (1 - CAST(l_discount AS DECIMAL(20,6)))),2)::DOUBLE AS sum_disc_price, ${Stable.sqlAvgRounded("l_quantity", 4)} AS avg_qty, ${Stable.sqlAvgRounded("l_discount", 4)} AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_filter_eq" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""",
     "q_filter_range" ->
@@ -259,14 +263,14 @@ object Relational {
     "q_join_links" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
     "q_join_multi" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+      """SELECT n_name, round(sum(CAST(l_extendedprice AS DECIMAL(20,6)) * (1 - CAST(l_discount AS DECIMAL(20,6)))),2)::DOUBLE AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_topk_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""",
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus""",
     "q_agg_stats" ->
-      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal),4) AS avg_bal, round(min(c_acctbal),2) AS min_bal, round(max(c_acctbal),2) AS max_bal, round(stddev_samp(c_acctbal),4) AS sd_bal FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      s"""SELECT c_mktsegment, count(*) AS n, ${Stable.sqlAvgRounded("c_acctbal", 4)} AS avg_bal, round(min(c_acctbal),2) AS min_bal, round(max(c_acctbal),2) AS max_bal, round(stddev_samp(c_acctbal),4) AS sd_bal FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_groupby_having" ->
-      """SELECT l_partkey, count(*) AS n, round(sum(l_quantity),2) AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey"""
+      """SELECT l_partkey, count(*) AS n, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey"""
   )
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-independent aggregates over double columns.
+  *
+  * Floating-point sums depend on summation order, and Spark's partial
+  * aggregation order differs from any single-node engine's — ~1e-13 of
+  * drift that `round()` amplifies to a full output unit whenever a group's
+  * sum lands on a rounding boundary (observed at sf0.1: 1 group in ~3000).
+  * The test corpus's measures are <= 6-decimal values, so summing them as
+  * DECIMAL(20,6) is EXACT and order-free in both Spark and DuckDB; derived
+  * doubles (rounded sums, averages) are then bitwise identical everywhere,
+  * at any scale factor. On a cluster this also makes results run-to-run
+  * deterministic regardless of partitioning.
+  */
+object Stable {
+
+  /** Exact order-free sum of a <=6dp measure. */
+  def sumDec(c: Column): Column = sum(c.cast("decimal(20,6)"))
+
+  /** round(sum, dp) as double — stable under any summation order. The
+    * round happens on the EXACT decimal (both engines round decimals half
+    * away from zero), only the final value converts to double.
+    */
+  def sumRounded(c: Column, dp: Int): Column = round(sumDec(c), dp).cast("double")
+
+  /** round(sum/n, dp) as double — stable average. round() on a DOUBLE is
+    * NOT portable at exact decimal halves (Spark rounds the shortest
+    * decimal string half-up; DuckDB rounds the binary value, which sits
+    * below the half) — and exact halves are COMMON once sums are exact
+    * (2dp data, n with small factors). So the half-up rounding is done in
+    * scaled-integer arithmetic on the exact sum: q = floor((|T| + half)/
+    * den) with T = sum*10^6 exact, den = 10^(6-dp) * n — identical in both
+    * engines by construction. (All doubles involved stay far below 2^53,
+    * so the float add/divide/floor are exact-or-safely-rounded in both.)
+    */
+  def avgRounded(c: Column, n: Column, dp: Int): Column = {
+    val t = (sumDec(c) * lit(1000000L)).cast("long")
+    val half = lit(math.pow(10, 6 - dp).toLong / 2)
+    val den = lit(math.pow(10, 6 - dp).toLong)
+    val sign = when(t < 0, lit(-1.0)).otherwise(lit(1.0))
+    val q = floor((abs(t).cast("double") + (half * n).cast("double")) /
+      (den * n).cast("double"))
+    sign * q / lit(math.pow(10, dp))
+  }
+
+  /** The DuckDB mirror of [[avgRounded]] for oracle SQL generation. */
+  def sqlAvgRounded(c: String, dp: Int): String = {
+    val half = math.pow(10, 6 - dp).toLong / 2
+    val den = math.pow(10, 6 - dp).toLong
+    val t = s"CAST(sum(CAST($c AS DECIMAL(20,6))) * 1000000 AS BIGINT)"
+    s"(CASE WHEN $t < 0 THEN -1.0 ELSE 1.0 END) * floor((abs($t)::DOUBLE + $half * count(*)) / ($den * count(*))) / ${math.pow(10, dp)}"
+  }
+}

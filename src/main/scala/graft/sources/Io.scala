@@ -114,7 +114,7 @@ object Io {
         out, Seq("o_orderpriority"))
       s.read.parquet(out)
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"))
+          graft.operators.Stable.sumRounded(col("o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderpriority")
     })
   )
@@ -125,7 +125,7 @@ object Io {
     "src_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey""",
     "sink_partitioned" ->
-      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      """SELECT o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sink_kv_batches" ->
       """WITH p AS (SELECT user_id % 50 AS pk, to_json(struct_pack(event_id := event_id, event_type := event_type, value := value))::VARCHAR AS payload FROM events), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
   )

@@ -32,7 +32,7 @@ object StreamOps {
     events.withWatermark(ts, delay)
       .groupBy(window(col(ts), win) +: keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        graft.operators.Stable.sumRounded(col("value"), 2).as("sum_value"))
       .select(col("window.start").as("window_start") +: keys.map(col) :+
         col("n_events") :+ col("sum_value"): _*)
 
