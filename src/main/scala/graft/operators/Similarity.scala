@@ -122,6 +122,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (the inverted lists), probe the query's nProbe nearest lists, rank
+    * candidates by exact cosine. The assignment is a broadcast of the
+    * centroid set against the corpus — one scan — and querying touches
+    * only the probed lists, the IVF scale contract. Centroids here are a
+    * deterministic subset (production would k-means them; the structure —
+    * lists, probes, ranking — is identical and is what's under test).
+    */
+  def simIvfAnn(df: DataFrame, id: String, emb: String, centPred: Column,
+                queryPred: Column, nProbe: Int, k: Int): DataFrame = {
+    val nrm = normalized(df, id, emb)
+    val cents = broadcast(nrm.filter(centPred)
+      .select(col(id).as("cid"), col("ne").as("ce")))
+    val scored = nrm.crossJoin(cents)
+      .select(col(id), col("ne"),
+        round(dotRaw(col("ne"), col("ce")), 4).as("csim"), col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
+    val ranked = scored.withColumn("crank", row_number().over(w))
+    val lists = ranked.filter(col("crank") === 1)
+      .select(col(id).as("neighbor_id"), col("ne").as("ce2"), col("cid"))
+    val probes = ranked.filter(queryPred && col("crank") <= nProbe)
+      .select(col(id).as("query_id"), col("ne").as("qe"), col("cid"))
+    val scored2 = probes.join(lists, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotRaw(col("qe"), col("ce2")), 4).as("cos_sim"))
+      .distinct()
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored2.withColumn("rank", row_number().over(w2).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs: LSH candidates (id_a < id_b across L tables,
     * deduped) verified by exact cosine >= threshold.
     */
@@ -166,6 +200,14 @@ object Similarity {
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")),
 
+    "sim_ivf_ann" -> ((s, d) =>
+      simIvfAnn(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding",
+        centPred = col("vec_id") < 16, queryPred = col("vec_id") < 10,
+        nProbe = 2, k = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")),
+
     "dedup_embedding" -> ((s, d) =>
       embeddingPairs(Tables.embeddings(s, d).select("vec_id", "embedding"),
         "vec_id", "embedding", dupTabs, threshold = 0.4)
@@ -203,6 +245,8 @@ object Similarity {
     "sim_lsh_ann" ->
       s"""WITH ${bucketsCte(annTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id WHERE a.vec_id < 10), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "dedup_embedding" ->
-      s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""
+      s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
+    "sim_ivf_ann" ->
+      s"""WITH $normCte, cents AS (SELECT vec_id AS cid, ne AS ce FROM nrm WHERE vec_id < 16), scored AS (SELECT n.vec_id, round(${sqlDotRaw("n.ne", "c.ce")}, 4) AS csim, c.cid FROM nrm n CROSS JOIN cents c), ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crank FROM scored), lists AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

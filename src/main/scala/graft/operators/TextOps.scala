@@ -86,6 +86,15 @@ object TextOps {
     df.withColumn("fp",
       md5(array_join(array_sort(array_distinct(tokens(lower(col(textCol))))), " ")))
 
+  /** PII scrub: regex masking of emails and digit runs — the standard
+    * pre-training redaction pass. Pure codegen'd projection, zero shuffle.
+    */
+  def piiMask(df: DataFrame, textCol: String, as: String): DataFrame =
+    df.withColumn(as,
+      regexp_replace(
+        regexp_replace(col(textCol), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]+", "<NUM>"))
+
   /** Exact dedup by content hash: one hash-agg groupBy (map-side combine,
     * one shuffle on the 128-bit key — uniform, skew-free at any scale),
     * keep-first = min doc id per hash.
@@ -121,7 +130,13 @@ object TextOps {
     "dedup_exact" -> ((s, d) =>
       dedupExact(Tables.documents(s, d), "doc_id", "text")
         .select("content_hash", "keep_id", "n_dupes")
-        .orderBy("keep_id"))
+        .orderBy("keep_id")),
+
+    // events.props carries digits, so the mask is non-vacuous there
+    "text_pii_mask" -> ((s, d) =>
+      piiMask(Tables.events(s, d).select("event_id", "props"), "props", "masked")
+        .select("event_id", "masked")
+        .orderBy("event_id"))
   )
 
   private val enIn = stopEn.map(w => s"'$w'").mkString(", ")
@@ -138,6 +153,8 @@ object TextOps {
     "text_fingerprint" ->
       raw"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
-      raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+      raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "text_pii_mask" ->
+      raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id"""
   )
 }
