@@ -79,9 +79,25 @@ object Events {
     df.select(col(key), col(member)).distinct()
       .groupBy(col(key)).agg(count(lit(1)).as(as))
 
+  /** Sketch-based monitoring stats: HLL distinct + quantile sketches —
+    * the right primitives at 100 TB where exact percentiles would sort the
+    * world. Sketches are implementation-specific, so this op has NO SQL
+    * oracle (driver records a rows-only check); the spec bounds the
+    * approximations against exact values instead.
+    */
+  def approxStats(df: DataFrame, key: String, member: String, v: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(approx_count_distinct(col(member)).as("approx_users"),
+        percentile_approx(col(v), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col(v), lit(0.95), lit(1000)).as("p95"))
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_approx_stats" -> ((s, d) =>
+      approxStats(Tables.events(s, d), "event_type", "user_id", "value")
+        .orderBy("event_type")),
+
     "events_distinct_users" -> ((s, d) =>
       distinctCountPerKey(Tables.events(s, d), "event_type", "user_id", "n_users")
         .orderBy("event_type")),

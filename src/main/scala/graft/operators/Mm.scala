@@ -60,18 +60,39 @@ object Mm {
     }
   }
 
+  /** Chunk table: one row per fixed-size slice of each payload — the
+    * storage layout for large media (each chunk separately addressable /
+    * hashable). Pure expressions: sequence + binary substring, no UDF.
+    */
+  def chunkTable(blobs: DataFrame, chunkBytes: Int): DataFrame =
+    blobs
+      .withColumn("ci", explode(expr(
+        s"sequence(0, CAST((octet_length(blob) + ${chunkBytes - 1}) / $chunkBytes AS INT) - 1)")))
+      .select(col("doc_id"), col("ci").cast("bigint").as("ci"),
+        expr(s"octet_length(substring(blob, ci * $chunkBytes + 1, $chunkBytes))")
+          .cast("bigint").as("chunk_bytes"),
+        expr(s"md5(substring(blob, ci * $chunkBytes + 1, $chunkBytes))").as("chunk_md5"))
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> ((s, d) =>
       decodeMeta(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 256)
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    "mm_chunks" -> ((s, d) =>
+      chunkTable(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 64)
+        .orderBy("doc_id", "ci"))
   )
 
   val oracles: Map[String, String] = Map(
     // mirrors FakeDecoder: the fake decode is integer arithmetic on the
     // payload size, so the oracle can recompute it
     "mm_meta" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_bytes, md5(text) AS blob_md5, (octet_length(encode(text)) + 255) // 256 AS n_chunks, 64 + octet_length(encode(text)) % 512 AS decoded_w, 64 + (octet_length(encode(text)) * 7) % 512 AS decoded_h, 1 + octet_length(encode(text)) % 8 AS frames FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_bytes, md5(text) AS blob_md5, (octet_length(encode(text)) + 255) // 256 AS n_chunks, 64 + octet_length(encode(text)) % 512 AS decoded_w, 64 + (octet_length(encode(text)) * 7) % 512 AS decoded_h, 1 + octet_length(encode(text)) % 8 AS frames FROM documents ORDER BY doc_id""",
+    // DuckDB lacks BLOB substring; the corpus is ASCII so char slices of
+    // the VARCHAR are byte-identical to the engine's binary slices
+    "mm_chunks" ->
+      """WITH c AS (SELECT doc_id, unnest(range(0, ((length(text) + 63) // 64)::INT)) AS ci, text FROM documents) SELECT doc_id, ci::BIGINT AS ci, length(substr(text, (ci * 64 + 1)::INT, 64))::BIGINT AS chunk_bytes, md5(substr(text, (ci * 64 + 1)::INT, 64)) AS chunk_md5 FROM c ORDER BY doc_id, ci"""
   )
 }

@@ -100,6 +100,20 @@ object Relational {
     fact.join(maybeHinted, fact(fk) === dimSel(pk), "left").drop(dimSel(pk))
   }
 
+  /** Hot-key-safe equi-join: when one fact key is so frequent that AQE's
+    * skew splitting isn't available (or the dim side can't broadcast),
+    * replicate each dim row `salts` times and scatter the fact across the
+    * replicas — every (key, salt) partition carries ~1/salts of the hot
+    * key. Result is exactly the plain inner join (spec-asserted).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, fk: String, pk: String,
+                 salts: Int, tiebreak: String): DataFrame = {
+    val sf = fact.withColumn("_salt", pmod(hash(col(tiebreak)), lit(salts)))
+    val sd = dim.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    sf.join(sd, sf(fk) === sd(pk) && sf("_salt") === sd("_salt"))
+      .drop(sf("_salt")).drop(sd("_salt"))
+  }
+
   /** Top-k per group, two-phase so no single window partition ever holds a
     * whole group (a low-cardinality group column would otherwise cap
     * parallelism at #groups and sort each group in full — a scale-killer).
@@ -168,6 +182,14 @@ object Relational {
 
     "q_group_options" -> ((s, d) =>
       groupOptions(Tables.part(s, d), "p_type", "pro", 100)),
+
+    // hot-key-safe join demo: identical rows to a plain inner join
+    "q_join_salted" -> ((s, d) =>
+      saltedJoin(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        fk = "o_custkey", pk = "c_custkey", salts = 8, tiebreak = "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+        .orderBy("o_orderkey")),
 
     // same result as q_group_options but served from a materialised group
     // index (built here inline; in production maintained by ingest)
@@ -260,6 +282,8 @@ object Relational {
       """SELECT DISTINCT p_type AS opt FROM part WHERE lower(p_type) LIKE 'pro%' ORDER BY opt LIMIT 100""",
     "q_group_options_indexed" ->
       """SELECT DISTINCT p_type AS opt FROM part WHERE lower(p_type) LIKE 'pro%' ORDER BY opt LIMIT 100""",
+    "q_join_salted" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
     "q_join_links" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
     "q_join_multi" ->

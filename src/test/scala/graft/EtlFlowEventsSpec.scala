@@ -73,6 +73,42 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("q_join_salted returns exactly the plain inner join") {
+    val salted = run("q_join_salted").collect().map(_.toString).sorted
+    val plain = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+      .orderBy("o_orderkey").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+  }
+
+  test("events_approx_stats: sketches bounded against exact values") {
+    val approx = run("events_approx_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = run("events_distinct_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, (users, p50, p95)) =>
+      assert(math.abs(users - exact(k)).toDouble / exact(k) < 0.1, s"$k HLL off >10%")
+      assert(p50 <= p95)
+    }
+  }
+
+  test("mm_chunks reassemble to the full payload size") {
+    val rows = run("mm_chunks").collect()
+    val bytesByDoc = rows.groupBy(_.getLong(0)).map { case (id, cs) =>
+      id -> cs.map(_.getLong(2)).sum }
+    val meta = run("mm_meta").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bytesByDoc.foreach { case (id, n) => assert(n == meta(id)) }
+    assert(rows.forall(_.getString(3).length == 32))
+  }
+
+  test("text_pii_mask leaves no digits behind") {
+    val rows = run("text_pii_mask").collect()
+    assert(rows.forall(!_.getString(1).exists(_.isDigit)))
+    assert(rows.exists(_.getString(1).contains("<NUM>")))
+  }
+
   test("q_topk_group plan is two-phase (salted partial rank first)") {
     val p = plan(run("q_topk_group"))
     assert(p.split("Window").length - 1 >= 2, "expected two window phases")

@@ -31,6 +31,14 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("sim_ivf_ann candidates never beat brute force") {
+    val ivf = run("sim_ivf_ann").collect()
+    assert(ivf.nonEmpty)
+    val best = run("sim_topk").collect().filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    ivf.foreach { r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9) }
+  }
+
   test("dedup_embedding pairs are ordered and clear the threshold") {
     val rows = run("dedup_embedding").collect()
     rows.foreach { r =>
