@@ -136,7 +136,25 @@ object TextOps {
     "text_pii_mask" -> ((s, d) =>
       piiMask(Tables.events(s, d).select("event_id", "props"), "props", "masked")
         .select("event_id", "masked")
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // The corpus-prep pipeline composed: PII mask -> token-count gate ->
+    // language gate -> exact dedup (keep-first) -> fingerprint. One
+    // declarative plan; projections fuse, the only shuffle is the dedup
+    // group-by. This is the shape of a real pre-training data pass.
+    "text_pipeline_e2e" -> ((s, d) => {
+      val masked = piiMask(Tables.documents(s, d).select("doc_id", "text"), "text", "clean")
+        .select("doc_id", "clean")
+      val gated = langId(tokenCount(masked, "clean"), "clean")
+        .filter(col("ws_tokens") >= 20 && col("lang_pred") === "en")
+      val keep = gated.groupBy(md5(col("clean")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      gated.join(keep, "doc_id")
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(tokens(lower(col("clean"))))), " ")).as("fp"),
+          col("ws_tokens").as("n_tokens"))
+        .orderBy("doc_id")
+    })
   )
 
   private val enIn = stopEn.map(w => s"'$w'").mkString(", ")
@@ -155,6 +173,8 @@ object TextOps {
     "dedup_exact" ->
       raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "text_pii_mask" ->
-      raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id"""
+      raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id""",
+    "text_pipeline_e2e" ->
+      raw"""WITH m AS (SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM documents), t AS (SELECT doc_id, clean, string_split_regex(trim(clean), '\s+') AS tk, string_split_regex(trim(lower(clean)), '\s+') AS lt FROM m), h AS (SELECT doc_id, clean, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, clean, tk FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), keep AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(clean)) SELECT g.doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(g.clean)), '\s+'))), ' ')) AS fp, len(g.tk)::BIGINT AS n_tokens FROM g JOIN keep ON g.doc_id = keep.doc_id ORDER BY g.doc_id"""
   )
 }
