@@ -21,7 +21,7 @@ import graft.Tables
   * Windowed aggregation is a date_trunc bucket + hash agg (partial agg
   * map-side). Sessionization is the classic lag-gap + running-sum pattern:
   * one shuffle on user_id, then all window work stays partition-local.
-  * Streaming twins in graft.streaming.
+  * Streaming twins in graft.streaming.StreamOps.
   */
 object Events {
 

@@ -24,7 +24,7 @@ import graft.Tables
   * posexplode (parallel per row). The edge detector — stateful in the
   * reference — becomes a lag window per key ordered by time: one shuffle on
   * the key, state never leaves the executor. The streaming twin lives in
-  * graft.streaming.EdgeDetector.
+  * graft.streaming.StreamOps.edgeDetector.
   */
 object Flow {
 

@@ -147,9 +147,12 @@ object TextOps {
         .select("doc_id", "clean")
       val gated = langId(tokenCount(masked, "clean"), "clean")
         .filter(col("ws_tokens") >= 20 && col("lang_pred") === "en")
-      val keep = gated.groupBy(md5(col("clean")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      gated.join(keep, "doc_id")
+      // keep-first per content hash via a window, not groupBy+self-join:
+      // one pass (the upstream mask/gate branch would otherwise be
+      // recomputed on both sides of the join), one shuffle on the hash
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
+      gated.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("doc_id"),
           md5(array_join(array_sort(array_distinct(tokens(lower(col("clean"))))), " ")).as("fp"),
           col("ws_tokens").as("n_tokens"))
@@ -175,6 +178,6 @@ object TextOps {
     "text_pii_mask" ->
       raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id""",
     "text_pipeline_e2e" ->
-      raw"""WITH m AS (SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM documents), t AS (SELECT doc_id, clean, string_split_regex(trim(clean), '\s+') AS tk, string_split_regex(trim(lower(clean)), '\s+') AS lt FROM m), h AS (SELECT doc_id, clean, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, clean, tk FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), keep AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(clean)) SELECT g.doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(g.clean)), '\s+'))), ' ')) AS fp, len(g.tk)::BIGINT AS n_tokens FROM g JOIN keep ON g.doc_id = keep.doc_id ORDER BY g.doc_id"""
+      raw"""WITH m AS (SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM documents), t AS (SELECT doc_id, clean, string_split_regex(trim(clean), '\s+') AS tk, string_split_regex(trim(lower(clean)), '\s+') AS lt FROM m), h AS (SELECT doc_id, clean, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, clean, tk FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), r AS (SELECT doc_id, clean, tk, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn FROM g) SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(clean)), '\s+'))), ' ')) AS fp, len(tk)::BIGINT AS n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
   )
 }
