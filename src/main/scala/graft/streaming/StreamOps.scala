@@ -36,6 +36,24 @@ object StreamOps {
       .select(col("window.start").as("window_start") +: keys.map(col) :+
         col("n_events") :+ col("sum_value"): _*)
 
+  /** Streaming gap-based sessionization: Spark's native `session_window`
+    * merges events within `gap` of each other into one growing window per
+    * key — the streaming twin of Events.sessionize/sessionStats (same
+    * session definition: a new session starts when the gap is exceeded).
+    * State is bounded by the watermark; sessions emit once closed (Append)
+    * or continuously (Complete/Update).
+    */
+  def sessionAgg(events: DataFrame, ts: String, key: String, gap: String,
+                 delay: String): DataFrame =
+    events.withWatermark(ts, delay)
+      .groupBy(col(key), session_window(col(ts), gap))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Stable.sumRounded(col("value"), 2).as("sum_value"),
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"))
+      .select(col(key), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+
   case class Reading(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
   case class LastValue(value: Double)

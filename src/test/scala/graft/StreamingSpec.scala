@@ -86,6 +86,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window sessionization matches batch sessionStats") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val sess = StreamOps.sessionAgg(input.toDF(), ts = "ts", key = "user_id",
+      gap = "1 hour", delay = "1 hour")
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+
+      val batch = Events.sessionStats(eventRows.toDF(),
+        key = "user_id", ts = "ts", gapSec = 3600, tiebreak = "event_id")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got.nonEmpty)
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming edgeDetector matches batch rising edges across batches") {
     val s = spark
     import s.implicits._
