@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Text analysis for LLM training-data pipelines: token counting, quality
@@ -86,6 +87,48 @@ object TextOps {
     df.withColumn("fp",
       md5(array_join(array_sort(array_distinct(tokens(lower(col(textCol))))), " ")))
 
+  /** Winnowing fingerprints (the rolling-hash scheme of MOSS): hash every
+    * k-char gram, then keep the minimum of each w-wide window — a
+    * position-robust fingerprint SET that survives local edits (any match
+    * of length >= k+w-1 shares a fingerprint).
+    *
+    * Shape matters here: expressing the window minima as nested array
+    * `transform`s looks natural but projection collapse inlines the k-gram
+    * hash array into EVERY window position's lambda — O(n^2) hashing per
+    * document (observed: one task pinned for 20+ minutes at sf0.1). So
+    * positions are exploded to rows, each gram hashed ONCE (native
+    * Md5PrefixLong), and the w-wide minima come from a sliding row-frame
+    * window — O(n*w) with one shuffle on the doc id.
+    */
+  def winnowFingerprint(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame = {
+    val nGrams = length(col(textCol)) - (k - 1)
+    val hashed = df
+      .withColumn("_n", nGrams)
+      .withColumn("_pos", explode(when(col("_n") >= 1,
+        sequence(lit(1), col("_n"))).otherwise(array().cast("array<int>"))))
+      .withColumn("_h", graft.functions.GraftFunctions.md5PrefixLong(
+        col(textCol).substr(col("_pos"), lit(k)), 0, ""))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = hashed
+      .withColumn("_wmin", min(col("_h")).over(frame))
+      .filter(col("_pos") <= col("_n") - (w - 1))
+      .groupBy(col(idCol))
+      .agg(array_sort(array_distinct(collect_list(col("_wmin")))).as("_fps"))
+      .select(col(idCol),
+        md5(array_join(transform(col("_fps"), x => x.cast("string")), ",")).as("doc_fp"),
+        size(col("_fps")).cast("bigint").as("n_fps"))
+    // docs shorter than k+w-1 have no windows: empty fingerprint set
+    df.select(col(idCol)).join(fps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("doc_fp"), lit(TextOps.emptyMd5)).as("doc_fp"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"))
+  }
+
+  /** md5 of the empty string (the empty fingerprint set's digest). */
+  val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+
   /** PII scrub: regex masking of emails and digit runs — the standard
     * pre-training redaction pass. Pure codegen'd projection, zero shuffle.
     */
@@ -138,6 +181,12 @@ object TextOps {
         .select("event_id", "masked")
         .orderBy("event_id")),
 
+    "text_winnow_fingerprint" -> ((s, d) =>
+      winnowFingerprint(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", k = 8, w = 4)
+        .select("doc_id", "doc_fp", "n_fps")
+        .orderBy("doc_id")),
+
     // The corpus-prep pipeline composed: PII mask -> token-count gate ->
     // language gate -> exact dedup (keep-first) -> fingerprint. One
     // declarative plan; projections fuse, the only shuffle is the dedup
@@ -164,6 +213,13 @@ object TextOps {
   private val esIn = stopEs.map(w => s"'$w'").mkString(", ")
   private val frIn = stopFr.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB mirror of Md5PrefixLong offset 0: hex-nibble parse of the
+    * first 8 md5 hex chars of `inner`. */
+  private def sqlHex32(inner: String): String =
+    (1 to 8).map(j =>
+      s"((strpos('0123456789abcdef', substr(md5($inner), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))})")
+      .mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
     "text_tokencount" ->
       raw"""SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens, len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens FROM documents ORDER BY doc_id""",
@@ -177,6 +233,8 @@ object TextOps {
       raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "text_pii_mask" ->
       raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id""",
+    "text_winnow_fingerprint" ->
+      s"""WITH hs AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN list_transform(range(1, length(text) - 6), i -> ${sqlHex32("substr(text, i, 8)")}) ELSE []::BIGINT[] END AS hl FROM documents), wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN list_distinct(list_transform(range(1, len(hl) - 2), j -> list_min(hl[j:j+3]))) ELSE []::BIGINT[] END AS fps FROM hs) SELECT doc_id, md5(array_to_string(list_sort(fps), ',')) AS doc_fp, len(fps)::BIGINT AS n_fps FROM wn ORDER BY doc_id""",
     "text_pipeline_e2e" ->
       raw"""WITH m AS (SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM documents), t AS (SELECT doc_id, clean, string_split_regex(trim(clean), '\s+') AS tk, string_split_regex(trim(lower(clean)), '\s+') AS lt FROM m), h AS (SELECT doc_id, clean, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, clean, tk FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), r AS (SELECT doc_id, clean, tk, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn FROM g) SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(clean)), '\s+'))), ' ')) AS fp, len(tk)::BIGINT AS n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
   )

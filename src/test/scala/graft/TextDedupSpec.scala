@@ -45,6 +45,26 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("winnowing fingerprints: identical docs match, local edits overlap") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps.winnowFingerprint
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val edited = base.replace("lazy", "very lazy")
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("doc_id", "text")
+    val rows = winnowFingerprint(df, "doc_id", "text", 8, 4)
+      .select("doc_id", "doc_fp", "n_fps").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L) == rows(2L))          // identical content -> same fingerprint
+    assert(rows(1L)._1 != rows(3L)._1)    // edit changes the set
+    assert(rows(3L)._2 > 0)
+    // a doc shorter than k yields the empty fingerprint set
+    val tiny = winnowFingerprint(Seq((9L, "short")).toDF("doc_id", "text"),
+      "doc_id", "text", 8, 4)
+      .select("n_fps").collect().head
+    assert(tiny.getLong(0) == 0L)
+  }
+
   test("dedup_exact groups exact duplicates, keeps first") {
     val s = spark
     import s.implicits._
