@@ -94,10 +94,13 @@ object Dedup {
     val sets = docs.select(col(id), shingles(col(textCol), n).as("sh"))
     val ja = sets.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val jb = sets.select(col(id).as("id_b"), col("sh").as("sh_b"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
+    // int-ratio rounding (Stable): |A∩B|/|A∪B| can land on an exact
+    // decimal half, where round(double) is engine-dependent
+    val jac = Stable.ratioRounded(
+      size(array_intersect(col("sh_a"), col("sh_b"))),
+      size(array_union(col("sh_a"), col("sh_b"))), 4)
     cand.join(ja, "id_a").join(jb, "id_b")
-      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jac.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -191,8 +194,11 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
-    "dedup_ngram_jaccard" ->
-      s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.5 ORDER BY id_a, id_b""",
+    "dedup_ngram_jaccard" -> {
+      val jac = graft.operators.Stable.sqlRatioRounded(
+        "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
+      s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, $jac AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE $jac >= 0.5 ORDER BY id_a, id_b"""
+    },
     "dedup_simhash" ->
       s"""WITH $tkCte, $shListCte, $shCte, hv AS (SELECT doc_id, $nibV AS v FROM sh), bits AS (SELECT doc_id, $sumCols FROM hv GROUP BY doc_id), simh AS (SELECT doc_id, ($hExpr)::BIGINT AS h FROM bits), blocks AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS blk FROM simh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bands) SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM blocks a JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY id_a, id_b"""
   )

@@ -46,6 +46,23 @@ object Stable {
     sign * q / lit(math.pow(10, dp))
   }
 
+  /** round-half-up(num/den, dp) for non-negative integer columns, in exact
+    * integer arithmetic: floor((2*10^dp*num + den) / (2*den)) / 10^dp.
+    * Ratios of ints routinely land on exact decimal halves (1/160 =
+    * 0.00625), where `round(double)` is engine-dependent (see avgRounded).
+    */
+  def ratioRounded(num: Column, den: Column, dp: Int): Column = {
+    val scale = math.pow(10, dp).toLong
+    floor((num * lit(2 * scale) + den).cast("double") /
+      (den * lit(2)).cast("double")) / lit(scale.toDouble)
+  }
+
+  /** DuckDB mirror of [[ratioRounded]]. */
+  def sqlRatioRounded(num: String, den: String, dp: Int): String = {
+    val scale = math.pow(10, dp).toLong
+    s"floor((${2 * scale} * ($num) + ($den)) / (2.0 * ($den))) / $scale.0"
+  }
+
   /** The DuckDB mirror of [[avgRounded]] for oracle SQL generation. */
   def sqlAvgRounded(c: String, dp: Int): String = {
     val half = math.pow(10, 6 - dp).toLong / 2

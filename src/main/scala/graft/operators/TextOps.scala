@@ -52,14 +52,20 @@ object TextOps {
     val punct = length(regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
     val nTok = size(toks)
     val stops = hitCount(toks, stopEn)
+    // int-ratio rounding via Stable: round(double) diverges across engines
+    // at exact decimal halves, and int/int ratios hit those routinely.
+    // The composite score combines the ROUNDED ratios (all multiples of
+    // 1e-4, so its own final rounding can't sit on a half-boundary).
+    val alphaR = Stable.ratioRounded(alpha, len, 4)
+    val punctR = Stable.ratioRounded(punct, len, 4)
+    val stopR = Stable.ratioRounded(stops, nTok, 4)
     df.withColumn("n_chars_m", len.cast("bigint"))
       .withColumn("n_tokens", nTok.cast("bigint"))
-      .withColumn("alpha_ratio", round(alpha.cast("double") / len, 4))
-      .withColumn("punct_ratio", round(punct.cast("double") / len, 4))
-      .withColumn("stop_ratio", round(stops.cast("double") / nTok, 4))
+      .withColumn("alpha_ratio", alphaR)
+      .withColumn("punct_ratio", punctR)
+      .withColumn("stop_ratio", stopR)
       .withColumn("quality_score",
-        round(alpha.cast("double") / len - punct.cast("double") / len +
-          least(stops.cast("double") / nTok * 2, lit(0.5)), 4))
+        round(alphaR - punctR + least(stopR * 2, lit(0.5)), 4))
   }
 
   /** n-gram-free language ID: stopword hit votes per language, argmax with
@@ -223,8 +229,12 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_tokencount" ->
       raw"""SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens, len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens FROM documents ORDER BY doc_id""",
-    "text_quality" ->
-      raw"""SELECT doc_id, length(text)::BIGINT AS n_chars_m, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens, round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 4) AS alpha_ratio, round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text), 4) AS punct_ratio, round(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn)))::DOUBLE / len(string_split_regex(trim(text), '\s+')), 4) AS stop_ratio, round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text) + least(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn)))::DOUBLE / len(string_split_regex(trim(text), '\s+')) * 2, 0.5), 4) AS quality_score FROM documents ORDER BY doc_id""",
+    "text_quality" -> {
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents) SELECT doc_id, ln::BIGINT AS n_chars_m, ntok::BIGINT AS n_tokens, $alphaR AS alpha_ratio, $punctR AS punct_ratio, $stopR AS stop_ratio, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM c ORDER BY doc_id"""
+    },
     "text_langid" ->
       raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents), h AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($enIn)))::BIGINT AS en_hits, len(list_filter(tk, x -> x IN ($esIn)))::BIGINT AS es_hits, len(list_filter(tk, x -> x IN ($frIn)))::BIGINT AS fr_hits FROM t) SELECT doc_id, en_hits, es_hits, fr_hits, CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und' WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred FROM h ORDER BY doc_id""",
     "text_fingerprint" ->
