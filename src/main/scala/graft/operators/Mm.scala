@@ -73,6 +73,23 @@ object Mm {
           .cast("bigint").as("chunk_bytes"),
         expr(s"md5(substring(blob, ci * $chunkBytes + 1, $chunkBytes))").as("chunk_md5"))
 
+  /** Frame sampling: for a payload the (stubbed) decoder reports F frames
+    * for, sample one fixed-width slice per frame at evenly-spaced offsets
+    * — the Spark-side shape of video frame extraction (the real codec
+    * would replace the slice with a decoded frame tensor). Explode +
+    * substring: embarrassingly parallel, no shuffle.
+    */
+  def frameSamples(blobs: DataFrame, frameBytes: Int): DataFrame =
+    blobs
+      .withColumn("bytes", expr("octet_length(blob)"))
+      .withColumn("frames", expr("1 + octet_length(blob) % 8")) // FakeDecoder
+      .withColumn("fi", explode(expr("sequence(0, CAST(1 + octet_length(blob) % 8 AS INT) - 1)")))
+      // explicit floor: CAST(double AS INT) truncates in Spark but ROUNDS
+      // in DuckDB — floor() first is the portable spelling
+      .select(col("doc_id"), col("fi").cast("bigint").as("fi"),
+        expr(s"CAST(floor((fi * bytes) / frames) AS INT)").cast("bigint").as("frame_off"),
+        expr(s"md5(substring(blob, CAST(floor((fi * bytes) / frames) AS INT) + 1, $frameBytes))").as("frame_md5"))
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -82,7 +99,11 @@ object Mm {
 
     "mm_chunks" -> ((s, d) =>
       chunkTable(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 64)
-        .orderBy("doc_id", "ci"))
+        .orderBy("doc_id", "ci")),
+
+    "mm_frames" -> ((s, d) =>
+      frameSamples(withBlob(Tables.documents(s, d), "doc_id", "text"), frameBytes = 16)
+        .orderBy("doc_id", "fi"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -93,6 +114,8 @@ object Mm {
     // DuckDB lacks BLOB substring; the corpus is ASCII so char slices of
     // the VARCHAR are byte-identical to the engine's binary slices
     "mm_chunks" ->
-      """WITH c AS (SELECT doc_id, unnest(range(0, ((length(text) + 63) // 64)::INT)) AS ci, text FROM documents) SELECT doc_id, ci::BIGINT AS ci, length(substr(text, (ci * 64 + 1)::INT, 64))::BIGINT AS chunk_bytes, md5(substr(text, (ci * 64 + 1)::INT, 64)) AS chunk_md5 FROM c ORDER BY doc_id, ci"""
+      """WITH c AS (SELECT doc_id, unnest(range(0, ((length(text) + 63) // 64)::INT)) AS ci, text FROM documents) SELECT doc_id, ci::BIGINT AS ci, length(substr(text, (ci * 64 + 1)::INT, 64))::BIGINT AS chunk_bytes, md5(substr(text, (ci * 64 + 1)::INT, 64)) AS chunk_md5 FROM c ORDER BY doc_id, ci""",
+    "mm_frames" ->
+      """WITH b AS (SELECT doc_id, length(text) AS bytes, 1 + length(text) % 8 AS frames, text FROM documents), f AS (SELECT doc_id, bytes, frames, text, unnest(range(0, frames::INT)) AS fi FROM b) SELECT doc_id, fi::BIGINT AS fi, floor((fi * bytes) / frames)::BIGINT AS frame_off, md5(substr(text, floor((fi * bytes) / frames)::INT + 1, 16)) AS frame_md5 FROM f ORDER BY doc_id, fi"""
   )
 }
