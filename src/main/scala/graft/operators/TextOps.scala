@@ -135,6 +135,30 @@ object TextOps {
   /** md5 of the empty string (the empty fingerprint set's digest). */
   val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
 
+  /** TF-IDF top terms per document — the corpus-statistics shape: a global
+    * document-frequency pass feeds a per-document scoring pass. Term
+    * frequencies are one hash-agg on (doc, term); document frequencies one
+    * hash-agg on term over the distinct pairs (vocabulary-sized — the join
+    * back is broadcast-able at any corpus size); scoring is a projection;
+    * top-k per doc is a window over doc partitions. Two shuffles total.
+    * tfidf = tf * ln(1 + N/df), rounded at 4dp (log of an int ratio —
+    * boundary collisions are measure-zero).
+    */
+  def tfIdfTop(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = df.count() // corpus size: parquet-metadata count
+    val pairs = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = pairs.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(1.0) + lit(n.toDouble) / col("df")), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
+
   /** PII scrub: regex masking of emails and digit runs — the standard
     * pre-training redaction pass. Pure codegen'd projection, zero shuffle.
     */
@@ -193,6 +217,10 @@ object TextOps {
         .select("doc_id", "doc_fp", "n_fps")
         .orderBy("doc_id")),
 
+    "text_tfidf_top" -> ((s, d) =>
+      tfIdfTop(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
     // The corpus-prep pipeline composed: PII mask -> token-count gate ->
     // language gate -> exact dedup (keep-first) -> fingerprint. One
     // declarative plan; projections fuse, the only shuffle is the dedup
@@ -243,6 +271,8 @@ object TextOps {
       raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "text_pii_mask" ->
       raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id""",
+    "text_tfidf_top" ->
+      raw"""WITH p AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY doc_id, term), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), nn AS (SELECT count(*) AS n FROM documents), s AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(1.0 + nn.n / dfq.df), 4) AS tfidf FROM tf JOIN dfq USING (term) CROSS JOIN nn), r AS (SELECT doc_id, term, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "text_winnow_fingerprint" ->
       s"""WITH hs AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN list_transform(range(1, length(text) - 6), i -> ${sqlHex32("substr(text, i, 8)")}) ELSE []::BIGINT[] END AS hl FROM documents), wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN list_distinct(list_transform(range(1, len(hl) - 2), j -> list_min(hl[j:j+3]))) ELSE []::BIGINT[] END AS fps FROM hs) SELECT doc_id, md5(array_to_string(list_sort(fps), ',')) AS doc_fp, len(fps)::BIGINT AS n_fps FROM wn ORDER BY doc_id""",
     "text_pipeline_e2e" ->
