@@ -143,6 +143,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Decontamination: which training docs overlap a (small) benchmark set?
+    * The benchmark side is tiny by nature, so its exploded shingles
+    * broadcast and the check is one broadcast join on the shingle + a
+    * hash-agg — a single pass over the training corpus, no shuffle of it.
+    * overlap_frac = |shared shingles| / |benchmark doc's shingles|.
+    */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, id: String,
+                         textCol: String, n: Int, threshold: Double): DataFrame = {
+    val ts = explodeShingles(train, id, textCol, n)
+    val bs = explodeShingles(bench, id, textCol, n)
+      .select(col(id).as("bench_id"), col("sh"))
+    val bSizes = bench.select(col(id).as("bench_id"),
+      size(shingles(col(textCol), n)).as("bench_sh"))
+    val shared = ts.join(broadcast(bs), "sh")
+      .filter(col(id) =!= col("bench_id"))
+      .groupBy(col(id), col("bench_id")).agg(count(lit(1)).as("shared"))
+    shared.join(broadcast(bSizes), "bench_id")
+      .select(col(id), col("bench_id"), col("shared"),
+        Stable.ratioRounded(col("shared"), col("bench_sh"), 4).as("overlap_frac"))
+      .filter(col("overlap_frac") >= threshold)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -159,7 +181,15 @@ object Dedup {
     "dedup_simhash" -> ((s, d) =>
       simhashPairs(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", n = 3, maxHamming = 3)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // "benchmark" = the first 20 docs; training corpus = everything
+    "decon_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      contaminationPairs(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3, threshold = 0.2)
+        .orderBy("doc_id", "bench_id")
+    })
   )
 
   // ---- oracle SQL (generated so the 8-seed / 32-bit expansions stay in
@@ -198,6 +228,10 @@ object Dedup {
       val jac = graft.operators.Stable.sqlRatioRounded(
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
       s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, $jac AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE $jac >= 0.5 ORDER BY id_a, id_b"""
+    },
+    "decon_overlap" -> {
+      val frac = graft.operators.Stable.sqlRatioRounded("sv.shared", "bz.bench_sh", 4)
+      s"""WITH $tkCte, $shListCte, $shCte, bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20), bz AS (SELECT doc_id AS bench_id, len(sh) AS bench_sh FROM shs WHERE doc_id < 20), sh2 AS (SELECT t.doc_id, b.bench_id, count(*) AS shared FROM sh t JOIN bsh b ON t.s = b.s AND t.doc_id != b.bench_id GROUP BY t.doc_id, b.bench_id) SELECT sv.doc_id, sv.bench_id, sv.shared, $frac AS overlap_frac FROM sh2 sv JOIN bz ON sv.bench_id = bz.bench_id WHERE $frac >= 0.2 ORDER BY sv.doc_id, sv.bench_id"""
     },
     "dedup_simhash" ->
       s"""WITH $tkCte, $shListCte, $shCte, hv AS (SELECT doc_id, $nibV AS v FROM sh), bits AS (SELECT doc_id, $sumCols FROM hv GROUP BY doc_id), simh AS (SELECT doc_id, ($hExpr)::BIGINT AS h FROM bits), blocks AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS blk FROM simh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bands) SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM blocks a JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY id_a, id_b"""
