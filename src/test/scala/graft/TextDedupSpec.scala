@@ -105,6 +105,26 @@ class TextDedupSpec extends SparkSpec {
     assert(p.length == 1 && p.head.getLong(2) == 0L)
   }
 
+  test("text_tfidf_top: terms come from the doc, ranks bounded, scores positive") {
+    val rows = run("text_tfidf_top").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 3))
+    assert(rows.forall(_.getDouble(2) > 0))
+    val textOf = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(30).foreach { r =>
+      assert(textOf(r.getLong(0)).split("\\s+").contains(r.getString(1)))
+    }
+  }
+
+  test("decon_overlap: only benchmark partners, fraction clears threshold") {
+    val rows = run("decon_overlap").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) < 20)          // bench_id in the benchmark set
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getDouble(3) >= 0.2)
+    }
+  }
+
   test("candidate generation is bucketed: no cartesian product in any dedup plan") {
     Seq("dedup_minhash", "dedup_ngram_jaccard", "dedup_simhash").foreach { q =>
       val p = plan(run(q))
