@@ -69,7 +69,10 @@ object Io {
   def kvBatches(df: DataFrame, key: Column, payload: Column, batchSize: Int): DataFrame = {
     val w = Window.partitionBy("pk").orderBy("payload")
     df.select(key.as("pk"), payload.as("payload"))
-      .withColumn("batch_seq", floor((row_number().over(w) - 1) / lit(batchSize)))
+      // bigint: the driver's compare checks output schemas, and floor()
+      // yields double while the oracle's integer division yields BIGINT
+      .withColumn("batch_seq",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("bigint"))
       .groupBy("pk", "batch_seq")
       .agg(count(lit(1)).as("n_items"),
         md5(array_join(array_sort(collect_list(col("payload"))), "\n")).as("digest"))
