@@ -255,7 +255,7 @@ object Relational {
           Stable.avgRounded(col("c_acctbal"), count(lit(1)), 4).as("avg_bal"),
           round(min(col("c_acctbal")), 2).as("min_bal"),
           round(max(col("c_acctbal")), 2).as("max_bal"),
-          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"))
+          Stable.stddevRounded(col("c_acctbal"), count(lit(1)), 4).as("sd_bal"))
         .orderBy("c_mktsegment")),
 
     "q_groupby_having" -> ((s, d) =>
@@ -293,7 +293,7 @@ object Relational {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus""",
     "q_agg_stats" ->
-      s"""SELECT c_mktsegment, count(*) AS n, ${Stable.sqlAvgRounded("c_acctbal", 4)} AS avg_bal, round(min(c_acctbal),2) AS min_bal, round(max(c_acctbal),2) AS max_bal, round(stddev_samp(c_acctbal),4) AS sd_bal FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      s"""SELECT c_mktsegment, count(*) AS n, ${Stable.sqlAvgRounded("c_acctbal", 4)} AS avg_bal, round(min(c_acctbal),2) AS min_bal, round(max(c_acctbal),2) AS max_bal, ${Stable.sqlStddevRounded("c_acctbal", 4)} AS sd_bal FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_groupby_having" ->
       """SELECT l_partkey, count(*) AS n, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey"""
   )

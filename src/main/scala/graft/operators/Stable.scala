@@ -63,6 +63,26 @@ object Stable {
     s"floor((${2 * scale} * ($num) + ($den)) / (2.0 * ($den))) / $scale.0"
   }
 
+  /** Sample standard deviation from EXACT decimal sums: sqrt((Σx² −
+    * (Σx)²/n) / (n−1)) with Σx, Σx² aggregated as decimals (x ≤ 6dp so x²
+    * ≤ 12dp — both sums exact and order-free). The engines then perform
+    * the identical double arithmetic on identical inputs, so the result —
+    * unlike each engine's own stddev_samp accumulation — matches bitwise.
+    * greatest(...,0) guards the tiny negative from double cancellation.
+    */
+  def stddevRounded(c: Column, n: Column, dp: Int): Column = {
+    val d = c.cast("decimal(20,6)")
+    val sx = sum(d).cast("double")
+    val sx2 = sum(d * d).cast("double")
+    round(sqrt(greatest((sx2 - sx * sx / n) / (n - 1), lit(0.0))), dp)
+  }
+
+  /** DuckDB mirror of [[stddevRounded]]. */
+  def sqlStddevRounded(c: String, dp: Int): String = {
+    val d = s"CAST($c AS DECIMAL(20,6))"
+    s"round(sqrt(greatest((sum($d * $d)::DOUBLE - sum($d)::DOUBLE * sum($d)::DOUBLE / count(*)) / (count(*) - 1), 0.0)), $dp)"
+  }
+
   /** The DuckDB mirror of [[avgRounded]] for oracle SQL generation. */
   def sqlAvgRounded(c: String, dp: Int): String = {
     val half = math.pow(10, 6 - dp).toLong / 2
