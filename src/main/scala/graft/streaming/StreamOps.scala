@@ -54,6 +54,16 @@ object StreamOps {
       .select(col(key), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup (twin of TextOps.dedupExact): keep the first
+    * record per key across micro-batches. State holds one entry per key
+    * and is evicted once the watermark passes — the standard
+    * streaming-ingest dedup (at-least-once upstream -> exactly-once
+    * downstream) with bounded state.
+    */
+  def streamingDedup(df: DataFrame, ts: String, delay: String,
+                     keyCols: Seq[String]): DataFrame =
+    df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keyCols)
+
   case class Reading(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
   case class LastValue(value: Double)

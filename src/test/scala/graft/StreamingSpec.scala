@@ -117,6 +117,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per key across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val deduped = StreamOps.streamingDedup(input.toDF(), "ts", "2 hours", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1 ++ b1.take(50)); q.processAllAvailable()   // dupes within batch
+      input.addData(b2 ++ b1.take(50)); q.processAllAvailable()   // dupes across batches
+      val ids = s.table("dedup_out").select("event_id").collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length)
+      assert(ids.length == eventRows.length)
+    } finally q.stop()
+  }
+
   test("streaming edgeDetector matches batch rising edges across batches") {
     val s = spark
     import s.implicits._
