@@ -24,6 +24,12 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 
   override def dataType: DataType = DoubleType
 
+  // the length-mismatch null means this can be null even with non-nullable
+  // children; without this override codegen would emit an assignment to a
+  // folded `false` isNull (compile failure -> silent interpreted fallback)
+  // and the optimizer would mis-fold IsNull on the result
+  override def nullable: Boolean = true
+
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false

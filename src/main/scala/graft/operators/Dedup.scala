@@ -127,6 +127,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, id: String, textCol: String,
                    n: Int, maxHamming: Int): DataFrame = {
+    // 4 blocks over 32 bits pigeonhole-guarantee completeness only up to
+    // hamming 3; a larger radius would silently miss pairs
+    require(maxHamming <= 3, s"4-block buckets are complete only for maxHamming <= 3, got $maxHamming")
     val sig = simhash32(docs, id, textCol, n)
     val blockCols = (0 until 4).map(b => struct(lit(b).as("b"),
       shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("blk")))

@@ -76,7 +76,9 @@ object Events {
     */
   def distinctCountPerKey(df: DataFrame, key: String, member: String,
                           as: String): DataFrame =
-    df.select(col(key), col(member)).distinct()
+    df.select(col(key), col(member))
+      .filter(col(member).isNotNull) // count(DISTINCT x) semantics: NULL is not a value
+      .distinct()
       .groupBy(col(key)).agg(count(lit(1)).as(as))
 
   /** Sketch-based monitoring stats: HLL distinct + quantile sketches —

@@ -32,8 +32,12 @@ object Mm {
   object FakeDecoder {
     def decode(blob: Array[Byte]): (Long, Long, Long) = {
       val n = blob.length.toLong
-      (64 + n % 512, 64 + (n * 7) % 512, 1 + n % 8)
+      (64 + n % 512, 64 + (n * 7) % 512, frames(n))
     }
+    /** Fake frame count — the SINGLE source for both the JVM decode path
+      * and the SQL expression frameSamples uses (keep in lockstep). */
+    def frames(nBytes: Long): Long = 1 + nBytes % 8
+    val framesSql: String = "1 + octet_length(blob) % 8"
   }
 
   /** Attach the opaque binary payload column (here: UTF-8 of `textCol`). */
@@ -66,8 +70,11 @@ object Mm {
     */
   def chunkTable(blobs: DataFrame, chunkBytes: Int): DataFrame =
     blobs
-      .withColumn("ci", explode(expr(
-        s"sequence(0, CAST((octet_length(blob) + ${chunkBytes - 1}) / $chunkBytes AS INT) - 1)")))
+      // empty-blob guard: sequence(0, -1) would DESCEND and emit bogus
+      // chunk indices [0, -1] where the oracle's range(0, 0) emits none
+      .withColumn("ci", explode(when(expr("octet_length(blob)") > 0,
+        expr(s"sequence(0, CAST((octet_length(blob) + ${chunkBytes - 1}) / $chunkBytes AS INT) - 1)"))
+        .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("ci").cast("bigint").as("ci"),
         expr(s"octet_length(substring(blob, ci * $chunkBytes + 1, $chunkBytes))")
           .cast("bigint").as("chunk_bytes"),
@@ -82,8 +89,8 @@ object Mm {
   def frameSamples(blobs: DataFrame, frameBytes: Int): DataFrame =
     blobs
       .withColumn("bytes", expr("octet_length(blob)"))
-      .withColumn("frames", expr("1 + octet_length(blob) % 8")) // FakeDecoder
-      .withColumn("fi", explode(expr("sequence(0, CAST(1 + octet_length(blob) % 8 AS INT) - 1)")))
+      .withColumn("frames", expr(FakeDecoder.framesSql))
+      .withColumn("fi", explode(expr(s"sequence(0, CAST(${FakeDecoder.framesSql} AS INT) - 1)")))
       // explicit floor: CAST(double AS INT) truncates in Spark but ROUNDS
       // in DuckDB — floor() first is the portable spelling
       .select(col("doc_id"), col("fi").cast("bigint").as("fi"),

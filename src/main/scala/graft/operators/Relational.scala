@@ -146,8 +146,10 @@ object Relational {
         .agg(
           Stable.sumRounded(col("l_quantity"), 2).as("sum_qty"),
           Stable.sumRounded(col("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice").cast("decimal(20,6)") *
-            (lit(1) - col("l_discount").cast("decimal(20,6)"))), 2)
+          // (18,6): product stays within 38-digit precision -> exact 12dp
+          // in BOTH engines (see Stable.stddevRounded note)
+          round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1) - col("l_discount").cast("decimal(18,6)"))), 2)
             .cast("double").as("sum_disc_price"),
           Stable.avgRounded(col("l_quantity"), count(lit(1)), 4).as("avg_qty"),
           Stable.avgRounded(col("l_discount"), count(lit(1)), 4).as("avg_disc"),
@@ -231,8 +233,8 @@ object Relational {
         .select(o("o_orderkey"), asiaCust("n_name"))
       li.join(asiaOrders, li("l_orderkey") === asiaOrders("o_orderkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice").cast("decimal(20,6)") *
-            (lit(1) - col("l_discount").cast("decimal(20,6)"))), 2)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1) - col("l_discount").cast("decimal(18,6)"))), 2)
             .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))

@@ -21,7 +21,8 @@ import graft.Tables
   * plan-build time (same values embedded into the DuckDB oracle), and every
   * dot product is the same left-fold over double-cast elements in both
   * engines, so doubles — and therefore signs, roundings and rankings — match
-  * bit-for-bit. Zero UDFs: `zip_with`/`aggregate` are codegen'd built-ins.
+  * bit-for-bit. Zero UDFs: the one hot-loop kernel is a native Catalyst
+  * expression (graft.functions.ArrayDot) that stays in whole-stage codegen.
   */
 object Similarity {
 
@@ -31,10 +32,6 @@ object Similarity {
     * identical left-fold double math inside whole-stage codegen).
     */
   def dotD(a: Column, b: Column): Column =
-    graft.functions.GraftFunctions.arrayDot(a, b)
-
-  /** Same kernel — arrays already double (pre-normalised vectors). */
-  def dotRaw(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.arrayDot(a, b)
 
   /** (id, ne): unit-normalised double vectors. Normalising ONCE per vector
@@ -89,7 +86,7 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dotRaw(col("qe"), col("ce")), 4).as("cos_sim"))
+        round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -115,7 +112,7 @@ object Similarity {
       .join(n.select(col(id).as("query_id"), col("ne").as("qe")), "query_id")
       .join(n.select(col(id).as("neighbor_id"), col("ne").as("ce")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(dotRaw(col("qe"), col("ce")), 4).as("cos_sim"))
+        round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -137,7 +134,7 @@ object Similarity {
       .select(col(id).as("cid"), col("ne").as("ce")))
     val scored = nrm.crossJoin(cents)
       .select(col(id), col("ne"),
-        round(dotRaw(col("ne"), col("ce")), 4).as("csim"), col("cid"))
+        round(dotD(col("ne"), col("ce")), 4).as("csim"), col("cid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
     val ranked = scored.withColumn("crank", row_number().over(w))
@@ -148,7 +145,7 @@ object Similarity {
     val scored2 = probes.join(lists, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dotRaw(col("qe"), col("ce2")), 4).as("cos_sim"))
+        round(dotD(col("qe"), col("ce2")), 4).as("cos_sim"))
       .distinct()
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
@@ -174,7 +171,7 @@ object Similarity {
       .join(n.select(col(id).as("id_a"), col("ne").as("na")), "id_a")
       .join(n.select(col(id).as("id_b"), col("ne").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(dotRaw(col("na"), col("nb")), 4).as("cos_sim"))
+        round(dotD(col("na"), col("nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

@@ -71,13 +71,22 @@ object Stable {
     * greatest(...,0) guards the tiny negative from double cancellation.
     */
   def stddevRounded(c: Column, n: Column, dp: Int): Column = {
-    val d = c.cast("decimal(20,6)")
+    // decimal(18,6): the product is (37,12) which FITS in 38 digits, so
+    // Spark keeps the full 12-decimal scale exactly. decimal(20,6) would
+    // overflow the product's precision (41) and trigger Spark's
+    // precision-loss rule (scale truncated to 9dp per row) while DuckDB
+    // keeps 12dp — breaking the exactness the formula relies on.
+    val d = c.cast("decimal(18,6)")
     val sx = sum(d).cast("double")
     val sx2 = sum(d * d).cast("double")
     round(sqrt(greatest((sx2 - sx * sx / n) / (n - 1), lit(0.0))), dp)
   }
 
-  /** DuckDB mirror of [[stddevRounded]]. */
+  /** DuckDB mirror of [[stddevRounded]]. DuckDB needs (20,6) — its (18,6)
+    * multiply stays on int64 and overflows; (20,6) takes the int128 path
+    * and is exact. The two engines' declared widths differ but both
+    * compute the exact product sums, which is what must match.
+    */
   def sqlStddevRounded(c: String, dp: Int): String = {
     val d = s"CAST($c AS DECIMAL(20,6))"
     s"round(sqrt(greatest((sum($d * $d)::DOUBLE - sum($d)::DOUBLE * sum($d)::DOUBLE / count(*)) / (count(*) - 1), 0.0)), $dp)"

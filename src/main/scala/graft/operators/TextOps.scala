@@ -86,12 +86,16 @@ object TextOps {
           .otherwise("fr"))
   }
 
-  /** Normalised-content fingerprint: md5 over the sorted distinct token set
-    * — robust to token order and duplication, portable to the oracle.
+  /** The canonical content-fingerprint expression: md5 over the sorted
+    * distinct token set — robust to token order and duplication, portable
+    * to the oracle. Single definition shared by [[fingerprint]] and the
+    * composed pipeline.
     */
+  def fingerprintCol(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(c)))), " "))
+
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("fp",
-      md5(array_join(array_sort(array_distinct(tokens(lower(col(textCol))))), " ")))
+    df.withColumn("fp", fingerprintCol(col(textCol)))
 
   /** Winnowing fingerprints (the rolling-hash scheme of MOSS): hash every
     * k-char gram, then keep the minimum of each w-wide window — a
@@ -236,8 +240,7 @@ object TextOps {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("clean"))).orderBy(col("doc_id"))
       gated.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col("doc_id"),
-          md5(array_join(array_sort(array_distinct(tokens(lower(col("clean"))))), " ")).as("fp"),
+        .select(col("doc_id"), fingerprintCol(col("clean")).as("fp"),
           col("ws_tokens").as("n_tokens"))
         .orderBy("doc_id")
     })

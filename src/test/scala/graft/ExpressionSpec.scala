@@ -81,6 +81,10 @@ class ExpressionSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) v")
       .collect().head.getDouble(0)
     assert(viaSql == 11.0)
+    // non-nullable (literal) children + length mismatch: the expression
+    // must still be allowed to return null (nullable override)
+    val mismatch = spark.sql("SELECT array_dot(array(1.0D), array(1.0D, 2.0D)) v").collect().head
+    assert(mismatch.isNullAt(0))
   }
 
   test("md5_prefix_long propagates nulls") {
