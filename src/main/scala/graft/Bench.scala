@@ -8,7 +8,14 @@ import org.apache.spark.sql.SparkSession
   * computed and serialised, so projection work is measured (a bare
   * `.count()` lets column pruning and EliminateSorts delete most of a
   * map-shaped query's work). One full warm-up pass first absorbs JIT,
-  * codegen compilation and FS cache effects; the timed pass follows.
+  * codegen compilation and FS cache effects; then THREE timed passes per
+  * query and the per-query MEDIAN is reported — this host shows random
+  * per-query contention spikes (BASELINE.md documents 43-94s swings on
+  * identical code), and a single-shot number is noise, not signal.
+  *
+  * Failure policy: only NonFatal errors are caught (an OOM must kill the
+  * run, not improve it); failed queries are listed explicitly in the
+  * output JSON so a regression cannot silently shrink the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,21 +32,34 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import scala.util.control.NonFatal
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(runOnce) // warm-up pass (not timed)
-    val results = names.map(n => n -> runOnce(n))
+    names.foreach { n => // warm-up pass (not timed)
+      try runOnce(n)
+      catch { case NonFatal(e) => System.err.println(s"bench warmup: $n failed: $e") }
+    }
+    val passes = 3
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    val results = names.map { n =>
+      val times = (1 to passes).flatMap { _ =>
+        try Some(runOnce(n))
+        catch { case NonFatal(e) => System.err.println(s"bench: $n failed: $e"); None }
+      }
+      if (times.size < passes) failed += n
+      n -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,7 +67,8 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 
 object ArrayDot {
   /** Left fold from 0.0 over promoted doubles; null when lengths differ
-    * (mirrors the null-padded zip_with chain). Called from generated code.
+    * (mirrors the null-padded zip_with chain) or when any element is null
+    * (a null product nulls the `aggregate` fold). Called from generated code.
     */
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
@@ -75,6 +76,7 @@ object ArrayDot {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y

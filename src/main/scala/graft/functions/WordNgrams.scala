@@ -10,7 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native Catalyst expression: DISTINCT word n-gram shingles of a text
   * column, in one pass over the UTF-8 bytes.
   *
-  * Semantically identical to
+  * Token contract: tokens are maximal NONEMPTY runs of non-whitespace —
+  * i.e. the split chain below with empty tokens dropped (`split(trim(s))`
+  * emits an empty first token when the text starts with a tab/newline,
+  * since SQL trim strips only spaces; this kernel and the DuckDB oracles'
+  * `list_filter(..., t -> t != '')` both discard it).
+  *
+  * Otherwise semantically identical to
   * `array_distinct(transform(sequence(...), i -> array_join(slice(split(
   * trim(text), "\\s+"), i, n), " ")))` — the chain it replaces — but where
   * that chain allocates a token array, a sliced array and a joined string

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -20,6 +21,19 @@ import graft.Tables
   * Each stage is explode -> hash-agg (map-side partial min/sum) or a
   * shuffle join on a uniform hash key: linear in corpus size, skew-free.
   *
+  * Duplicate-skew proofing (heavy duplication is the EXPECTED input for a
+  * dedup operator — a viral doc with m copies agrees on every band/block,
+  * so naive bucket pairing does O(m²) work on one hot key):
+  *   1. an exact-dedup pre-pass ([[representatives]]) keeps ONE
+  *      representative per distinct content before any LSH work — exact
+  *      copies never reach a bucket, and the duplicate count rides along;
+  *   2. a deterministic bucket cap ([[capBuckets]]) bounds the residual
+  *      near-duplicate floods: only the `cap` lowest-id members of a bucket
+  *      pair up, so per-bucket work is <= cap² regardless of skew. The cap
+  *      trades recall only inside pathological buckets (members beyond the
+  *      cap still pair through their OTHER bands/blocks with probability
+  *      1-(1-j^r)^(b-1)), and the same cap is mirrored in the oracle.
+  *
   * Portability: every hash is md5 (identical in Spark and DuckDB), so the
   * oracle recomputes signatures/buckets bit-for-bit rather than trusting us.
   */
@@ -31,6 +45,28 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.wordNgrams(text, n)
+
+  /** Exact-dedup pre-pass: one representative (the min id) per distinct
+    * content, with the collapsed duplicate count carried as `n_dupes`.
+    * One hash agg on the uniform 128-bit md5 key — map-side partial min,
+    * one shuffle, skew-free — and the min is over ONE struct so the
+    * representative's (id, text) always come from the same row.
+    */
+  def representatives(docs: DataFrame, id: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("_ch"))
+      .agg(min(struct(col(id), col(textCol))).as("_f"), count(lit(1)).as("n_dupes"))
+      .select(col(s"_f.$id").as(id), col(s"_f.$textCol").as(textCol), col("n_dupes"))
+
+  /** Deterministic bucket-size cap: keep the `cap` lowest-id members per
+    * bucket. A hot bucket costs one reducer an O(m log m) sort instead of
+    * the O(m²) pairing it would otherwise trigger downstream.
+    */
+  def capBuckets(buckets: DataFrame, bucketCols: Seq[String], id: String,
+                 cap: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(id))
+    buckets.withColumn("_bn", row_number().over(w))
+      .filter(col("_bn") <= cap).drop("_bn")
+  }
 
   /** (id, shingle) pairs, distinct per doc. */
   def explodeShingles(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame =
@@ -69,11 +105,17 @@ object Dedup {
   }
 
   /** Candidate pairs (id_a < id_b) sharing >= 1 band, with estimated
-    * similarity = fraction of agreeing signature positions.
+    * similarity = fraction of agreeing signature positions. Pairs are
+    * between content [[representatives]] (exact copies collapse before any
+    * banding) and each band bucket is capped at `bucketCap` members.
     */
   def minhashPairs(docs: DataFrame, id: String, textCol: String,
-                   n: Int, k: Int, rowsPerBand: Int): DataFrame = {
-    val buckets = bandBuckets(minhashSignatures(docs, id, textCol, n, k), k, rowsPerBand)
+                   n: Int, k: Int, rowsPerBand: Int,
+                   bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val reps = representatives(docs, id, textCol).select(col(id), col(textCol))
+    val buckets = capBuckets(
+      bandBuckets(minhashSignatures(reps, id, textCol, n, k), k, rowsPerBand),
+      Seq("band_key"), id, bucketCap)
     val a = buckets.select(col("band_key") +: col(id).as("id_a") +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
     val b = buckets.select(col("band_key").as("bk2") +: col(id).as("id_b") +:
@@ -89,8 +131,10 @@ object Dedup {
     * expensive set intersection runs only on bucket-mates, never all pairs.
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, textCol: String,
-                        n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val cand = minhashPairs(docs, id, textCol, n, k, rowsPerBand).select("id_a", "id_b")
+                        n: Int, k: Int, rowsPerBand: Int, threshold: Double,
+                        bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val cand = minhashPairs(docs, id, textCol, n, k, rowsPerBand, bucketCap)
+      .select("id_a", "id_b")
     val sets = docs.select(col(id), shingles(col(textCol), n).as("sh"))
     val ja = sets.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val jb = sets.select(col(id).as("id_b"), col("sh").as("sh_b"))
@@ -124,17 +168,23 @@ object Dedup {
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming, found via the 4
     * byte-block pigeonhole buckets (hamming <= 3 guarantees a shared block).
+    * Pairs are between content [[representatives]] and each (block, value)
+    * bucket is capped at `bucketCap` members — hamming-0 duplicates share
+    * all 4 blocks, so without both guards a duplicate flood is quadratic.
     */
   def simhashPairs(docs: DataFrame, id: String, textCol: String,
-                   n: Int, maxHamming: Int): DataFrame = {
+                   n: Int, maxHamming: Int, bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
     // 4 blocks over 32 bits pigeonhole-guarantee completeness only up to
     // hamming 3; a larger radius would silently miss pairs
     require(maxHamming <= 3, s"4-block buckets are complete only for maxHamming <= 3, got $maxHamming")
-    val sig = simhash32(docs, id, textCol, n)
+    val reps = representatives(docs, id, textCol).select(col(id), col(textCol))
+    val sig = simhash32(reps, id, textCol, n)
     val blockCols = (0 until 4).map(b => struct(lit(b).as("b"),
       shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("blk")))
-    val blocks = sig.select(col(id), col("simhash"), explode(array(blockCols: _*)).as("bb"))
-      .select(col(id), col("simhash"), col("bb.b").as("b"), col("bb.blk").as("blk"))
+    val blocks = capBuckets(
+      sig.select(col(id), col("simhash"), explode(array(blockCols: _*)).as("bb"))
+        .select(col(id), col("simhash"), col("bb.b").as("b"), col("bb.blk").as("blk")),
+      Seq("b", "blk"), id, bucketCap)
     val a = blocks.select(col(id).as("id_a"), col("simhash").as("h_a"), col("b"), col("blk"))
     val bd = blocks.select(col(id).as("id_b"), col("simhash").as("h_b"),
       col("b").as("b2"), col("blk").as("blk2"))
@@ -195,11 +245,22 @@ object Dedup {
     })
   )
 
-  // ---- oracle SQL (generated so the 8-seed / 32-bit expansions stay in
-  // ---- lockstep with the Scala constants above)
+  /** Bucket cap shared by the dedup queries and their generated oracles. */
+  val defaultBucketCap = 64
 
-  private val tkCte =
-    raw"""tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)"""
+  // ---- oracle SQL (generated so the 8-seed / 32-bit expansions and the
+  // ---- pre-pass/cap stay in lockstep with the Scala constants above)
+
+  // mirrors `representatives`: min id per distinct content (md5 vs raw text
+  // grouping only differs under an md5 collision)
+  private val repsCte =
+    """reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"""
+  // list_filter drops the empty first token a leading tab/newline produces
+  // (trim strips only spaces) — matching WordNgrams' tokens-are-nonempty-runs
+  // contract exactly instead of the split chain's empty-token artifact.
+  private def tkCteFrom(src: String) =
+    raw"""tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM $src)"""
+  private val tkCte = tkCteFrom("reps")
   private val shListCte =
     """shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM tk WHERE len(t) >= 3)"""
   private val shCte =
@@ -215,6 +276,10 @@ object Dedup {
     ", unnest([" +
     (0 until 4).map(b => s"'$b|' || mh${2 * b} || '|' || mh${2 * b + 1}").mkString(", ") +
     "]) AS band_key FROM sig)"
+  // mirrors `capBuckets`: keep the cap lowest-id members per band bucket
+  private val bkcCte = "bkc AS (SELECT doc_id, " +
+    (0 until 8).map(i => s"mh$i").mkString(", ") +
+    s", band_key FROM (SELECT *, row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS _rn FROM bk) WHERE _rn <= $defaultBucketCap)"
   private val estExpr = "(" +
     (0 until 8).map(i => s"(a.mh$i = b.mh$i)::INT").mkString(" + ") + ")::DOUBLE / 8"
 
@@ -226,17 +291,17 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
-      s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
     "dedup_ngram_jaccard" -> {
       val jac = graft.operators.Stable.sqlRatioRounded(
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
-      s"""WITH $tkCte, $shListCte, $shCte, $sigCte, $bkCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, $jac AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE $jac >= 0.5 ORDER BY id_a, id_b"""
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, $jac AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE $jac >= 0.5 ORDER BY id_a, id_b"""
     },
     "decon_overlap" -> {
       val frac = graft.operators.Stable.sqlRatioRounded("sv.shared", "bz.bench_sh", 4)
-      s"""WITH $tkCte, $shListCte, $shCte, bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20), bz AS (SELECT doc_id AS bench_id, len(sh) AS bench_sh FROM shs WHERE doc_id < 20), sh2 AS (SELECT t.doc_id, b.bench_id, count(*) AS shared FROM sh t JOIN bsh b ON t.s = b.s AND t.doc_id != b.bench_id GROUP BY t.doc_id, b.bench_id) SELECT sv.doc_id, sv.bench_id, sv.shared, $frac AS overlap_frac FROM sh2 sv JOIN bz ON sv.bench_id = bz.bench_id WHERE $frac >= 0.2 ORDER BY sv.doc_id, sv.bench_id"""
+      s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20), bz AS (SELECT doc_id AS bench_id, len(sh) AS bench_sh FROM shs WHERE doc_id < 20), sh2 AS (SELECT t.doc_id, b.bench_id, count(*) AS shared FROM sh t JOIN bsh b ON t.s = b.s AND t.doc_id != b.bench_id GROUP BY t.doc_id, b.bench_id) SELECT sv.doc_id, sv.bench_id, sv.shared, $frac AS overlap_frac FROM sh2 sv JOIN bz ON sv.bench_id = bz.bench_id WHERE $frac >= 0.2 ORDER BY sv.doc_id, sv.bench_id"""
     },
     "dedup_simhash" ->
-      s"""WITH $tkCte, $shListCte, $shCte, hv AS (SELECT doc_id, $nibV AS v FROM sh), bits AS (SELECT doc_id, $sumCols FROM hv GROUP BY doc_id), simh AS (SELECT doc_id, ($hExpr)::BIGINT AS h FROM bits), blocks AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS blk FROM simh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bands) SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM blocks a JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY id_a, id_b"""
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, hv AS (SELECT doc_id, $nibV AS v FROM sh), bits AS (SELECT doc_id, $sumCols FROM hv GROUP BY doc_id), simh AS (SELECT doc_id, ($hExpr)::BIGINT AS h FROM bits), blocks AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS blk FROM simh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bands), blkc AS (SELECT doc_id, h, b, blk FROM (SELECT *, row_number() OVER (PARTITION BY b, blk ORDER BY doc_id) AS _rn FROM blocks) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM blkc a JOIN blkc b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY id_a, id_b"""
   )
 }

@@ -132,9 +132,11 @@ object Etl {
 
   val oracles: Map[String, String] = Map(
     // row_number window mirrors Spark's min(struct(...)) composite order
-    // exactly (arg_min can't take a composite key in DuckDB)
+    // exactly (arg_min can't take a composite key in DuckDB); NULLS FIRST
+    // matches Spark's struct comparison (nulls sort first ascending) where
+    // DuckDB's window default is NULLS LAST
     "etl_dedup_merge" ->
-      """WITH ranked AS (SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey, l_quantity, l_returnflag, l_partkey) AS rn FROM lineitem), sets AS (SELECT l_orderkey, array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS l_partkey_set FROM lineitem GROUP BY l_orderkey) SELECT r.l_orderkey, r.l_suppkey, r.l_quantity, r.l_returnflag, s.l_partkey_set FROM ranked r JOIN sets s USING (l_orderkey) WHERE r.rn = 1 ORDER BY r.l_orderkey""",
+      """WITH ranked AS (SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber NULLS FIRST, l_suppkey NULLS FIRST, l_quantity NULLS FIRST, l_returnflag NULLS FIRST, l_partkey NULLS FIRST) AS rn FROM lineitem), sets AS (SELECT l_orderkey, array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS l_partkey_set FROM lineitem GROUP BY l_orderkey) SELECT r.l_orderkey, r.l_suppkey, r.l_quantity, r.l_returnflag, s.l_partkey_set FROM ranked r JOIN sets s USING (l_orderkey) WHERE r.rn = 1 ORDER BY r.l_orderkey""",
     "etl_sanitize" ->
       """SELECT doc_id, coalesce(nullif(trim(lang), ''), 'und') AS lang, coalesce(nullif(trim(source), ''), 'unknown') AS source FROM documents ORDER BY doc_id""",
     "etl_rename_normalize" ->
@@ -142,6 +144,6 @@ object Etl {
     "etl_jsonlines" ->
       """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""",
     "etl_pipeline_e2e" ->
-      """WITH n AS (SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type, value FROM events), r AS (SELECT clientId, value, row_number() OVER (PARTITION BY clientId ORDER BY event_id, value, event_type) AS rn FROM n), sets AS (SELECT clientId, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_type_set FROM n GROUP BY clientId), m AS (SELECT r.clientId, r.value, s.event_type_set FROM r JOIN sets s USING (clientId) WHERE rn = 1), p AS (SELECT clientId % 20 AS pk, to_json(struct_pack(clientId := clientId, value := value, event_type_set := event_type_set))::VARCHAR AS payload FROM m), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
+      """WITH n AS (SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type, value FROM events), r AS (SELECT clientId, value, row_number() OVER (PARTITION BY clientId ORDER BY event_id NULLS FIRST, value NULLS FIRST, event_type NULLS FIRST) AS rn FROM n), sets AS (SELECT clientId, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_type_set FROM n GROUP BY clientId), m AS (SELECT r.clientId, r.value, s.event_type_set FROM r JOIN sets s USING (clientId) WHERE rn = 1), p AS (SELECT clientId % 20 AS pk, to_json(struct_pack(clientId := clientId, value := value, event_type_set := event_type_set))::VARCHAR AS payload FROM m), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
   )
 }

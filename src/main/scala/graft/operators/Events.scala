@@ -77,9 +77,11 @@ object Events {
   def distinctCountPerKey(df: DataFrame, key: String, member: String,
                           as: String): DataFrame =
     df.select(col(key), col(member))
-      .filter(col(member).isNotNull) // count(DISTINCT x) semantics: NULL is not a value
       .distinct()
-      .groupBy(col(key)).agg(count(lit(1)).as(as))
+      // count(member) skips NULLs (count(DISTINCT x) semantics) while the
+      // grouping still sees every key — a key whose members are all NULL
+      // emits count 0 instead of vanishing from the output
+      .groupBy(col(key)).agg(count(col(member)).as(as))
 
   /** Sketch-based monitoring stats: HLL distinct + quantile sketches —
     * the right primitives at 100 TB where exact percentiles would sort the

@@ -57,6 +57,10 @@ class PropertySpec extends SparkSpec {
         val arr = graft.functions.WordNgrams.compute(UTF8String.fromString(text), n)
         (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
       }
+      // tokens-are-nonempty-runs contract: the split chain emits an empty
+      // first token for leading non-space whitespace (trim strips only
+      // chars <= 0x20 in Java but the SQL trim strips only spaces);
+      // WordNgrams and the DuckDB oracle (list_filter t != '') both drop it
       val toks = text.trim.split("\\s+").filter(_.nonEmpty)
       val want = if (toks.length < n) Seq.empty
         else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct

@@ -75,16 +75,57 @@ class TextDedupSpec extends SparkSpec {
     assert(dupGroup.getLong(1) == 3L) // keep-first = min id
   }
 
-  test("dedup_minhash finds planted near-dups, identical docs score 1.0") {
+  test("dedup_minhash finds planted near-dups, same-token-set docs score 1.0") {
     val pairs = run("dedup_minhash").collect()
     assert(pairs.nonEmpty)
     assert(pairs.exists(_.getDouble(2) >= 0.75)) // planted near-dups surface
     val s = spark
     import s.implicits._
-    val twins = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+    // trailing space: distinct content hash (so the exact pre-pass keeps
+    // both) but identical token runs -> identical signatures
+    val twins = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j "))
       .toDF("doc_id", "text")
     val p = Dedup.minhashPairs(twins, "doc_id", "text", 3, 8, 2).collect()
     assert(p.length == 1 && p.head.getDouble(2) == 1.0)
+  }
+
+  test("exact duplicates collapse in the pre-pass: a 20k-copy flood yields one pair, fast") {
+    val s = spark
+    import s.implicits._
+    // the canonical dedup input: one viral doc with 20k exact copies.
+    // Without the representatives pre-pass every copy lands in the same
+    // band buckets -> ~2*10^8 bucket pairs; with it the flood is ONE rep.
+    val viral = "the viral document that everyone copied verbatim today ok"
+    val nearDup = "the viral document that everyone copied verbatim yesterday ok"
+    val flood = (0 until 20000).map(i => (100L + i, viral)) :+ ((5L, nearDup))
+    val t0 = System.nanoTime()
+    val p = Dedup.minhashPairs(flood.toDF("doc_id", "text"), "doc_id", "text", 3, 8, 2)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // pairs are between representatives only: (nearDup, flood-rep) at most
+    assert(p.length <= 1, s"flood produced ${p.length} pairs")
+    assert(p.forall(r => r.getLong(0) == 5L && r.getLong(1) == 100L))
+    assert(secs < 60, s"flood took ${secs}s — quadratic bucket pairing is back")
+    // representatives carries the collapse count
+    val reps = Dedup.representatives(flood.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reps(100L) == 20000L && reps(5L) == 1L)
+  }
+
+  test("bucket cap bounds near-dup floods deterministically") {
+    val s = spark
+    import s.implicits._
+    // 200 DISTINCT texts (trailing spaces) with identical token sets: the
+    // pre-pass keeps all 200 and every doc shares every band bucket — the
+    // worst near-dup flood. The cap keeps the 64 lowest ids per bucket.
+    val docs = (0 until 200).map(i => (i.toLong, "a b c d e f g h i j" + " " * i))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2).collect()
+    assert(capped.length == 64 * 63 / 2, s"got ${capped.length} pairs")
+    assert(capped.forall(r => r.getLong(0) < 64 && r.getLong(1) < 64))
+    val uncapped = Dedup.minhashPairs(docs, "doc_id", "text", 3, 8, 2,
+      bucketCap = Int.MaxValue).collect()
+    assert(uncapped.length == 200 * 199 / 2)
   }
 
   test("dedup_ngram_jaccard verified pairs clear the threshold") {
@@ -93,13 +134,13 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
-  test("dedup_simhash: identical docs at hamming 0; results within radius") {
+  test("dedup_simhash: same-token-set docs at hamming 0; results within radius") {
     val pairs = run("dedup_simhash").collect()
     assert(pairs.nonEmpty)
     assert(pairs.forall(_.getLong(2) <= 3))
     val s = spark
     import s.implicits._
-    val twins = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"))
+    val twins = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j "))
       .toDF("doc_id", "text")
     val p = Dedup.simhashPairs(twins, "doc_id", "text", 3, 3).collect()
     assert(p.length == 1 && p.head.getLong(2) == 0L)
