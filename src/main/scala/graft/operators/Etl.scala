@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.Tables
@@ -69,6 +70,30 @@ object Etl {
     renamed.withColumn(statusCol, mapped)
   }
 
+  /** MERGE/upsert: keep-latest-by-(key, version) compaction of a base
+    * table and a changes batch — the Spark-native equivalent of the
+    * reference's mutation API (create/update/delete per entity,
+    * generateApi.ts:230-420): every change carries a version; the highest
+    * version per key wins whole-row; a true `deleted` flag at the winning
+    * version tombstones the key.
+    *
+    * Scale: union + one row_number window on the key — a single shuffle,
+    * linear, the standard Delta-style compaction shape. Whole-row
+    * semantics (the winner's columns all come from one row). Ties on
+    * (key, version) resolve deterministically: tombstone first (delete
+    * wins at equal version), then the remaining columns ascending.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+                  version: String, deleted: String): DataFrame = {
+    val all = base.unionByName(changes)
+    val rest = all.columns.filter(c => c != key && c != version && c != deleted)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(version).desc +: col(deleted).desc +: rest.map(col(_).asc): _*)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && !col(deleted))
+      .drop("_rn", deleted)
+  }
+
   /** JSON-lines → typed columns: schema-on-read projection of a JSON string
     * column (the S3 batch reader semantics without the row loop).
     */
@@ -108,6 +133,28 @@ object Etl {
           org.apache.spark.sql.types.LongType))))
         .orderBy("event_id")),
 
+    // The reference's mutation path as a batch: base snapshot + a change
+    // batch of updates (%7: doubled price, status U), deletes (%13) and
+    // inserts (%11: new keys), compacted keep-latest. A key hit by both
+    // an update (v1) and a delete (v2) ends up deleted.
+    "merge_upsert" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val base = o.withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2) // *2: exact in ieee754
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      val deletes = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(true))
+      val inserts = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      mergeUpsert(base, updates.unionByName(deletes).unionByName(inserts),
+        key = "o_orderkey", version = "version", deleted = "deleted")
+        .orderBy("o_orderkey")
+    }),
+
     // The reference's ETL pipeline end-to-end (apis/etl.ts): JSON-lines
     // batch ingest -> per-entity transform -> dedup-merge -> KV batch
     // write shape. One declarative plan, one oracle row.
@@ -143,6 +190,11 @@ object Etl {
       """SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type FROM events ORDER BY event_id""",
     "etl_jsonlines" ->
       """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id""",
+    // positional UNION ALL: columns in (key, custkey, status, price,
+    // version, deleted) order everywhere; window order mirrors Spark's
+    // (version DESC, deleted DESC = tombstone-wins, rest ASC NULLS FIRST)
+    "merge_upsert" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), allr AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0::BIGINT AS version, false AS deleted FROM o UNION ALL SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2, 1::BIGINT, false FROM o WHERE o_orderkey % 7 = 0 UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2::BIGINT, true FROM o WHERE o_orderkey % 13 = 0 UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, 1::BIGINT, false FROM o WHERE o_orderkey % 11 = 0), r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC NULLS LAST, deleted DESC NULLS LAST, o_custkey NULLS FIRST, o_orderstatus NULLS FIRST, o_totalprice NULLS FIRST) AS rn FROM allr) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version FROM r WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""",
     "etl_pipeline_e2e" ->
       """WITH n AS (SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type, value FROM events), r AS (SELECT clientId, value, row_number() OVER (PARTITION BY clientId ORDER BY event_id NULLS FIRST, value NULLS FIRST, event_type NULLS FIRST) AS rn FROM n), sets AS (SELECT clientId, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_type_set FROM n GROUP BY clientId), m AS (SELECT r.clientId, r.value, s.event_type_set FROM r JOIN sets s USING (clientId) WHERE rn = 1), p AS (SELECT clientId % 20 AS pk, to_json(struct_pack(clientId := clientId, value := value, event_type_set := event_type_set))::VARCHAR AS payload FROM m), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
   )

@@ -119,30 +119,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-row nearest-centroid ranking as a PURE PROJECTION: the centroid
+    * set is embedded as literals (centroids are metadata — tiny by
+    * construction), each row scores every centroid in-expression and
+    * `array_sort` of (sortKey, cid) structs ranks them. `_nn` holds the
+    * nProbe best (cid, csim) pairs, best first. ZERO shuffle — the round-2
+    * plan (crossJoin + row_number window) shuffled N×C scored rows to rank
+    * centroids per vector, the dominant avoidable cost at scale.
+    *
+    * Sort key: `2.0 - csim` ascending == csim descending (monotonic; avoids
+    * negation's -0.0 ambiguity), ties broken by cid ascending — exactly the
+    * old window's (csim DESC, cid ASC) order.
+    */
+  def ivfAssign(nrm: DataFrame, cents: Seq[(Any, Seq[Double])],
+                nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "ivfAssign needs at least one centroid")
+    val scored = cents.map { case (cid, ce) =>
+      val csim = round(dotD(col("ne"), array(ce.map(lit): _*)), 4)
+      struct((lit(2.0) - csim).as("k"), lit(cid).as("cid"), csim.as("csim"))
+    }
+    nrm.withColumn("_nn", slice(array_sort(array(scored: _*)), 1, nProbe))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (the inverted lists), probe the query's nProbe nearest lists, rank
-    * candidates by exact cosine. The assignment is a broadcast of the
-    * centroid set against the corpus — one scan — and querying touches
-    * only the probed lists, the IVF scale contract. Centroids here are a
-    * deterministic subset (production would k-means them; the structure —
-    * lists, probes, ranking — is identical and is what's under test).
+    * candidates by exact cosine. List assignment is [[ivfAssign]] — a
+    * zero-shuffle projection over broadcast centroid literals — and
+    * querying touches only the probed lists, the IVF scale contract.
+    * Centroids here are a deterministic subset (see [[kmeansCentroids]]
+    * for the Lloyd-refined path; the structure — lists, probes, ranking —
+    * is identical).
     */
   def simIvfAnn(df: DataFrame, id: String, emb: String, centPred: Column,
                 queryPred: Column, nProbe: Int, k: Int): DataFrame = {
     val nrm = normalized(df, id, emb)
-    val cents = broadcast(nrm.filter(centPred)
-      .select(col(id).as("cid"), col("ne").as("ce")))
-    val scored = nrm.crossJoin(cents)
-      .select(col(id), col("ne"),
-        round(dotD(col("ne"), col("ce")), 4).as("csim"), col("cid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(id).orderBy(col("csim").desc, col("cid").asc)
-    val ranked = scored.withColumn("crank", row_number().over(w))
-    val lists = ranked.filter(col("crank") === 1)
-      .select(col(id).as("neighbor_id"), col("ne").as("ce2"), col("cid"))
-    val probes = ranked.filter(queryPred && col("crank") <= nProbe)
-      .select(col(id).as("query_id"), col("ne").as("qe"), col("cid"))
-    val scored2 = probes.join(lists, "cid")
+    // centroids are metadata: one tiny collect at plan build, then pure
+    // projection — not a per-row crossJoin through a shuffle
+    val cents: Seq[(Any, Seq[Double])] = nrm.filter(centPred)
+      .select(col(id), col("ne")).collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1.toString)
+    val assigned = ivfAssign(nrm, cents, nProbe)
+    val lists = assigned
+      .select(col(id).as("neighbor_id"), col("ne").as("ce2"),
+        col("_nn")(0)("cid").as("cid"))
+    val probes = assigned.filter(queryPred)
+      .select(col(id).as("query_id"), col("ne").as("qe"),
+        explode(transform(col("_nn"), s => s("cid"))).as("cid"))
+    // probe side = queries × nProbe: tiny — broadcast it so the lists scan
+    // never shuffles
+    val scored2 = lists.join(broadcast(probes), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dotD(col("qe"), col("ce2")), 4).as("cos_sim"))
@@ -178,7 +204,13 @@ object Similarity {
   // ---------------------------------------------------------------- queries
 
   private val dims = 64
-  val annTabs: Seq[Seq[Seq[Double]]] = planes(tables = 4, bits = 6, dims = dims)
+  // ANN config chosen against the tested recall contract (SimilaritySpec
+  // recall@5 floor): for cos≈0.5 neighbors a 6-bit table matches with
+  // P≈(2/3)^6≈0.09 — 4 such tables gave recall 0.22. 12 tables × 4 bits
+  // gives P(≥1 shared bucket)≈0.93 at the same candidate-generation shape
+  // (measured 0.78 on this corpus); bits-per-table still grows with log N
+  // cluster-side to bound buckets.
+  val annTabs: Seq[Seq[Seq[Double]]] = planes(tables = 12, bits = 4, dims = dims)
   // near-dup config: more bits per table bounds bucket sizes (b scales with
   // log N cluster-side); more tables buys recall back
   val dupTabs: Seq[Seq[Seq[Double]]] = planes(tables = 6, bits = 6, dims = dims)

@@ -26,6 +26,39 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("merge_upsert: update wins, delete tombstones, insert lands, late version loses") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, "a", 0L, false), (2L, "b", 0L, false), (3L, "c", 0L, false)
+    ).toDF("k", "v", "version", "deleted")
+    val changes = Seq(
+      (1L, "a2", 1L, false),  // update
+      (2L, "b", 1L, true),    // delete
+      (3L, "stale", -1L, false), // lower version than base: must lose
+      (4L, "d", 1L, false),   // insert
+      (4L, "d2", 2L, false)   // second update of the insert
+    ).toDF("k", "v", "version", "deleted")
+    val out = Etl.mergeUpsert(base, changes, "k", "version", "deleted")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> (("a2", 1L)), 3L -> (("c", 0L)), 4L -> (("d2", 2L))))
+    // delete-wins at equal version (tombstone sorts first)
+    val tie = Etl.mergeUpsert(base,
+      Seq((1L, "x", 1L, false), (1L, "y", 1L, true)).toDF("k", "v", "version", "deleted"),
+      "k", "version", "deleted").filter(col("k") === 1L).collect()
+    assert(tie.isEmpty)
+    // the merged result of the registered query matches delete/update rules
+    val rows = run("merge_upsert").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      if (key < 10000000L) { // inserted keys (base+10M) aren't delete targets
+        assert(key % 13 != 0, s"deleted key $key survived")
+        if (key % 7 == 0) assert(r.getString(2) == "U" && r.getLong(4) == 1L)
+      }
+    }
+  }
+
   test("etl_sanitize fills defaults, keeps non-empty values") {
     val rows = run("etl_sanitize").collect()
     assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))

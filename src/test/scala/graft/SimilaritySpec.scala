@@ -39,6 +39,34 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9) }
   }
 
+  test("ivf list assignment is a zero-shuffle projection (no Exchange, no Window)") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val nrm = Similarity.normalized(e, "vec_id", "embedding")
+    val cents = nrm.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("ne")).collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
+    val p = plan(Similarity.ivfAssign(nrm, cents, 2)
+      .select(col("vec_id"), col("_nn")(0)("cid").as("cid")))
+    assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
+    assert(!p.contains("Window"), s"assignment ranks through a window:\n$p")
+    assert(!p.contains("Join"), s"assignment joins:\n$p")
+  }
+
+  test("ANN recall@5 vs brute-force ground truth clears the floor") {
+    // turns the tuning knobs (tables/bits/nProbe/centroids) into a tested
+    // contract instead of folklore: recall measured against sim_topk
+    def pairs(name: String): Set[(Long, Long)] = run(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs("sim_topk")
+    assert(truth.nonEmpty)
+    val lshRecall = pairs("sim_lsh_ann").intersect(truth).size.toDouble / truth.size
+    val ivfRecall = pairs("sim_ivf_ann").intersect(truth).size.toDouble / truth.size
+    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f over ${truth.size} truth pairs")
+    assert(lshRecall >= 0.6, f"lsh recall@5 $lshRecall%.3f below 0.6 floor")
+    assert(ivfRecall >= 0.6, f"ivf recall@5 $ivfRecall%.3f below 0.6 floor")
+  }
+
   test("dedup_embedding pairs are ordered and clear the threshold") {
     val rows = run("dedup_embedding").collect()
     rows.foreach { r =>
