@@ -136,6 +136,110 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ETL e2e: file tail -> normalize -> dedup -> kv batches matches batch") {
+    // the reference's ETL loop (apis/etl.ts) as a live pipeline: batch
+    // files land in a directory, each micro-batch is normalized, deduped
+    // against state, and written as KV batches via foreachBatch
+    val dir = "/tmp/graft_stream_etl_in"
+    val outDir = "/tmp/graft_stream_etl_out"
+    Seq(dir, outDir).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      new java.io.File(d).mkdirs()
+    }
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // split by TIME (files arrive in event-time order): rows older than the
+    // watermark established by file 1 would be discarded as late data
+    val tsSorted = src.select("ts").orderBy("ts").collect().map(_.getTimestamp(0))
+    val cut = tsSorted(tsSorted.length / 2)
+    val (a, b) = (src.filter(col("ts") <= lit(cut)), src.filter(col("ts") > lit(cut)))
+    a.write.mode("overwrite").parquet(s"$dir/f1")
+
+    val stream = graft.sources.Io.fileStream(spark, s"$dir/f*", src.schema)
+    val normed = graft.operators.Etl.renameNormalize(stream,
+      renames = Map("user_id" -> "clientId"), statusCol = "event_type",
+      domain = Seq("click", "view", "purchase"),
+      remap = Map("error" -> "pending"), fallback = "in-progress")
+    val deduped = StreamOps.streamingDedup(normed, "ts", "2 hours", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (batchDf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchDf.persist()
+        batchDf.write.mode("append").parquet(s"$outDir/rows")
+        graft.sources.Io.kvBatches(batchDf,
+          key = pmod(col("clientId"), lit(20)),
+          payload = to_json(struct(col("event_id"), col("clientId"), col("value"))),
+          batchSize = 25)
+          .write.mode("append").parquet(s"$outDir/kv")
+        batchDf.unpersist(); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // second file: the remaining rows PLUS a re-send of the newest 100
+      // already-processed rows (at-least-once upstream); ts close to the
+      // watermark so dedup state still holds them
+      val resend = a.orderBy(col("ts").desc, col("event_id")).limit(100)
+      b.unionByName(resend).write.mode("overwrite").parquet(s"$dir/f2")
+      q.processAllAvailable()
+
+      val got = spark.read.parquet(s"$outDir/rows")
+        .select("event_id", "clientId", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      assert(got.length == got.map(_._1).distinct.length, "duplicates survived dedup")
+      val want = graft.operators.Etl.renameNormalize(src,
+        renames = Map("user_id" -> "clientId"), statusCol = "event_type",
+        domain = Seq("click", "view", "purchase"),
+        remap = Map("error" -> "pending"), fallback = "in-progress")
+        .select("event_id", "clientId", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      assert(got.toSet == want.toSet, "streamed rows != batch pipeline rows")
+      // the kv write ran per micro-batch and carried every deduped row
+      val kv = spark.read.parquet(s"$outDir/kv")
+      assert(kv.agg(sum("n_items")).collect().head.getLong(0) == want.length)
+    } finally q.stop()
+  }
+
+  test("append-mode session_window: closed sessions emit exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def t(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+
+    val input = MemoryStream[Reading]
+    val sess = StreamOps.sessionAgg(input.toDF(), ts = "ts", key = "user_id",
+      gap = "1 hour", delay = "1 hour")
+    val q = sess.writeStream.format("memory").queryName("sess_append")
+      .outputMode("append").start()
+    try {
+      // an open session emits NOTHING in append mode (state, not output)
+      input.addData(Reading(1L, t(0), 1L, 10.0), Reading(1L, t(10), 2L, 5.0))
+      q.processAllAvailable()
+      assert(s.table("sess_append").count() == 0, "open session leaked into append output")
+
+      // an event 10h later advances the watermark past the session's end
+      // (t10 + 1h gap + 1h delay) -> the closed session emits exactly once
+      input.addData(Reading(2L, t(600), 3L, 1.0))
+      q.processAllAvailable()
+      val afterClose = s.table("sess_append")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4)))
+      assert(afterClose.toSeq == Seq((1L, t(0), t(10), 2L, 15.0)),
+        s"expected exactly the closed user-1 session, got ${afterClose.toSeq}")
+
+      // more data later: the already-emitted session must NOT re-emit
+      // (exactly-once session emission is the 100 TB state-eviction story)
+      input.addData(Reading(2L, t(1200), 4L, 1.0))
+      q.processAllAvailable()
+      val user1Rows = s.table("sess_append").filter(col("user_id") === 1L).count()
+      assert(user1Rows == 1, s"user-1 session emitted $user1Rows times")
+      // and user 2's first session (t600, closed by t1200) emitted once
+      val user2 = s.table("sess_append").filter(col("user_id") === 2L)
+        .collect().map(r => (r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      assert(user2.toSeq == Seq((t(600), 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming edgeDetector matches batch rising edges across batches") {
     val s = spark
     import s.implicits._
