@@ -13,6 +13,14 @@ import org.apache.spark.sql.SparkSession
   * per-query contention spikes (BASELINE.md documents 43-94s swings on
   * identical code), and a single-shot number is noise, not signal.
   *
+  * The three passes are INTERLEAVED (three rounds over the full query
+  * list, not three back-to-back runs per query): this host's contention
+  * windows last tens of seconds, long enough to swallow all consecutive
+  * passes of one query (observed: 7.4s/11.9s/1.9s for a 1.9s query) —
+  * spreading a query's passes ~40s apart means a window inflates at most
+  * one of them, and the median keeps the clean two. Requires the enlarged
+  * codegen cache (GraftSession) so round 2+ doesn't re-Janino-compile.
+  *
   * Failure policy: only NonFatal errors are caught (an OOM must kill the
   * run, not improve it); failed queries are listed explicitly in the
   * output JSON so a regression cannot silently shrink the total.
@@ -21,15 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .withExtensions(new graft.functions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     import scala.util.control.NonFatal
@@ -46,14 +46,19 @@ object Bench {
       catch { case NonFatal(e) => System.err.println(s"bench warmup: $n failed: $e") }
     }
     val passes = 3
+    val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    for (p <- 1 to passes; n <- names) {
+      try {
+        val t = runOnce(n)
+        System.err.println(f"bench: $n pass$p $t%.2f s") // diag only; driver reads stdout
+        times(n) = t :: times(n)
+      } catch { case NonFatal(e) => System.err.println(s"bench: $n failed: $e") }
+    }
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { n =>
-      val times = (1 to passes).flatMap { _ =>
-        try Some(runOnce(n))
-        catch { case NonFatal(e) => System.err.println(s"bench: $n failed: $e"); None }
-      }
-      if (times.size < passes) failed += n
-      n -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      val ts = times(n)
+      if (ts.size < passes) failed += n
+      n -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

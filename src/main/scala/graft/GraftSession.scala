@@ -22,6 +22,12 @@ object GraftSession {
       // test tables carry TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as long and convert in Tables.events (μs-lossless)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry generated-class cache thrashes once ~60
+      // distinct queries (some with large literal-array expressions) run
+      // in one JVM: re-Janino-compiling the biggest classes cost seconds
+      // PER EXECUTION (dedup_embedding 7.2s -> 1.9s warm). Static conf —
+      // must be set before the first session is created.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

