@@ -83,6 +83,68 @@ object Events {
       // emits count 0 instead of vanishing from the output
       .groupBy(col(key)).agg(count(col(member)).as(as))
 
+  /** As-of join (point-in-time lookup): for each left row, the single
+    * right row with the greatest rightTs <= leftTs within the same key —
+    * the reference automations' "latest state at event time" read, and an
+    * operator Spark has no native form of.
+    *
+    * Spark-first shape: a UNION, not a join. Right rows (tag 0) and left
+    * rows (tag 1) are sorted per key by (ts, tag, payload); the latest
+    * right payload carries forward through `last(ignoreNulls)` over the
+    * running row frame, and left rows read it. ONE shuffle on the key, all
+    * window work partition-local, no range-join explosion and no per-row
+    * lookback — the canonical distributed as-of. Left rows before any
+    * right row get nulls (as-of LEFT join). For full determinism right
+    * rows should be unique per (key, ts) — dedupe upstream (the payload
+    * tiebreak here makes even the duplicate case deterministic: max
+    * payload struct wins).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+               rightTs: String, payload: Seq[String]): DataFrame = {
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(nullable = true)))
+    val lType = org.apache.spark.sql.types.StructType(
+      left.schema.fields.map(_.copy(nullable = true)))
+    val rT = right.select(col(key).as("_k"), col(rightTs).as("_ats"), lit(0).as("_tag"),
+      struct(payload.map(col): _*).as("_p"), lit(null).cast(lType).as("_lrow"))
+    val lT = left.select(col(key).as("_k"), col(leftTs).as("_ats"), lit(1).as("_tag"),
+      lit(null).cast(pType).as("_p"), struct(left.columns.map(col): _*).as("_lrow"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ats").asc, col("_tag").asc, col("_p").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rT.unionByName(lT)
+      .withColumn("_carry", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(left.columns.map(c => col(s"_lrow.$c").as(c)) ++
+        payload.map(p => col(s"_carry.$p").as(p)): _*)
+  }
+
+  /** Binned range join: points joined to the intervals containing them
+    * with NO equi-key — naively a BroadcastNestedLoopJoin (quadratic, the
+    * plan Spark falls back to for pure range predicates). Binning restores
+    * an equi-key: intervals explode to the fixed-width time bins they
+    * overlap, points map to their single bin, the join runs on the bin
+    * (hash/sort-merge, shuffle on a uniform key) and the exact BETWEEN
+    * filters within the bin. A point's bin is covered by exactly one
+    * exploded interval row, so no dedup is needed. Bin width trades
+    * interval-row fanout (long intervals / small bins) against bin
+    * selectivity (short intervals / large bins); size it near the median
+    * interval length.
+    */
+  def rangeJoin(points: DataFrame, ptCol: String, intervals: DataFrame,
+                startCol: String, endCol: String, binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val iv = intervals
+      .withColumn("_bin", explode(sequence(
+        floor(unix_micros(col(startCol)) / binUs).cast("long"),
+        floor(unix_micros(col(endCol)) / binUs).cast("long"))))
+    val pt = points.withColumn("_bin",
+      floor(unix_micros(col(ptCol)) / binUs).cast("long"))
+    pt.join(iv, Seq("_bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("_bin")
+  }
+
   /** Sketch-based monitoring stats: HLL distinct + quantile sketches —
     * the right primitives at 100 TB where exact percentiles would sort the
     * world. Sketches are implementation-specific, so this op has NO SQL
@@ -118,7 +180,37 @@ object Events {
     "events_sessionize" -> ((s, d) =>
       sessionStats(Tables.events(s, d), key = "user_id", ts = "ts",
         gapSec = 3600, tiebreak = "event_id")
-        .orderBy("user_id", "session_seq"))
+        .orderBy("user_id", "session_seq")),
+
+    // point-in-time lookup: each event sees the user's latest purchase at
+    // or before it (right side deduped per (user, ts) for determinism)
+    "events_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("_m"))
+        .select(col("user_id"), col("ts"),
+          col("_m.event_id").as("purchase_id"), col("_m.value").as("purchase_value"))
+      asofJoin(e.select("event_id", "user_id", "ts"), purchases,
+        key = "user_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("purchase_id", "purchase_value"))
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
+        .orderBy("event_id")
+    }),
+
+    // interval containment with no equi key: every event falling inside
+    // any of users 0-2's sessions ("incident windows"), via bin equi-join
+    "events_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val windows = sessionStats(e.filter(col("user_id") < 3), key = "user_id",
+        ts = "ts", gapSec = 3600, tiebreak = "event_id")
+        .select(col("user_id").as("w_user"), col("session_seq").as("w_seq"),
+          col("session_start"), col("session_end"))
+      rangeJoin(e.select("event_id", "ts"), "ts", windows,
+        "session_start", "session_end", binSeconds = 3600)
+        .select("event_id", "w_user", "w_seq")
+        .orderBy("event_id", "w_user", "w_seq")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,6 +221,12 @@ object Events {
     "events_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value, ${Stable.sqlAvgRounded("value", 4)} AS avg_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "events_sessionize" ->
-      """WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, value, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)), sess AS (SELECT user_id, ts, value, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""
+      """WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, value, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)), sess AS (SELECT user_id, ts, value, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    // right side deduped per (user, ts) with the same whole-row max rule
+    // Spark's max(struct(event_id, value)) applies, so ASOF is unambiguous
+    "events_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC, value DESC) AS rn FROM events WHERE event_type = 'purchase') WHERE rn = 1), l AS (SELECT event_id, user_id, ts FROM events) SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts ORDER BY l.event_id""",
+    "events_range_join" ->
+      """WITH f AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE user_id < 3)), sx AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f), w AS (SELECT user_id AS w_user, session_seq AS w_seq, min(ts) AS session_start, max(ts) AS session_end FROM sx GROUP BY 1, 2) SELECT e.event_id, w.w_user, w.w_seq FROM events e JOIN w ON e.ts >= w.session_start AND e.ts <= w.session_end ORDER BY e.event_id, w.w_user, w.w_seq"""
   )
 }

@@ -68,6 +68,37 @@ object StreamOps {
   case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
   case class LastValue(value: Double)
 
+  case class AutoState(armed: Boolean)
+  case class Trigger(user_id: Long, event_id: Long, value: Double)
+
+  /** Threshold automation with hysteresis — the reference's trigger/
+    * state-machine plane (protolib/src/bundles/events automations, state
+    * machines in apis/) as a streaming operator: FIRE once when a key's
+    * value rises to >= high, then stay disarmed until it falls back to
+    * <= low (no alert storms). One boolean per key in the state store,
+    * shuffled once on the key — O(keys) state, the same contract as the
+    * edge detector. Rows are ordered by (ts, event_id) within each batch
+    * so cross-batch behaviour is deterministic.
+    */
+  def thresholdAutomation(readings: Dataset[Reading], high: Double,
+                          low: Double): Dataset[Trigger] = {
+    import readings.sparkSession.implicits._
+    readings.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AutoState, Trigger](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[AutoState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var armed = state.getOption.forall(_.armed)
+          val out = scala.collection.mutable.ListBuffer[Trigger]()
+          sorted.foreach { r =>
+            if (armed && r.value >= high) {
+              out += Trigger(r.user_id, r.event_id, r.value); armed = false
+            } else if (!armed && r.value <= low) armed = true
+          }
+          state.update(AutoState(armed))
+          out.iterator
+      }
+  }
+
   /** Stateful rising-edge detector (streaming twin of Flow.risingEdge /
     * reference context/flowEdgeDetector.ts): one LastValue per key in the
     * state store; rows within a batch are ordered by (ts, event_id) so

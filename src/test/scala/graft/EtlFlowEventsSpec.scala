@@ -116,6 +116,50 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("asofJoin: latest right row at or before each left row, nulls before any") {
+    val s = spark
+    import s.implicits._
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, t(1), 101L), (1L, t(2), 102L), (1L, t(3), 103L),
+      (1L, t(5), 105L), (2L, t(4), 201L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, t(2), 20.0), (1L, t(4), 40.0), (9L, t(0), 90.0))
+      .toDF("user_id", "ts", "v")
+    val out = graft.operators.Events.asofJoin(left, right,
+      key = "user_id", leftTs = "ts", rightTs = "ts", payload = Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(out == Map(
+      101L -> None,          // before any right row
+      102L -> Some(20.0),    // <= includes the equal-ts right row
+      103L -> Some(20.0),
+      105L -> Some(40.0),
+      201L -> None))         // key with no right rows at all
+  }
+
+  test("events_range_join: bin equi-join plan (no nested loop), matches contained events") {
+    val p = plan(run("events_range_join"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val rows = run("events_range_join").collect()
+    assert(rows.nonEmpty)
+    // brute-force check on the small SF: every matched event really falls
+    // inside the claimed window, and no containment is missed
+    val ev = Tables.events(spark, sfDir).select("event_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val wins = graft.operators.Events.sessionStats(
+      Tables.events(spark, sfDir).filter(col("user_id") < 3),
+      key = "user_id", ts = "ts", gapSec = 3600, tiebreak = "event_id")
+      .select("user_id", "session_seq", "session_start", "session_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getTimestamp(2), r.getTimestamp(3)))).toMap
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (eid, ts) <- ev.toSeq
+      ((wu, wseq), (s0, s1)) <- wins.toSeq
+      if !ts.before(s0) && !ts.after(s1)
+    } yield (eid, wu, wseq)).toSet
+    assert(got == want)
+  }
+
   test("events_approx_stats: sketches bounded against exact values") {
     val approx = run("events_approx_stats").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap

@@ -240,6 +240,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("thresholdAutomation: fires once per excursion, re-arms below low, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val triggers = StreamOps.thresholdAutomation(input.toDS(), high = 100.0, low = 50.0)
+    val q = triggers.writeStream.format("memory").queryName("auto_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("auto_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // oracle: the same hysteresis state machine folded in plain Scala
+      // over the globally (key, ts, event_id)-ordered rows
+      // .toSeq: Map#flatMap over tuple results would collapse to one
+      // entry per user key
+      val want = eventRows.groupBy(_.user_id).toSeq.flatMap { case (u, rs) =>
+        var armed = true
+        rs.sortBy(r => (r.ts.getTime, r.event_id)).flatMap { r =>
+          if (armed && r.value >= 100.0) { armed = false; Some((u, r.event_id)) }
+          else { if (!armed && r.value <= 50.0) armed = true; None }
+        }
+      }.toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+      // hysteresis really suppresses: strictly fewer triggers than
+      // above-threshold readings
+      assert(got.size < eventRows.count(_.value >= 100.0))
+    } finally q.stop()
+  }
+
   test("streaming edgeDetector matches batch rising edges across batches") {
     val s = spark
     import s.implicits._
