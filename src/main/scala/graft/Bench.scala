@@ -8,18 +8,19 @@ import org.apache.spark.sql.SparkSession
   * computed and serialised, so projection work is measured (a bare
   * `.count()` lets column pruning and EliminateSorts delete most of a
   * map-shaped query's work). One full warm-up pass first absorbs JIT,
-  * codegen compilation and FS cache effects; then THREE timed passes per
+  * codegen compilation and FS cache effects; then FIVE timed passes per
   * query and the per-query MEDIAN is reported — this host shows random
   * per-query contention spikes (BASELINE.md documents 43-94s swings on
   * identical code), and a single-shot number is noise, not signal.
   *
-  * The three passes are INTERLEAVED (three rounds over the full query
-  * list, not three back-to-back runs per query): this host's contention
+  * The timed passes are INTERLEAVED (five rounds over the full query
+  * list, not five back-to-back runs per query): this host's contention
   * windows last tens of seconds, long enough to swallow all consecutive
   * passes of one query (observed: 7.4s/11.9s/1.9s for a 1.9s query) —
-  * spreading a query's passes ~40s apart means a window inflates at most
-  * one of them, and the median keeps the clean two. Requires the enlarged
-  * codegen cache (GraftSession) so round 2+ doesn't re-Janino-compile.
+  * spreading a query's passes ~45s apart means one window inflates at
+  * most one round's visit, and a median-of-5 survives even two poisoned
+  * rounds. Requires the enlarged codegen cache (GraftSession) so round
+  * 2+ doesn't re-Janino-compile.
   *
   * Failure policy: only NonFatal errors are caught (an OOM must kill the
   * run, not improve it); failed queries are listed explicitly in the
@@ -45,9 +46,15 @@ object Bench {
       try runOnce(n)
       catch { case NonFatal(e) => System.err.println(s"bench warmup: $n failed: $e") }
     }
-    val passes = 3
+    // 5 rounds: host contention windows last long enough to poison two
+    // rounds' visits to the same query; median-of-5 tolerates that
+    val passes = 5
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
-    for (p <- 1 to passes; n <- names) {
+    // alternate direction per round: the host's contention is roughly
+    // periodic at about one round's duration, so a fixed visit order
+    // aliases the SAME query onto the disturbance every round (observed:
+    // 3 of 5 passes of one query poisoned while neighbors ran clean)
+    for (p <- 1 to passes; n <- if (p % 2 == 0) names.reverse else names) {
       try {
         val t = runOnce(n)
         System.err.println(f"bench: $n pass$p $t%.2f s") // diag only; driver reads stdout

@@ -183,14 +183,15 @@ object Events {
         .orderBy("user_id", "session_seq")),
 
     // point-in-time lookup: each event sees the user's latest purchase at
-    // or before it (right side deduped per (user, ts) for determinism)
+    // or before it. No pre-dedup shuffle needed: asofJoin's (ts, tag,
+    // payload) sort makes same-timestamp right rows resolve to the max
+    // payload struct — exactly the oracle's (event_id DESC, value DESC)
+    // row_number pick.
     "events_asof_join" -> ((s, d) => {
       val e = Tables.events(s, d)
       val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(struct(col("event_id"), col("value"))).as("_m"))
         .select(col("user_id"), col("ts"),
-          col("_m.event_id").as("purchase_id"), col("_m.value").as("purchase_value"))
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       asofJoin(e.select("event_id", "user_id", "ts"), purchases,
         key = "user_id", leftTs = "ts", rightTs = "ts",
         payload = Seq("purchase_id", "purchase_value"))
