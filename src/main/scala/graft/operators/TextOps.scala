@@ -172,6 +172,64 @@ object TextOps {
         regexp_replace(col(textCol), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
         "[0-9]+", "<NUM>"))
 
+  /** Sequence packing: lay documents end-to-end in deterministic order
+    * and cut fixed token-budget windows — the LLM-training "pack short
+    * docs into context windows" pass. Each doc gets the pack it STARTS in
+    * (pack_id = exclusive-prefix-sum div budget) and its offset inside
+    * that pack. Packing is per `shard` (partitioned window: one shuffle,
+    * shard-local prefix sums — shards pack independently on a cluster,
+    * which is exactly how a 100 TB packing job runs).
+    */
+  def packSequences(df: DataFrame, idCol: String, shardCol: String,
+                    tokensCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokensCol)).over(w) - col(tokensCol))
+      // integer div, not double-divide-then-cast: exact at any magnitude
+      .withColumn("pack_id", expr(s"_cum div $budget"))
+      .withColumn("pack_offset", (col("_cum") % budget).cast("bigint"))
+      .drop("_cum")
+  }
+
+  /** Deterministic stratified sample: within each stratum keep the k rows
+    * with the smallest md5(id) — a uniform pseudo-random draw that is
+    * reproducible across engines and runs (no RNG state). One shuffle on
+    * the stratum; rank via window (WindowGroupLimit pushes the top-k
+    * partially map-side, so a hot stratum never ships all its rows).
+    */
+  def sampleStratified(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+  }
+
+  /** Percentile-band filter: keep rows whose score sits inside [lo, hi]
+    * by percent_rank — the "trim the quality tails before training" gate.
+    * Exact (no sketch), WITHOUT the naive global window (which sinks
+    * every row into one partition for the sort): scores are rounded, so
+    * the distinct-score histogram is bounded — one hash-agg builds it,
+    * a running sum over the (small) distinct scores yields each score's
+    * rank, and a broadcast join maps rows to ranks. percent_rank =
+    * (rank-1)/(n-1): one division of exact integers, bit-identical in
+    * both engines, so the band edges cannot flip.
+    */
+  def qualityBand(df: DataFrame, scoreCol: String, lo: Double,
+                  hi: Double): DataFrame = {
+    val hist = df.groupBy(col(scoreCol).as("_s")).agg(count(lit(1)).as("_c"))
+    val ws = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = hist.withColumn("_cum", sum(col("_c")).over(ws))
+      .select(col("_s"), (col("_cum") - col("_c") + 1).as("_rank"),
+        sum(col("_c")).over().as("_n"))
+    df.join(broadcast(ranks), col(scoreCol) === col("_s"))
+      .withColumn("pr", round((col("_rank") - 1).cast("double") /
+        (col("_n") - 1).cast("double"), 6))
+      .filter(col("pr") >= lo && col("pr") <= hi)
+      .drop("_s", "_rank", "_n")
+  }
+
   /** Exact dedup by content hash: one hash-agg groupBy (map-side combine,
     * one shuffle on the 128-bit key — uniform, skew-free at any scale),
     * keep-first = min doc id per hash.
@@ -224,6 +282,33 @@ object TextOps {
     "text_tfidf_top" -> ((s, d) =>
       tfIdfTop(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
+
+    // context-window packing: docs laid end-to-end per shard (doc_id % 8),
+    // 2048-token windows; each doc reports its pack and offset
+    "text_pack_sequences" -> ((s, d) => {
+      val t = tokenCount(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .select("doc_id", "shard", "ws_tokens")
+      packSequences(t, idCol = "doc_id", shardCol = "shard",
+        tokensCol = "ws_tokens", budget = 2048L)
+        .select("doc_id", "shard", "ws_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
+    // deterministic 50-per-language sample by md5 rank
+    "sample_stratified" -> ((s, d) =>
+      sampleStratified(Tables.documents(s, d).select("doc_id", "lang", "source"),
+        stratumCol = "lang", idCol = "doc_id", k = 50)
+        .orderBy("doc_id")),
+
+    // trim the quality tails: keep the p5-p95 band of quality_score
+    "text_quality_band" -> ((s, d) =>
+      qualityBand(
+        quality(Tables.documents(s, d).select("doc_id", "text"), "text")
+          .select("doc_id", "quality_score"),
+        scoreCol = "quality_score", lo = 0.05, hi = 0.95)
+        .select("doc_id", "quality_score", "pr")
+        .orderBy("doc_id")),
 
     // The corpus-prep pipeline composed: PII mask -> token-count gate ->
     // language gate -> exact dedup (keep-first) -> fingerprint. One
@@ -278,6 +363,16 @@ object TextOps {
       raw"""WITH p AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY doc_id, term), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), nn AS (SELECT count(*) AS n FROM documents), s AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(1.0 + nn.n / dfq.df), 4) AS tfidf FROM tf JOIN dfq USING (term) CROSS JOIN nn), r AS (SELECT doc_id, term, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "text_winnow_fingerprint" ->
       s"""WITH hs AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN list_transform(range(1, length(text) - 6), i -> ${sqlHex32("substr(text, i, 8)")}) ELSE []::BIGINT[] END AS hl FROM documents), wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN list_distinct(list_transform(range(1, len(hl) - 2), j -> list_min(hl[j:j+3]))) ELSE []::BIGINT[] END AS fps FROM hs) SELECT doc_id, md5(array_to_string(list_sort(fps), ',')) AS doc_fp, len(fps)::BIGINT AS n_fps FROM wn ORDER BY doc_id""",
+    "text_pack_sequences" ->
+      raw"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens FROM documents), c AS (SELECT doc_id, shard, ws_tokens, sum(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens AS cum FROM t) SELECT doc_id, shard, ws_tokens, (cum // 2048)::BIGINT AS pack_id, (cum % 2048)::BIGINT AS pack_offset FROM c ORDER BY doc_id""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rk FROM documents) WHERE rk <= 50 ORDER BY doc_id""",
+    "text_quality_band" -> {
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents), q AS (SELECT doc_id, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM c), p AS (SELECT doc_id, quality_score, round(percent_rank() OVER (ORDER BY quality_score), 6) AS pr FROM q) SELECT doc_id, quality_score, pr FROM p WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id"""
+    },
     "text_pipeline_e2e" ->
       raw"""WITH m AS (SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM documents), t AS (SELECT doc_id, clean, string_split_regex(trim(clean), '\s+') AS tk, string_split_regex(trim(lower(clean)), '\s+') AS lt FROM m), h AS (SELECT doc_id, clean, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, clean, tk FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), r AS (SELECT doc_id, clean, tk, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn FROM g) SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(clean)), '\s+'))), ' ')) AS fp, len(tk)::BIGINT AS n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
   )

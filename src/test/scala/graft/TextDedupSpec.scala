@@ -157,6 +157,46 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("text_pack_sequences: offsets stay in budget, packs advance monotonically per shard") {
+    val rows = run("text_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, pid, off) =>
+      assert(off >= 0 && off < 2048)
+      assert(pid >= 0)
+    }
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      val ordered = shardRows.sortBy(_._1)
+      // first doc of each shard starts pack 0 at offset 0
+      assert(ordered.head._4 == 0L && ordered.head._5 == 0L)
+      // exclusive prefix sums reconstruct (pack, offset) exactly
+      var cum = 0L
+      ordered.foreach { case (_, _, tok, pid, off) =>
+        assert(pid == cum / 2048 && off == cum % 2048)
+        cum += tok
+      }
+    }
+  }
+
+  test("sample_stratified: at most k per stratum, deterministic across runs") {
+    val a = run("sample_stratified").collect().map(_.toString)
+    val b = run("sample_stratified").collect().map(_.toString)
+    assert(a.nonEmpty && a.sameElements(b))
+    val perLang = run("sample_stratified").collect()
+      .groupBy(r => Option(r.getString(1)))
+    assert(perLang.forall(_._2.length <= 50))
+  }
+
+  test("text_quality_band trims both tails") {
+    val kept = run("text_quality_band").collect()
+    val total = docs.count()
+    assert(kept.nonEmpty)
+    kept.foreach { r => val pr = r.getDouble(2); assert(pr >= 0.05 && pr <= 0.95) }
+    // strictly trims (some tail mass removed) but keeps the bulk
+    assert(kept.length < total)
+    assert(kept.length > total * 7 / 10)
+  }
+
   test("decon_overlap: only benchmark partners, fraction clears threshold") {
     val rows = run("decon_overlap").collect()
     rows.foreach { r =>
