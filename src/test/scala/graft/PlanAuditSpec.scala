@@ -45,4 +45,36 @@ class PlanAuditSpec extends SparkSpec {
     val rs = readSchema(plan(run("q1_agg")))
     assert(!rs.contains("l_comment") && !rs.contains("l_shipmode"), rs)
   }
+
+  test("merge_upsert: rank-limit pushes map-side, scans pruned") {
+    val p = plan(run("merge_upsert"))
+    // WindowGroupLimit appears twice: partial (map-side, pre-shuffle)
+    // and final — the rn=1 filter never ships a whole key's history
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+    val rs = readSchema(p)
+    assert(!rs.contains("o_orderdate") && !rs.contains("o_orderpriority"),
+      s"merge_upsert reads unused columns: $rs")
+  }
+
+  test("events_asof_join: purchase filter pushes to the scan, left scan is 3 columns") {
+    val p = plan(run("events_asof_join"))
+    assert(p.contains("PushedFilters") && p.contains("purchase"), "filter not pushed")
+    val rs = readSchema(p)
+    assert(!rs.contains("props"), s"asof reads the wide props column: $rs")
+    // exactly one Window (the carry) — the whole as-of is one shuffle +
+    // one running frame, no join operator at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of should be a window carry, not a join")
+  }
+
+  test("pack/sample/band plans keep their scale shapes") {
+    val pack = plan(run("text_pack_sequences"))
+    assert(!readSchema(pack).contains("lang"), "pack reads unused columns")
+    val samp = plan(run("sample_stratified"))
+    assert("WindowGroupLimit".r.findAllIn(samp).size >= 2,
+      "stratified sample should push the top-k map-side")
+    val band = plan(run("text_quality_band"))
+    assert(band.contains("BroadcastHashJoin") || band.contains("BroadcastExchange"),
+      "quality band should broadcast the distinct-score rank table")
+  }
 }
