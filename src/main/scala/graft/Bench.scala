@@ -50,22 +50,36 @@ object Bench {
     // rounds' visits to the same query; median-of-5 tolerates that
     val passes = 5
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
-    // alternate direction per round: the host's contention is roughly
-    // periodic at about one round's duration, so a fixed visit order
-    // aliases the SAME query onto the disturbance every round (observed:
-    // 3 of 5 passes of one query poisoned while neighbors ran clean)
-    for (p <- 1 to passes; n <- if (p % 2 == 0) names.reverse else names) {
+    // rotate the visit order each round: the host's contention is roughly
+    // periodic at about one round's duration, so a FIXED order aliases
+    // the same query onto the disturbance every round (observed: 3 of 5
+    // passes of one query poisoned while neighbors ran clean). Rotation
+    // (not reversal — reversal runs the edge queries back-to-back across
+    // round boundaries) keeps every query's visits ~4/5 of a round apart
+    // AND phase-shifts them against any periodic disturbance.
+    val shift = math.max(1, names.size / passes)
+    for (p <- 1 to passes) {
+      val rot = (p - 1) * shift % names.size
+      for (n <- names.drop(rot) ++ names.take(rot)) {
       try {
         val t = runOnce(n)
         System.err.println(f"bench: $n pass$p $t%.2f s") // diag only; driver reads stdout
         times(n) = t :: times(n)
       } catch { case NonFatal(e) => System.err.println(s"bench: $n failed: $e") }
+      }
     }
+    // contract: a query in `failed` contributed NOTHING to the total (its
+    // per-query value is -1), so the headline number is comparable across
+    // runs; a partially-failed query can't sneak a biased median in
     val failed = scala.collection.mutable.ListBuffer[String]()
+    def median(ts: List[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = names.map { n =>
       val ts = times(n)
-      if (ts.size < passes) failed += n
-      n -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
+      if (ts.size < passes) { failed += n; n -> -1.0 }
+      else n -> median(ts)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,7 +26,11 @@ import graft.Tables
   * so naive bucket pairing does O(m²) work on one hot key):
   *   1. an exact-dedup pre-pass ([[representatives]]) keeps ONE
   *      representative per distinct content before any LSH work — exact
-  *      copies never reach a bucket, and the duplicate count rides along;
+  *      copies never reach a bucket. Consequently the pairs outputs cover
+  *      NEAR-duplicates between representatives only: a removal list for
+  *      exact copies comes from [[representatives]] / TextOps.dedupExact
+  *      (which carry the per-content duplicate count), composed with the
+  *      near-dup pairs — the ordering text_pipeline_e2e demonstrates;
   *   2. a deterministic bucket cap ([[capBuckets]]) bounds the residual
   *      near-duplicate floods: only the `cap` lowest-id members of a bucket
   *      pair up, so per-bucket work is <= cap² regardless of skew. The cap

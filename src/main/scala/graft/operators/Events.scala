@@ -105,8 +105,11 @@ object Events {
       payload.map(c => right.schema(c).copy(nullable = true)))
     val lType = org.apache.spark.sql.types.StructType(
       left.schema.fields.map(_.copy(nullable = true)))
-    val rT = right.select(col(key).as("_k"), col(rightTs).as("_ats"), lit(0).as("_tag"),
-      struct(payload.map(col): _*).as("_p"), lit(null).cast(lType).as("_lrow"))
+    // a NULL rightTs can never satisfy rightTs <= leftTs, but unfiltered it
+    // would sort FIRST and become the carried payload for early left rows
+    val rT = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("_k"), col(rightTs).as("_ats"), lit(0).as("_tag"),
+        struct(payload.map(col): _*).as("_p"), lit(null).cast(lType).as("_lrow"))
     val lT = left.select(col(key).as("_k"), col(leftTs).as("_ats"), lit(1).as("_tag"),
       lit(null).cast(pType).as("_p"), struct(left.columns.map(col): _*).as("_lrow"))
     val w = Window.partitionBy(col("_k"))

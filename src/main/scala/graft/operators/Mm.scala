@@ -72,13 +72,16 @@ object Mm {
     * opaque native calls); MmSpec asserts the two produce identical rows.
     */
   def metaExpr(blobs: DataFrame, chunkBytes: Int): DataFrame =
+    // arithmetic on BIGINT throughout: octet_length returns INT and e.g.
+    // a 400 MB blob * 7 overflows Int (ANSI error / silent wrap),
+    // diverging from decodeMeta's Long math
     blobs.select(col("doc_id"),
       expr("octet_length(blob)").cast("bigint").as("blob_bytes"),
       md5(col("blob")).as("blob_md5"),
-      expr(s"(octet_length(blob) + ${chunkBytes - 1}) div $chunkBytes")
-        .cast("bigint").as("n_chunks"),
-      expr("64 + octet_length(blob) % 512").cast("bigint").as("decoded_w"),
-      expr("64 + (octet_length(blob) * 7) % 512").cast("bigint").as("decoded_h"),
+      expr(s"(CAST(octet_length(blob) AS BIGINT) + ${chunkBytes - 1}) div $chunkBytes")
+        .as("n_chunks"),
+      expr("64 + CAST(octet_length(blob) AS BIGINT) % 512").as("decoded_w"),
+      expr("64 + (CAST(octet_length(blob) AS BIGINT) * 7) % 512").as("decoded_h"),
       expr(FakeDecoder.framesSql).cast("bigint").as("frames"))
 
   /** Chunk table: one row per fixed-size slice of each payload — the
@@ -105,7 +108,8 @@ object Mm {
     */
   def frameSamples(blobs: DataFrame, frameBytes: Int): DataFrame =
     blobs
-      .withColumn("bytes", expr("octet_length(blob)"))
+      // bigint: fi * bytes overflows Int for blobs over ~256 MB
+      .withColumn("bytes", expr("CAST(octet_length(blob) AS BIGINT)"))
       .withColumn("frames", expr(FakeDecoder.framesSql))
       .withColumn("fi", explode(expr(s"sequence(0, CAST(${FakeDecoder.framesSql} AS INT) - 1)")))
       // explicit floor: CAST(double AS INT) truncates in Spark but ROUNDS

@@ -149,7 +149,8 @@ object Similarity {
 
   /** Trivial centroid choice: the vectors matching `centPred` (a
     * deterministic subset — the structural baseline [[kmeansCentroids]]
-    * refines). */
+    * refines). The sort is lexicographic on the id's string form: it only
+    * stabilises the literal layout (ranking is order-independent). */
   def subsetCentroids(nrm: DataFrame, id: String, centPred: Column): Seq[(Any, Seq[Double])] =
     nrm.filter(centPred).select(col(id), col("ne")).collect().toSeq
       .map(r => (r.get(0), r.getSeq[Double](1).toSeq))

@@ -43,9 +43,7 @@ class SimilaritySpec extends SparkSpec {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val nrm = Similarity.normalized(e, "vec_id", "embedding")
-    val cents = nrm.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("ne")).collect().toSeq
-      .map(r => (r.get(0), r.getSeq[Double](1).toSeq))
+    val cents = Similarity.subsetCentroids(nrm, "vec_id", col("vec_id") < 16)
     val p = plan(Similarity.ivfAssign(nrm, cents, 2)
       .select(col("vec_id"), col("_nn")(0)("cid").as("cid")))
     assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")

@@ -175,9 +175,13 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // second file: the remaining rows PLUS a re-send of the newest 100
-      // already-processed rows (at-least-once upstream); ts close to the
-      // watermark so dedup state still holds them
-      val resend = a.orderBy(col("ts").desc, col("event_id")).limit(100)
+      // already-processed rows (at-least-once upstream). Filter the
+      // resend to the dedup watermark window by construction — rows whose
+      // state has been evicted would legitimately re-emit and the test's
+      // premise (all resends are duplicates in state) would not hold
+      val resend = a
+        .filter(col("ts") > lit(new java.sql.Timestamp(cut.getTime - 2 * 3600 * 1000L)))
+        .orderBy(col("ts").desc, col("event_id")).limit(100)
       b.unionByName(resend).write.mode("overwrite").parquet(s"$dir/f2")
       q.processAllAvailable()
 

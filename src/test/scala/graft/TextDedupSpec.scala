@@ -105,7 +105,9 @@ class TextDedupSpec extends SparkSpec {
     // pairs are between representatives only: (nearDup, flood-rep) at most
     assert(p.length <= 1, s"flood produced ${p.length} pairs")
     assert(p.forall(r => r.getLong(0) == 5L && r.getLong(1) == 100L))
-    assert(secs < 60, s"flood took ${secs}s — quadratic bucket pairing is back")
+    // generous bound: the quadratic shape takes minutes (~2*10^8 pairs);
+    // the host's documented contention windows can stretch a clean run
+    assert(secs < 120, s"flood took ${secs}s — quadratic bucket pairing is back")
     // representatives carries the collapse count
     val reps = Dedup.representatives(flood.toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
