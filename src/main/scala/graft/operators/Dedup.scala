@@ -222,6 +222,44 @@ object Dedup {
       .filter(col("overlap_frac") >= threshold)
   }
 
+  /** Connected components over an undirected edge set: the step that
+    * turns near-dup PAIRS into dedup GROUPS (cluster = the min member id,
+    * i.e. the doc to keep; everything else in the component is the
+    * removal list). Min-label propagation to fixpoint: each iteration
+    * every node takes the min of its own and its neighbors' labels — a
+    * join + hash-agg, two shuffles per round, converging in
+    * graph-diameter rounds (near-dup components are shallow; a 100 TB
+    * deployment would add the alternating-star contraction for
+    * pathological chains and checkpoint between rounds — localCheckpoint
+    * here truncates the growing lineage the same way).
+    *
+    * The fixpoint is unique, so the result is deterministic and
+    * oracle-comparable (the DuckDB oracle reaches it via a recursive
+    * CTE). Throws if `maxIters` rounds don't converge — an honest
+    * failure beats a silently-partial clustering.
+    */
+  def connectedComponents(nodes: DataFrame, id: String, edges: DataFrame,
+                          aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
+      .unionByName(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+    var labels = nodes.select(col(id), col(id).as("cluster")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val msgs = e.join(labels, e("_src") === labels(id))
+        .select(col("_dst").as(id), col("cluster"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col(id)).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster", "_prev"), id)
+        .filter(col("cluster") =!= col("_prev")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,6 +277,17 @@ object Dedup {
       simhashPairs(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", n = 3, maxHamming = 3)
         .orderBy("id_a", "id_b")),
+
+    // near-dup pairs -> dedup groups: components over the minhash pair
+    // graph; cluster = the min member (the keeper)
+    "dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val reps = representatives(docs, "doc_id", "text").select("doc_id")
+      val pairs = minhashPairs(docs, "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        .select("id_a", "id_b")
+      connectedComponents(reps, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    }),
 
     // "benchmark" = the first 20 docs; training corpus = everything
     "decon_overlap" -> ((s, d) => {
@@ -305,6 +354,10 @@ object Dedup {
       val frac = graft.operators.Stable.sqlRatioRounded("sv.shared", "bz.bench_sh", 4)
       s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20), bz AS (SELECT doc_id AS bench_id, len(sh) AS bench_sh FROM shs WHERE doc_id < 20), sh2 AS (SELECT t.doc_id, b.bench_id, count(*) AS shared FROM sh t JOIN bsh b ON t.s = b.s AND t.doc_id != b.bench_id GROUP BY t.doc_id, b.bench_id) SELECT sv.doc_id, sv.bench_id, sv.shared, $frac AS overlap_frac FROM sh2 sv JOIN bz ON sv.bench_id = bz.bench_id WHERE $frac >= 0.2 ORDER BY sv.doc_id, sv.bench_id"""
     },
+    // the recursive CTE reaches the same unique min-label fixpoint the
+    // Spark propagation loop converges to
+    "dedup_components" ->
+      s"""WITH RECURSIVE $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src) SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id ORDER BY doc_id""",
     "dedup_simhash" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, hv AS (SELECT doc_id, $nibV AS v FROM sh), bits AS (SELECT doc_id, $sumCols FROM hv GROUP BY doc_id), simh AS (SELECT doc_id, ($hExpr)::BIGINT AS h FROM bits), blocks AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS blk FROM simh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bands), blkc AS (SELECT doc_id, h, b, blk FROM (SELECT *, row_number() OVER (PARTITION BY b, blk ORDER BY doc_id) AS _rn FROM blocks) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM blkc a JOIN blkc b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY id_a, id_b"""
   )

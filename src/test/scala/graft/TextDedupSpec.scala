@@ -199,6 +199,27 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.length > total * 7 / 10)
   }
 
+  test("connectedComponents: chains converge across rounds, singletons keep themselves") {
+    val s = spark
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // a 4-chain (needs multiple propagation rounds), a pair, a singleton
+    val edges = Seq((2L, 3L), (3L, 4L), (4L, 7L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 7L -> 2L,
+      5L -> 5L, 6L -> 5L))
+    // the registered query clusters the planted near-dups: every pair's
+    // two sides share a cluster
+    val pairs = run("dedup_minhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = run("dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"pair ($a,$b) split") }
+    // every cluster label is its own minimum member
+    comp.groupBy(_._2).foreach { case (c, members) => assert(members.keys.min == c) }
+  }
+
   test("decon_overlap: only benchmark partners, fraction clears threshold") {
     val rows = run("decon_overlap").collect()
     rows.foreach { r =>
