@@ -260,6 +260,24 @@ object Dedup {
     labels
   }
 
+  /** Weighted deterministic source mixing — the "60% web, 30% code, 10%
+    * papers" composition step of a training mix. Each row is kept iff a
+    * content-hash draw (first 4 md5 nibbles of its id, uniform on
+    * [0, 65536)) lands under rate(source)×65536: no RNG state, so the
+    * mix is reproducible across engines, runs and task retries, and
+    * exact-in-expectation per source at any parallelism. Pure codegen
+    * projection + filter, zero shuffle.
+    */
+  def mixSources(df: DataFrame, sourceCol: String, idCol: String,
+                 rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val draw = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(draw < rate * 65536)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,6 +306,29 @@ object Dedup {
       connectedComponents(reps, "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
     }),
+
+    // the whole near-dedup pass composed: exact dedup -> minhash pairs ->
+    // components -> keep each cluster's min doc (with its exact-copy
+    // count riding along). Output = the clean corpus.
+    "dedup_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val reps = representatives(docs, "doc_id", "text")
+      val pairs = minhashPairs(docs, "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        .select("id_a", "id_b")
+      val comps = connectedComponents(reps.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+      reps.join(comps, "doc_id")
+        .filter(col("doc_id") === col("cluster"))
+        .select("doc_id", "n_dupes")
+        .orderBy("doc_id")
+    }),
+
+    // training-mix composition: deterministic weighted keep per source
+    "mix_sources" -> ((s, d) =>
+      mixSources(Tables.documents(s, d).select("doc_id", "source"),
+        sourceCol = "source", idCol = "doc_id",
+        rates = Map("src0" -> 0.9, "src1" -> 0.1), defaultRate = 0.5)
+        .orderBy("doc_id")),
 
     // "benchmark" = the first 20 docs; training corpus = everything
     "decon_overlap" -> ((s, d) => {
@@ -353,6 +394,18 @@ object Dedup {
     "decon_overlap" -> {
       val frac = graft.operators.Stable.sqlRatioRounded("sv.shared", "bz.bench_sh", 4)
       s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20), bz AS (SELECT doc_id AS bench_id, len(sh) AS bench_sh FROM shs WHERE doc_id < 20), sh2 AS (SELECT t.doc_id, b.bench_id, count(*) AS shared FROM sh t JOIN bsh b ON t.s = b.s AND t.doc_id != b.bench_id GROUP BY t.doc_id, b.bench_id) SELECT sv.doc_id, sv.bench_id, sv.shared, $frac AS overlap_frac FROM sh2 sv JOIN bz ON sv.bench_id = bz.bench_id WHERE $frac >= 0.2 ORDER BY sv.doc_id, sv.bench_id"""
+    },
+    // keep each cluster's min member with its exact-copy count: the same
+    // reach fixpoint, filtered to self-labelled nodes, joined to the
+    // per-content counts
+    "dedup_pipeline_e2e" ->
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id) SELECT r.doc_id, r.n_dupes FROM reps r JOIN comp c ON r.doc_id = c.id WHERE c.cluster = r.doc_id ORDER BY r.doc_id""",
+    // deterministic weighted mix: 4-nibble md5 draw under rate*65536
+    "mix_sources" -> {
+      val draw = (1 to 4).map(j =>
+        s"((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+        .mkString("(", " + ", ")")
+      s"""SELECT doc_id, source FROM documents WHERE $draw < (CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536 ORDER BY doc_id"""
     },
     // the recursive CTE reaches the same unique min-label fixpoint the
     // Spark propagation loop converges to

@@ -220,6 +220,27 @@ class TextDedupSpec extends SparkSpec {
     comp.groupBy(_._2).foreach { case (c, members) => assert(members.keys.min == c) }
   }
 
+  test("dedup_pipeline_e2e keeps exactly the cluster minima") {
+    val kept = run("dedup_pipeline_e2e").collect().map(_.getLong(0)).toSet
+    val clusters = run("dedup_components").collect().map(_.getLong(1)).toSet
+    assert(kept == clusters)
+  }
+
+  test("mix_sources: deterministic, rates order the per-source keep fractions") {
+    val a = run("mix_sources").collect().map(_.getLong(0))
+    val b = run("mix_sources").collect().map(_.getLong(0))
+    assert(a.nonEmpty && a.sameElements(b))
+    val keptBySource = run("mix_sources").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val totalBySource = Tables.documents(spark, sfDir).select("source").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    def frac(s: String) =
+      keptBySource.getOrElse(s, 0).toDouble / totalBySource(s)
+    // 0.9-rate source keeps a larger fraction than the 0.1-rate source
+    if (totalBySource.contains("src0") && totalBySource.contains("src1"))
+      assert(frac("src0") > frac("src1"))
+  }
+
   test("decon_overlap: only benchmark partners, fraction clears threshold") {
     val rows = run("decon_overlap").collect()
     rows.foreach { r =>
