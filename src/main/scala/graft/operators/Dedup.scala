@@ -240,8 +240,12 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, id: String, edges: DataFrame,
                           aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE — every
+    // propagation round joins e, and without this the whole upstream
+    // pipeline (e.g. minhash candidate generation) re-executes per round
     val e = edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .unionByName(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+      .localCheckpoint(true)
     var labels = nodes.select(col(id), col(id).as("cluster")).localCheckpoint(true)
     var changed = 1L
     var it = 0
