@@ -115,8 +115,18 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, id: String, textCol: String,
                    n: Int, k: Int, rowsPerBand: Int,
-                   bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
-    val reps = representatives(docs, id, textCol).select(col(id), col(textCol))
+                   bucketCap: Int = Dedup.defaultBucketCap): DataFrame =
+    minhashPairsOfReps(representatives(docs, id, textCol).select(col(id), col(textCol)),
+      id, textCol, n, k, rowsPerBand, bucketCap)
+
+  /** [[minhashPairs]] over an ALREADY exact-deduped corpus — callers that
+    * also need `representatives` output (components, the e2e pipeline)
+    * compute it once and pass it here instead of paying the full-corpus
+    * hash-agg a second time.
+    */
+  def minhashPairsOfReps(reps: DataFrame, id: String, textCol: String,
+                         n: Int, k: Int, rowsPerBand: Int,
+                         bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
     val buckets = capBuckets(
       bandBuckets(minhashSignatures(reps, id, textCol, n, k), k, rowsPerBand),
       Seq("band_key"), id, bucketCap)
@@ -246,7 +256,13 @@ object Dedup {
     val e = edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .unionByName(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(col(id), col(id).as("cluster")).localCheckpoint(true)
+    // seed from nodes UNION edge endpoints: an endpoint missing from
+    // `nodes` would otherwise appear mid-loop, be invisible to the
+    // inner-join convergence check, and silently split its component
+    var labels = nodes.select(col(id))
+      .unionByName(e.select(col("_src").as(id)))
+      .distinct()
+      .select(col(id), col(id).as("cluster")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -257,6 +273,7 @@ object Dedup {
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("cluster", "_prev"), id)
         .filter(col("cluster") =!= col("_prev")).count()
+      labels.unpersist() // superseded snapshot: don't leak one per round
       labels = next
       it += 1
     }
@@ -301,13 +318,16 @@ object Dedup {
         .orderBy("id_a", "id_b")),
 
     // near-dup pairs -> dedup groups: components over the minhash pair
-    // graph; cluster = the min member (the keeper)
+    // graph; cluster = the min member (the keeper). The exact-dedup
+    // pre-pass runs ONCE (checkpointed) and feeds both the node set and
+    // the pair generation.
     "dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val reps = representatives(docs, "doc_id", "text").select("doc_id")
-      val pairs = minhashPairs(docs, "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+      val reps = representatives(docs, "doc_id", "text").localCheckpoint(true)
+      val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .select("id_a", "id_b")
-      connectedComponents(reps, "doc_id", pairs, "id_a", "id_b")
+      connectedComponents(reps.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
         .orderBy("doc_id")
     }),
 
@@ -316,8 +336,9 @@ object Dedup {
     // count riding along). Output = the clean corpus.
     "dedup_pipeline_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val reps = representatives(docs, "doc_id", "text")
-      val pairs = minhashPairs(docs, "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+      val reps = representatives(docs, "doc_id", "text").localCheckpoint(true)
+      val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .select("id_a", "id_b")
       val comps = connectedComponents(reps.select("doc_id"), "doc_id",
         pairs, "id_a", "id_b")

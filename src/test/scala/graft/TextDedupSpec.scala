@@ -209,6 +209,12 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 7L -> 2L,
       5L -> 5L, 6L -> 5L))
+    // edge endpoints missing from `nodes` are seeded too — a bridge node
+    // absent from the node list must not split its component
+    val bridged = Dedup.connectedComponents(
+      Seq(1L, 3L).toDF("id"), "id", Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+      "a", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bridged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
     // the registered query clusters the planted near-dups: every pair's
     // two sides share a cluster
     val pairs = run("dedup_minhash").collect().map(r => (r.getLong(0), r.getLong(1)))
