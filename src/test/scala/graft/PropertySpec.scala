@@ -32,6 +32,73 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("mergeUpsert == brute-force keep-latest with tombstones on random data") {
+    val s = spark
+    import s.implicits._
+    // deliberately includes (key, version) ties (both deleted and not)
+    def gen(n: Int, del: Boolean) = (1 to n).map { _ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(8).toString, rnd.nextInt(4).toLong,
+        if (del) rnd.nextInt(3) == 0 else false)
+    }
+    val base = gen(200, del = false)
+    val changes = gen(300, del = true)
+    val got = graft.operators.Etl.mergeUpsert(
+      base.toDF("k", "v", "version", "deleted"),
+      changes.toDF("k", "v", "version", "deleted"),
+      "k", "version", "deleted")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    val want = (base ++ changes).groupBy(_._1).flatMap { case (k, g) =>
+      // winner: max version; ties -> tombstone first, then min remaining
+      // cols — mirrors (version DESC, deleted DESC, rest ASC) rank 1
+      val win = g.minBy(t => (-t._3, if (t._4) 0 else 1, t._2))
+      if (win._4) None else Some(k -> ((win._2, win._3)))
+    }
+    assert(got == want)
+  }
+
+  test("asofJoin == brute-force latest-at-or-before on random data") {
+    val s = spark
+    import s.implicits._
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val left = (1 to 300).map(i => (rnd.nextInt(10).toLong, t(rnd.nextInt(100)), i.toLong))
+    val right = (1 to 120).map(i => (rnd.nextInt(12).toLong, t(rnd.nextInt(100)), 1000L + i))
+    // right deduped per (key, ts) keep max payload — the documented
+    // deterministic contract under ties
+    val got = graft.operators.Events.asofJoin(
+      left.toDF("k", "ts", "lid"), right.toDF("k", "ts", "pay"),
+      key = "k", leftTs = "ts", rightTs = "ts", payload = Seq("pay"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val byKey = right.groupBy(_._1)
+    val want = left.map { case (k, ts, lid) =>
+      val cands = byKey.getOrElse(k, Nil).filter(!_._2.after(ts))
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.map(c => (c._2.getTime, c._3)).max._2))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rangeJoin == brute-force interval containment on random data") {
+    val s = spark
+    import s.implicits._
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val points = (1 to 400).map(i => (i.toLong, t(rnd.nextInt(2000))))
+    val ivs = (1 to 40).map { i =>
+      val a = rnd.nextInt(2000); (100L + i, t(a), t(a + rnd.nextInt(300)))
+    }
+    val got = graft.operators.Events.rangeJoin(
+      points.toDF("pid", "ts"), "ts",
+      ivs.toDF("wid", "s0", "s1"), "s0", "s1", binSeconds = 3600)
+      .select("pid", "wid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, ts) <- points
+      (wid, s0, s1) <- ivs
+      if !ts.before(s0) && !ts.after(s1)
+    } yield (pid, wid)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("topKPerGroup == naive single-window top-k for random data and salts") {
     val s = spark
     import s.implicits._
