@@ -95,14 +95,31 @@ object Similarity {
 
   /** ANN: top-k among LSH bucket-mates only (recall < 1 by design — the
     * oracle mirrors the same buckets, so results still compare exactly).
+    *
+    * `multiProbe` additionally probes, on the QUERY side only, every
+    * bucket at hamming distance 1 from the query's own (one sign flipped)
+    * — the standard multi-probe LSH recall lift: a near neighbor that
+    * lands one hyperplane away is still found, at (bits+1)× candidate
+    * fanout on the tiny query side and ZERO extra cost on the corpus side
+    * (no extra tables, no wider corpus shuffle).
     */
   def simLshAnn(df: DataFrame, id: String, emb: String, queryPred: Column,
-                tabs: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+                tabs: Seq[Seq[Seq[Double]]], k: Int,
+                multiProbe: Boolean = false): DataFrame = {
     // Candidate pairs travel as bare (query_id, neighbor_id) ints — the
     // wide embedding arrays are joined back only AFTER the distinct, so the
     // bucket self-join shuffle stays narrow.
     val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
-    val q = b.filter(queryPred).select(col(id).as("query_id"), col("t"), col("bucket"))
+    val qOwn = b.filter(queryPred)
+    val q = (if (!multiProbe) qOwn else {
+      val bits = tabs.head.size
+      val variants = col("bucket") +: (0 until bits).map { i =>
+        concat(substring(col("bucket"), 1, i),
+          when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(col("bucket"), i + 2, bits))
+      }
+      qOwn.withColumn("bucket", explode(array(variants: _*)))
+    }).select(col(id).as("query_id"), col("t"), col("bucket"))
     val c = b.select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
     val cand = q.join(c, col("t") === col("t2") && col("bucket") === col("bucket2") &&
         col("query_id") =!= col("neighbor_id"))
@@ -284,7 +301,8 @@ object Similarity {
 
     "sim_lsh_ann" -> ((s, d) =>
       simLshAnn(Tables.embeddings(s, d).select("vec_id", "embedding"),
-        "vec_id", "embedding", col("vec_id") < 10, annTabs, k = 5)
+        "vec_id", "embedding", col("vec_id") < 10, annTabs, k = 5,
+        multiProbe = true)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")),
 
@@ -356,8 +374,14 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_topk" ->
       s"""WITH $normCte, q AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE vec_id < 10), c AS (SELECT vec_id AS neighbor_id, ne AS ce FROM nrm), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("qe", "ce")}, 4) AS cos_sim FROM q CROSS JOIN c WHERE query_id != neighbor_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
-    "sim_lsh_ann" ->
-      s"""WITH ${bucketsCte(annTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id WHERE a.vec_id < 10), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "sim_lsh_ann" -> {
+      // multi-probe: the query side also probes every hamming-1 bucket
+      // (one sign flipped) — mirrors simLshAnn(multiProbe = true)
+      val bits = annTabs.head.size
+      val flips = ("bucket" +: (0 until bits).map(i =>
+        s"substr(bucket, 1, $i) || (CASE WHEN substr(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 2}, $bits)")).mkString("[", ", ", "]")
+      s"""WITH ${bucketsCte(annTabs)}, $normCte, qb AS (SELECT vec_id, tid, unnest($flips) AS bucket FROM bkt WHERE vec_id < 10), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM qb a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
     "sim_ivf_ann" ->

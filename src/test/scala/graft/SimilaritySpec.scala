@@ -61,7 +61,8 @@ class SimilaritySpec extends SparkSpec {
     val lshRecall = pairs("sim_lsh_ann").intersect(truth).size.toDouble / truth.size
     val ivfRecall = pairs("sim_ivf_ann").intersect(truth).size.toDouble / truth.size
     info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f over ${truth.size} truth pairs")
-    assert(lshRecall >= 0.6, f"lsh recall@5 $lshRecall%.3f below 0.6 floor")
+    // lsh floor raised after the multi-probe lift (0.78 -> 1.00 measured)
+    assert(lshRecall >= 0.9, f"lsh recall@5 $lshRecall%.3f below 0.9 floor")
     assert(ivfRecall >= 0.6, f"ivf recall@5 $ivfRecall%.3f below 0.6 floor")
   }
 
