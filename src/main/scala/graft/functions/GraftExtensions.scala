@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => WinnowFingerprints(
+        children.head,
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -47,4 +54,8 @@ object GraftFunctions {
   /** Fused ordered-fold dot product — see [[ArrayDot]]. */
   def arrayDot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Per-document winnowing fingerprint set — see [[WinnowFingerprints]]. */
+  def winnowFingerprints(c: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
 }

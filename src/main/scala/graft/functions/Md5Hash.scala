@@ -67,4 +67,19 @@ object Md5Hash {
       ((d(offset + 2) & 0xffL) << 8) |
       (d(offset + 3) & 0xffL)
   }
+
+  /** First 4 digest bytes of md5 over a byte slice, unsigned big-endian —
+    * `prefixLong(str, 0, "")` for callers that already hold the UTF-8
+    * bytes (no per-gram string allocation). Called from generated code.
+    */
+  def prefixLongBytes(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) |
+      ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) |
+      (d(3) & 0xffL)
+  }
 }

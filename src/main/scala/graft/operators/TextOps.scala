@@ -102,39 +102,27 @@ object TextOps {
     * position-robust fingerprint SET that survives local edits (any match
     * of length >= k+w-1 shares a fingerprint).
     *
-    * Shape matters here: expressing the window minima as nested array
-    * `transform`s looks natural but projection collapse inlines the k-gram
-    * hash array into EVERY window position's lambda — O(n^2) hashing per
-    * document (observed: one task pinned for 20+ minutes at sf0.1). So
-    * positions are exploded to rows, each gram hashed ONCE (native
-    * Md5PrefixLong), and the w-wide minima come from a sliding row-frame
-    * window — O(n*w) with one shuffle on the doc id.
+    * Shape history — the operator that earned a native kernel twice over:
+    * nested array `transform`s hit projection collapse (the k-gram hash
+    * array inlined into every window lambda — O(n^2) per doc, one task
+    * pinned 20+ min at sf0.1); the explode-positions → window-frame
+    * rewrite was O(n·w) but shipped EVERY k-gram position of the corpus
+    * through a shuffle on doc_id, for an operator whose semantics are
+    * entirely doc-local. [[graft.functions.WinnowFingerprints]] computes
+    * the whole fingerprint set per row (monotonic-deque minima, O(n)
+    * amortised, grams hashed from the doc's byte array without per-gram
+    * allocation): ZERO shuffle, no explode, no join-back for short docs —
+    * the operator is a pure codegen'd projection, and docs shorter than
+    * k+w-1 chars digest the empty set naturally.
     */
   def winnowFingerprint(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, w: Int): DataFrame = {
-    val nGrams = length(col(textCol)) - (k - 1)
-    val hashed = df
-      .withColumn("_n", nGrams)
-      .withColumn("_pos", explode(when(col("_n") >= 1,
-        sequence(lit(1), col("_n"))).otherwise(array().cast("array<int>"))))
-      .withColumn("_h", graft.functions.GraftFunctions.md5PrefixLong(
-        col(textCol).substr(col("_pos"), lit(k)), 0, ""))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val fps = hashed
-      .withColumn("_wmin", min(col("_h")).over(frame))
-      .filter(col("_pos") <= col("_n") - (w - 1))
-      .groupBy(col(idCol))
-      .agg(array_sort(array_distinct(collect_list(col("_wmin")))).as("_fps"))
+                        k: Int, w: Int): DataFrame =
+    df.select(col(idCol), coalesce(
+        graft.functions.GraftFunctions.winnowFingerprints(col(textCol), k, w),
+        array().cast("array<bigint>")).as("_fps"))
       .select(col(idCol),
         md5(array_join(transform(col("_fps"), x => x.cast("string")), ",")).as("doc_fp"),
         size(col("_fps")).cast("bigint").as("n_fps"))
-    // docs shorter than k+w-1 have no windows: empty fingerprint set
-    df.select(col(idCol)).join(fps, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("doc_fp"), lit(TextOps.emptyMd5)).as("doc_fp"),
-        coalesce(col("n_fps"), lit(0L)).as("n_fps"))
-  }
 
   /** md5 of the empty string (the empty fingerprint set's digest). */
   val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"

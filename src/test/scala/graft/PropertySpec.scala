@@ -135,6 +135,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("WinnowFingerprints.compute == brute-force window minima on random text") {
+    val alphabet = "abc de∂é\n"
+    for (_ <- 1 to 300) {
+      val text = (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val k = 1 + rnd.nextInt(6)
+      val w = 1 + rnd.nextInt(5)
+      val got = {
+        val arr = graft.functions.WinnowFingerprints.compute(UTF8String.fromString(text), k, w)
+        (0 until arr.numElements()).map(arr.getLong)
+      }
+      // reference: hash every k-char substring via the already-verified
+      // prefixLong, brute-force min of each w-window, distinct + sorted
+      val chars = text.toCharArray // ASCII + BMP chars only in alphabet
+      val grams = if (chars.length < k) Seq.empty
+        else (0 to chars.length - k).map(i => new String(chars, i, k))
+      val hashes = grams.map(g => graft.functions.Md5Hash.prefixLong(UTF8String.fromString(g), 0, ""))
+      val want = if (hashes.length < w) Seq.empty
+        else hashes.sliding(w).map(_.min).toSeq.distinct.sorted
+      assert(got == want, s"text=${text.replace("\n", "\\n")} k=$k w=$w")
+    }
+  }
+
   test("Md5Hash.prefixLong == MessageDigest reference") {
     val md = java.security.MessageDigest.getInstance("MD5")
     for (_ <- 1 to 200) {
