@@ -94,6 +94,22 @@ object Etl {
       .drop("_rn", deleted)
   }
 
+  /** SCD Type-2 history build: the same change stream `mergeUpsert`
+    * compacts, kept as full history instead — every change row becomes a
+    * validity interval [version, next version) for its key, the latest row
+    * open-ended and flagged current (the audit-trail view of the
+    * reference's create/update/delete path, generateApi.ts:230-420). One
+    * window (`lead` over the key partition) = one shuffle on the key; at
+    * 100 TB this is the standard warehouse history shape and never
+    * re-scans — appending tomorrow's changes only touches each key's
+    * previous current row.
+    */
+  def scd2(changes: DataFrame, key: String, version: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(version).asc)
+    changes.withColumn("valid_to", lead(col(version), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** JSON-lines → typed columns: schema-on-read projection of a JSON string
     * column (the S3 batch reader semantics without the row loop).
     */
@@ -155,6 +171,27 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // the merge_upsert change stream kept as SCD2 history: every version
+    // becomes a validity interval, tombstones included (a deleted row's
+    // current interval records the deletion)
+    "etl_scd2" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val base = o.withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val updates = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      val deletes = o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(true))
+      val inserts = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      scd2(base.unionByName(updates).unionByName(deletes).unionByName(inserts),
+        key = "o_orderkey", version = "version")
+        .orderBy("o_orderkey", "version")
+    }),
+
     // The reference's ETL pipeline end-to-end (apis/etl.ts): JSON-lines
     // batch ingest -> per-entity transform -> dedup-merge -> KV batch
     // write shape. One declarative plan, one oracle row.
@@ -195,6 +232,10 @@ object Etl {
     // (version DESC, deleted DESC = tombstone-wins, rest ASC NULLS FIRST)
     "merge_upsert" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), allr AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0::BIGINT AS version, false AS deleted FROM o UNION ALL SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2, 1::BIGINT, false FROM o WHERE o_orderkey % 7 = 0 UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2::BIGINT, true FROM o WHERE o_orderkey % 13 = 0 UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, 1::BIGINT, false FROM o WHERE o_orderkey % 11 = 0), r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC NULLS LAST, deleted DESC NULLS LAST, o_custkey NULLS FIRST, o_orderstatus NULLS FIRST, o_totalprice NULLS FIRST) AS rn FROM allr) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version FROM r WHERE rn = 1 AND NOT deleted ORDER BY o_orderkey""",
+    // same positional UNION ALL as merge_upsert; (key, version) is unique
+    // by construction so the lead() is deterministic without a tiebreak
+    "etl_scd2" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders), allr AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0::BIGINT AS version, false AS deleted FROM o UNION ALL SELECT o_orderkey, o_custkey, 'U', o_totalprice * 2, 1::BIGINT, false FROM o WHERE o_orderkey % 7 = 0 UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 2::BIGINT, true FROM o WHERE o_orderkey % 13 = 0 UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, 1::BIGINT, false FROM o WHERE o_orderkey % 11 = 0) SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, version, deleted, lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to, lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL AS is_current FROM allr ORDER BY o_orderkey, version""",
     "etl_pipeline_e2e" ->
       """WITH n AS (SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type, value FROM events), r AS (SELECT clientId, value, row_number() OVER (PARTITION BY clientId ORDER BY event_id NULLS FIRST, value NULLS FIRST, event_type NULLS FIRST) AS rn FROM n), sets AS (SELECT clientId, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_type_set FROM n GROUP BY clientId), m AS (SELECT r.clientId, r.value, s.event_type_set FROM r JOIN sets s USING (clientId) WHERE rn = 1), p AS (SELECT clientId % 20 AS pk, to_json(struct_pack(clientId := clientId, value := value, event_type_set := event_type_set))::VARCHAR AS payload FROM m), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
   )

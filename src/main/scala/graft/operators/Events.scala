@@ -160,6 +160,42 @@ object Events {
         percentile_approx(col(v), lit(0.5), lit(1000)).as("p50"),
         percentile_approx(col(v), lit(0.95), lit(1000)).as("p95"))
 
+  /** Ordered-funnel detection: for each user, the first time each stage of
+    * an ordered sequence (e.g. view → click → purchase) was reached, where
+    * stage i+1 only counts STRICTLY AFTER stage i was first reached — the
+    * reference's multi-step automation/state-machine progression read as a
+    * batch query.
+    *
+    * Shape: stage-reach times are unbounded-frame conditional minima over
+    * the SAME user partition — Catalyst plans all of them in one Exchange
+    * (each stage's `when` can reference the previous stage's column because
+    * unbounded-frame windows need no ordering, so they chain in one
+    * operator stack). The per-user collapse afterwards is a plain hash agg
+    * on already-co-partitioned data: ONE shuffle total, no self-joins (the
+    * naive funnel is k-1 self-joins on a 100 TB events table).
+    */
+  def funnel(df: DataFrame, user: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(user))
+    val staged = stages.zipWithIndex.foldLeft(df) { case (d, (stage, i)) =>
+      val hit =
+        if (i == 0) col(typeCol) === stage
+        // null prev ts -> null condition -> `when` misses: stage i+1 can't
+        // be reached before stage i, and strictly-after (same-instant
+        // events don't advance the funnel)
+        else col(typeCol) === stage && col(tsCol) > col(s"ts_${stages(i - 1)}")
+      d.withColumn(s"ts_$stage", min(when(hit, col(tsCol))).over(w))
+    }
+    val stageCols = stages.map(st => max(col(s"ts_$st")).as(s"ts_$st"))
+    val reached = stages.tail.map(st => col(s"ts_$st").isNotNull.cast("bigint"))
+      .foldLeft(lit(1L))(_ + _)
+    staged.groupBy(col(user))
+      .agg(stageCols.head, stageCols.tail: _*)
+      .filter(col(s"ts_${stages.head}").isNotNull)
+      .withColumn("funnel_stage", reached)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,7 +250,15 @@ object Events {
         "session_start", "session_end", binSeconds = 3600)
         .select("event_id", "w_user", "w_seq")
         .orderBy("event_id", "w_user", "w_seq")
-    })
+    }),
+
+    // how far each user progressed through view -> click -> purchase,
+    // stages counted only strictly after the previous stage's first hit
+    "events_funnel" -> ((s, d) =>
+      funnel(Tables.events(s, d), user = "user_id", typeCol = "event_type",
+        tsCol = "ts", stages = Seq("view", "click", "purchase"))
+        .select("user_id", "funnel_stage", "ts_view", "ts_click", "ts_purchase")
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +275,10 @@ object Events {
     "events_asof_join" ->
       """WITH r AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC, value DESC) AS rn FROM events WHERE event_type = 'purchase') WHERE rn = 1), l AS (SELECT event_id, user_id, ts FROM events) SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts ORDER BY l.event_id""",
     "events_range_join" ->
-      """WITH f AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE user_id < 3)), sx AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f), w AS (SELECT user_id AS w_user, session_seq AS w_seq, min(ts) AS session_start, max(ts) AS session_end FROM sx GROUP BY 1, 2) SELECT e.event_id, w.w_user, w.w_seq FROM events e JOIN w ON e.ts >= w.session_start AND e.ts <= w.session_end ORDER BY e.event_id, w.w_user, w.w_seq"""
+      """WITH f AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE user_id < 3)), sx AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f), w AS (SELECT user_id AS w_user, session_seq AS w_seq, min(ts) AS session_start, max(ts) AS session_end FROM sx GROUP BY 1, 2) SELECT e.event_id, w.w_user, w.w_seq FROM events e JOIN w ON e.ts >= w.session_start AND e.ts <= w.session_end ORDER BY e.event_id, w.w_user, w.w_seq""",
+    // identical chained-window shape: each stage's first-hit min can
+    // reference the previous stage's column (unbounded frames, no ordering)
+    "events_funnel" ->
+      """WITH w1 AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS ts_view FROM events), w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > ts_view THEN ts END) OVER (PARTITION BY user_id) AS ts_click FROM w1), w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > ts_click THEN ts END) OVER (PARTITION BY user_id) AS ts_purchase FROM w2) SELECT DISTINCT user_id, (1 + (ts_click IS NOT NULL)::BIGINT + (ts_purchase IS NOT NULL)::BIGINT) AS funnel_stage, ts_view, ts_click, ts_purchase FROM w3 WHERE ts_view IS NOT NULL ORDER BY user_id"""
   )
 }

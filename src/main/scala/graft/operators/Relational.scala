@@ -134,6 +134,37 @@ object Relational {
     pruned.withColumn("rn", row_number().over(w2).cast("bigint")).filter(col("rn") <= k)
   }
 
+  /** Hierarchical subtotal aggregation (ROLLUP): per-(g1,g2) totals, per-g1
+    * subtotals and the grand total in ONE aggregate — the reference's
+    * grouped listing plus the "totals row" its UIs compute client-side over
+    * the full result (generateApi.ts:193-200 pages carry `total`), pushed
+    * into the engine. Catalyst plans rollup as a single Expand + hash
+    * aggregate: one scan, one shuffle, no per-level re-aggregation — at
+    * 100 TB the 3 grouping levels cost one pass, not three. Rolled-up keys
+    * surface as NULL; they're coalesced to a sentinel so the output is a
+    * plain (non-null) relation.
+    */
+  def rollupAgg(df: DataFrame, g1: String, g2: String, measure: String): DataFrame =
+    df.rollup(col(g1), col(g2))
+      .agg(count(lit(1)).as("n"), Stable.sumRounded(col(measure), 2).as("sum_val"))
+      .select(coalesce(col(g1), lit("ALL")).as(g1),
+        coalesce(col(g2), lit("ALL")).as(g2), col("n"), col("sum_val"))
+
+  /** Pivot to a wide conditional-count table over a DECLARED value domain.
+    * Spark's `pivot(col)` without values runs a distinct-values discovery
+    * job first — a full extra scan of a 100 TB table; with the domain
+    * declared the whole pivot is one hash aggregate (the per-value counts
+    * are map-side-combined conditional aggs). Absent (row, value) cells
+    * come back NULL from pivot-count and are coalesced to 0 to match the
+    * relational `count(*) FILTER` shape.
+    */
+  def pivotCounts(df: DataFrame, rowKey: String, pivotCol: String,
+                  values: Seq[String]): DataFrame = {
+    val wide = df.groupBy(col(rowKey)).pivot(pivotCol, values).agg(count(lit(1)))
+    wide.select(col(rowKey) +:
+      values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
@@ -264,7 +295,16 @@ object Relational {
       Tables.lineitem(s, d).groupBy(col("l_partkey"))
         .agg(count(lit(1)).as("n"), Stable.sumRounded(col("l_quantity"), 2).as("sum_qty"))
         .filter(col("n") >= 3)
-        .orderBy("l_partkey"))
+        .orderBy("l_partkey")),
+
+    "q_agg_rollup" -> ((s, d) =>
+      rollupAgg(Tables.orders(s, d), "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "q_pivot" -> ((s, d) =>
+      pivotCounts(Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+        "day", "event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .orderBy("day"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +337,10 @@ object Relational {
     "q_agg_stats" ->
       s"""SELECT c_mktsegment, count(*) AS n, ${Stable.sqlAvgRounded("c_acctbal", 4)} AS avg_bal, round(min(c_acctbal),2) AS min_bal, round(max(c_acctbal),2) AS max_bal, ${Stable.sqlStddevRounded("c_acctbal", 4)} AS sd_bal FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_groupby_having" ->
-      """SELECT l_partkey, count(*) AS n, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey"""
+      """SELECT l_partkey, count(*) AS n, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey""",
+    "q_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus, coalesce(o_orderpriority, 'ALL') AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day ORDER BY day"""
   )
 }

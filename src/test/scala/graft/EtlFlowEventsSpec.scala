@@ -59,6 +59,62 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("etl_scd2: intervals chain per key, exactly one current row") {
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      (1L, "a", 0L), (1L, "a2", 3L), (1L, "a3", 7L), // gaps in versions are fine
+      (2L, "b", 5L)
+    ).toDF("k", "v", "version")
+    val out = Etl.scd2(changes, "k", "version")
+      .select("k", "version", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    val k1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(k1.map(_._3) === Seq(Some(3L), Some(7L), None)) // [0,3) [3,7) [7,∞)
+    assert(out.count(_._4) == 2) // one current per key
+    // registered query: every key has exactly one current row and
+    // contiguous intervals (valid_to == next valid_from)
+    val rows = run("etl_scd2").collect()
+      .map(r => (r.getLong(0), r.getLong(4),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getBoolean(7)))
+    rows.groupBy(_._1).foreach { case (_, hist) =>
+      val sorted = hist.sortBy(_._2)
+      assert(sorted.count(_._4) == 1 && sorted.last._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2))
+        case _ =>
+      }
+    }
+  }
+
+  test("events_funnel: strict stage order, same-instant does not advance") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val e = Seq(
+      // user 1: full funnel in order
+      (1L, "view", t(10)), (1L, "click", t(20)), (1L, "purchase", t(30)),
+      // user 2: click BEFORE first view -> stays at stage 1
+      (2L, "click", t(5)), (2L, "view", t(10)),
+      // user 3: click at the SAME instant as view -> not strictly after
+      (3L, "view", t(10)), (3L, "click", t(10)),
+      // user 4: never viewed -> excluded
+      (4L, "purchase", t(10)),
+      // user 5: second click after view counts even though first was before
+      (5L, "click", t(1)), (5L, "view", t(2)), (5L, "click", t(9))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(e, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 5L -> 2L))
+    // one shuffle: all three stage windows share the user partition
+    val p = plan(Events.funnel(e, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("etl_sanitize fills defaults, keeps non-empty values") {
     val rows = run("etl_sanitize").collect()
     assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))

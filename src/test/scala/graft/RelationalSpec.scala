@@ -88,4 +88,36 @@ class RelationalSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("PushedFilters") && p.contains("c_mktsegment"))
   }
+
+  test("q_agg_rollup: subtotals and grand total are consistent, one Expand agg") {
+    val rows = run("q_agg_rollup").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val leaf = rows.filter { case ((s, p), _) => s != "ALL" && p != "ALL" }
+    val sub = rows.filter { case ((s, p), _) => s != "ALL" && p == "ALL" }
+    val grand = rows(("ALL", "ALL"))
+    assert(leaf.nonEmpty && sub.nonEmpty)
+    assert(leaf.values.sum == grand)
+    for (((s, _), n) <- sub)
+      assert(leaf.collect { case ((`s`, _), c) => c }.sum == n)
+    // one Expand feeding one aggregation — not a re-scan per level
+    val p = plan(run("q_agg_rollup"))
+    assert("Expand".r.findAllIn(p).size >= 1)
+    assert(!p.contains("Union"))
+  }
+
+  test("q_pivot: per-row counts sum to the group size, no discovery job") {
+    val s = spark
+    import s.implicits._
+    val byDay = run("q_pivot").collect()
+    assert(byDay.nonEmpty)
+    // events carry exactly the five declared types, so the wide counts sum
+    // back to the raw per-day count
+    val raw = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day")).count()
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    byDay.foreach { r =>
+      val total = (1 to 5).map(r.getLong).sum
+      assert(total == raw(r.getTimestamp(0)))
+    }
+  }
 }
