@@ -86,6 +86,44 @@ object TextOps {
           .otherwise("fr"))
   }
 
+  /** Per-document repetition signals (the Gopher/C4-family quality gates):
+    * duplicate word-n-gram fractions — the share of n-gram slots occupied
+    * by a repeat of an earlier n-gram in the same document. Templated /
+    * machine-looped text scores high, natural prose low. The duplicate-
+    * FRACTION family needs only cardinalities (total slots vs distinct
+    * grams), which the native distinct-n-gram kernel gives in one pass —
+    * so the whole operator is a zero-shuffle projection, no per-document
+    * frequency table. Tokens follow WordNgrams' nonempty-runs contract.
+    * Docs with no n-gram slots score 0.0 (nothing is repeated).
+    */
+  def repetition(df: DataFrame, textCol: String): DataFrame = {
+    val nTok = size(filter(tokens(col(textCol)), t => t =!= ""))
+    def dupFrac(n: Int): Column = {
+      val total = greatest(nTok - (n - 1), lit(0))
+      val distinctN = size(graft.functions.GraftFunctions.wordNgrams(col(textCol), n))
+      when(total === 0, lit(0.0))
+        .otherwise(Stable.ratioRounded(total - distinctN, total, 4))
+    }
+    df.withColumn("n_tokens", nTok.cast("bigint"))
+      .withColumn("dup_2gram_frac", dupFrac(2))
+      .withColumn("dup_3gram_frac", dupFrac(3))
+  }
+
+  /** Corpus n-gram document frequencies — the corpus statistic behind
+    * tokenizer training and contamination analysis: in how many documents
+    * does each word n-gram occur? Distinct-per-doc grams (native kernel,
+    * so a doc repeating a gram counts it once) explode to rows; ONE hash
+    * aggregate with map-side partial combine does the counting, and the
+    * global top-k compiles to TakeOrderedAndProject (per-partition heaps —
+    * no full sort of the gram table). At 100 TB the only shuffle is the
+    * combined per-partition gram counts.
+    */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame =
+    df.select(explode(graft.functions.GraftFunctions.wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(topK)
+
   /** The canonical content-fingerprint expression: md5 over the sorted
     * distinct token set — robust to token order and duplication, portable
     * to the oracle. Single definition shared by [[fingerprint]] and the
@@ -240,6 +278,14 @@ object TextOps {
           "stop_ratio", "quality_score")
         .orderBy("doc_id")),
 
+    "text_repetition" -> ((s, d) =>
+      repetition(Tables.documents(s, d).select("doc_id", "text"), "text")
+        .select("doc_id", "n_tokens", "dup_2gram_frac", "dup_3gram_frac")
+        .orderBy("doc_id")),
+
+    "text_ngram_counts" -> ((s, d) =>
+      ngramCounts(Tables.documents(s, d).select("text"), "text", n = 2, topK = 100)),
+
     "text_langid" -> ((s, d) =>
       langId(Tables.documents(s, d).select("doc_id", "text"), "text")
         .select("doc_id", "en_hits", "es_hits", "fr_hits", "lang_pred")
@@ -339,6 +385,16 @@ object TextOps {
       val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
       raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents) SELECT doc_id, ln::BIGINT AS n_chars_m, ntok::BIGINT AS n_tokens, $alphaR AS alpha_ratio, $punctR AS punct_ratio, $stopR AS stop_ratio, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM c ORDER BY doc_id"""
     },
+    // tokens via the nonempty-runs contract (list_filter) to match
+    // WordNgrams; range(1, len(t)) builds the 2-gram list, range(1,
+    // len(t) - 1) the 3-gram list — both empty when the doc is too short
+    "text_repetition" -> {
+      val d2 = Stable.sqlRatioRounded("tot2 - d2", "tot2", 4)
+      val d3 = Stable.sqlRatioRounded("tot3 - d3", "tot3", 4)
+      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents), g AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, greatest(len(t) - 1, 0) AS tot2, len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS d2, greatest(len(t) - 2, 0) AS tot3, len(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS d3 FROM tk) SELECT doc_id, n_tokens, CASE WHEN tot2 = 0 THEN 0.0 ELSE $d2 END AS dup_2gram_frac, CASE WHEN tot3 = 0 THEN 0.0 ELSE $d3 END AS dup_3gram_frac FROM g ORDER BY doc_id"""
+    },
+    "text_ngram_counts" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents), gs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM tk WHERE len(t) >= 2) SELECT g2 AS gram, count(*) AS doc_freq FROM (SELECT unnest(g) AS g2 FROM gs) GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 100""",
     "text_langid" ->
       raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents), h AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($enIn)))::BIGINT AS en_hits, len(list_filter(tk, x -> x IN ($esIn)))::BIGINT AS es_hits, len(list_filter(tk, x -> x IN ($frIn)))::BIGINT AS fr_hits FROM t) SELECT doc_id, en_hits, es_hits, fr_hits, CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und' WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred FROM h ORDER BY doc_id""",
     "text_fingerprint" ->

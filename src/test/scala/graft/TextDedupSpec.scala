@@ -65,6 +65,42 @@ class TextDedupSpec extends SparkSpec {
     assert(tiny.getLong(0) == 0L)
   }
 
+  test("text_repetition: looped text scores high, distinct text scores zero") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps.repetition
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"), // one distinct 2-gram pair
+      (2L, "all tokens here are fully distinct words"),
+      (3L, "one"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = repetition(df, "text")
+      .select("doc_id", "n_tokens", "dup_2gram_frac", "dup_3gram_frac")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: 7 2-gram slots, 2 distinct -> 5/7; 6 3-gram slots, 2 distinct -> 4/6
+    assert(out(1L) == ((8L, 0.7143, 0.6667)))
+    assert(out(2L) == ((7L, 0.0, 0.0)))
+    assert(out(3L) == ((1L, 0.0, 0.0))) // no slots -> 0.0, not null
+    assert(out(4L) == ((0L, 0.0, 0.0)))
+  }
+
+  test("text_ngram_counts: document frequency (repeats in a doc count once), top-k plan") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps.ngramCounts
+    val df = Seq(
+      (1L, "a b a b"),      // "a b" twice in one doc: df contribution 1
+      (2L, "a b c"),
+      (3L, "x y")
+    ).toDF("doc_id", "text")
+    val out = ngramCounts(df, "text", n = 2, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L, "x y" -> 1L))
+    // global top-k is a TakeOrdered, not a full sort
+    val p = ngramCounts(df, "text", 2, 10).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup_exact groups exact duplicates, keeps first") {
     val s = spark
     import s.implicits._
