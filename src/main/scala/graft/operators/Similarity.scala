@@ -249,6 +249,88 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * `subDims`-wide subspaces and each gets its own `ks`-centroid k-means
+    * codebook ([[kmeansCentroids]] on the sub-vectors — the same
+    * engine-portable Lloyd arithmetic, so the oracle can replay training).
+    * Codebooks are metadata: m × ks × subDims doubles (8×16×8 = 1 KB here),
+    * broadcast as literals everywhere they're used.
+    */
+  def pqCodebooks(nrm: DataFrame, id: String, m: Int, subDims: Int,
+                  ks: Int, iters: Int): Seq[Seq[(Any, Seq[Double])]] =
+    (0 until m).map { s =>
+      val sub = nrm.select(col(id), slice(col("ne"), s * subDims + 1, subDims).as("ne"))
+      kmeansCentroids(sub, id, ks, iters)
+    }
+
+  /** PQ-ANN with asymmetric distance (ADC) and exact re-rank — the
+    * memory-compression scale path: each corpus vector is stored as `m`
+    * byte-sized codes (nearest codebook row per subspace), so the scan
+    * state is m bytes/vector instead of dims×4 — at 100 TB of embeddings
+    * the codes table is ~32× smaller than the vectors and the scan reads
+    * ONLY it.
+    *
+    * Shapes, all shuffle-minimal:
+    *  - encoding: per-subspace argmin over LITERAL codebooks — a
+    *    zero-shuffle projection (array_sort of (key, cid, j) structs, the
+    *    [[ivfAssign]] pattern per subspace);
+    *  - ADC scan: each query precomputes its m×ks dot table ONCE (tiny,
+    *    broadcast with the queries); scoring a pair is m array lookups +
+    *    adds — no 64-dim fold per pair, the whole point of PQ;
+    *  - shortlist: per-query top-`shortlist` by (approx desc, id) — Spark 4
+    *    pushes the rank filter map-side (WindowGroupLimit), so only
+    *    shortlist×|Q| rows reach the shuffle;
+    *  - re-rank: exact cosine on the shortlist only (|Q|×shortlist rows),
+    *    final top-k. Approx scores order the shortlist; exact scores order
+    *    the answer — the standard IVF-PQ/FAISS refinement contract.
+    *
+    * Portability: every dot is the shared left fold; the ADC sum is a
+    * FIXED-ORDER chain s=0..m-1 (written identically in the oracle), and
+    * ranking keys round first — bitwise-reproducible end to end.
+    */
+  def simPqAnn(df: DataFrame, id: String, emb: String,
+               cbs: Seq[Seq[(Any, Seq[Double])]], queryPred: Column,
+               subDims: Int, shortlist: Int, k: Int): DataFrame = {
+    val m = cbs.size
+    val nrm = normalized(df, id, emb)
+    def sub(s: Int): Column = slice(col("ne"), s * subDims + 1, subDims)
+    val codeCols = cbs.zipWithIndex.map { case (cb, s) =>
+      val scored = cb.zipWithIndex.map { case ((cid, ce), j) =>
+        val score = dotD(sub(s), array(ce.map(lit): _*)) - lit(ce.map(x => x * x).sum / 2)
+        struct((lit(2.0) - score).as("k"),
+          lit(cid.asInstanceOf[Long]).as("cid"), lit(j).as("j"))
+      }
+      array_sort(array(scored: _*))(0)("j").as(s"c$s")
+    }
+    val codes = nrm.select(col(id).as("neighbor_id") +: codeCols: _*)
+    val qtabCols = cbs.zipWithIndex.map { case (cb, s) =>
+      array(cb.map { case (_, ce) => dotD(sub(s), array(ce.map(lit): _*)) }: _*)
+        .as(s"qt$s")
+    }
+    val q = broadcast(nrm.filter(queryPred)
+      .select(col(id).as("query_id") +: qtabCols: _*))
+    val approx = (0 until m)
+      .map(s => element_at(col(s"qt$s"), col(s"c$s") + 1))
+      .reduce(_ + _) // fixed-order chain: the oracle replays s=0..m-1
+    val scanned = codes.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(approx, 4).as("approx_sim"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val sl = scanned.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = sl
+      .join(nrm.select(col(id).as("query_id"), col("ne").as("qe")), "query_id")
+      .join(nrm.select(col(id).as("neighbor_id"), col("ne").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(w2).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs: LSH candidates (id_a < id_b across L tables,
     * deduped) verified by exact cosine >= threshold.
     */
@@ -291,6 +373,20 @@ object Similarity {
   // log N cluster-side); more tables buys recall back
   val dupTabs: Seq[Seq[Seq[Double]]] = planes(tables = 6, bits = 6, dims = dims)
 
+  /** sim_pq_ann config (shared by query and generated oracle): m subspaces
+    * of subDims dims, ks codes each, Lloyd iters, ADC shortlist size. */
+  val pqM = 8
+  val pqSubDims = 8
+  val pqKs = 16
+  val pqIters = 1
+  // shortlist sized against the tested recall floor: ADC over 8×16 codes
+  // quantizes hard relative to this corpus's shallow cosine gaps (max
+  // cos≈0.5, no planted neighbors) — 20 gave recall 0.56, 48 clears the
+  // floor at a cost that stays |Q|×shortlist, independent of corpus size
+  val pqShort = 48
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Any, Seq[Double])]]]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -324,7 +420,20 @@ object Similarity {
       embeddingPairs(Tables.embeddings(s, d).select("vec_id", "embedding"),
         "vec_id", "embedding", dupTabs, threshold = 0.4)
         .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    "sim_pq_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // codebook training is index construction: once per corpus, cached
+      // like the IVF centroids (deterministic — caching can't change results)
+      val cbs = pqCache.computeIfAbsent(s"$d|$pqM|$pqKs|$pqIters",
+        _ => pqCodebooks(normalized(e, "vec_id", "embedding"), "vec_id",
+          pqM, pqSubDims, pqKs, pqIters))
+      simPqAnn(e, "vec_id", "embedding", cbs, queryPred = col("vec_id") < 10,
+        subDims = pqSubDims, shortlist = pqShort, k = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    })
   )
 
   // ---- oracle SQL generation (same plane literals, same fold order)
@@ -366,6 +475,54 @@ object Similarity {
     s"""c0 AS (SELECT vec_id AS cid, ne AS ce FROM nrm WHERE vec_id < $ivfC), $iterCtes"""
   }
 
+  /** Per-subspace PQ training CTEs mirroring [[pqCodebooks]]: nsub$s is
+    * the sub-vector slice, cb${s}_0..cb${s}_iters the unrolled Lloyd
+    * iterations (same CTE shapes as [[kmeansCtes]], same exact-integer
+    * means), cbj$s the final codebook with its positional code j
+    * (row_number over cid ascending == the Scala seq index, since the
+    * Scala codebook is id-sorted).
+    */
+  private def pqKmeansCtes(s: Int): String = {
+    val lo = s * pqSubDims + 1
+    val hi = lo + pqSubDims - 1
+    val nsub = s"nsub$s"
+    val iterCtes = (1 to pqIters).map { i =>
+      val prev = s"cb${s}_${i - 1}"
+      s"""sq${s}_$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM $nsub n CROSS JOIN $prev c), """ +
+        s"""aq${s}_$i AS (SELECT vec_id, ne, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS rn FROM sq${s}_$i) WHERE rn = 1), """ +
+        s"""mq${s}_$i AS (SELECT cid, i AS pos, sum(CAST(floor(ne[i] * 1000000.0 + 0.5) AS BIGINT)) AS sm, count(*) AS n FROM aq${s}_$i CROSS JOIN range(1, ${pqSubDims + 1}) t(i) GROUP BY cid, i), """ +
+        s"""lq${s}_$i AS (SELECT cid, list(floor(sm / n + 0.5) / 1000000.0 ORDER BY pos) AS ce FROM mq${s}_$i GROUP BY cid), """ +
+        s"""cb${s}_$i AS (SELECT c.cid, coalesce(l.ce, c.ce) AS ce FROM $prev c LEFT JOIN lq${s}_$i l USING (cid))"""
+    }.mkString(", ")
+    s"""$nsub AS (SELECT vec_id, ne[$lo:$hi] AS ne FROM nrm), """ +
+      s"""cb${s}_0 AS (SELECT vec_id AS cid, ne AS ce FROM $nsub WHERE vec_id < $pqKs), $iterCtes, """ +
+      s"""cbj$s AS (SELECT cid, ce, row_number() OVER (ORDER BY cid) - 1 AS j FROM cb${s}_$pqIters)"""
+  }
+
+  /** Full sim_pq_ann oracle: per-subspace training + encoding, wide code
+    * rows, per-query ADC tables, fixed-order ADC sum, shortlist, exact
+    * re-rank — each stage the literal SQL image of [[simPqAnn]].
+    */
+  private def pqOracle: String = {
+    val ss = 0 until pqM
+    val train = ss.map(pqKmeansCtes).mkString(", ")
+    val codeCtes = ss.map { s =>
+      s"""cdq$s AS (SELECT vec_id, j AS code FROM (SELECT n.vec_id, c.j, row_number() OVER (PARTITION BY n.vec_id ORDER BY 2.0 - (${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2) ASC, c.cid ASC) AS rn FROM nsub$s n CROSS JOIN cbj$s c) WHERE rn = 1)"""
+    }.mkString(", ")
+    val codesWide = s"""codes AS (SELECT c0.vec_id${ss.map(s => s", c$s.code AS k$s").mkString} FROM cdq0 c0 ${ss.drop(1).map(s => s"JOIN cdq$s c$s USING (vec_id)").mkString(" ")})"""
+    val qtCtes = ss.map { s =>
+      s"""qt$s AS (SELECT n.vec_id, list(${sqlDotRaw("n.ne", "c.ce")} ORDER BY c.j) AS t FROM nsub$s n CROSS JOIN cbj$s c WHERE n.vec_id < 10 GROUP BY n.vec_id)"""
+    }.mkString(", ")
+    val qtsWide = s"""qts AS (SELECT qt0.vec_id${ss.map(s => s", qt$s.t AS t$s").mkString} FROM qt0 ${ss.drop(1).map(s => s"JOIN qt$s USING (vec_id)").mkString(" ")})"""
+    val adcSum = ss.map(s => s"q.t$s[x.k$s + 1]").mkString(" + ")
+    s"""WITH $normCte, $train, $codeCtes, $codesWide, $qtCtes, $qtsWide, """ +
+      s"""sc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, round($adcSum, 4) AS approx_sim FROM codes x CROSS JOIN qts q WHERE q.vec_id != x.vec_id), """ +
+      s"""sl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id ASC) AS rn FROM sc) WHERE rn <= $pqShort), """ +
+      s"""ex AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("a.ne", "b.ne")}, 4) AS cos_sim FROM sl JOIN nrm a ON query_id = a.vec_id JOIN nrm b ON neighbor_id = b.vec_id), """ +
+      s"""r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM ex) """ +
+      s"""SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   /** bucket per (vec, table): ordered sign concat — mirrors bucketSig. */
   private def bucketsCte(tabs: Seq[Seq[Seq[Double]]]): String =
     s"""pl(tid, pid, w) AS (SELECT * FROM (VALUES ${planesValues(tabs)})), """ +
@@ -384,6 +541,7 @@ object Similarity {
     },
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
+    "sim_pq_ann" -> pqOracle,
     "sim_ivf_ann" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )

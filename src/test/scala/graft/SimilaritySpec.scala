@@ -60,10 +60,25 @@ class SimilaritySpec extends SparkSpec {
     assert(truth.nonEmpty)
     val lshRecall = pairs("sim_lsh_ann").intersect(truth).size.toDouble / truth.size
     val ivfRecall = pairs("sim_ivf_ann").intersect(truth).size.toDouble / truth.size
-    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f over ${truth.size} truth pairs")
+    val pqRecall = pairs("sim_pq_ann").intersect(truth).size.toDouble / truth.size
+    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f pq=$pqRecall%.3f over ${truth.size} truth pairs")
     // lsh floor raised after the multi-probe lift (0.78 -> 1.00 measured)
     assert(lshRecall >= 0.9, f"lsh recall@5 $lshRecall%.3f below 0.9 floor")
     assert(ivfRecall >= 0.6, f"ivf recall@5 $ivfRecall%.3f below 0.6 floor")
+    assert(pqRecall >= 0.7, f"pq recall@5 $pqRecall%.3f below 0.7 floor")
+  }
+
+  test("sim_pq_ann: map-side shortlist pruning, ranks bounded, exact re-rank scores") {
+    val df = run("sim_pq_ann")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 5))
+    // cos_sim is the EXACT re-ranked cosine: bounded like any cosine
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0001))
+    // Spark 4 pushes both rank filters map-side: partial top-k before each
+    // of the two window shuffles (shortlist + final)
+    val p = plan(df)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
   }
 
   test("dedup_embedding pairs are ordered and clear the threshold") {
