@@ -100,7 +100,9 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
+    // budget: 2000-char tail - "[info] " prefix - sbt's ~76-char
+    // "[success] ..." trailer - newlines ≈ 1915; keep a safety margin
+    val out = Seq(3, 2, 1).map(line).find(_.length <= 1870).getOrElse(line(1))
     println(out)
     spark.stop()
   }

@@ -160,6 +160,28 @@ object Events {
         percentile_approx(col(v), lit(0.5), lit(1000)).as("p50"),
         percentile_approx(col(v), lit(0.95), lit(1000)).as("p95"))
 
+  /** Cohort retention matrix: users grouped by first-activity day, each
+    * (cohort day, day offset) cell counting distinct users active that
+    * day — the standard product-analytics read over the events stream.
+    *
+    * Shape: collapse to distinct (user, day) FIRST (the corpus-sized
+    * shuffle shrinks to at most users × active-days before anything
+    * else); first day per user is then a hash agg on the SAME user
+    * partitioning (no second exchange), the join back is co-partitioned,
+    * and (user, day) uniqueness makes the final count exact without a
+    * count_distinct (the skew-safe two-stage rewrite, same as
+    * [[distinctCountPerKey]]).
+    */
+  def retention(df: DataFrame, user: String, tsCol: String): DataFrame = {
+    val days = df.select(col(user), date_trunc("day", col(tsCol)).as("_day")).distinct()
+    val cohorts = days.groupBy(col(user)).agg(min(col("_day")).as("cohort_day"))
+    days.join(cohorts, user)
+      .select(col("cohort_day"),
+        datediff(col("_day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered-funnel detection: for each user, the first time each stage of
     * an ordered sequence (e.g. view → click → purchase) was reached, where
     * stage i+1 only counts STRICTLY AFTER stage i was first reached — the
@@ -258,7 +280,11 @@ object Events {
       funnel(Tables.events(s, d), user = "user_id", typeCol = "event_type",
         tsCol = "ts", stages = Seq("view", "click", "purchase"))
         .select("user_id", "funnel_stage", "ts_view", "ts_click", "ts_purchase")
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    "events_retention" -> ((s, d) =>
+      retention(Tables.events(s, d), user = "user_id", tsCol = "ts")
+        .orderBy("cohort_day", "day_offset"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,6 +302,8 @@ object Events {
       """WITH r AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC, value DESC) AS rn FROM events WHERE event_type = 'purchase') WHERE rn = 1), l AS (SELECT event_id, user_id, ts FROM events) SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts ORDER BY l.event_id""",
     "events_range_join" ->
       """WITH f AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE user_id < 3)), sx AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f), w AS (SELECT user_id AS w_user, session_seq AS w_seq, min(ts) AS session_start, max(ts) AS session_end FROM sx GROUP BY 1, 2) SELECT e.event_id, w.w_user, w.w_seq FROM events e JOIN w ON e.ts >= w.session_start AND e.ts <= w.session_end ORDER BY e.event_id, w.w_user, w.w_seq""",
+    "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id) SELECT cohort_day, date_diff('day', cohort_day, day)::BIGINT AS day_offset, count(*) AS n_users FROM days JOIN cohorts USING (user_id) GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
     // identical chained-window shape: each stage's first-hit min can
     // reference the previous stage's column (unbounded frames, no ordering)
     "events_funnel" ->

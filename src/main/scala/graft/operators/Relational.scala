@@ -165,6 +165,28 @@ object Relational {
       values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
   }
 
+  /** Running + moving window aggregates per entity (the time-series view
+    * of an account/order stream): running total & count from the start of
+    * each partition, moving average over the trailing `movRows` rows. All
+    * frames share ONE partition/order spec — a single shuffle and a single
+    * sort serve every aggregate. Sums accumulate as exact decimals:
+    * windowed DOUBLE sums are engine-dependent (sliding frames may be
+    * evaluated as a segment tree — a different association than a running
+    * fold), decimals are exact under any association; the moving average
+    * applies the scaled-integer half-up rounding to the frame's exact sum.
+    */
+  def runningWindow(df: DataFrame, part: String, ord: Seq[String],
+                    measure: String, movRows: Int): DataFrame = {
+    val w = Window.partitionBy(col(part)).orderBy(ord.map(col(_).asc): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = w.rowsBetween(-(movRows - 1), Window.currentRow)
+    val dec = col(measure).cast("decimal(20,6)")
+    df.withColumn("running_total", round(sum(dec).over(run), 2).cast("double"))
+      .withColumn("running_n", count(lit(1)).over(run))
+      .withColumn("mov_avg",
+        Stable.avgRoundedFromSum(sum(dec).over(mov), count(lit(1)).over(mov), 4))
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
@@ -304,7 +326,15 @@ object Relational {
     "q_pivot" -> ((s, d) =>
       pivotCounts(Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
         "day", "event_type", Seq("click", "view", "purchase", "error", "signup"))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    "q_window_running" -> ((s, d) =>
+      runningWindow(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        part = "o_custkey", ord = Seq("o_orderdate", "o_orderkey"),
+        measure = "o_totalprice", movRows = 4)
+        .select("o_orderkey", "o_custkey", "running_total", "running_n", "mov_avg")
+        .orderBy("o_custkey", "o_orderkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +371,8 @@ object Relational {
     "q_agg_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus, coalesce(o_orderpriority, 'ALL') AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
     "q_pivot" ->
-      """SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day ORDER BY day"""
+      """SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day ORDER BY day""",
+    "q_window_running" ->
+      s"""WITH b AS (SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w1 AS rsum, count(*) OVER w1 AS rcount, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w2 AS msum, count(*) OVER w2 AS mn FROM orders WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) SELECT o_orderkey, o_custkey, round(rsum, 2)::DOUBLE AS running_total, rcount AS running_n, ${Stable.sqlAvgRoundedFrom("msum", "mn", 4)} AS mov_avg FROM b ORDER BY o_custkey, o_orderkey"""
   )
 }

@@ -36,8 +36,15 @@ object Stable {
     * engines by construction. (All doubles involved stay far below 2^53,
     * so the float add/divide/floor are exact-or-safely-rounded in both.)
     */
-  def avgRounded(c: Column, n: Column, dp: Int): Column = {
-    val t = (sumDec(c) * lit(1000000L)).cast("long")
+  def avgRounded(c: Column, n: Column, dp: Int): Column =
+    avgRoundedFromSum(sumDec(c), n, dp)
+
+  /** Same scaled-integer half-up average, but over an ALREADY-AGGREGATED
+    * exact decimal sum — for windowed averages, where the sum and count
+    * come from window frames rather than a groupBy (an aggregate-composite
+    * Column can't take `.over`). */
+  def avgRoundedFromSum(sumDecCol: Column, n: Column, dp: Int): Column = {
+    val t = (sumDecCol * lit(1000000L)).cast("long")
     val half = lit(math.pow(10, 6 - dp).toLong / 2)
     val den = lit(math.pow(10, 6 - dp).toLong)
     val sign = when(t < 0, lit(-1.0)).otherwise(lit(1.0))
@@ -93,6 +100,15 @@ object Stable {
   }
 
   /** The DuckDB mirror of [[avgRounded]] for oracle SQL generation. */
+  /** DuckDB mirror of [[avgRoundedFromSum]]: the sum/count are arbitrary
+    * SQL expressions (e.g. window-frame results). */
+  def sqlAvgRoundedFrom(sumExpr: String, nExpr: String, dp: Int): String = {
+    val half = math.pow(10, 6 - dp).toLong / 2
+    val den = math.pow(10, 6 - dp).toLong
+    val t = s"CAST(($sumExpr) * 1000000 AS BIGINT)"
+    s"(CASE WHEN $t < 0 THEN -1.0 ELSE 1.0 END) * floor((abs($t)::DOUBLE + $half * ($nExpr)) / ($den * ($nExpr))) / ${math.pow(10, dp)}"
+  }
+
   def sqlAvgRounded(c: String, dp: Int): String = {
     val half = math.pow(10, 6 - dp).toLong / 2
     val den = math.pow(10, 6 - dp).toLong

@@ -35,6 +35,16 @@ object Io {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 
+  /** ORC round-trip — the second columnar format a lakehouse ingests from
+    * (Hive-era feeds). Same pushdown/pruning contract as parquet via
+    * Spark's native vectorized ORC reader.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet layout: one directory per partition
     * value -> readers get partition pruning for free.
     */
@@ -103,6 +113,14 @@ object Io {
         .orderBy("c_custkey")
     }),
 
+    "src_orc_roundtrip" -> ((s, d) => {
+      val out = s"$scratch/orc"
+      val src = Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      writeOrc(src, out)
+      readOrc(s, out).orderBy("s_suppkey")
+    }),
+
     "sink_kv_batches" -> ((s, d) =>
       kvBatches(Tables.events(s, d),
         key = pmod(col("user_id"), lit(50)),
@@ -127,6 +145,8 @@ object Io {
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""",
     "src_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey""",
+    "src_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey""",
     "sink_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sink_kv_batches" ->

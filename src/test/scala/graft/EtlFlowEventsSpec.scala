@@ -115,6 +115,20 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("events_retention: offset-0 cell equals cohort size, offsets non-negative") {
+    val rows = run("events_retention").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0))
+    // every user is active on their own cohort day, so the offset-0 cell
+    // is the largest in its cohort row
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val zero = cells.find(_._2 == 0L)
+      assert(zero.isDefined)
+      assert(cells.forall(_._3 <= zero.get._3))
+    }
+  }
+
   test("etl_sanitize fills defaults, keeps non-empty values") {
     val rows = run("etl_sanitize").collect()
     assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))

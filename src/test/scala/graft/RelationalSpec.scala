@@ -105,6 +105,23 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("Union"))
   }
 
+  test("q_window_running: running totals accumulate, moving window bounded") {
+    val rows = run("q_window_running").collect()
+    assert(rows.nonEmpty)
+    // within a customer, running_n counts up 1..k and running_total is
+    // non-decreasing for positive prices
+    rows.groupBy(_.getLong(1)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getLong(3)) // running_n is the partition position
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to sorted.size).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) <= b.getDouble(2); case _ => true
+      })
+    }
+    // all frames share one partition spec: a single Exchange+Sort pass
+    val p = plan(run("q_window_running"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_pivot: per-row counts sum to the group size, no discovery job") {
     val s = spark
     import s.implicits._
