@@ -165,6 +165,19 @@ object Relational {
       values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
   }
 
+  /** Semi/anti join: EXISTS / NOT EXISTS predicates as their dedicated
+    * physical join shapes. A LeftSemi/LeftAnti join ships NO payload from
+    * the right side and short-circuits per probe row — at 100 TB the
+    * alternative people write (join + distinct, or count subquery per key)
+    * shuffles the full right table and re-aggregates it. The right side
+    * here reduces to its join key before the exchange (column pruning
+    * keeps the shuffle one-column wide).
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String,
+               anti: Boolean = false): DataFrame =
+    left.join(right.select(col(rk)), col(lk) === col(rk),
+      if (anti) "left_anti" else "left_semi")
+
   /** Running + moving window aggregates per entity (the time-series view
     * of an account/order stream): running total & count from the start of
     * each partition, moving average over the trailing `movRows` rows. All
@@ -334,7 +347,14 @@ object Relational {
         part = "o_custkey", ord = Seq("o_orderdate", "o_orderkey"),
         measure = "o_totalprice", movRows = 4)
         .select("o_orderkey", "o_custkey", "running_total", "running_n", "mov_avg")
-        .orderBy("o_custkey", "o_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // customers who never placed an urgent order: NOT EXISTS as a LeftAnti
+    "q_join_anti" -> ((s, d) =>
+      semiJoin(Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        lk = "c_custkey", rk = "o_custkey", anti = true)
+        .orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -373,6 +393,8 @@ object Relational {
     "q_pivot" ->
       """SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day ORDER BY day""",
     "q_window_running" ->
-      s"""WITH b AS (SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w1 AS rsum, count(*) OVER w1 AS rcount, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w2 AS msum, count(*) OVER w2 AS mn FROM orders WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) SELECT o_orderkey, o_custkey, round(rsum, 2)::DOUBLE AS running_total, rcount AS running_n, ${Stable.sqlAvgRoundedFrom("msum", "mn", 4)} AS mov_avg FROM b ORDER BY o_custkey, o_orderkey"""
+      s"""WITH b AS (SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w1 AS rsum, count(*) OVER w1 AS rcount, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w2 AS msum, count(*) OVER w2 AS mn FROM orders WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) SELECT o_orderkey, o_custkey, round(rsum, 2)::DOUBLE AS running_total, rcount AS running_n, ${Stable.sqlAvgRoundedFrom("msum", "mn", 4)} AS mov_avg FROM b ORDER BY o_custkey, o_orderkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey"""
   )
 }

@@ -64,6 +64,29 @@ object StreamOps {
                      keyCols: Seq[String]): DataFrame =
     df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: left events enriched with right events
+    * of the same key that happened within [leftTs - before, leftTs]. Both
+    * sides carry watermarks and the join condition bounds the right
+    * timestamp RELATIVE to the left one — the two constraints Structured
+    * Streaming needs to evict buffered rows, so state is bounded by
+    * (delay + before) per side instead of growing forever. This is the
+    * streaming twin of the batch as-of/range join family (Events.asofJoin
+    * / rangeJoin): the reference's "enrich an event with the latest
+    * matching state" automations as a live pipeline.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   delay: String, before: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+      .drop(r(key))
+  }
+
   case class Reading(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
   case class LastValue(value: Double)

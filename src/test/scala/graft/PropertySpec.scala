@@ -99,6 +99,36 @@ class PropertySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("funnel == brute-force stage fold on random event streams") {
+    val s = spark
+    import s.implicits._
+    val types = Seq("view", "click", "purchase", "other")
+    val rows = (1 to 600).map { i =>
+      (rnd.nextInt(40).toLong, types(rnd.nextInt(types.length)),
+        new java.sql.Timestamp(rnd.nextInt(50) * 1000L))
+    }
+    val got = graft.operators.Events.funnel(
+      rows.toDF("user_id", "event_type", "ts"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .select("user_id", "funnel_stage")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: first view; first click strictly after it; first purchase
+    // strictly after that
+    val want = rows.groupBy(_._1).flatMap { case (u, evs) =>
+      def first(tpe: String, after: Long): Option[Long] = {
+        val ts = evs.filter(e => e._2 == tpe && e._3.getTime > after).map(_._3.getTime)
+        if (ts.isEmpty) None else Some(ts.min)
+      }
+      first("view", Long.MinValue).map { t1 =>
+        val t2 = first("click", t1)
+        val t3 = t2.flatMap(first("purchase", _))
+        u -> (1L + t2.size + t3.size)
+      }
+    }
+    assert(got == want)
+  }
+
   test("topKPerGroup == naive single-window top-k for random data and salts") {
     val s = spark
     import s.implicits._

@@ -244,6 +244,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join, state bounded by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val leftIn = MemoryStream[Reading]
+    val rightIn = MemoryStream[Reading]
+    def asRight(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("ts").as("rts"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+    val joined = StreamOps.intervalJoin(
+      leftIn.toDF(), asRight(rightIn.toDF().filter(col("event_id") % 3 === 0)),
+      key = "user_id", leftTs = "ts", rightTs = "rts",
+      delay = "1 hour", before = "1 hour")
+      .select("user_id", "event_id", "r_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // split by event TIME (rows behind the watermark would be dropped
+      // as late, which the batch analog has no notion of)
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      leftIn.addData(b1); rightIn.addData(b1); q.processAllAvailable()
+      leftIn.addData(b2); rightIn.addData(b2); q.processAllAvailable()
+      val got = s.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+      val l = eventRows.toDF()
+      val r = asRight(eventRows.toDF().filter(col("event_id") % 3 === 0))
+      val batch = l.join(r, l("user_id") === r("user_id") &&
+          col("rts") >= col("ts") - expr("INTERVAL 1 hour") &&
+          col("rts") <= col("ts"))
+        .select(l("user_id"), col("event_id"), col("r_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("thresholdAutomation: fires once per excursion, re-arms below low, across batches") {
     val s = spark
     import s.implicits._
