@@ -160,6 +160,27 @@ object Events {
         percentile_approx(col(v), lit(0.5), lit(1000)).as("p50"),
         percentile_approx(col(v), lit(0.95), lit(1000)).as("p95"))
 
+  /** Z-score anomaly flagging: events whose value deviates more than
+    * `zMax` sample standard deviations from their type's mean — the batch
+    * form of the reference's threshold automations, with the threshold
+    * LEARNED from the data instead of configured. Per-type stats are one
+    * hash agg (map-side combinable, types are low-cardinality) joined
+    * back by broadcast: the corpus is scanned twice but never shuffled.
+    * Portability: mean and stddev come from Stable's exact decimal sums
+    * (identical doubles both engines), so the z comparison flips the same
+    * rows everywhere; z itself is rounded for output only.
+    */
+  def anomalies(df: DataFrame, key: String, v: String, zMax: Double): DataFrame = {
+    val stats = df.groupBy(col(key)).agg(
+      Stable.avgRounded(col(v), count(lit(1)), 4).as("_mean"),
+      Stable.stddevRounded(col(v), count(lit(1)), 4).as("_sd"))
+    val z = (col(v) - col("_mean")) / col("_sd")
+    df.join(broadcast(stats), key)
+      .filter(col("_sd") > 0 && abs(z) > zMax)
+      .withColumn("z", round(z, 4))
+      .drop("_mean", "_sd")
+  }
+
   /** Cohort retention matrix: users grouped by first-activity day, each
     * (cohort day, day offset) cell counting distinct users active that
     * day — the standard product-analytics read over the events stream.
@@ -284,7 +305,13 @@ object Events {
 
     "events_retention" -> ((s, d) =>
       retention(Tables.events(s, d), user = "user_id", tsCol = "ts")
-        .orderBy("cohort_day", "day_offset"))
+        .orderBy("cohort_day", "day_offset")),
+
+    "events_anomaly" -> ((s, d) =>
+      anomalies(Tables.events(s, d).select("event_id", "event_type", "value"),
+        key = "event_type", v = "value", zMax = 2.5)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,6 +331,8 @@ object Events {
       """WITH f AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE user_id < 3)), sx AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f), w AS (SELECT user_id AS w_user, session_seq AS w_seq, min(ts) AS session_start, max(ts) AS session_end FROM sx GROUP BY 1, 2) SELECT e.event_id, w.w_user, w.w_seq FROM events e JOIN w ON e.ts >= w.session_start AND e.ts <= w.session_end ORDER BY e.event_id, w.w_user, w.w_seq""",
     "events_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id) SELECT cohort_day, date_diff('day', cohort_day, day)::BIGINT AS day_offset, count(*) AS n_users FROM days JOIN cohorts USING (user_id) GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
+    "events_anomaly" ->
+      s"""WITH st AS (SELECT event_type, ${Stable.sqlAvgRounded("value", 4)} AS m, ${Stable.sqlStddevRounded("value", 4)} AS sd FROM events GROUP BY event_type) SELECT event_id, e.event_type, value, round((value - m) / sd, 4) AS z FROM events e JOIN st USING (event_type) WHERE sd > 0 AND abs((value - m) / sd) > 2.5 ORDER BY event_id""",
     // identical chained-window shape: each stage's first-hit min can
     // reference the previous stage's column (unbounded frames, no ordering)
     "events_funnel" ->

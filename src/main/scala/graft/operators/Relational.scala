@@ -200,6 +200,30 @@ object Relational {
         Stable.avgRoundedFromSum(sum(dec).over(mov), count(lit(1)).over(mov), 4))
   }
 
+  /** Exact per-group percentiles with an EXPLICITLY PINNED definition: the
+    * value at ascending rank ceil(q·n) (1-based, deterministic tiebreak).
+    * Engines disagree on percentile conventions (linear type-7
+    * interpolation vs discrete, and their `percentile`/`quantile`
+    * built-ins pick different ones) — pinning the discrete rank formula
+    * makes both engines replay identical double arithmetic (q·n and ceil
+    * are the same IEEE ops) and pick the same row. One window + one
+    * conditional agg, shuffled on the group key only; the rank filter
+    * stays a projection (no second pass per quantile).
+    */
+  def percentileGroup(df: DataFrame, group: String, value: String,
+                      tiebreak: String, qs: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(col(value).asc, col(tiebreak).asc)
+    val ranked = df
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(group))))
+    val aggs = qs.map { case (as, q) =>
+      max(when(col("_rn") === ceil(lit(q) * col("_n")), col(value))).as(as)
+    }
+    ranked.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
@@ -354,7 +378,14 @@ object Relational {
       semiJoin(Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
         Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
         lk = "c_custkey", rk = "o_custkey", anti = true)
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    "q_percentile_group" -> ((s, d) =>
+      percentileGroup(Tables.orders(s, d)
+          .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        group = "o_orderpriority", value = "o_totalprice", tiebreak = "o_orderkey",
+        qs = Seq("p50" -> 0.5, "p95" -> 0.95))
+        .orderBy("o_orderpriority"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,6 +426,8 @@ object Relational {
     "q_window_running" ->
       s"""WITH b AS (SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w1 AS rsum, count(*) OVER w1 AS rcount, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w2 AS msum, count(*) OVER w2 AS mn FROM orders WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) SELECT o_orderkey, o_custkey, round(rsum, 2)::DOUBLE AS running_total, rcount AS running_n, ${Stable.sqlAvgRoundedFrom("msum", "mn", 4)} AS mov_avg FROM b ORDER BY o_custkey, o_orderkey""",
     "q_join_anti" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey"""
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey""",
+    "q_percentile_group" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, count(*) AS n, max(CASE WHEN rn = ceil(0.5 * n) THEN o_totalprice END) AS p50, max(CASE WHEN rn = ceil(0.95 * n) THEN o_totalprice END) AS p95 FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -124,6 +124,35 @@ object TextOps {
       .orderBy(col("doc_freq").desc, col("gram").asc)
       .limit(topK)
 
+  /** Overlapping token-window chunking — the RAG/context-window prep
+    * operator: each document splits into chunks of `chunkTokens` tokens
+    * advancing by `chunkTokens - overlap`, the last chunk truncated (every
+    * token is covered; consecutive chunks share `overlap` tokens). All
+    * doc-local: tokenization, chunk-count arithmetic and slicing happen in
+    * one projection + explode — no shuffle, no join-back (a doc's chunks
+    * are emitted where the doc is read). Chunk count: 0 for empty docs,
+    * else ⌊max(n-overlap-1, 0)/step⌋ + 1 — the unique count where chunk i
+    * starts at i·step and the final chunk still contributes ≥1 new token.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    df.withColumn("_t", filter(tokens(col(textCol)), t => t =!= ""))
+      .withColumn("_n", size(col("_t")))
+      .withColumn("_nc", when(col("_n") === 0, lit(0L))
+        .otherwise(floor(greatest(col("_n") - overlap - 1, lit(0)) / lit(step)) + 1))
+      // guard: Spark's sequence STEPS BACKWARDS for stop < start, so an
+      // empty doc must map to an empty array, not sequence(0, -1) = [0,-1]
+      .withColumn("chunk_id", explode(when(col("_nc") >= 1,
+        sequence(lit(0L), col("_nc") - 1)).otherwise(array().cast("array<bigint>"))))
+      .withColumn("_sl", slice(col("_t"),
+        (col("chunk_id") * step + 1).cast("int"), lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_sl")).cast("bigint").as("chunk_tokens"),
+        array_join(col("_sl"), " ").as("chunk_text"))
+  }
+
   /** The canonical content-fingerprint expression: md5 over the sorted
     * distinct token set — robust to token order and duplication, portable
     * to the oracle. Single definition shared by [[fingerprint]] and the
@@ -294,6 +323,11 @@ object TextOps {
     "text_ngram_counts" -> ((s, d) =>
       ngramCounts(Tables.documents(s, d).select("text"), "text", n = 2, topK = 100)),
 
+    "text_chunks" -> ((s, d) =>
+      tokenChunks(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        chunkTokens = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_id")),
+
     "text_langid" -> ((s, d) =>
       langId(Tables.documents(s, d).select("doc_id", "text"), "text")
         .select("doc_id", "en_hits", "es_hits", "fr_hits", "lang_pred")
@@ -403,6 +437,10 @@ object TextOps {
     },
     "text_ngram_counts" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents), gs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM tk WHERE len(t) >= 2) SELECT g2 AS gram, count(*) AS doc_freq FROM (SELECT unnest(g) AS g2 FROM gs) GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 100""",
+    // chunk i covers tokens [i*12+1, i*12+16] (1-based inclusive slices in
+    // both engines, truncated at the end); nc mirrors tokenChunks' formula
+    "text_chunks" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents), c AS (SELECT doc_id, t, CASE WHEN len(t) = 0 THEN 0 ELSE greatest(len(t) - 4 - 1, 0) // 12 + 1 END AS nc FROM tk), u AS (SELECT doc_id, unnest(list_transform(range(0, nc), i -> struct_pack(cid := i, sl := t[i*12+1 : i*12+16]))) AS ch FROM c) SELECT doc_id, ch.cid::BIGINT AS chunk_id, len(ch.sl)::BIGINT AS chunk_tokens, array_to_string(ch.sl, ' ') AS chunk_text FROM u ORDER BY doc_id, chunk_id""",
     "text_langid" ->
       raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents), h AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($enIn)))::BIGINT AS en_hits, len(list_filter(tk, x -> x IN ($esIn)))::BIGINT AS es_hits, len(list_filter(tk, x -> x IN ($frIn)))::BIGINT AS fr_hits FROM t) SELECT doc_id, en_hits, es_hits, fr_hits, CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und' WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred FROM h ORDER BY doc_id""",
     "text_fingerprint" ->

@@ -115,6 +115,15 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("events_anomaly: flagged rows clear the z threshold against exact stats") {
+    val rows = run("events_anomaly").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getDouble(3)) > 2.5))
+    // anomalies are rare by construction: a small fraction of the stream
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.length < total / 10)
+  }
+
   test("events_retention: offset-0 cell equals cohort size, offsets non-negative") {
     val rows = run("events_retention").collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))

@@ -122,6 +122,34 @@ class RelationalSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_percentile_group: pinned discrete ranks on a known distribution") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Relational.percentileGroup
+    // group g: values 1..20 -> p50 = ceil(0.5*20)=rank 10 -> 10.0;
+    // p95 = ceil(0.95*20)=rank 19 -> 19.0
+    val df = (1 to 20).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val r = percentileGroup(df, "g", "v", "id", Seq("p50" -> 0.5, "p95" -> 0.95))
+      .collect().head
+    assert(r.getLong(1) == 20L && r.getDouble(2) == 10.0 && r.getDouble(3) == 19.0)
+    val rows = run("q_percentile_group").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) <= r.getDouble(3))) // p50 <= p95
+  }
+
+  test("q_join_anti is a real anti join and complements the semi join") {
+    val anti = run("q_join_anti").collect().map(_.getLong(0)).toSet
+    val all = Tables.customer(spark, sfDir).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    import graft.operators.Relational.semiJoin
+    val semi = semiJoin(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT"),
+      "c_custkey", "o_custkey").collect().map(_.getLong(0)).toSet
+    assert((anti intersect semi).isEmpty && (anti union semi) == all)
+    val p = plan(run("q_join_anti"))
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q_pivot: per-row counts sum to the group size, no discovery job") {
     val s = spark
     import s.implicits._

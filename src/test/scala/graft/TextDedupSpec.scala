@@ -101,6 +101,33 @@ class TextDedupSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_chunks: full coverage, exact overlap, lossless reconstruction") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps.tokenChunks
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // multiple chunks
+      (2L, (1 to 16).map(i => s"t$i").mkString(" ")), // exactly one chunk
+      (3L, "a b c"),                                   // short doc: one chunk
+      (4L, "")                                         // empty: no chunks
+    ).toDF("doc_id", "text")
+    val out = tokenChunks(docs, "doc_id", "text", chunkTokens = 16, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(!out.exists(_._1 == 4L))
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+    // doc 1 (40 tokens): starts 0,12,24 — a start at 36 would add no new
+    // tokens (t37..t40 are already covered), which the nc formula excludes.
+    // Reconstruct by dropping the 4 overlapped tokens after the first chunk.
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    val rebuilt = c1.head._4 +: c1.tail.map(_._4.split(" ").drop(4).mkString(" "))
+    assert(rebuilt.mkString(" ") == (1 to 40).map(i => s"t$i").mkString(" "))
+    // consecutive chunks share exactly the overlap
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").takeRight(4).sameElements(b._4.split(" ").take(4)))
+    case _ => }
+  }
+
   test("dedup_exact groups exact duplicates, keeps first") {
     val s = spark
     import s.implicits._
