@@ -146,9 +146,19 @@ object Relational {
     */
   def rollupAgg(df: DataFrame, g1: String, g2: String, measure: String): DataFrame =
     df.rollup(col(g1), col(g2))
-      .agg(count(lit(1)).as("n"), Stable.sumRounded(col(measure), 2).as("sum_val"))
-      .select(coalesce(col(g1), lit("ALL")).as(g1),
-        coalesce(col(g2), lit("ALL")).as(g2), col("n"), col("sum_val"))
+      // grouping(), not coalesce: a rolled-up key and a genuine NULL data
+      // value must not collapse into the same output key — grouping() is
+      // the only bit that tells them apart. (It is only legal inside the
+      // agg list of a rollup, hence the _gg columns.) A literal "ALL"
+      // data value remains a documented domain contract of the sentinel.
+      .agg(count(lit(1)).as("n"), Stable.sumRounded(col(measure), 2).as("sum_val"),
+        grouping(col(g1)).as("_gg1"), grouping(col(g2)).as("_gg2"))
+      .select(
+        when(col("_gg1") === 1, "ALL")
+          .otherwise(coalesce(col(g1), lit("(null)"))).as(g1),
+        when(col("_gg2") === 1, "ALL")
+          .otherwise(coalesce(col(g2), lit("(null)"))).as(g2),
+        col("n"), col("sum_val"))
 
   /** Pivot to a wide conditional-count table over a DECLARED value domain.
     * Spark's `pivot(col)` without values runs a distinct-values discovery
@@ -420,7 +430,7 @@ object Relational {
     "q_groupby_having" ->
       """SELECT l_partkey, count(*) AS n, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey""",
     "q_agg_rollup" ->
-      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus, coalesce(o_orderpriority, 'ALL') AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, '(null)') END AS o_orderstatus, CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, '(null)') END AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
     "q_pivot" ->
       """SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day ORDER BY day""",
     "q_window_running" ->

@@ -86,7 +86,11 @@ object Stable {
     val d = c.cast("decimal(18,6)")
     val sx = sum(d).cast("double")
     val sx2 = sum(d * d).cast("double")
-    round(sqrt(greatest((sx2 - sx * sx / n) / (n - 1), lit(0.0))), dp)
+    // n = 1 guard: sample stddev is undefined for a single row, and the
+    // (n-1) division would raise DIVIDE_BY_ZERO under Spark 4's default
+    // ANSI mode instead of flowing a null — mirrored in the SQL twin
+    when(n > 1,
+      round(sqrt(greatest((sx2 - sx * sx / n) / (n - 1), lit(0.0))), dp))
   }
 
   /** DuckDB mirror of [[stddevRounded]]. DuckDB needs (20,6) — its (18,6)
@@ -96,10 +100,9 @@ object Stable {
     */
   def sqlStddevRounded(c: String, dp: Int): String = {
     val d = s"CAST($c AS DECIMAL(20,6))"
-    s"round(sqrt(greatest((sum($d * $d)::DOUBLE - sum($d)::DOUBLE * sum($d)::DOUBLE / count(*)) / (count(*) - 1), 0.0)), $dp)"
+    s"CASE WHEN count(*) > 1 THEN round(sqrt(greatest((sum($d * $d)::DOUBLE - sum($d)::DOUBLE * sum($d)::DOUBLE / count(*)) / (count(*) - 1), 0.0)), $dp) END"
   }
 
-  /** The DuckDB mirror of [[avgRounded]] for oracle SQL generation. */
   /** DuckDB mirror of [[avgRoundedFromSum]]: the sum/count are arbitrary
     * SQL expressions (e.g. window-frame results). */
   def sqlAvgRoundedFrom(sumExpr: String, nExpr: String, dp: Int): String = {
@@ -109,6 +112,7 @@ object Stable {
     s"(CASE WHEN $t < 0 THEN -1.0 ELSE 1.0 END) * floor((abs($t)::DOUBLE + $half * ($nExpr)) / ($den * ($nExpr))) / ${math.pow(10, dp)}"
   }
 
+  /** The DuckDB mirror of [[avgRounded]] for oracle SQL generation. */
   def sqlAvgRounded(c: String, dp: Int): String = {
     val half = math.pow(10, 6 - dp).toLong / 2
     val den = math.pow(10, 6 - dp).toLong

@@ -139,7 +139,10 @@ object TextOps {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
     df.withColumn("_t", filter(tokens(col(textCol)), t => t =!= ""))
-      .withColumn("_n", size(col("_t")))
+      // coalesce: size(NULL) is NULL, which would slip past the === 0
+      // guard into the otherwise-branch (greatest absorbs the NULL) and
+      // emit one garbage chunk for a NULL-text doc instead of zero
+      .withColumn("_n", coalesce(size(col("_t")), lit(0)))
       .withColumn("_nc", when(col("_n") === 0, lit(0L))
         .otherwise(floor(greatest(col("_n") - overlap - 1, lit(0)) / lit(step)) + 1))
       // guard: Spark's sequence STEPS BACKWARDS for stop < start, so an

@@ -118,7 +118,9 @@ class EtlFlowEventsSpec extends SparkSpec {
   test("events_anomaly: flagged rows clear the z threshold against exact stats") {
     val rows = run("events_anomaly").collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => math.abs(r.getDouble(3)) > 2.5))
+    // >=, not >: the operator filters on the UNROUNDED z, so a genuine
+    // anomaly at |z| = 2.50003 is emitted with z rounded to exactly 2.5
+    assert(rows.forall(r => math.abs(r.getDouble(3)) >= 2.5))
     // anomalies are rare by construction: a small fraction of the stream
     val total = Tables.events(spark, sfDir).count()
     assert(rows.length < total / 10)

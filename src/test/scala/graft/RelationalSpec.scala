@@ -103,6 +103,19 @@ class RelationalSpec extends SparkSpec {
     val p = plan(run("q_agg_rollup"))
     assert("Expand".r.findAllIn(p).size >= 1)
     assert(!p.contains("Union"))
+    // a genuine NULL group value must not collapse into the subtotal rows
+    // (grouping() discriminates; literal "ALL" in the data remains a
+    // documented domain contract of the sentinel)
+    val s = spark
+    import s.implicits._
+    import graft.operators.Relational.rollupAgg
+    val withNull = Seq((null.asInstanceOf[String], "x", 1.0), ("q", "x", 2.0))
+      .toDF("g1", "g2", "m")
+    val keys = rollupAgg(withNull, "g1", "g2", "m").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(keys.contains(("(null)", "x", 1L)))   // data NULL, not a subtotal
+    assert(keys.contains(("(null)", "ALL", 1L))) // its own subtotal row
+    assert(keys.contains(("ALL", "ALL", 2L)))    // grand total over both rows
   }
 
   test("q_window_running: running totals accumulate, moving window bounded") {

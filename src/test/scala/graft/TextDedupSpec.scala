@@ -109,11 +109,12 @@ class TextDedupSpec extends SparkSpec {
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // multiple chunks
       (2L, (1 to 16).map(i => s"t$i").mkString(" ")), // exactly one chunk
       (3L, "a b c"),                                   // short doc: one chunk
-      (4L, "")                                         // empty: no chunks
+      (4L, ""),                                        // empty: no chunks
+      (5L, null.asInstanceOf[String])                  // NULL text: no chunks
     ).toDF("doc_id", "text")
     val out = tokenChunks(docs, "doc_id", "text", chunkTokens = 16, overlap = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    assert(!out.exists(_._1 == 4L))
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
     assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
     // doc 1 (40 tokens): starts 0,12,24 — a start at 36 would add no new
     // tokens (t37..t40 are already covered), which the nc formula excludes.
