@@ -396,7 +396,12 @@ object TextOps {
     "text_pipeline_e2e" -> ((s, d) => {
       val masked = piiMask(Tables.documents(s, d).select("doc_id", "text"), "text", "clean")
         .select("doc_id", "clean")
-      val gated = langId(tokenCount(masked, "clean"), "clean")
+      // ws token count only — tokenCount's second (BPE-regex) count is the
+      // most expensive projection in that operator and nothing downstream
+      // reads it; a gate should compute exactly what it filters on
+      val counted = masked.withColumn("ws_tokens",
+        size(tokens(col("clean"))).cast("bigint"))
+      val gated = langId(counted, "clean")
         .filter(col("ws_tokens") >= 20 && col("lang_pred") === "en")
       // keep-first per content hash via a window, not groupBy+self-join:
       // one pass (the upstream mask/gate branch would otherwise be
