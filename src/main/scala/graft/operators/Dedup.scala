@@ -259,22 +259,30 @@ object Dedup {
     // seed from nodes UNION edge endpoints: an endpoint missing from
     // `nodes` would otherwise appear mid-loop, be invisible to the
     // inner-join convergence check, and silently split its component
-    var labels = nodes.select(col(id))
+    var snapshot = nodes.select(col(id))
       .unionByName(e.select(col("_src").as(id)))
       .distinct()
       .select(col(id), col(id).as("cluster")).localCheckpoint(true)
+    var labels = snapshot
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val msgs = e.join(labels, e("_src") === labels(id))
-        .select(col("_dst").as(id), col("cluster"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col(id)).agg(min(col("cluster")).as("cluster"))
+        .select(col("_dst").as(id), col("cluster"), lit(0).as("_self"))
+      // the node's OWN previous label rides through the same aggregation
+      // (max(when _self)) so convergence is a cheap filter-count over the
+      // checkpointed result — the old shape re-joined `labels` per round,
+      // a second shuffle join in every iteration just to count changes
+      val next = labels.withColumn("_self", lit(1)).unionByName(msgs)
+        .groupBy(col(id)).agg(min(col("cluster")).as("cluster"),
+          max(when(col("_self") === 1, col("cluster"))).as("_prev"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "_prev"), id)
-        .filter(col("cluster") =!= col("_prev")).count()
-      labels.unpersist() // superseded snapshot: don't leak one per round
-      labels = next
+      changed = next.filter(col("cluster") =!= col("_prev")).count()
+      // unpersist the CHECKPOINTED df (labels is a projection over it —
+      // unpersisting the projection would leak one snapshot per round)
+      snapshot.unpersist()
+      snapshot = next
+      labels = next.select(col(id), col("cluster"))
       it += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
