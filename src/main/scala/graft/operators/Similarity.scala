@@ -288,47 +288,101 @@ object Similarity {
     * FIXED-ORDER chain s=0..m-1 (written identically in the oracle), and
     * ranking keys round first — bitwise-reproducible end to end.
     */
-  def simPqAnn(df: DataFrame, id: String, emb: String,
-               cbs: Seq[Seq[(Any, Seq[Double])]], queryPred: Column,
-               subDims: Int, shortlist: Int, k: Int): DataFrame = {
-    val m = cbs.size
-    val nrm = normalized(df, id, emb)
-    def sub(s: Int): Column = slice(col("ne"), s * subDims + 1, subDims)
-    val codeCols = cbs.zipWithIndex.map { case (cb, s) =>
+  /** Per-subspace nearest-code columns c0..c{m-1} (argmin over literal
+    * codebooks — the [[ivfAssign]] zero-shuffle pattern per subspace). */
+  private def pqCodeCols(cbs: Seq[Seq[(Any, Seq[Double])]], subDims: Int): Seq[Column] =
+    cbs.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col("ne"), s * subDims + 1, subDims)
       val scored = cb.zipWithIndex.map { case ((cid, ce), j) =>
-        val score = dotD(sub(s), array(ce.map(lit): _*)) - lit(ce.map(x => x * x).sum / 2)
+        val score = dotD(sub, array(ce.map(lit): _*)) - lit(ce.map(x => x * x).sum / 2)
         struct((lit(2.0) - score).as("k"),
           lit(cid.asInstanceOf[Long]).as("cid"), lit(j).as("j"))
       }
       array_sort(array(scored: _*))(0)("j").as(s"c$s")
     }
-    val codes = nrm.select(col(id).as("neighbor_id") +: codeCols: _*)
-    val qtabCols = cbs.zipWithIndex.map { case (cb, s) =>
-      array(cb.map { case (_, ce) => dotD(sub(s), array(ce.map(lit): _*)) }: _*)
+
+  /** Per-query ADC dot tables qt0..qt{m-1}: the query sub-vector against
+    * every codebook row, computed once per query row. */
+  private def pqQtabCols(cbs: Seq[Seq[(Any, Seq[Double])]], subDims: Int): Seq[Column] =
+    cbs.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col("ne"), s * subDims + 1, subDims)
+      array(cb.map { case (_, ce) => dotD(sub, array(ce.map(lit): _*)) }: _*)
         .as(s"qt$s")
     }
-    val q = broadcast(nrm.filter(queryPred)
-      .select(col(id).as("query_id") +: qtabCols: _*))
-    val approx = (0 until m)
-      .map(s => element_at(col(s"qt$s"), col(s"c$s") + 1))
-      .reduce(_ + _) // fixed-order chain: the oracle replays s=0..m-1
-    val scanned = codes.crossJoin(q)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), round(approx, 4).as("approx_sim"))
-    val w1 = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("approx_sim").desc, col("neighbor_id").asc)
-    val sl = scanned.withColumn("_rn", row_number().over(w1))
-      .filter(col("_rn") <= shortlist)
-      .select("query_id", "neighbor_id")
+
+  /** Fixed-order ADC sum s=0..m-1 (the oracle replays the same chain). */
+  private def pqApprox(m: Int): Column =
+    (0 until m).map(s => element_at(col(s"qt$s"), col(s"c$s") + 1)).reduce(_ + _)
+
+  /** Shortlist (query_id, neighbor_id) pairs re-ranked by EXACT cosine,
+    * top-k per query — the shared PQ refinement tail. */
+  private def rerankExact(sl: DataFrame, nrm: DataFrame, id: String, k: Int): DataFrame = {
     val exact = sl
       .join(nrm.select(col(id).as("query_id"), col("ne").as("qe")), "query_id")
       .join(nrm.select(col(id).as("neighbor_id"), col("ne").as("ce")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
-    val w2 = org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    exact.withColumn("rank", row_number().over(w2).cast("bigint"))
+    exact.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
+  }
+
+  def simPqAnn(df: DataFrame, id: String, emb: String,
+               cbs: Seq[Seq[(Any, Seq[Double])]], queryPred: Column,
+               subDims: Int, shortlist: Int, k: Int): DataFrame = {
+    val nrm = normalized(df, id, emb)
+    val codes = nrm.select(col(id).as("neighbor_id") +: pqCodeCols(cbs, subDims): _*)
+    val q = broadcast(nrm.filter(queryPred)
+      .select(col(id).as("query_id") +: pqQtabCols(cbs, subDims): _*))
+    val scanned = codes.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pqApprox(cbs.size), 4).as("approx_sim"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val sl = scanned.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    rerankExact(sl, nrm, id, k)
+  }
+
+  /** IVF-PQ — the composed scale-path index (the FAISS IVFPQ shape, sans
+    * residual encoding — PQ codes are built on the raw vectors, documented
+    * divergence): the coarse quantizer restricts candidates to the query's
+    * nProbe inverted lists, ADC scores those candidates from their m-byte
+    * codes, and exact cosine re-ranks the shortlist. At 100 TB the scan
+    * touches probed lists only AND reads codes instead of vectors — the
+    * two reductions compose multiplicatively (lists cut the rows, codes
+    * cut the bytes/row). One narrow shuffle (codes join on cid against
+    * broadcast probes); assignment and encoding stay zero-shuffle
+    * projections over literal centroids/codebooks.
+    */
+  def simIvfPqAnn(df: DataFrame, id: String, emb: String,
+                  coarse: Seq[(Any, Seq[Double])], cbs: Seq[Seq[(Any, Seq[Double])]],
+                  queryPred: Column, nProbe: Int, subDims: Int,
+                  shortlist: Int, k: Int): DataFrame = {
+    val nrm = normalized(df, id, emb)
+    val assigned = ivfAssign(nrm, coarse, nProbe, euclid = true)
+    val lists = assigned.select(
+      col(id).as("neighbor_id") +: col("_nn")(0)("cid").as("cid") +:
+        pqCodeCols(cbs, subDims): _*)
+    val probes = broadcast(assigned.filter(queryPred)
+      .select(col(id).as("query_id") +:
+        explode(transform(col("_nn"), s => s("cid"))).as("cid") +:
+        pqQtabCols(cbs, subDims): _*))
+    // a (query, neighbor) pair joins at most once: the neighbor's list id
+    // is unique, so no post-join distinct is needed
+    val scanned = lists.join(probes, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(pqApprox(cbs.size), 4).as("approx_sim"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val sl = scanned.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    rerankExact(sl, nrm, id, k)
   }
 
   /** Embedding near-dup pairs: LSH candidates (id_a < id_b across L tables,
@@ -433,6 +487,20 @@ object Similarity {
         subDims = pqSubDims, shortlist = pqShort, k = 5)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+    "sim_ivfpq_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val nrm = normalized(e, "vec_id", "embedding")
+      val coarse = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
+        _ => kmeansCentroids(nrm, "vec_id", c = ivfC, iters = ivfIters))
+      val cbs = pqCache.computeIfAbsent(s"$d|$pqM|$pqKs|$pqIters",
+        _ => pqCodebooks(nrm, "vec_id", pqM, pqSubDims, pqKs, pqIters))
+      simIvfPqAnn(e, "vec_id", "embedding", coarse, cbs,
+        queryPred = col("vec_id") < 10, nProbe = 2,
+        subDims = pqSubDims, shortlist = pqShort, k = 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -499,29 +567,48 @@ object Similarity {
       s"""cbj$s AS (SELECT cid, ce, row_number() OVER (ORDER BY cid) - 1 AS j FROM cb${s}_$pqIters)"""
   }
 
+  // shared PQ oracle fragments (training CTEs come from pqKmeansCtes)
+  private def pqSs = 0 until pqM
+  private def pqCodeCtes: String = pqSs.map { s =>
+    s"""cdq$s AS (SELECT vec_id, j AS code FROM (SELECT n.vec_id, c.j, row_number() OVER (PARTITION BY n.vec_id ORDER BY 2.0 - (${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2) ASC, c.cid ASC) AS rn FROM nsub$s n CROSS JOIN cbj$s c) WHERE rn = 1)"""
+  }.mkString(", ")
+  private def pqCodesWide: String =
+    s"""codes AS (SELECT c0.vec_id${pqSs.map(s => s", c$s.code AS k$s").mkString} FROM cdq0 c0 ${pqSs.drop(1).map(s => s"JOIN cdq$s c$s USING (vec_id)").mkString(" ")})"""
+  private def pqQtCtes: String = pqSs.map { s =>
+    s"""qt$s AS (SELECT n.vec_id, list(${sqlDotRaw("n.ne", "c.ce")} ORDER BY c.j) AS t FROM nsub$s n CROSS JOIN cbj$s c WHERE n.vec_id < 10 GROUP BY n.vec_id)"""
+  }.mkString(", ")
+  private def pqQtsWide: String =
+    s"""qts AS (SELECT qt0.vec_id${pqSs.map(s => s", qt$s.t AS t$s").mkString} FROM qt0 ${pqSs.drop(1).map(s => s"JOIN qt$s USING (vec_id)").mkString(" ")})"""
+  private def pqAdcSum: String = pqSs.map(s => s"q.t$s[x.k$s + 1]").mkString(" + ")
+  private def pqTail: String =
+    s"""sl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id ASC) AS rn FROM sc) WHERE rn <= $pqShort), """ +
+      s"""ex AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("a.ne", "b.ne")}, 4) AS cos_sim FROM sl JOIN nrm a ON query_id = a.vec_id JOIN nrm b ON neighbor_id = b.vec_id), """ +
+      s"""r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM ex) """ +
+      s"""SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Full sim_pq_ann oracle: per-subspace training + encoding, wide code
     * rows, per-query ADC tables, fixed-order ADC sum, shortlist, exact
     * re-rank — each stage the literal SQL image of [[simPqAnn]].
     */
-  private def pqOracle: String = {
-    val ss = 0 until pqM
-    val train = ss.map(pqKmeansCtes).mkString(", ")
-    val codeCtes = ss.map { s =>
-      s"""cdq$s AS (SELECT vec_id, j AS code FROM (SELECT n.vec_id, c.j, row_number() OVER (PARTITION BY n.vec_id ORDER BY 2.0 - (${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2) ASC, c.cid ASC) AS rn FROM nsub$s n CROSS JOIN cbj$s c) WHERE rn = 1)"""
-    }.mkString(", ")
-    val codesWide = s"""codes AS (SELECT c0.vec_id${ss.map(s => s", c$s.code AS k$s").mkString} FROM cdq0 c0 ${ss.drop(1).map(s => s"JOIN cdq$s c$s USING (vec_id)").mkString(" ")})"""
-    val qtCtes = ss.map { s =>
-      s"""qt$s AS (SELECT n.vec_id, list(${sqlDotRaw("n.ne", "c.ce")} ORDER BY c.j) AS t FROM nsub$s n CROSS JOIN cbj$s c WHERE n.vec_id < 10 GROUP BY n.vec_id)"""
-    }.mkString(", ")
-    val qtsWide = s"""qts AS (SELECT qt0.vec_id${ss.map(s => s", qt$s.t AS t$s").mkString} FROM qt0 ${ss.drop(1).map(s => s"JOIN qt$s USING (vec_id)").mkString(" ")})"""
-    val adcSum = ss.map(s => s"q.t$s[x.k$s + 1]").mkString(" + ")
-    s"""WITH $normCte, $train, $codeCtes, $codesWide, $qtCtes, $qtsWide, """ +
-      s"""sc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, round($adcSum, 4) AS approx_sim FROM codes x CROSS JOIN qts q WHERE q.vec_id != x.vec_id), """ +
-      s"""sl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_sim DESC, neighbor_id ASC) AS rn FROM sc) WHERE rn <= $pqShort), """ +
-      s"""ex AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("a.ne", "b.ne")}, 4) AS cos_sim FROM sl JOIN nrm a ON query_id = a.vec_id JOIN nrm b ON neighbor_id = b.vec_id), """ +
-      s"""r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM ex) """ +
-      s"""SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
-  }
+  private def pqOracle: String =
+    s"""WITH $normCte, ${pqSs.map(pqKmeansCtes).mkString(", ")}, $pqCodeCtes, $pqCodesWide, $pqQtCtes, $pqQtsWide, """ +
+      s"""sc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, round($pqAdcSum, 4) AS approx_sim FROM codes x CROSS JOIN qts q WHERE q.vec_id != x.vec_id), """ +
+      pqTail
+
+  /** sim_ivfpq_ann oracle: the coarse-quantizer CTEs of the IVF oracle
+    * (same centroids/assignment) feed the PQ oracle's codes/qtabs — the
+    * candidate set is probed-lists ∩ ADC scan, then the shared shortlist +
+    * exact re-rank tail. The literal SQL image of [[simIvfPqAnn]].
+    */
+  private def ivfPqOracle: String =
+    s"""WITH $normCte, $kmeansCtes, """ +
+      s"""fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), """ +
+      s"""fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), """ +
+      s"""lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), """ +
+      s"""probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), """ +
+      s"""${pqSs.map(pqKmeansCtes).mkString(", ")}, $pqCodeCtes, $pqCodesWide, $pqQtCtes, $pqQtsWide, """ +
+      s"""sc AS (SELECT p.query_id, l.neighbor_id, round($pqAdcSum, 4) AS approx_sim FROM probes p JOIN lists l USING (cid) JOIN codes x ON l.neighbor_id = x.vec_id JOIN qts q ON p.query_id = q.vec_id WHERE p.query_id != l.neighbor_id), """ +
+      pqTail
 
   /** bucket per (vec, table): ordered sign concat — mirrors bucketSig. */
   private def bucketsCte(tabs: Seq[Seq[Seq[Double]]]): String =
@@ -542,6 +629,7 @@ object Similarity {
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
     "sim_pq_ann" -> pqOracle,
+    "sim_ivfpq_ann" -> ivfPqOracle,
     "sim_ivf_ann" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )
