@@ -58,4 +58,12 @@ object GraftFunctions {
   /** Per-document winnowing fingerprint set — see [[WinnowFingerprints]]. */
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
+
+  /** `v >> n` with a COLUMN shift amount. `functions.shiftright` only takes
+    * a constant Int; the underlying Catalyst ShiftRight is two-expression
+    * (and codegen'd), so bridge straight to it.
+    */
+  def shiftRight(v: Column, n: Column): Column =
+    GraftBridge.column(org.apache.spark.sql.catalyst.expressions.ShiftRight(
+      GraftBridge.expression(v), GraftBridge.expression(n)))
 }

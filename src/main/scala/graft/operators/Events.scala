@@ -239,6 +239,53 @@ object Events {
       .withColumn("funnel_stage", reached)
   }
 
+  /** Time-series gap fill: resample each key's event stream onto a fixed
+    * calendar grid (one row per key per `granularity` bucket between the
+    * key's first and last activity), carrying the last observed value
+    * forward across empty buckets — the resample+ffill every monitoring /
+    * feature-engineering pipeline needs before ML-ready time series.
+    *
+    * Shape: observations collapse to (key, bucket) FIRST (one hash agg —
+    * the only corpus-sized shuffle); the per-key span is a second agg on
+    * the SAME key partitioning; the grid is generated by `sequence` +
+    * explode (rows materialise straight out of the span agg, nothing is
+    * collected); the grid⋈obs join and the forward-fill window both run on
+    * the (key)-partitioned data. Grid size is keys × buckets — independent
+    * of event count, so a 100 TB log with a bounded key set fills to a
+    * small, predictable output.
+    */
+  def gapFill(df: DataFrame, key: String, tsCol: String, v: String,
+              granularity: String): DataFrame = {
+    val obs = df
+      .groupBy(col(key), date_trunc(granularity, col(tsCol)).as("bucket"))
+      .agg(Stable.avgRounded(col(v), count(lit(1)), 4).as("obs_value"))
+    val grid = obs.groupBy(col(key))
+      .agg(min(col("bucket")).as("_a"), max(col("bucket")).as("_b"))
+      .select(col(key), explode(sequence(col("_a"), col("_b"),
+        expr(s"interval 1 $granularity"))).as("bucket"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(key, "bucket"), "left")
+      .withColumn("value_filled", last(col("obs_value"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("obs_value").isNull)
+      .drop("obs_value")
+  }
+
+  /** Event-type transition counts (the first-order Markov view of the
+    * stream): for each consecutive pair of events of the same user, count
+    * (from_type → to_type). One shuffle on the user key for the lag
+    * ordering; the transition agg afterwards is low-cardinality
+    * (|types|²) and fully map-side combinable.
+    */
+  def transitions(df: DataFrame, key: String, typeCol: String, tsCol: String,
+                  tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tiebreak))
+    df.withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -311,7 +358,19 @@ object Events {
       anomalies(Tables.events(s, d).select("event_id", "event_type", "value"),
         key = "event_type", v = "value", zMax = 2.5)
         .select("event_id", "event_type", "value", "z")
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // daily resample per user with forward fill across silent days
+    "events_gap_fill" -> ((s, d) =>
+      gapFill(Tables.events(s, d), key = "user_id", tsCol = "ts", v = "value",
+        granularity = "day")
+        .select("user_id", "bucket", "value_filled", "filled")
+        .orderBy("user_id", "bucket")),
+
+    "events_transitions" -> ((s, d) =>
+      transitions(Tables.events(s, d), key = "user_id", typeCol = "event_type",
+        tsCol = "ts", tiebreak = "event_id")
+        .orderBy("from_type", "to_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +392,12 @@ object Events {
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id) SELECT cohort_day, date_diff('day', cohort_day, day)::BIGINT AS day_offset, count(*) AS n_users FROM days JOIN cohorts USING (user_id) GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
     "events_anomaly" ->
       s"""WITH st AS (SELECT event_type, ${Stable.sqlAvgRounded("value", 4)} AS m, ${Stable.sqlStddevRounded("value", 4)} AS sd FROM events GROUP BY event_type) SELECT event_id, e.event_type, value, round((value - m) / sd, 4) AS z FROM events e JOIN st USING (event_type) WHERE sd > 0 AND abs((value - m) / sd) > 2.5 ORDER BY event_id""",
+    // same shape: bucketed obs -> per-key span -> generate_series grid ->
+    // left join -> IGNORE NULLS carry (Spark's last(ignoreNulls) twin)
+    "events_gap_fill" ->
+      s"""WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket, ${Stable.sqlAvgRounded("value", 4)} AS obs_value FROM events GROUP BY user_id, date_trunc('day', ts)), span AS (SELECT user_id, min(bucket) AS a, max(bucket) AS b FROM obs GROUP BY user_id), grid AS (SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 DAY)) AS bucket FROM span), j AS (SELECT g.user_id, g.bucket, o.obs_value FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket) SELECT user_id, bucket, last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, (obs_value IS NULL) AS filled FROM j ORDER BY user_id, bucket""",
+    "events_transitions" ->
+      """WITH t AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions FROM t WHERE next_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
     // identical chained-window shape: each stage's first-hit min can
     // reference the previous stage's column (unbounded frames, no ordering)
     "events_funnel" ->

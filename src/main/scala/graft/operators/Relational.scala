@@ -234,6 +234,68 @@ object Relational {
       .agg(count(lit(1)).as("n"), aggs: _*)
   }
 
+  /** Bloom-sketch join pruning (a runtime filter built by hand): the dim
+    * side's join keys are folded into a tiny bit array (one narrow job —
+    * k bit positions per key, bit_or per 64-bit word), the words are
+    * embedded in the plan as a literal, and the fact side is filtered by
+    * k codegen'd bit probes BEFORE the join. False positives only cost a
+    * join probe — the exact equi-join behind the filter keeps the output
+    * exact — and false negatives are impossible (every inserted key finds
+    * its own bits set).
+    *
+    * Why this matters at 100 TB: when the dim side is filtered but too big
+    * to broadcast, a plain join shuffles the ENTIRE fact table; the sketch
+    * version ships a few KB to every scan task and drops non-joining fact
+    * rows at the scan, so the fact exchange carries only rows that can
+    * match (the semi-join reduction that motivates Spark's own runtime
+    * bloom filters, here as an explicit, tunable operator). Bit positions
+    * come from md5 of the key (Md5PrefixLong at 4 digest offsets), so the
+    * sketch is deterministic across engines, runs and retries.
+    */
+  private def bloomPositions(c: Column, numBits: Int, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      graft.functions.GraftFunctions.md5PrefixLong(c.cast("string"), 4 * i, "") %
+        lit(numBits.toLong)
+    }
+
+  /** Build the sketch: k bit positions per key, bit_or'd into 64-bit words
+    * (one narrow job over the key column), returned as the word array.
+    */
+  def bloomOf(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] = {
+    require(Integer.bitCount(numBits) == 1 && numBits >= 64,
+      "numBits must be a power of two >= 64")
+    require(numHashes >= 1 && numHashes <= 4,
+      "up to 4 independent 32-bit hashes fit one md5 digest")
+    val arr = new Array[Long](numBits / 64)
+    keys
+      .select(explode(array(bloomPositions(col(keyCol), numBits, numHashes): _*)).as("p"))
+      .selectExpr("cast(p / 64 as int) as w", "shiftleft(1L, cast(p % 64 as int)) as bit")
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe: k codegen'd bit tests against the word array
+    * embedded as a plan literal. May answer true for a non-member (false
+    * positive) but never false for a member.
+    */
+  def bloomMightContain(c: Column, words: Array[Long], numHashes: Int): Column = {
+    val wordsLit = lit(words)
+    bloomPositions(c, words.length * 64, numHashes).map { p =>
+      val word = element_at(wordsLit, (p / 64).cast("int") + 1)
+      graft.functions.GraftFunctions.shiftRight(word, (p % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  def bloomPrunedJoin(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+                      numBits: Int, numHashes: Int): DataFrame = {
+    val words = bloomOf(dim.select(col(pk)), pk, numBits, numHashes)
+    fact.filter(col(fk).isNotNull && bloomMightContain(col(fk), words, numHashes))
+      .join(dim, col(fk) === col(pk))
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
@@ -395,7 +457,21 @@ object Relational {
           .select("o_orderpriority", "o_totalprice", "o_orderkey"),
         group = "o_orderpriority", value = "o_totalprice", tiebreak = "o_orderkey",
         qs = Seq("p50" -> 0.5, "p95" -> 0.95))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // runtime-filter demo: orders joined to one nation's customers, the
+    // fact side pruned at the scan by a 2 KB bloom sketch of the dim keys.
+    // Output is exact (the sketch only pre-filters an exact equi-join).
+    "q_join_bloom" -> ((s, d) => {
+      val dim = Tables.customer(s, d).filter(col("c_nationkey") === 3)
+        .select("c_custkey", "c_name")
+      bloomPrunedJoin(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        fk = "o_custkey", dim = dim, pk = "c_custkey",
+        numBits = 1 << 14, numHashes = 4)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+        .orderBy("o_orderkey")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,6 +514,9 @@ object Relational {
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey""",
     "q_percentile_group" ->
-      """WITH r AS (SELECT o_orderpriority, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, count(*) AS n, max(CASE WHEN rn = ceil(0.5 * n) THEN o_totalprice END) AS p50, max(CASE WHEN rn = ceil(0.95 * n) THEN o_totalprice END) AS p95 FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      """WITH r AS (SELECT o_orderpriority, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, count(*) AS n, max(CASE WHEN rn = ceil(0.5 * n) THEN o_totalprice END) AS p50, max(CASE WHEN rn = ceil(0.95 * n) THEN o_totalprice END) AS p95 FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the bloom sketch is plan-transparent: the oracle is the plain join
+    "q_join_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 3 ORDER BY o_orderkey"""
   )
 }

@@ -277,4 +277,46 @@ class EtlFlowEventsSpec extends SparkSpec {
     val p = plan(run("events_recent"))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("events_gap_fill: complete daily grid, forward fill carries last value") {
+    val rows = run("events_gap_fill").collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    val dayUs = 86400L * 1000000L
+    byUser.foreach { case (u, rs) =>
+      val buckets = rs.map(r => r.getTimestamp(1).getTime * 1000)
+      // grid completeness: consecutive days from first to last, no holes
+      assert(buckets.sorted.sliding(2).forall {
+        case Array(a, b) => b - a == dayUs
+        case _ => true
+      }, s"user $u grid has holes")
+      // edges are observations, never filled
+      val sortedRs = rs.sortBy(_.getTimestamp(1).getTime)
+      assert(!sortedRs.head.getBoolean(3) && !sortedRs.last.getBoolean(3),
+        s"user $u span edge marked filled")
+      // forward fill: a filled row repeats the previous row's value
+      sortedRs.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b.getBoolean(3)) assert(b.getDouble(2) == a.getDouble(2),
+            s"user $u filled row does not carry forward")
+        case _ =>
+      }
+    }
+    // at least one gap actually got filled at this sf
+    assert(rows.exists(_.getBoolean(3)), "no filled rows — grid degenerate")
+  }
+
+  test("events_transitions matches a brute-force per-user walk") {
+    val rows = run("events_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).toSeq.sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    assert(rows == brute)
+  }
 }

@@ -163,6 +163,31 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q_join_bloom: sketch pre-filter never loses rows and really prunes") {
+    val dim = Tables.customer(spark, sfDir).filter(col("c_nationkey") === 3)
+      .select("c_custkey", "c_name")
+    val fact = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // exactness: identical rows to the plain join (false positives are
+    // filtered by the join; false negatives must be impossible)
+    val bloomed = run("q_join_bloom").collect().map(_.toString).sorted
+    val plain = fact.join(dim, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+      .collect().map(_.toString).sorted
+    assert(bloomed.sameElements(plain))
+    // pruning: the sketch filter alone keeps far fewer fact rows than the
+    // table (nation 3 holds ~4% of customers; fp rate at 16k bits ~1e-3),
+    // while keeping every genuinely matching row (no false negatives)
+    import graft.operators.Relational.{bloomOf, bloomMightContain}
+    val words = bloomOf(dim, "c_custkey", 1 << 14, 4)
+    val kept = fact.filter(bloomMightContain(col("o_custkey"), words, 4)).count()
+    val dimKeys = dim.collect().map(_.getLong(0)).toSet
+    val matching = fact.collect().count(r => dimKeys(r.getLong(1)))
+    val total = fact.count()
+    assert(kept >= matching, s"bloom lost rows: kept=$kept matching=$matching")
+    assert(kept < total / 4, s"bloom failed to prune: kept=$kept of $total")
+  }
+
   test("q_pivot: per-row counts sum to the group size, no discovery job") {
     val s = spark
     import s.implicits._
