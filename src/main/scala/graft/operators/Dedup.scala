@@ -267,15 +267,30 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val msgs = e.join(labels, e("_src") === labels(id))
+      // TWO propagation steps per materialised round: checkpoint + count
+      // are per-round fixed costs (each is a job launch — the dominant
+      // cost of shallow components in local mode, and a scheduling
+      // round-trip on a cluster), so covering distance 2 per round halves
+      // them; the extra join/agg pair rides inside the same plan.
+      val msgs1 = e.join(labels, e("_src") === labels(id))
         .select(col("_dst").as(id), col("cluster"), lit(0).as("_self"))
       // the node's OWN previous label rides through the same aggregation
       // (max(when _self)) so convergence is a cheap filter-count over the
       // checkpointed result — the old shape re-joined `labels` per round,
       // a second shuffle join in every iteration just to count changes
-      val next = labels.withColumn("_self", lit(1)).unionByName(msgs)
+      val mid = labels.withColumn("_self", lit(1)).unionByName(msgs1)
         .groupBy(col(id)).agg(min(col("cluster")).as("cluster"),
           max(when(col("_self") === 1, col("cluster"))).as("_prev"))
+      // step 2 over step 1's labels; _prev keeps the ROUND-START label
+      // (messages carry a placeholder the `when` filter never reads), so
+      // `changed` detects a change in either sub-step — and a fixpoint
+      // after step 1 is necessarily a fixpoint after step 2
+      val msgs2 = e.join(mid.select(col(id), col("cluster")), e("_src") === col(id))
+        .select(col("_dst").as(id), col("cluster"),
+          col("cluster").as("_prev"), lit(0).as("_self"))
+      val next = mid.withColumn("_self", lit(1)).unionByName(msgs2)
+        .groupBy(col(id)).agg(min(col("cluster")).as("cluster"),
+          max(when(col("_self") === 1, col("_prev"))).as("_prev"))
         .localCheckpoint(true)
       changed = next.filter(col("cluster") =!= col("_prev")).count()
       // unpersist the CHECKPOINTED df (labels is a projection over it —

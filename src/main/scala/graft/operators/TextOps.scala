@@ -263,6 +263,59 @@ object TextOps {
       .filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Cross-document duplicated-span fraction: what share of each doc's
+    * winnowing fingerprints also appear in at least one OTHER occurrence
+    * across the corpus — the span-level (substring) duplication signal
+    * used to gate boilerplate-heavy documents, where doc-level near-dedup
+    * sees distinct documents but long shared spans remain.
+    *
+    * Shape: fingerprints stay doc-local (the zero-shuffle native kernel)
+    * until the explode; span document-frequency is ONE hash agg on the
+    * fingerprint (uniform 32-bit key, map-side combinable); the join back
+    * runs on the same fp partitioning. The per-doc fraction is an average
+    * of 0/1 indicators through Stable (exact decimal sum + integer
+    * rounding — a raw round(double ratio) can flip between engines).
+    * Docs too short to fingerprint surface with n_fps = 0 and frac 0.
+    */
+  def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, w: Int): DataFrame = {
+    val fps = df.select(col(idCol), explode(
+      graft.functions.GraftFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val spanDf = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+    val ind = when(col("_df") >= 2, 1.0).otherwise(0.0)
+    val perDoc = fps.join(spanDf, "fp")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+        Stable.avgRounded(ind, count(lit(1)), 4).as("dup_span_frac"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("dup_span_frac"), lit(0.0)).as("dup_span_frac"))
+  }
+
+  /** Deterministic train/val/test split: the id's content-hash draw
+    * (first 4 md5 nibbles, uniform on [0, 65536)) lands in cumulative
+    * weight buckets — no RNG state, so the assignment is reproducible
+    * across engines, runs, task retries AND as the corpus grows (a doc's
+    * split never changes when neighbors are added — the property that
+    * keeps eval sets stable across dataset versions). Pure codegen
+    * projection, zero shuffle.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val draw = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), acc) => when(draw < cut * 65536, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Percentile-band filter: keep rows whose score sits inside [lo, hi]
     * by percent_rank — the "trim the quality tails before training" gate.
     * Exact (no sketch), WITHOUT the naive global window (which sinks
@@ -380,6 +433,19 @@ object TextOps {
         stratumCol = "lang", idCol = "doc_id", k = 50)
         .orderBy("doc_id")),
 
+    // span-level duplication gate: share of each doc's winnow fingerprints
+    // that recur elsewhere in the corpus
+    "text_dup_spans" -> ((s, d) =>
+      dupSpanFraction(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id")),
+
+    // stable 80/10/10 train/val/test assignment by content-hash draw
+    "sample_hash_split" -> ((s, d) =>
+      hashSplit(Tables.documents(s, d).select("doc_id", "source"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     // trim the quality tails: keep the p5-p95 band of quality_score
     "text_quality_band" -> ((s, d) =>
       qualityBand(
@@ -465,6 +531,19 @@ object TextOps {
       raw"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens FROM documents), c AS (SELECT doc_id, shard, ws_tokens, sum(ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens AS cum FROM t) SELECT doc_id, shard, ws_tokens, (cum // 2048)::BIGINT AS pack_id, (cum % 2048)::BIGINT AS pack_offset FROM c ORDER BY doc_id""",
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rk FROM documents) WHERE rk <= 50 ORDER BY doc_id""",
+    // same winnow CTE as text_winnow_fingerprint (k=8, w=4), then span
+    // document frequencies and the per-doc Stable-rounded indicator mean
+    "text_dup_spans" ->
+      s"""WITH hs AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN list_transform(range(1, length(text) - 6), i -> ${sqlHex32("substr(text, i, 8)")}) ELSE []::BIGINT[] END AS hl FROM documents), wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN list_distinct(list_transform(range(1, len(hl) - 2), j -> list_min(hl[j:j+3]))) ELSE []::BIGINT[] END AS fps FROM hs), u AS (SELECT doc_id, unnest(fps) AS fp FROM wn), dfs AS (SELECT fp, count(*) AS df FROM u GROUP BY fp), j AS (SELECT u.doc_id, CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END AS ind FROM u JOIN dfs USING (fp)), per AS (SELECT doc_id, count(*) AS n_fps, sum(ind)::BIGINT AS n_shared, ${Stable.sqlAvgRounded("ind", 4)} AS dup_span_frac FROM j GROUP BY doc_id) SELECT w.doc_id, coalesce(p.n_fps, 0)::BIGINT AS n_fps, coalesce(p.n_shared, 0)::BIGINT AS n_shared, coalesce(p.dup_span_frac, 0.0) AS dup_span_frac FROM wn w LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
+    // the same 4-nibble draw the mix_sources oracle uses; cut arithmetic
+    // mirrors Spark's double fold (integer draws never land on the 1e-10
+    // cut differences, so 0.8/0.9 literals are safe)
+    "sample_hash_split" -> {
+      val draw = (1 to 4).map(j =>
+        s"((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+        .mkString("(", " + ", ")")
+      s"""SELECT doc_id, source, CASE WHEN $draw < 0.8 * 65536 THEN 'train' WHEN $draw < 0.9 * 65536 THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id"""
+    },
     "text_quality_band" -> {
       val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
       val punctR = Stable.sqlRatioRounded("punct", "ln", 4)

@@ -327,4 +327,45 @@ class TextDedupSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
   }
+
+  test("text_dup_spans matches a brute-force fingerprint df count") {
+    val rows = run("text_dup_spans").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // brute force: per-doc fingerprint sets straight from the kernel
+    val fps = Tables.documents(spark, sfDir).select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowFingerprints(col("text"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val dfCount = fps.values.toSeq.flatMap(_.toSeq).groupBy(x => x)
+      .map { case (k, v) => k -> v.size }
+    assert(rows.keySet == fps.keySet, "every doc must surface, even unfingerprintable ones")
+    fps.foreach { case (id, set) =>
+      val (nFps, nShared, frac) = rows(id)
+      assert(nFps == set.size)
+      assert(nShared == set.count(dfCount(_) >= 2))
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (nFps > 0)
+        assert(math.abs(frac - nShared.toDouble / nFps) < 1e-4)
+      else assert(frac == 0.0)
+    }
+    // the corpus plants near-dups: some doc must show real span sharing
+    assert(rows.values.exists(_._3 > 0.5), "planted near-dups should share spans")
+  }
+
+  test("sample_hash_split: stable under corpus growth, rates near weights") {
+    val full = run("sample_hash_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // stability: the same doc keeps its split when computed over a subset
+    import graft.operators.TextOps.hashSplit
+    val subset = hashSplit(
+      Tables.documents(spark, sfDir).select("doc_id", "source")
+        .filter(col("doc_id") % 3 === 0),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id flipped split") }
+    // rates: a uniform draw at n=500 stays within generous binomial bounds
+    val n = full.size.toDouble
+    val trainFrac = full.values.count(_ == "train") / n
+    assert(math.abs(trainFrac - 0.8) < 0.08, s"train fraction $trainFrac")
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
