@@ -41,14 +41,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the query set (local
+    // iteration on one hot query); unset = full suite (driver mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { n => // warm-up pass (not timed)
       try runOnce(n)
       catch { case NonFatal(e) => System.err.println(s"bench warmup: $n failed: $e") }
     }
     // 5 rounds: host contention windows last long enough to poison two
     // rounds' visits to the same query; median-of-5 tolerates that
-    val passes = 5
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(5)
     val times = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
     // rotate the visit order each round: the host's contention is roughly
     // periodic at about one round's duration, so a FIXED order aliases
@@ -121,6 +126,19 @@ object Bench {
       .map { case (h, f) => line(h, f) }
       .find(_.length <= 1875)
       .getOrElse(lineCompact())
+    // Sidecar with FULL precision and every per-pass sample (pass order
+    // is newest-first: times were prepended). The stdout line is budgeted
+    // against a bounded tail window; this file is where per-query values
+    // are never lost and per-pass outliers stay diagnosable.
+    val sidecar = names.map { n =>
+      val ts = times(n).map(t => fmt(t, 3)).mkString("[", ",", "]")
+      s"""  "$n": {"median": ${fmt(results.toMap.apply(n), 3)}, "passes": $ts}"""
+    }.mkString("{\n", ",\n", ",\n") +
+      s"""  "_total": ${fmt(total, 3)}, "_sf": "$sfDir", "_failed": $failedJson\n}\n"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      sidecar.getBytes("UTF-8"))
+    catch { case NonFatal(e) => System.err.println(s"bench sidecar write failed: $e") }
     println(out)
     spark.stop()
   }

@@ -28,9 +28,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each invocation first sweeps checkpoint blocks the PREVIOUS query
+    * registered in [[CacheScope]] — by construction the previous result
+    * has been consumed by then, so this bounds cached-block growth to one
+    * invocation's worth across a long session (see CacheScope docs).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    families.iterator.map(_._1).reduce(_ ++ _)
+    families.iterator.map(_._1).reduce(_ ++ _).map { case (name, f) =>
+      name -> ((s: SparkSession, d: String) => { CacheScope.sweep(); f(s, d) })
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.{AnalysisException, Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 
 /** Column-API and SQL surface for graft's native expressions.
   *
@@ -14,31 +15,81 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   * typed helpers below.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.{litInt, litString, requireArity}
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("md5_prefix_long"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
-      (children: Seq[Expression]) => Md5PrefixLong(
-        children.head,
-        children(1).eval().asInstanceOf[Number].intValue(),
-        String.valueOf(children(2).eval()))))
+      (children: Seq[Expression]) => {
+        requireArity("md5_prefix_long", children, 3)
+        Md5PrefixLong(children.head,
+          litInt("md5_prefix_long", children, 1, "offset"),
+          litString("md5_prefix_long", children, 2, "seed"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
-      (children: Seq[Expression]) => WordNgrams(
-        children.head,
-        children(1).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        requireArity("word_ngrams", children, 2)
+        WordNgrams(children.head, litInt("word_ngrams", children, 1, "n"))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        requireArity("array_dot", children, 2)
+        ArrayDot(children.head, children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
-      (children: Seq[Expression]) => WinnowFingerprints(
-        children.head,
-        children(1).eval().asInstanceOf[Number].intValue(),
-        children(2).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        requireArity("winnow_fingerprints", children, 3)
+        WinnowFingerprints(children.head,
+          litInt("winnow_fingerprints", children, 1, "k"),
+          litInt("winnow_fingerprints", children, 2, "w"))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** SQL-surface argument validation: the registry builders eval literal
+    * parameters at PLAN BUILD time, so a wrong arity / non-literal / wrong
+    * type must surface as a clear AnalysisException (Spark's own error
+    * classes), not an IndexOutOfBounds or ClassCastException.
+    */
+  private def requireArity(fn: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> s"`$fn`", "expectedNum" -> n.toString,
+        "actualNum" -> children.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  private def nonFoldable(fn: String, name: String, tpe: String): AnalysisException =
+    new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+      "funcName" -> s"`$fn`", "paramName" -> s"`$name`", "paramType" -> tpe))
+
+  private def litInt(fn: String, children: Seq[Expression], i: Int, name: String): Int = {
+    val e = children(i)
+    val integral = e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!e.foldable || !integral) throw nonFoldable(fn, name, "\"INT\"")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case _ => throw nonFoldable(fn, name, "\"INT\"") // NULL literal
+    }
+  }
+
+  private def litString(fn: String, children: Seq[Expression], i: Int, name: String): String = {
+    val e = children(i)
+    if (!e.foldable || e.dataType != StringType) throw nonFoldable(fn, name, "\"STRING\"")
+    e.eval() match {
+      case null => throw nonFoldable(fn, name, "\"STRING\"")
+      case v => v.toString
+    }
   }
 }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -253,9 +254,10 @@ object Dedup {
     // materialize the (possibly expensive) edge derivation ONCE — every
     // propagation round joins e, and without this the whole upstream
     // pipeline (e.g. minhash candidate generation) re-executes per round
-    val e = edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
-      .unionByName(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
-      .localCheckpoint(true)
+    val e = CacheScope.register(
+      edges.select(col(aCol).as("_src"), col(bCol).as("_dst"))
+        .unionByName(edges.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+        .localCheckpoint(true))
     // seed from nodes UNION edge endpoints: an endpoint missing from
     // `nodes` would otherwise appear mid-loop, be invisible to the
     // inner-join convergence check, and silently split its component
@@ -301,6 +303,9 @@ object Dedup {
       it += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    // the returned plan reads the final snapshot's blocks — free them when
+    // the NEXT query starts (the caller has consumed this result by then)
+    CacheScope.register(snapshot)
     labels
   }
 
@@ -346,7 +351,8 @@ object Dedup {
     // the pair generation.
     "dedup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val reps = representatives(docs, "doc_id", "text").localCheckpoint(true)
+      val reps = CacheScope.register(
+        representatives(docs, "doc_id", "text").localCheckpoint(true))
       val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .select("id_a", "id_b")
@@ -359,7 +365,8 @@ object Dedup {
     // count riding along). Output = the clean corpus.
     "dedup_pipeline_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val reps = representatives(docs, "doc_id", "text").localCheckpoint(true)
+      val reps = CacheScope.register(
+        representatives(docs, "doc_id", "text").localCheckpoint(true))
       val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .select("id_a", "id_b")

@@ -105,7 +105,15 @@ object Etl {
     * previous current row.
     */
   def scd2(changes: DataFrame, key: String, version: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(version).asc)
+    // lead() needs a TOTAL order: duplicate (key, version) pairs would make
+    // valid_to nondeterministic across runs/engines, so the remaining
+    // columns break ties whole-row-lexicographically (same device as
+    // mergeUpsert). Under the normal CDC contract — unique (key, version)
+    // — the tiebreak never engages and the plan cost is unchanged (the
+    // extra sort keys ride the same window Exchange).
+    val rest = changes.columns.filter(c => c != key && c != version)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(version).asc +: rest.map(col(_).asc): _*)
     changes.withColumn("valid_to", lead(col(version), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }

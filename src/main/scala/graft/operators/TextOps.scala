@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -335,7 +336,9 @@ object TextOps {
     // real deployment uses: scores are narrow, text never rides along.
     // (sf0.1: 1.42 s -> single-pass scoring, the duplicated regex work was
     // the whole gap to the DuckDB bar.)
-    val scored = df.localCheckpoint(true)
+    // registered, not leaked: the returned plan reads these blocks, so the
+    // sweep at the NEXT query invocation frees them (CacheScope contract)
+    val scored = CacheScope.register(df.localCheckpoint(true))
     val hist = scored.groupBy(col(scoreCol).as("_s")).agg(count(lit(1)).as("_c"))
     val ws = Window.orderBy(col("_s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -88,6 +88,23 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("etl_scd2: duplicate (key, version) rows order deterministically") {
+    val s = spark
+    import s.implicits._
+    // two rows tie on (k, version) — the whole-row tiebreak (payload asc)
+    // must pin which one the interval chain visits first, every run
+    val changes = Seq((1L, "b", 5L), (1L, "a", 5L), (1L, "c", 9L))
+      .toDF("k", "v", "version")
+    val expect = Seq(("a", 5L, Some(5L)), ("b", 5L, Some(9L)), ("c", 9L, None))
+    (1 to 3).foreach { _ =>
+      val got = Etl.scd2(changes, "k", "version")
+        .select("v", "version", "valid_to").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(t => (t._1, t._2))
+      assert(got.toSeq === expect)
+    }
+  }
+
   test("events_funnel: strict stage order, same-instant does not advance") {
     val s = spark
     import s.implicits._

@@ -94,4 +94,33 @@ class ExpressionSpec extends SparkSpec {
     val rows = df.select(md5PrefixLong(col("s"), 0, "")).collect()
     assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
   }
+
+  test("SQL registration rejects bad arity / non-literal / wrong-type args") {
+    import org.apache.spark.sql.AnalysisException
+    // wrong arity -> WRONG_NUM_ARGS, not IndexOutOfBounds
+    val arity = intercept[AnalysisException] {
+      spark.sql("SELECT winnow_fingerprints('abc', 4)").collect()
+    }
+    assert(arity.getCondition != null && arity.getCondition.startsWith("WRONG_NUM_ARGS"))
+    // non-literal k -> NON_FOLDABLE_ARGUMENT, not ClassCastException
+    val nonLit = intercept[AnalysisException] {
+      spark.sql("SELECT winnow_fingerprints(s, length(s), 4) FROM (SELECT 'ab' s)").collect()
+    }
+    assert(nonLit.getCondition == "NON_FOLDABLE_ARGUMENT")
+    // string literal where an int is required
+    val wrongType = intercept[AnalysisException] {
+      spark.sql("SELECT winnow_fingerprints('abc', 'k', 4)").collect()
+    }
+    assert(wrongType.getCondition == "NON_FOLDABLE_ARGUMENT")
+    // word_ngrams / md5_prefix_long share the same validation path
+    val wn = intercept[AnalysisException] { spark.sql("SELECT word_ngrams('a b')").collect() }
+    assert(wn.getCondition.startsWith("WRONG_NUM_ARGS"))
+    val seed = intercept[AnalysisException] {
+      spark.sql("SELECT md5_prefix_long('a', 0, 7)").collect()
+    }
+    assert(seed.getCondition == "NON_FOLDABLE_ARGUMENT")
+    // valid literal args still work through SQL after the checks
+    assert(spark.sql("SELECT winnow_fingerprints('abcdefgh', 4, 3) v")
+      .collect().head.getAs[scala.collection.Seq[Long]](0).nonEmpty)
+  }
 }
