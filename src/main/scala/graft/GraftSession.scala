@@ -28,6 +28,15 @@ object GraftSession {
       // PER EXECUTION (dedup_embedding 7.2s -> 1.9s warm). Static conf —
       // must be set before the first session is created.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // ObjectHashAggregate (collect_set/collect_list/percentile/sketches)
+      // falls back to SORT-BASED aggregation once its hash map passes this
+      // row count — default 128(!), so any real-cardinality group-by with a
+      // collection aggregate silently becomes a per-partition full sort
+      // (etl_dedup_merge: 150k groups → 1.4s of sort, 3.7× the oracle).
+      // 128k entries of small agg buffers fit comfortably in a task's heap
+      // share at 128MB-bounded input splits; beyond that the sort fallback
+      // still protects memory — same safety story, sane trigger point.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

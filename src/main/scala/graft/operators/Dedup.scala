@@ -269,11 +269,12 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      // TWO propagation steps per materialised round: checkpoint + count
-      // are per-round fixed costs (each is a job launch — the dominant
-      // cost of shallow components in local mode, and a scheduling
-      // round-trip on a cluster), so covering distance 2 per round halves
-      // them; the extra join/agg pair rides inside the same plan.
+      // TWO propagation steps per materialised round: the checkpoint is a
+      // per-round fixed cost (a job launch — the dominant cost of shallow
+      // components in local mode, and a scheduling round-trip on a
+      // cluster), so covering distance 2 per round halves them; the extra
+      // join/agg pair rides inside the same plan, and the convergence
+      // count rides the checkpoint job itself (observe() below).
       val msgs1 = e.join(labels, e("_src") === labels(id))
         .select(col("_dst").as(id), col("cluster"), lit(0).as("_self"))
       // the node's OWN previous label rides through the same aggregation
@@ -290,11 +291,18 @@ object Dedup {
       val msgs2 = e.join(mid.select(col(id), col("cluster")), e("_src") === col(id))
         .select(col("_dst").as(id), col("cluster"),
           col("cluster").as("_prev"), lit(0).as("_self"))
+      // the convergence count rides the SAME job as the checkpoint
+      // materialization via observe() metrics (CollectMetrics passes rows
+      // through; the checkpoint action fires the listener that fills the
+      // Observation) — the old shape paid a second job launch per round
+      // just to count a cached DataFrame
+      val obs = org.apache.spark.sql.Observation()
       val next = mid.withColumn("_self", lit(1)).unionByName(msgs2)
         .groupBy(col(id)).agg(min(col("cluster")).as("cluster"),
           max(when(col("_self") === 1, col("_prev"))).as("_prev"))
+        .observe(obs, count(when(col("cluster") =!= col("_prev"), lit(1))).as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("cluster") =!= col("_prev")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       // unpersist the CHECKPOINTED df (labels is a projection over it —
       // unpersisting the projection would leak one snapshot per round)
       snapshot.unpersist()

@@ -152,7 +152,9 @@ object Events {
     * the right primitives at 100 TB where exact percentiles would sort the
     * world. Sketches are implementation-specific, so this op has NO SQL
     * oracle (driver records a rows-only check); the spec bounds the
-    * approximations against exact values instead.
+    * approximations against exact values instead, and the exact half of
+    * the monitoring surface (count/extrema) is the oracle-checked
+    * `events_exact_stats` query.
     */
   def approxStats(df: DataFrame, key: String, member: String, v: String): DataFrame =
     df.groupBy(col(key))
@@ -293,6 +295,19 @@ object Events {
       approxStats(Tables.events(s, d), "event_type", "user_id", "value")
         .orderBy("event_type")),
 
+    // the EXACT half of the monitoring stats (count / extrema per type) —
+    // oracle-checked, so only approxStats' sketch columns stay spec-bounded.
+    // min/max/count are order-free (no summation portability hazards) and
+    // map-side combinable: one hash agg, one narrow shuffle at any scale.
+    "events_exact_stats" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("event_type")),
+
     "events_distinct_users" -> ((s, d) =>
       distinctCountPerKey(Tables.events(s, d), "event_type", "user_id", "n_users")
         .orderBy("event_type")),
@@ -374,6 +389,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_exact_stats" ->
+      """SELECT event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value, min(ts) AS min_ts, max(ts) AS max_ts FROM events GROUP BY event_type ORDER BY event_type""",
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type""",
     "events_recent" ->

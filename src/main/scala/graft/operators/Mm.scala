@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -118,6 +118,82 @@ object Mm {
         expr(s"CAST(floor((fi * bytes) / frames) AS INT)").cast("bigint").as("frame_off"),
         expr(s"md5(substring(blob, CAST(floor((fi * bytes) / frames) AS INT) + 1, $frameBytes))").as("frame_md5"))
 
+  /** Deterministic synthetic media payloads with REAL container headers:
+    * doc_id % 3 picks PNG (signature + IHDR, dims big-endian at the spec
+    * offsets), JPEG (SOI, then APP0 and COM segments whose lengths VARY
+    * with doc_id — so a parser must actually walk the segment chain — then
+    * a baseline SOF0 with the dims), or the raw text bytes (no container).
+    * Dims derive from doc_id, giving [[decodeImageMeta]] a ground truth an
+    * oracle can state independently of the parse.
+    */
+  def synthesizeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = (id % 900 + 100).cast("int")
+    val h = ((id * 3) % 900 + 100).cast("int")
+    val hexText = hex(col(textCol).cast("binary"))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig + IHDR len + "IHDR"
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0806000000"), // bit depth 8, color type 6 (RGBA), std flags
+      hexText)
+    val zeros = lit("0" * 16)
+    val appPad = (id % 6 + 1).cast("int") // APP0 payload varies 1..6 bytes
+    val app0 = concat(lit("FFE0"), lpad(hex(appPad + 2), 4, "0"),
+      substr(zeros, lit(1), appPad * 2))
+    val comPad = (id % 4 + 1).cast("int") // COM payload varies 1..4 bytes
+    val com = concat(lit("FFFE"), lpad(hex(comPad + 2), 4, "0"),
+      substr(zeros, lit(1), comPad * 2))
+    val sof = concat(lit("FFC0" + "0011" + "08"), // SOF0, len 17, precision 8
+      lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lit("03" + "011100" + "021101" + "031101")) // 3 components
+    val jpegHex = concat(lit("FFD8"), app0, com, sof, hexText)
+    df.select(id.cast("bigint").as("doc_id"),
+      unhex(when(id % 3 === 0, pngHex)
+        .when(id % 3 === 1, jpegHex)
+        .otherwise(hexText)).as("blob"))
+  }
+
+  /** Image header decode from the actual container structure — no codec
+    * libraries, pure codegen expressions over the hex image of the first
+    * `headBytes` payload bytes:
+    *
+    *  - PNG: the 8-byte signature, then IHDR (REQUIRED first chunk per the
+    *    spec, so its offset is fixed): width/height are the two big-endian
+    *    u32s at bytes 17-24.
+    *  - JPEG: SOI (FFD8), then a WALK of the segment chain — each segment
+    *    is FF-marker + u16 length (inclusive of itself) — until the first
+    *    baseline/extended/progressive SOF marker (FFC0/C1/C2), whose
+    *    payload is [len][precision][height u16][width u16]. Bounded at
+    *    `maxSegs` hops and `headBytes` bytes: enough for JFIF headers;
+    *    EXIF blobs with kilobytes of APPn data need the bounds raised —
+    *    a documented constant, not a structural limit.
+    *  - anything else: format 'unknown', null dims.
+    */
+  def decodeImageMeta(blobs: DataFrame, maxSegs: Int = 6,
+                      headBytes: Int = 512): DataFrame = {
+    val hx = hex(substring(col("blob"), 1, headBytes))
+    val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A" &&
+      substring(hx, 25, 8) === "49484452"
+    val pw = conv(substring(hx, 33, 8), 16, 10).cast("long")
+    val ph = conv(substring(hx, 41, 8), 16, 10).cast("long")
+    val isJpeg = substring(hx, 1, 4) === "FFD8"
+    // segment-start hex positions: p0 = 5 (after SOI), then
+    // p += 2*(2 + seglen) — marker plus the length-inclusive payload
+    def seglen(p: Column): Column = conv(substr(hx, p + 4, lit(4)), 16, 10).cast("long")
+    val positions = Seq.iterate(lit(5L).cast("long"): Column, maxSegs)(
+      p => p + 4L + seglen(p) * 2L)
+    def sofAt(p: Column): Column = substr(hx, p, lit(4)).isin("FFC0", "FFC1", "FFC2")
+    val sofPos = coalesce(positions.map(p => when(sofAt(p), p)): _*)
+    val jh = conv(substr(hx, sofPos + 10L, lit(4)), 16, 10).cast("long")
+    val jw = conv(substr(hx, sofPos + 14L, lit(4)), 16, 10).cast("long")
+    val fmt = when(isPng, lit("png"))
+      .when(isJpeg && sofPos.isNotNull, lit("jpeg"))
+      .otherwise(lit("unknown"))
+    blobs.select(col("doc_id"), fmt.as("format"),
+      when(isPng, pw).when(isJpeg, jw).as("width"),
+      when(isPng, ph).when(isJpeg, jh).as("height"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -133,7 +209,17 @@ object Mm {
 
     "mm_frames" -> ((s, d) =>
       frameSamples(withBlob(Tables.documents(s, d), "doc_id", "text"), frameBytes = 16)
-        .orderBy("doc_id", "fi"))
+        .orderBy("doc_id", "fi")),
+
+    // real header decode: blobs synthesized with actual PNG/JPEG container
+    // structure (dims encoded at spec offsets, variable-length JPEG
+    // segments), parsed back by structure. The oracle states the GROUND
+    // TRUTH the headers encode — the query must construct valid containers
+    // AND parse them to match; MmSpec anchors the parser against fixed
+    // real-file header bytes so construction and parse can't share a bug.
+    "mm_decode_meta" -> ((s, d) =>
+      decodeImageMeta(synthesizeMedia(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +232,10 @@ object Mm {
     "mm_chunks" ->
       """WITH c AS (SELECT doc_id, unnest(range(0, ((length(text) + 63) // 64)::INT)) AS ci, text FROM documents) SELECT doc_id, ci::BIGINT AS ci, length(substr(text, (ci * 64 + 1)::INT, 64))::BIGINT AS chunk_bytes, md5(substr(text, (ci * 64 + 1)::INT, 64)) AS chunk_md5 FROM c ORDER BY doc_id, ci""",
     "mm_frames" ->
-      """WITH b AS (SELECT doc_id, length(text) AS bytes, 1 + length(text) % 8 AS frames, text FROM documents), f AS (SELECT doc_id, bytes, frames, text, unnest(range(0, frames::INT)) AS fi FROM b) SELECT doc_id, fi::BIGINT AS fi, floor((fi * bytes) / frames)::BIGINT AS frame_off, md5(substr(text, floor((fi * bytes) / frames)::INT + 1, 16)) AS frame_md5 FROM f ORDER BY doc_id, fi"""
+      """WITH b AS (SELECT doc_id, length(text) AS bytes, 1 + length(text) % 8 AS frames, text FROM documents), f AS (SELECT doc_id, bytes, frames, text, unnest(range(0, frames::INT)) AS fi FROM b) SELECT doc_id, fi::BIGINT AS fi, floor((fi * bytes) / frames)::BIGINT AS frame_off, md5(substr(text, floor((fi * bytes) / frames)::INT + 1, 16)) AS frame_md5 FROM f ORDER BY doc_id, fi""",
+    // ground truth of the synthesized headers: dims derive from doc_id for
+    // the png/jpeg thirds; raw-text blobs carry no container
+    "mm_decode_meta" ->
+      """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id"""
   )
 }

@@ -251,17 +251,56 @@ object Similarity {
 
   /** Product-quantization codebooks: the vector space is split into `m`
     * `subDims`-wide subspaces and each gets its own `ks`-centroid k-means
-    * codebook ([[kmeansCentroids]] on the sub-vectors — the same
-    * engine-portable Lloyd arithmetic, so the oracle can replay training).
-    * Codebooks are metadata: m × ks × subDims doubles (8×16×8 = 1 KB here),
-    * broadcast as literals everywhere they're used.
+    * codebook. Codebooks are metadata: m × ks × subDims doubles
+    * (8×16×8 = 1 KB here), broadcast as literals everywhere they're used.
+    *
+    * All m subspaces train TOGETHER, one corpus pass per Lloyd iteration:
+    * a single projection assigns every row its nearest code in every
+    * subspace (argmin over that subspace's literal centroids — the
+    * [[ivfAssign]] sort-key arithmetic per subspace), one explode emits
+    * (subspace, cid, pos, element) and ONE hash-agg sums the exact
+    * 1e-6-quantized elements. The per-subspace-loop shape ran m separate
+    * k-means jobs that each re-scanned the corpus — 8× the index-build
+    * scans for identical output (same IEEE op sequence element-wise, so
+    * the unrolled per-subspace oracle CTEs replay this training
+    * unchanged).
     */
   def pqCodebooks(nrm: DataFrame, id: String, m: Int, subDims: Int,
-                  ks: Int, iters: Int): Seq[Seq[(Any, Seq[Double])]] =
-    (0 until m).map { s =>
-      val sub = nrm.select(col(id), slice(col("ne"), s * subDims + 1, subDims).as("ne"))
-      kmeansCentroids(sub, id, ks, iters)
+                  ks: Int, iters: Int): Seq[Seq[(Any, Seq[Double])]] = {
+    // init: per subspace, the ks lowest-id vectors' sub-slices (cid = id)
+    val seed = nrm.filter(col(id) < ks).select(col(id), col("ne")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    var cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
+      seed.map { case (cid, v) => (cid, v.slice(s * subDims, (s + 1) * subDims)) }
     }
+    for (_ <- 0 until iters) {
+      val subCols = (0 until m).map { s =>
+        val sub = slice(col("ne"), s * subDims + 1, subDims)
+        val scored = cbs(s).map { case (cid, ce) =>
+          val score = dotD(sub, array(ce.map(lit): _*)) - lit(ce.map(x => x * x).sum / 2)
+          struct((lit(2.0) - score).as("k"), lit(cid).as("cid"))
+        }
+        struct(lit(s).as("s"),
+          array_sort(array(scored: _*))(0)("cid").as("cid"), sub.as("sub"))
+      }
+      val sums = nrm.select(explode(array(subCols: _*)).as("sc"))
+        .select(col("sc.s").as("s"), col("sc.cid").as("cid"),
+          posexplode(col("sc.sub")).as(Seq("pos", "x")))
+        .withColumn("sx", floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long"))
+        .groupBy("s", "cid", "pos")
+        .agg(sum("sx").as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val fresh: Map[(Int, Long), Seq[Double]] =
+        sums.groupBy(r => (r.getInt(0), r.getLong(1))).map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).toSeq
+            .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5) / 1000000.0)
+        }
+      cbs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.map { case (cid, old) => (cid, fresh.getOrElse((s, cid), old)) }
+      }
+    }
+    cbs.map(_.map { case (cid, ce) => (cid: Any, ce) })
+  }
 
   /** PQ-ANN with asymmetric distance (ADC) and exact re-rank — the
     * memory-compression scale path: each corpus vector is stored as `m`

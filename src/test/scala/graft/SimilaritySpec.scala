@@ -108,6 +108,47 @@ class SimilaritySpec extends SparkSpec {
     assert(typed.sameElements(exprd))
   }
 
+  test("mm decodeImageMeta parses REAL file header bytes (fixture anchor)") {
+    import graft.operators.Mm
+    val s = spark
+    import s.implicits._
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical 1x1 RGBA PNG header (genuine signature, IHDR and its CRC)
+    val png1x1 = "89504E470D0A1A0A0000000D4948445200000001000000010806000000" +
+      "1F15C489"
+    // structurally real JFIF JPEG: SOI, the standard 16-byte APP0, a DQT
+    // segment (len 0x43 as written by libjpeg), then SOF0 240x320 — the
+    // parser must hop two variable-length segments to reach the dims
+    val jpeg320x240 = "FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
+      "FFDB" + "0043" + ("00" * 65) +
+      "FFC0" + "0011" + "08" + "00F0" + "0140" + "03" + "011100021101031101"
+    val df = Seq((0L, bytes(png1x1)), (1L, bytes(jpeg320x240)),
+      (2L, bytes("48656C6C6F"))).toDF("doc_id", "blob")
+    val out = Mm.decodeImageMeta(df).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "png" && out(0).getLong(2) == 1L && out(0).getLong(3) == 1L)
+    assert(out(1).getString(1) == "jpeg" && out(1).getLong(2) == 320L && out(1).getLong(3) == 240L)
+    assert(out(2).getString(1) == "unknown" && out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("mm_decode_meta: synthesized containers round-trip their dims") {
+    val rows = run("mm_decode_meta").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      id % 3 match {
+        case 0 =>
+          assert(r.getString(1) == "png")
+          assert(r.getLong(2) == id % 900 + 100 && r.getLong(3) == (id * 3) % 900 + 100)
+        case 1 =>
+          assert(r.getString(1) == "jpeg")
+          assert(r.getLong(2) == id % 900 + 100 && r.getLong(3) == (id * 3) % 900 + 100)
+        case _ =>
+          assert(r.getString(1) == "unknown" && r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+  }
+
   test("mm_meta plumbing: sizes, hashes and stub decode are consistent") {
     val rows = run("mm_meta").collect()
     assert(rows.nonEmpty)
