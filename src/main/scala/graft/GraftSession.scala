@@ -29,14 +29,13 @@ object GraftSession {
       // must be set before the first session is created.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       // ObjectHashAggregate (collect_set/collect_list/percentile/sketches)
-      // falls back to SORT-BASED aggregation once its hash map passes this
-      // row count — default 128(!), so any real-cardinality group-by with a
-      // collection aggregate silently becomes a per-partition full sort
-      // (etl_dedup_merge: 150k groups → 1.4s of sort, 3.7× the oracle).
-      // 128k entries of small agg buffers fit comfortably in a task's heap
-      // share at 128MB-bounded input splits; beyond that the sort fallback
-      // still protects memory — same safety story, sane trigger point.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // falls back to SORT-BASED aggregation once its hash map passes 128
+      // rows. MEASURED at sf0.1 (etl_dedup_merge, 150k groups of
+      // min(struct)+collect_set): raising the threshold to 128k made the
+      // query 1.6x SLOWER (1.02s -> 1.63s median-of-5) — a hash map of
+      // 150k object agg buffers loses to the Tungsten binary sort on
+      // locality and GC. The conservative default stays; if anything, the
+      // sort fallback IS the scale path here.
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.{logical => logical}
+import org.apache.spark.sql.graftbridge.GraftBridge
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,6 +30,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Every registered query ends in a total-order `orderBy` so the dumped
+    * result is deterministic row-for-row. A GLOBAL sort plans as a range
+    * exchange, which costs an extra job (the range-bound sampling pass)
+    * per query — pure scheduling overhead for ANSWER-SIZED outputs (every
+    * result here is a final, consumer-facing result set, ≤ tens of
+    * thousands of rows). Rewriting the top-level Sort to a
+    * single-partition local sort produces the IDENTICAL row order (same
+    * keys, total order) with one plain exchange and no sampling job. Only
+    * the trailing presentation sort is touched: sorts feeding limits
+    * (TakeOrdered), windows, or anything below the root keep their
+    * scale-right shapes, and a cluster deployment sorting a LARGE output
+    * would keep the range sort (this is the materialize-the-answer path).
+    */
+  private def answerSort(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case s @ logical.Sort(_, true, child, _) =>
+        GraftBridge.ofRows(df.sparkSession,
+          s.copy(global = false, child = logical.Repartition(1, shuffle = true, child)))
+      case _ => df
+    }
+
   /** One entry per implemented operator from SURVEY.md §2.
     *
     * Each invocation first sweeps checkpoint blocks the PREVIOUS query
@@ -37,7 +60,9 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.iterator.map(_._1).reduce(_ ++ _).map { case (name, f) =>
-      name -> ((s: SparkSession, d: String) => { CacheScope.sweep(); f(s, d) })
+      name -> ((s: SparkSession, d: String) => {
+        CacheScope.sweep(); answerSort(f(s, d))
+      })
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -130,7 +130,9 @@ object Mm {
     val id = col(idCol)
     val w = (id % 900 + 100).cast("int")
     val h = ((id * 3) % 900 + 100).cast("int")
-    val hexText = hex(col(textCol).cast("binary"))
+    // payload realism only needs SOME body bytes after the header — cap it
+    // so the synthetic-construction cost doesn't dwarf the parse under test
+    val hexText = hex(substring(col(textCol), 1, 256).cast("binary"))
     val pngHex = concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"), // sig + IHDR len + "IHDR"
       lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
@@ -171,25 +173,37 @@ object Mm {
     */
   def decodeImageMeta(blobs: DataFrame, maxSegs: Int = 6,
                       headBytes: Int = 512): DataFrame = {
-    val hx = hex(substring(col("blob"), 1, headBytes))
+    // Each walk step rides as a NAMED COLUMN, not a nested expression: a
+    // position expression references the previous one twice (base + length
+    // read), so inlining would double the tree per hop — 2^maxSegs copies
+    // of the substr/conv chain per row (measured 1.3s at sf0.1). Multi-use
+    // non-trivial aliases survive CollapseProject, so every step is
+    // evaluated exactly once per row.
+    val hx = col("_hx")
+    def seglen(p: Column): Column = conv(substr(hx, p + 4, lit(4)), 16, 10).cast("long")
+    def sofAt(p: Column): Column = substr(hx, p, lit(4)).isin("FFC0", "FFC1", "FFC2")
+    // segment-start hex positions: p0 = 5 (after SOI), then
+    // p += 2*(2 + seglen) — marker plus the length-inclusive payload
+    val walked = (1 until maxSegs).foldLeft(
+      blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes)))
+        .withColumn("_p0", lit(5L))) { (df, i) =>
+      df.withColumn(s"_p$i",
+        col(s"_p${i - 1}") + 4L + seglen(col(s"_p${i - 1}")) * 2L)
+    }
+    val sofPos = coalesce(
+      (0 until maxSegs).map(i => when(sofAt(col(s"_p$i")), col(s"_p$i"))): _*)
+    val staged = walked.withColumn("_sof", sofPos)
     val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A" &&
       substring(hx, 25, 8) === "49484452"
     val pw = conv(substring(hx, 33, 8), 16, 10).cast("long")
     val ph = conv(substring(hx, 41, 8), 16, 10).cast("long")
     val isJpeg = substring(hx, 1, 4) === "FFD8"
-    // segment-start hex positions: p0 = 5 (after SOI), then
-    // p += 2*(2 + seglen) — marker plus the length-inclusive payload
-    def seglen(p: Column): Column = conv(substr(hx, p + 4, lit(4)), 16, 10).cast("long")
-    val positions = Seq.iterate(lit(5L).cast("long"): Column, maxSegs)(
-      p => p + 4L + seglen(p) * 2L)
-    def sofAt(p: Column): Column = substr(hx, p, lit(4)).isin("FFC0", "FFC1", "FFC2")
-    val sofPos = coalesce(positions.map(p => when(sofAt(p), p)): _*)
-    val jh = conv(substr(hx, sofPos + 10L, lit(4)), 16, 10).cast("long")
-    val jw = conv(substr(hx, sofPos + 14L, lit(4)), 16, 10).cast("long")
+    val jh = conv(substr(hx, col("_sof") + 10L, lit(4)), 16, 10).cast("long")
+    val jw = conv(substr(hx, col("_sof") + 14L, lit(4)), 16, 10).cast("long")
     val fmt = when(isPng, lit("png"))
-      .when(isJpeg && sofPos.isNotNull, lit("jpeg"))
+      .when(isJpeg && col("_sof").isNotNull, lit("jpeg"))
       .otherwise(lit("unknown"))
-    blobs.select(col("doc_id"), fmt.as("format"),
+    staged.select(col("doc_id"), fmt.as("format"),
       when(isPng, pw).when(isJpeg, jw).as("width"),
       when(isPng, ph).when(isJpeg, jh).as("height"))
   }

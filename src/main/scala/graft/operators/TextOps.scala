@@ -463,15 +463,21 @@ object TextOps {
     // declarative plan; projections fuse, the only shuffle is the dedup
     // group-by. This is the shape of a real pre-training data pass.
     "text_pipeline_e2e" -> ((s, d) => {
-      val masked = piiMask(Tables.documents(s, d).select("doc_id", "text"), "text", "clean")
-        .select("doc_id", "clean")
-      // ws token count only — tokenCount's second (BPE-regex) count is the
+      // Gates run on the RAW text, the mask on the survivors: ws_tokens
+      // and lang_pred are invariant under the PII mask (the replacements
+      // are token-internal — whitespace is never created or destroyed, and
+      // a token carrying '<EMAIL>'/'<NUM>' can never equal a stopword), so
+      // gating first is the same pipeline with the expensive mask regexes
+      // run on the ~9% of docs that pass instead of the whole corpus.
+      // (Also ws-count only — tokenCount's second (BPE-regex) count is the
       // most expensive projection in that operator and nothing downstream
-      // reads it; a gate should compute exactly what it filters on
-      val counted = masked.withColumn("ws_tokens",
-        size(tokens(col("clean"))).cast("bigint"))
-      val gated = langId(counted, "clean")
-        .filter(col("ws_tokens") >= 20 && col("lang_pred") === "en")
+      // reads it; a gate should compute exactly what it filters on.)
+      val counted = Tables.documents(s, d).select("doc_id", "text")
+        .withColumn("ws_tokens", size(tokens(col("text"))).cast("bigint"))
+      val gated = piiMask(
+        langId(counted, "text")
+          .filter(col("ws_tokens") >= 20 && col("lang_pred") === "en"),
+        "text", "clean")
       // keep-first per content hash via a window, not groupBy+self-join:
       // one pass (the upstream mask/gate branch would otherwise be
       // recomputed on both sides of the join), one shuffle on the hash
@@ -553,7 +559,9 @@ object TextOps {
       val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
       raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents), q AS (SELECT doc_id, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM c), p AS (SELECT doc_id, quality_score, round(percent_rank() OVER (ORDER BY quality_score), 6) AS pr FROM q) SELECT doc_id, quality_score, pr FROM p WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id"""
     },
+    // mirrors the gate-before-mask shape: gates from the raw text, the
+    // mask applied only to gate survivors (same invariance argument)
     "text_pipeline_e2e" ->
-      raw"""WITH m AS (SELECT doc_id, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM documents), t AS (SELECT doc_id, clean, string_split_regex(trim(clean), '\s+') AS tk, string_split_regex(trim(lower(clean)), '\s+') AS lt FROM m), h AS (SELECT doc_id, clean, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, clean, tk FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), r AS (SELECT doc_id, clean, tk, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn FROM g) SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(clean)), '\s+'))), ' ')) AS fp, len(tk)::BIGINT AS n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
+      raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk, string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents), h AS (SELECT doc_id, text, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, text, len(tk)::BIGINT AS n_tokens FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), m AS (SELECT doc_id, n_tokens, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM g), r AS (SELECT doc_id, clean, n_tokens, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn FROM m) SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(clean)), '\s+'))), ' ')) AS fp, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
   )
 }

@@ -62,7 +62,8 @@ class SimilaritySpec extends SparkSpec {
     val ivfRecall = pairs("sim_ivf_ann").intersect(truth).size.toDouble / truth.size
     val pqRecall = pairs("sim_pq_ann").intersect(truth).size.toDouble / truth.size
     val ivfpqRecall = pairs("sim_ivfpq_ann").intersect(truth).size.toDouble / truth.size
-    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f pq=$pqRecall%.3f ivfpq=$ivfpqRecall%.3f over ${truth.size} truth pairs")
+    val resRecall = pairs("sim_ivfpq_res_ann").intersect(truth).size.toDouble / truth.size
+    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f pq=$pqRecall%.3f ivfpq=$ivfpqRecall%.3f ivfpq_res=$resRecall%.3f over ${truth.size} truth pairs")
     // lsh floor raised after the multi-probe lift (0.78 -> 1.00 measured)
     assert(lshRecall >= 0.9, f"lsh recall@5 $lshRecall%.3f below 0.9 floor")
     assert(ivfRecall >= 0.6, f"ivf recall@5 $ivfRecall%.3f below 0.6 floor")
@@ -71,6 +72,11 @@ class SimilaritySpec extends SparkSpec {
     // coverage; the exact re-rank recovers what the lists contain
     // (measured 0.90, == plain ivf)
     assert(ivfpqRecall >= 0.7, f"ivfpq recall@5 $ivfpqRecall%.3f below 0.7 floor")
+    // residual encoding spends the code budget on within-list variation —
+    // must at least match the raw-vector codes at the same budget
+    assert(resRecall >= ivfpqRecall - 1e-9,
+      f"residual ivfpq recall $resRecall%.3f fell below raw-code ivfpq $ivfpqRecall%.3f")
+    assert(resRecall >= 0.7, f"residual ivfpq recall@5 $resRecall%.3f below 0.7 floor")
   }
 
   test("sim_pq_ann: map-side shortlist pruning, ranks bounded, exact re-rank scores") {
