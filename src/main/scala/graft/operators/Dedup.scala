@@ -310,11 +310,106 @@ object Dedup {
       labels = next.select(col(id), col("cluster"))
       it += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIters rounds")
+    if (changed > 0) {
+      // Diameter exceeded the propagation budget — near-dup components are
+      // shallow by construction, so this is the PATHOLOGICAL-graph path
+      // (adversarial chains): switch to alternating-star contraction,
+      // which converges in O(log² n) rounds on ANY topology and reaches
+      // the same unique min-label fixpoint. Strictly better than the old
+      // honest-failure throw: still honest (same answer), never partial.
+      CacheScope.register(snapshot)
+      return connectedComponentsStar(nodes, id, edges, aCol, bCol)
+    }
     // the returned plan reads the final snapshot's blocks — free them when
     // the NEXT query starts (the caller has consumed this result by then)
     CacheScope.register(snapshot)
     labels
+  }
+
+  /** Connected components by ALTERNATING-STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round every node
+    * hooks its larger neighbors (large-star) / its not-larger neighbors
+    * (small-star) onto the minimum of its neighborhood, and the
+    * alternation contracts any graph — a DIAMETER-INDEPENDENT O(log² n)
+    * round bound where label propagation needs diameter rounds. The
+    * fixpoint is the star forest centered at each component's minimum
+    * node, i.e. the same unique labels propagation reaches.
+    *
+    * Per round: two hash-aggs + joins over the current edge set, one
+    * checkpoint; the edge set only shrinks toward the star forest.
+    * Convergence = the canonical edge set stops changing, detected by
+    * (count, order-free hash-sum) riding the checkpoint job as observe()
+    * metrics — no extra job; a (astronomically unlikely) hash collision
+    * could only DELAY convergence detection by a round, never corrupt the
+    * result, because equal signatures are re-checked on the next round's
+    * identical edge set.
+    */
+  def connectedComponentsStar(nodes: DataFrame, id: String, edges: DataFrame,
+                              aCol: String, bCol: String,
+                              maxRounds: Int = 40): DataFrame = {
+    // canonical undirected edges as (hi > lo); self-loops dropped
+    var e = CacheScope.register(
+      edges.select(greatest(col(aCol), col(bCol)).as("hi"),
+          least(col(aCol), col(bCol)).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct().localCheckpoint(true))
+    def bi(ed: DataFrame): DataFrame =
+      ed.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(ed.select(col("lo").as("u"), col("hi").as("v")))
+    // m(u) = min(Γ(u) ∪ {u}) per node of the CURRENT edge set
+    def mins(ed: DataFrame): DataFrame =
+      bi(ed).groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+    var sig: (Any, Any) = null
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: (v, m(u)) for v ∈ Γ(u), v > u — hooks large neighbors
+      val ls = bi(e).join(mins(e), "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star over the large-star output: (v, m(u)) for v ∈ Γ(u),
+      // v ≤ u, plus (u, m(u)) — hooks the small side onto the minimum
+      val sbi = bi(ls)
+      val smin = sbi.filter(col("v") <= col("u"))
+        .groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val ss = sbi.filter(col("v") <= col("u")).join(smin, "u")
+        .select(col("v").as("_x"), col("m"))
+        .unionByName(smin.select(col("u").as("_x"), col("m")))
+        .filter(col("_x") =!= col("m"))
+        .select(greatest(col("_x"), col("m")).as("hi"),
+          least(col("_x"), col("m")).as("lo"))
+        .distinct()
+      val obs = org.apache.spark.sql.Observation()
+      // decimal sum: a long sum of 64-bit hashes overflows under ANSI mode
+      val next = ss
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("hi"), col("lo")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("h"))
+        .localCheckpoint(true)
+      val nsig = (obs.get("n"), obs.get("h"))
+      converged = nsig == sig
+      sig = nsig
+      // superseded edge set frees NOW (double-unpersist via the registry
+      // sweep is a no-op for the round-0 input)
+      e.unpersist()
+      e = next
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $maxRounds rounds")
+    // the labels plan below reads the final edge set's blocks
+    CacheScope.register(e)
+    // star forest: leaves point at their component min; centers label self;
+    // isolated nodes (no edges at all) label self
+    val lbl = bi(e).groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      .select(col("u").as(id), least(col("u"), col("_mn")).as("cluster"))
+    nodes.select(col(id))
+      .unionByName(edges.select(col(aCol).as(id)))
+      .unionByName(edges.select(col(bCol).as(id)))
+      .distinct()
+      .join(lbl, Seq(id), "left")
+      .select(col(id), coalesce(col("cluster"), col(id)).as("cluster"))
   }
 
   /** Weighted deterministic source mixing — the "60% web, 30% code, 10%

@@ -290,6 +290,50 @@ class TextDedupSpec extends SparkSpec {
     comp.groupBy(_._2).foreach { case (c, members) => assert(members.keys.min == c) }
   }
 
+  test("star contraction: pathological chain beyond the propagation budget") {
+    val s = spark
+    import s.implicits._
+    // a 400-node path has diameter 399 — label propagation at 2 steps ×
+    // 20 rounds covers 40, so this graph forces the star-contraction
+    // fallback; star converges in O(log² n) rounds regardless of diameter
+    val n = 400
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val viaFallback = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback.size == n && viaFallback.values.forall(_ == 0L))
+    val direct = Dedup.connectedComponentsStar(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == viaFallback)
+  }
+
+  test("star contraction == union-find on random graphs (+ singletons, dup edges)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val m = 90 + trial * 30
+      val raw = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val edges = raw.toDF("a", "b")
+      val nodes = (0L until n.toLong).toDF("id")
+      // Scala union-find oracle with min-label normalization
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      raw.foreach { case (x, y) =>
+        val (rx, ry) = (find(x.toInt), find(y.toInt))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val expect = (0 until n).map { i =>
+        var r = find(i) // normalize to the component MIN: union by min above
+        i.toLong -> r.toLong
+      }.toMap
+      val got = Dedup.connectedComponentsStar(nodes, "id", edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial mismatch")
+    }
+  }
+
   test("dedup_pipeline_e2e keeps exactly the cluster minima") {
     val kept = run("dedup_pipeline_e2e").collect().map(_.getLong(0)).toSet
     val clusters = run("dedup_components").collect().map(_.getLong(1)).toSet
