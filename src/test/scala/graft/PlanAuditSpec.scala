@@ -77,4 +77,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(band.contains("BroadcastHashJoin") || band.contains("BroadcastExchange"),
       "quality band should broadcast the distinct-score rank table")
   }
+
+  test("NO query plans a range sort: answer sorts are single-partition local") {
+    // the trailing presentation orderBy must not cost a range-sampling
+    // job anywhere: SparkEntry rewrites every root Sort to repartition(1)
+    // + local sort, and nothing below a root should range-partition either
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = plan(run(q))
+      assert(!p.contains("rangepartitioning"),
+        s"$q plans a range sort:\n${p.take(1500)}")
+    }
+    // pagination keeps its real global-order semantics (TakeOrdered —
+    // per-partition heaps, not a full sort either)
+    val page = plan(run("q_orderby_page"))
+    assert(page.contains("TakeOrderedAndProject"), page.take(1500))
+  }
+
+  test("ANN re-rank joins broadcast the shortlist, never shuffle the corpus") {
+    Seq("sim_pq_ann", "sim_ivfpq_ann", "sim_ivfpq_res_ann", "sim_lsh_ann").foreach { q =>
+      val p = plan(run(q))
+      assert(!p.contains("SortMergeJoin"),
+        s"$q re-rank shuffles the corpus (SortMergeJoin):\n${p.take(1500)}")
+    }
+  }
+
+  test("mm_decode_meta is a pure projection: no joins, no shuffles") {
+    val p = plan(run("mm_decode_meta"))
+    assert(!p.contains("Join"), p.take(1500))
+    // the only exchange allowed is the answer-sort's single partition
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      p.take(1500))
+  }
 }
