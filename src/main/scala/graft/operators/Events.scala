@@ -162,6 +162,19 @@ object Events {
         percentile_approx(col(v), lit(0.5), lit(1000)).as("p50"),
         percentile_approx(col(v), lit(0.95), lit(1000)).as("p95"))
 
+  /** Fixed-bin value histogram per key — the monitoring-dashboard shape
+    * (and the right exact primitive at 100 TB: one map-side-combinable
+    * hash agg over |keys|×bins cells, counts are exact ints so there is
+    * nothing to approximate and nothing float-fragile). Out-of-range
+    * values clamp into the edge bins.
+    */
+  def histogram(df: DataFrame, key: String, v: String,
+                width: Double, bins: Int): DataFrame =
+    df.groupBy(col(key),
+        least(greatest(floor(col(v) / width), lit(0.0)), lit((bins - 1).toDouble))
+          .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** Z-score anomaly flagging: events whose value deviates more than
     * `zMax` sample standard deviations from their type's mean — the batch
     * form of the reference's threshold automations, with the threshold
@@ -385,10 +398,19 @@ object Events {
     "events_transitions" -> ((s, d) =>
       transitions(Tables.events(s, d), key = "user_id", typeCol = "event_type",
         tsCol = "ts", tiebreak = "event_id")
-        .orderBy("from_type", "to_type"))
+        .orderBy("from_type", "to_type")),
+
+    // per-type value histogram, 10 bins of width 50 (data spans 0..~500)
+    "events_histogram" -> ((s, d) =>
+      histogram(Tables.events(s, d).select("event_type", "value"),
+        key = "event_type", v = "value", width = 50.0, bins = 10)
+        .orderBy("event_type", "bin"))
   )
 
   val oracles: Map[String, String] = Map(
+    // floor(double/width) is the same IEEE op both engines; counts exact
+    "events_histogram" ->
+      """SELECT event_type, CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin, count(*) AS n FROM events GROUP BY event_type, bin ORDER BY event_type, bin""",
     "events_exact_stats" ->
       """SELECT event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value, min(ts) AS min_ts, max(ts) AS max_ts FROM events GROUP BY event_type ORDER BY event_type""",
     "events_distinct_users" ->

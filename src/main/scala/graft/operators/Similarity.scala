@@ -715,6 +715,32 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // The index-persistence lifecycle: the IVF-PQ list/code table is
+    // BUILT once, written as parquet (the durable index artifact a real
+    // deployment ships between jobs), READ BACK like any table, and
+    // queried — results identical to the in-session index, checked by the
+    // SAME oracle as sim_ivfpq_ann. The read-back scan prunes to the
+    // narrow code columns like any parquet source.
+    "sim_ivfpq_persisted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val nrm = normalized(e, "vec_id", "embedding")
+      val coarse = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
+        _ => kmeansCentroids(nrm, "vec_id", c = ivfC, iters = ivfIters))
+      val cbs = pqCache.computeIfAbsent(s"$d|$pqM|$pqKs|$pqIters",
+        _ => pqCodebooks(nrm, "vec_id", pqM, pqSubDims, pqKs, pqIters))
+      val path = "/tmp/graft_io/ivfpq_index/" +
+        s"$d|$ivfC|$pqM|$pqKs|$pqIters".replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(path).exists())
+        ivfPqCodesTable(nrm, "vec_id", coarse, cbs, pqSubDims)
+          .write.mode("overwrite").parquet(path)
+      simIvfPqAnn(e, "vec_id", "embedding", coarse, cbs,
+        queryPred = col("vec_id") < 10, nProbe = 2,
+        subDims = pqSubDims, shortlist = pqShort, k = 5,
+        prebuiltLists = Some(s.read.parquet(path)))
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_ivfpq_res_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val nrm = normalized(e, "vec_id", "embedding")
@@ -890,6 +916,8 @@ object Similarity {
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
     "sim_pq_ann" -> pqOracle,
     "sim_ivfpq_ann" -> ivfPqOracle,
+    // identical results to the in-session index — same oracle
+    "sim_ivfpq_persisted" -> ivfPqOracle,
     "sim_ivfpq_res_ann" -> resOracle,
     "sim_ivf_ann" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
