@@ -264,6 +264,35 @@ object TextOps {
       .filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Per-document lexical-diversity signals — the templated-text gates
+    * that need a frequency table rather than just counts: type-token
+    * ratio (distinct/total) and Simpson diversity (1 − Σp², the
+    * probability two random tokens differ). Both are RATIOS OF EXACT
+    * INTEGERS (n, distinct, Σc²), so they are engine-portable without any
+    * log/float hazards — deliberately chosen over Shannon entropy, whose
+    * log2 differs by ulps across libm implementations and can flip a
+    * rounding. Two hash aggs ((doc, token) then (doc)), both map-side
+    * combinable; docs with no tokens have no frequency table and surface
+    * with zeros via the left join-back.
+    */
+  def tokenDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("_t"))
+      .filter(col("_t") =!= "")
+      .groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("_c"))
+    val agg = tf.groupBy(col(idCol)).agg(
+      sum(col("_c")).as("n_tokens"),
+      count(lit(1)).as("distinct_tokens"),
+      sum(col("_c") * col("_c")).as("_sq"))
+    val n2 = col("n_tokens") * col("n_tokens")
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("distinct_tokens"), lit(0L)).as("distinct_tokens"),
+        coalesce(Stable.ratioRounded(col("distinct_tokens"), col("n_tokens"), 4),
+          lit(0.0)).as("ttr"),
+        coalesce(Stable.ratioRounded(n2 - col("_sq"), n2, 4), lit(0.0)).as("simpson"))
+  }
+
   /** Cross-document duplicated-span fraction: what share of each doc's
     * winnowing fingerprints also appear in at least one OTHER occurrence
     * across the corpus — the span-level (substring) duplication signal
@@ -449,6 +478,12 @@ object TextOps {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")),
 
+    // lexical diversity: TTR + Simpson over the per-doc token table
+    "text_diversity" -> ((s, d) =>
+      tokenDiversity(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
     // trim the quality tails: keep the p5-p95 band of quality_score
     "text_quality_band" -> ((s, d) =>
       qualityBand(
@@ -553,6 +588,13 @@ object TextOps {
         .mkString("(", " + ", ")")
       s"""SELECT doc_id, source, CASE WHEN $draw < 0.8 * 65536 THEN 'train' WHEN $draw < 0.9 * 65536 THEN 'val' ELSE 'test' END AS split FROM documents ORDER BY doc_id"""
     },
+    "text_diversity" -> {
+      val ttr = Stable.sqlRatioRounded("a.distinct_tokens", "a.n_tokens", 4)
+      val simpson = Stable.sqlRatioRounded(
+        "a.n_tokens * a.n_tokens - a.sq", "a.n_tokens * a.n_tokens", 4)
+      raw"""WITH tf AS (SELECT doc_id, t, count(*) AS c FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t FROM documents) u WHERE t != '' GROUP BY doc_id, t), a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS distinct_tokens, sum(c*c)::BIGINT AS sq FROM tf GROUP BY doc_id) SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.distinct_tokens, 0) AS distinct_tokens, coalesce($ttr, 0.0) AS ttr, coalesce($simpson, 0.0) AS simpson FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id"""
+    },
+
     "text_quality_band" -> {
       val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
       val punctR = Stable.sqlRatioRounded("punct", "ln", 4)

@@ -54,6 +54,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet file SINK: exactly-once append lands every row once") {
+    // rounds out the streaming I/O story: checkpointed file sink — the
+    // durable landing zone of a streaming ETL — replays must not
+    // duplicate rows (sink transaction log), and the landed table must
+    // equal the fed input exactly
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val outDir = "/tmp/graft_stream_sink/out"
+    val ckDir = "/tmp/graft_stream_sink/ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft_stream_sink"))
+    val input = MemoryStream[Reading]
+    val q = input.toDF().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val landed = s.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    assert(landed.length == eventRows.length) // every row exactly once
+    assert(landed.toSet ==
+      eventRows.map(r => (r.user_id, r.ts, r.event_id, r.value)).toSet)
+  }
+
   test("file streaming source: directory tail -> windowed agg matches batch") {
     val dir = "/tmp/graft_stream_in"
     val fs = new java.io.File(dir)
