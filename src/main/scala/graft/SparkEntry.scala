@@ -23,6 +23,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracles),
       (Similarity.queries, Similarity.oracles),
       (Mm.queries, Mm.oracles),
+      (Pipelines.queries, Pipelines.oracles),
       (graft.sources.Io.queries, graft.sources.Io.oracles)
     )
 

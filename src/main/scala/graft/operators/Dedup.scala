@@ -535,6 +535,23 @@ object Dedup {
   private val estExpr = "(" +
     (0 until 8).map(i => s"(a.mh$i = b.mh$i)::INT").mkString(" + ") + ")::DOUBLE / 8"
 
+  /** The full exact-dedup → minhash-pairs → components → keep-minima CTE
+    * chain over an arbitrary (doc_id, text) source relation, ending in a
+    * `keep(doc_id)` CTE — the reusable oracle image of the near-dedup
+    * stack for composed pipelines (the enclosing query must say WITH
+    * RECURSIVE). Identical fragments to the standalone dedup oracles.
+    */
+  private[operators] def sqlDedupKeepChain(src: String): String =
+    s"""reps AS (SELECT min(doc_id) AS doc_id, text FROM $src GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), keep AS (SELECT r.doc_id FROM reps r JOIN comp cpx ON r.doc_id = cpx.id WHERE cpx.cluster = r.doc_id)"""
+
+  /** 4-nibble md5 draw on [0, 65536) of an id expression — the oracle
+    * image of mixSources/hashSplit's deterministic RNG-free draw.
+    */
+  private[operators] def sqlDraw(idExpr: String): String =
+    (1 to 4).map(j =>
+      s"((strpos('0123456789abcdef', substr(md5(($idExpr)::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+      .mkString("(", " + ", ")")
+
   private val nibV = (1 to 8).map(j =>
     s"((strpos('0123456789abcdef', substr(md5(s), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))})")
     .mkString(" + ")

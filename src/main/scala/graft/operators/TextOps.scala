@@ -529,6 +529,18 @@ object TextOps {
   private val esIn = stopEs.map(w => s"'$w'").mkString(", ")
   private val frIn = stopFr.map(w => s"'$w'").mkString(", ")
 
+  /** Quality-score + percentile-band CTE chain over an arbitrary
+    * (doc_id, text) source, ending in `band(doc_id)` — the reusable
+    * oracle image of quality() + qualityBand() for composed pipelines.
+    * Same arithmetic as the standalone text_quality_band oracle.
+    */
+  private[operators] def sqlQualityBandCtes(src: String, lo: Double, hi: Double): String = {
+    val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+    val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+    val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+    raw"""qc AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM $src), qq AS (SELECT doc_id, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM qc), qp AS (SELECT doc_id, quality_score, round(percent_rank() OVER (ORDER BY quality_score), 6) AS pr FROM qq), band AS (SELECT doc_id FROM qp WHERE pr >= $lo AND pr <= $hi)"""
+  }
+
   /** DuckDB mirror of Md5PrefixLong offset 0: hex-nibble parse of the
     * first 8 md5 hex chars of `inner`. */
   private def sqlHex32(inner: String): String =
