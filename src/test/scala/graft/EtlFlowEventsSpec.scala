@@ -88,6 +88,15 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("events_histogram: bins partition the events exactly") {
+    val rows = run("events_histogram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 9))
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total) // every event lands in exactly one bin
+  }
+
   test("etl_scd2: duplicate (key, version) rows order deterministically") {
     val s = spark
     import s.implicits._

@@ -155,6 +155,12 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF-PQ index answers identically to the in-session index") {
+    val mem = run("sim_ivfpq_ann").collect().map(_.toString).sorted
+    val disk = run("sim_ivfpq_persisted").collect().map(_.toString).sorted
+    assert(mem.nonEmpty && mem.sameElements(disk))
+  }
+
   test("mm_meta plumbing: sizes, hashes and stub decode are consistent") {
     val rows = run("mm_meta").collect()
     assert(rows.nonEmpty)

