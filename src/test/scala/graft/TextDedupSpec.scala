@@ -319,6 +319,25 @@ class TextDedupSpec extends SparkSpec {
     assert(cleanCorpus.nonEmpty) // the cross-referenced query stays alive
   }
 
+  test("CacheScope bounds checkpoint-block growth across invocations") {
+    // Regression guard for the r4 bench pass-5 spikes: operators that
+    // localCheckpoint intermediates their returned plan references
+    // (components edges/snapshot, dedup reps, quality-band scores) leaked
+    // blocks for the session lifetime. The SparkEntry wrapper sweeps the
+    // previous invocation's registrations, so repeated invocations must
+    // NOT grow the persisted-RDD set.
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    def cycle(): Unit =
+      Seq("dedup_components", "text_quality_band", "dedup_pipeline_e2e")
+        .foreach(n => run(n).count())
+    cycle()
+    val afterOne = persisted
+    (1 to 3).foreach(_ => cycle())
+    val afterFour = persisted
+    assert(afterFour <= afterOne,
+      s"checkpoint blocks accreted across invocations: $afterOne -> $afterFour")
+  }
+
   test("star contraction: pathological chain beyond the propagation budget") {
     val s = spark
     import s.implicits._
