@@ -24,14 +24,39 @@ object CacheScope {
   /** Track a checkpointed df whose blocks must outlive plan construction. */
   def register(df: DataFrame): DataFrame = { pending.add(df); df }
 
+  /** Deterministically free a checkpointed df's storage NOW.
+    *
+    * `Dataset.unpersist()` alone is NOT enough: it only drops
+    * CacheManager (InMemoryRelation) entries and ignores the RDD-level
+    * blocks a localCheckpoint persisted — those would otherwise linger
+    * until the GC-driven ContextCleaner reclaims the RDD object, i.e.
+    * nondeterministically (the residual flakiness seen after r5's first
+    * sweep fix: sweeping only dropped the LAST strong reference and left
+    * actual freeing to the garbage collector). Blocking, so the storage
+    * is gone before the caller allocates more.
+    */
+  def free(df: DataFrame): Unit = {
+    try df.unpersist(blocking = true)
+    catch { case scala.util.control.NonFatal(_) => () }
+    org.apache.spark.sql.graftbridge.GraftBridge.checkpointRdds(df).foreach { r =>
+      try r.unpersist(blocking = true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Free every block registered by previous invocations. Safe to call at
     * any point where no earlier query's un-materialized plan is live.
+    * Blocking (via [[free]]): the bound ("at most one invocation's blocks
+    * outstanding") must hold the moment the next query starts allocating,
+    * not eventually — async freeing leaves old blocks competing with the
+    * new query for storage memory, which is the exact pressure this
+    * registry exists to remove. The wait is a driver→BlockManager
+    * round-trip, milliseconds against a query run.
     */
   def sweep(): Unit = {
     var df = pending.poll()
     while (df != null) {
-      try df.unpersist()
-      catch { case scala.util.control.NonFatal(_) => () }
+      free(df)
       df = pending.poll()
     }
   }

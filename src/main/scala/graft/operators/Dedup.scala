@@ -303,9 +303,11 @@ object Dedup {
         .observe(obs, count(when(col("cluster") =!= col("_prev"), lit(1))).as("changed"))
         .localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Long]
-      // unpersist the CHECKPOINTED df (labels is a projection over it —
-      // unpersisting the projection would leak one snapshot per round)
-      snapshot.unpersist()
+      // free the superseded CHECKPOINTED df (labels is a projection over
+      // it — freeing the projection would leak one snapshot per round);
+      // CacheScope.free reaches the RDD-level blocks Dataset.unpersist
+      // ignores
+      CacheScope.free(snapshot)
       snapshot = next
       labels = next.select(col(id), col("cluster"))
       it += 1
@@ -391,9 +393,9 @@ object Dedup {
       val nsig = (obs.get("n"), obs.get("h"))
       converged = nsig == sig
       sig = nsig
-      // superseded edge set frees NOW (double-unpersist via the registry
+      // superseded edge set frees NOW (double-free via the registry
       // sweep is a no-op for the round-0 input)
-      e.unpersist()
+      CacheScope.free(e)
       e = next
       round += 1
     }
@@ -422,12 +424,25 @@ object Dedup {
     */
   def mixSources(df: DataFrame, sourceCol: String, idCol: String,
                  rates: Map[String, Double], defaultRate: Double): DataFrame = {
-    val draw = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
-      16, 10).cast("long")
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, lit(r)).otherwise(acc)
     }
-    df.filter(draw < rate * 65536)
+    sampleWeighted(df, idCol, rate)
+  }
+
+  /** Deterministic weighted Bernoulli sample: each row keeps with
+    * probability = its own weight expression (caller clamps to [0,1]),
+    * decided by the same stateless md5 draw as [[mixSources]] — so the
+    * sample is reproducible across engines, runs and task retries, and
+    * stays a zero-shuffle codegen projection+filter. Where mixSources
+    * weights by SOURCE, this weights by any per-row signal (length,
+    * quality score, duplicate count) — the "upsample long documents"
+    * knob of a training-mix recipe.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val draw = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    df.filter(draw < weight * 65536)
   }
 
   // ---------------------------------------------------------------- queries
@@ -486,6 +501,12 @@ object Dedup {
       mixSources(Tables.documents(s, d).select("doc_id", "source"),
         sourceCol = "source", idCol = "doc_id",
         rates = Map("src0" -> 0.9, "src1" -> 0.1), defaultRate = 0.5)
+        .orderBy("doc_id")),
+
+    // per-row weighted keep: upsample long docs (weight = n_chars/2000, capped)
+    "sample_weighted" -> ((s, d) =>
+      sampleWeighted(Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        idCol = "doc_id", weight = least(col("n_chars") / lit(2000.0), lit(1.0)))
         .orderBy("doc_id")),
 
     // "benchmark" = the first 20 docs; training corpus = everything
@@ -558,6 +579,12 @@ object Dedup {
   private val sumCols = (0 until 32).map(i => s"sum(((v >> $i) & 1) * 2 - 1) AS s$i").mkString(", ")
   private val hExpr = (0 until 32).map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
+  /** DuckDB image of the md5 16-bit uniform draw in [[sampleWeighted]]:
+    * first 4 hex digits of md5(doc_id) as an integer in [0, 65536). */
+  private val drawSql = (1 to 4).map(j =>
+    s"((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+    .mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
@@ -576,12 +603,10 @@ object Dedup {
     "dedup_pipeline_e2e" ->
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id) SELECT r.doc_id, r.n_dupes FROM reps r JOIN comp c ON r.doc_id = c.id WHERE c.cluster = r.doc_id ORDER BY r.doc_id""",
     // deterministic weighted mix: 4-nibble md5 draw under rate*65536
-    "mix_sources" -> {
-      val draw = (1 to 4).map(j =>
-        s"((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
-        .mkString("(", " + ", ")")
-      s"""SELECT doc_id, source FROM documents WHERE $draw < (CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536 ORDER BY doc_id"""
-    },
+    "mix_sources" ->
+      s"""SELECT doc_id, source FROM documents WHERE $drawSql < (CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536 ORDER BY doc_id""",
+    "sample_weighted" ->
+      s"""SELECT doc_id, source, n_chars FROM documents WHERE $drawSql < least(n_chars / 2000.0, 1.0) * 65536 ORDER BY doc_id""",
     // the recursive CTE reaches the same unique min-label fixpoint the
     // Spark propagation loop converges to
     "dedup_components" ->

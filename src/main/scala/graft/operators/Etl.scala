@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -118,6 +118,24 @@ object Etl {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Rule-based row validation with a quarantine channel. The reference
+    * validates per row and THROWS on the first bad object
+    * (ProtoModel.validate() → zod schema.parse,
+    * packages/protobase/src/ProtoModel.ts:271-273) — at batch scale a bad
+    * row must divert, not kill the job. Each rule is (name, predicate);
+    * every row carries the comma-joined names of the rules it fails (empty
+    * = valid), so the same single-pass projection serves both the clean
+    * channel (`is_valid`) and the quarantine audit (which rules, which
+    * rows). Zero shuffle; a null predicate input counts as a failure
+    * (validation semantics, not three-valued SQL).
+    */
+  def validateRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    df.withColumn("failed_rules",
+      array_join(array_compact(array(rules.map { case (n, p) =>
+        when(!coalesce(p, lit(false)), lit(n))
+      }: _*)), ","))
+      .withColumn("is_valid", col("failed_rules") === "")
+
   /** JSON-lines → typed columns: schema-on-read projection of a JSON string
     * column (the S3 batch reader semantics without the row loop).
     */
@@ -138,6 +156,18 @@ object Etl {
       sanitize(Tables.documents(s, d).select("doc_id", "lang", "source"),
         Map("lang" -> "und", "source" -> "unknown"))
         .orderBy("doc_id")),
+
+    // rule-validation split: price cap + priority rule; bad rows carry
+    // their failed-rule list instead of killing the batch
+    "etl_quarantine" -> ((s, d) =>
+      validateRules(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        Seq(
+          "price_le_300k" -> (col("o_totalprice") <= 300000.0),
+          "priority_known" -> col("o_orderpriority").isInCollection(
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+          "not_low_value" -> (col("o_totalprice") >= 1000.0)))
+        .orderBy("o_orderkey")),
 
     "etl_rename_normalize" -> ((s, d) =>
       renameNormalize(
@@ -231,6 +261,8 @@ object Etl {
       """WITH ranked AS (SELECT l_orderkey, l_suppkey, l_quantity, l_returnflag, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber NULLS FIRST, l_suppkey NULLS FIRST, l_quantity NULLS FIRST, l_returnflag NULLS FIRST, l_partkey NULLS FIRST) AS rn FROM lineitem), sets AS (SELECT l_orderkey, array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS l_partkey_set FROM lineitem GROUP BY l_orderkey) SELECT r.l_orderkey, r.l_suppkey, r.l_quantity, r.l_returnflag, s.l_partkey_set FROM ranked r JOIN sets s USING (l_orderkey) WHERE r.rn = 1 ORDER BY r.l_orderkey""",
     "etl_sanitize" ->
       """SELECT doc_id, coalesce(nullif(trim(lang), ''), 'und') AS lang, coalesce(nullif(trim(source), ''), 'unknown') AS source FROM documents ORDER BY doc_id""",
+    "etl_quarantine" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority, coalesce(array_to_string(list_filter([CASE WHEN NOT coalesce(o_totalprice <= 300000.0, FALSE) THEN 'price_le_300k' END, CASE WHEN NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE) THEN 'priority_known' END, CASE WHEN NOT coalesce(o_totalprice >= 1000.0, FALSE) THEN 'not_low_value' END], x -> x IS NOT NULL), ','), '') AS failed_rules, coalesce(array_to_string(list_filter([CASE WHEN NOT coalesce(o_totalprice <= 300000.0, FALSE) THEN 'price_le_300k' END, CASE WHEN NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE) THEN 'priority_known' END, CASE WHEN NOT coalesce(o_totalprice >= 1000.0, FALSE) THEN 'not_low_value' END], x -> x IS NOT NULL), ','), '') = '' AS is_valid FROM orders ORDER BY o_orderkey""",
     "etl_rename_normalize" ->
       """SELECT event_id, user_id AS clientId, CASE WHEN event_type IN ('click','view','purchase') THEN event_type WHEN event_type = 'error' THEN 'pending' ELSE 'in-progress' END AS event_type FROM events ORDER BY event_id""",
     "etl_jsonlines" ->

@@ -41,6 +41,27 @@ object Events {
         Stable.sumRounded(col("value"), 2).as("sum_value"),
         Stable.avgRounded(col("value"), count(lit(1)), 4).as("avg_value"))
 
+  /** SLIDING-window aggregation: overlapping windows of `durMin` minutes
+    * advancing every `slideMin` (each event lands in durMin/slideMin
+    * windows) — the rate/trend view a monitoring dashboard reads, where a
+    * tumbling window would chop a burst across bucket edges. Spark's
+    * native `window()` plans as a projection EXPANDING each row to its
+    * windows followed by a plain hash aggregate — the identical
+    * one-shuffle shape as the tumbling agg with a declared, bounded
+    * ×(dur/slide) map-side fanout (never data-driven), so the scale
+    * story is the tumbling one. Requires durMin % slideMin == 0 (exact
+    * cross-engine window membership).
+    */
+  def slidingWindowAgg(df: DataFrame, ts: String, durMin: Int, slideMin: Int): DataFrame = {
+    require(durMin > 0 && slideMin > 0 && durMin % slideMin == 0,
+      "duration must be a positive multiple of slide")
+    df.groupBy(window(col(ts), s"$durMin minutes", s"$slideMin minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Stable.sumRounded(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSec`. session_seq is a
     * running sum of session-start flags — the standard scale-out
@@ -334,6 +355,11 @@ object Events {
       windowAgg(Tables.events(s, d), "ts", "hour", Seq("event_type"))
         .orderBy("window_start", "event_type")),
 
+    // 10-minute windows every 5 minutes: each event lands in 2 windows
+    "events_sliding_window" -> ((s, d) =>
+      slidingWindowAgg(Tables.events(s, d), "ts", durMin = 10, slideMin = 5)
+        .orderBy("w_start")),
+
     "events_sessionize" -> ((s, d) =>
       sessionStats(Tables.events(s, d), key = "user_id", ts = "ts",
         gapSec = 3600, tiebreak = "event_id")
@@ -419,6 +445,9 @@ object Events {
       """SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_type = 'error' AND user_id < 50 ORDER BY ts DESC, event_id ASC LIMIT 100""",
     "events_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value, ${Stable.sqlAvgRounded("value", 4)} AS avg_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // each event expands to its two covering window starts, then a plain agg
+    "events_sliding_window" ->
+      """WITH x AS (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts), time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start, value FROM events) SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM x GROUP BY w_start ORDER BY w_start""",
     "events_sessionize" ->
       """WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, value, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)), sess AS (SELECT user_id, ts, value, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     // right side deduped per (user, ts) with the same whole-row max rule

@@ -160,6 +160,47 @@ object Relational {
           .otherwise(coalesce(col(g2), lit("(null)"))).as(g2),
         col("n"), col("sum_val"))
 
+  /** Full cross-tab subtotal aggregation (CUBE): per-(g1,g2) cells plus
+    * BOTH one-dimensional margins and the grand total — the report shape
+    * behind a two-axis dashboard (every row/column margin precomputed).
+    * Like [[rollupAgg]] this is ONE Expand + hash aggregate: 4 grouping
+    * sets cost one scan and one shuffle, not four passes; at 100 TB the
+    * Expand multiplies rows 4x BEFORE the map-side partial agg collapses
+    * them, so the exchange still carries only (cells + margins) rows.
+    */
+  def cubeAgg(df: DataFrame, g1: String, g2: String, measure: String): DataFrame =
+    df.cube(col(g1), col(g2))
+      .agg(count(lit(1)).as("n"), Stable.sumRounded(col(measure), 2).as("sum_val"),
+        grouping(col(g1)).as("_gg1"), grouping(col(g2)).as("_gg2"))
+      .select(
+        when(col("_gg1") === 1, "ALL")
+          .otherwise(coalesce(col(g1), lit("(null)"))).as(g1),
+        when(col("_gg2") === 1, "ALL")
+          .otherwise(coalesce(col(g2), lit("(null)"))).as(g2),
+        col("n"), col("sum_val"))
+
+  /** Equal-frequency banding: NTILE(buckets) per group (the "quartile of
+    * balance within segment" report), then one aggregate per (group, band)
+    * — count + band edges. NTILE's standard definition (first
+    * `n mod buckets` bands get the extra row) is deterministic given a
+    * total order, so the window carries an explicit tiebreak. One
+    * shuffle+sort on the group key serves the window; the banded agg then
+    * map-side-combines — output is #groups x buckets rows regardless of
+    * input size. (A low-cardinality group column caps window parallelism
+    * at #groups; acceptable here because banding is per-GROUP by
+    * definition — the sort within each partition is the cost, not a
+    * global one.)
+    */
+  def ntileBands(df: DataFrame, group: String, value: String, tiebreak: String,
+                 buckets: Int): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(value).asc, col(tiebreak).asc)
+    df.withColumn("band", ntile(buckets).over(w).cast("bigint"))
+      .groupBy(col(group), col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(value)), 2).as("lo"),
+        round(max(col(value)), 2).as("hi"))
+  }
+
   /** Pivot to a wide conditional-count table over a DECLARED value domain.
     * Spark's `pivot(col)` without values runs a distinct-values discovery
     * job first — a full extra scan of a 100 TB table; with the domain
@@ -432,6 +473,40 @@ object Relational {
       rollupAgg(Tables.orders(s, d), "o_orderstatus", "o_orderpriority", "o_totalprice")
         .orderBy("o_orderstatus", "o_orderpriority")),
 
+    "q_agg_cube" -> ((s, d) =>
+      cubeAgg(Tables.orders(s, d), "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "q_window_ntile" -> ((s, d) =>
+      ntileBands(Tables.customer(s, d).select("c_mktsegment", "c_acctbal", "c_custkey"),
+        group = "c_mktsegment", value = "c_acctbal", tiebreak = "c_custkey", buckets = 4)
+        .orderBy("c_mktsegment", "band")),
+
+    // Composed analytics flagship (TPC-H Q3 shape): unshipped-revenue top
+    // 10. Selectivity order matters at 100 TB — the BUILDING filter keeps
+    // ~1/5 of customers, reducing orders BEFORE the lineitem join, and the
+    // l_shipdate predicate pushes into the lineitem scan; the final top-10
+    // is TakeOrderedAndProject (per-partition heads, no global sort).
+    "q_tpch_pricing" -> ((s, d) => {
+      val cutoff = ts("1995-03-15 00:00:00")
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(o.join(c, o("o_custkey") === c("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            (lit(1) - col("l_discount").cast("decimal(18,6)"))), 2)
+            .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     "q_pivot" -> ((s, d) =>
       pivotCounts(Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
         "day", "event_type", Seq("click", "view", "purchase", "error", "signup"))
@@ -507,6 +582,12 @@ object Relational {
       """SELECT l_partkey, count(*) AS n, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3 ORDER BY l_partkey""",
     "q_agg_rollup" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, '(null)') END AS o_orderstatus, CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, '(null)') END AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
+    "q_agg_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, '(null)') END AS o_orderstatus, CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, '(null)') END AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
+    "q_window_ntile" ->
+      """SELECT c_mktsegment, band, count(*) AS n, round(min(c_acctbal),2) AS lo, round(max(c_acctbal),2) AS hi FROM (SELECT c_mktsegment, c_acctbal, ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS band FROM customer) GROUP BY c_mktsegment, band ORDER BY c_mktsegment, band""",
+    "q_tpch_pricing" ->
+      """SELECT l_orderkey, round(sum(CAST(l_extendedprice AS DECIMAL(20,6)) * (1 - CAST(l_discount AS DECIMAL(20,6)))),2)::DOUBLE AS revenue, o_orderdate, o_orderpriority FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
     "q_pivot" ->
       """SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day ORDER BY day""",
     "q_window_running" ->

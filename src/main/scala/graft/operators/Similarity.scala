@@ -594,6 +594,40 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Approximate k-NN JOIN: EVERY point's top-k nearest bucket-mates —
+    * the corpus-wide neighbor table behind near-dup clustering, label
+    * propagation and retrieval-index bootstrapping. Unlike [[simTopK]]
+    * (a small query set against the corpus) this is self-join-shaped, so
+    * brute force would be N² at corpus scale; instead candidates come
+    * from the same LSH bucket machinery as [[embeddingPairs]] but kept
+    * DIRECTED (every point is a query; (a,b) and (b,a) rank
+    * independently). The candidate shuffle carries ids only; per-bucket
+    * fanout is bounded by the bucket population (hyperplane tables keep
+    * buckets balanced on normalized data — no all-pairs blowup), and the
+    * per-query rank is a window over each point's own candidates, not a
+    * global sort. Points whose buckets hold < k mates return fewer rows
+    * (recall is approximate by design; the oracle mirrors the buckets).
+    */
+  def simKnnJoin(df: DataFrame, id: String, emb: String,
+                 tabs: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    val a = b.select(col(id).as("query_id"), col("t"), col("bucket"))
+    val bb = b.select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
+    val cand = a.join(bb, col("t") === col("t2") && col("bucket") === col("bucket2") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val n = normalized(df, id, emb)
+    val scored = cand
+      .join(n.select(col(id).as("query_id"), col("ne").as("na")), "query_id")
+      .join(n.select(col(id).as("neighbor_id"), col("ne").as("nb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("na"), col("nb")), 4).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   // ---------------------------------------------------------------- queries
 
   private val dims = 64
@@ -676,11 +710,38 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // k-means topic bucketing: every vector's cluster + cluster sizes —
+    // the "balance the corpus by embedding cluster" curation view. The
+    // assignment IS the session-lifetime IVF lists index (built once,
+    // zero-shuffle literal-centroid projection); sizes are one tiny agg
+    // broadcast back, so the corpus-sized side never shuffles.
+    "cluster_kmeans" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
+        _ => kmeansCentroids(normalized(e, "vec_id", "embedding"),
+          "vec_id", c = ivfC, iters = ivfIters))
+      val nrmI = normalized(e, "vec_id", "embedding")
+      val lists = cachedIndex(s"$d|ivf_lists|$ivfC|$ivfIters")(
+        ivfListsTable(nrmI, "vec_id", cents, euclid = true))
+      val assign = lists.select(col("neighbor_id").as("vec_id"), col("cid"))
+      val sizes = assign.groupBy("cid").agg(count(lit(1)).as("cluster_n"))
+      assign.join(broadcast(sizes), "cid")
+        .select("vec_id", "cid", "cluster_n")
+        .orderBy("vec_id")
+    }),
+
     "dedup_embedding" -> ((s, d) =>
       embeddingPairs(Tables.embeddings(s, d).select("vec_id", "embedding"),
         "vec_id", "embedding", dupTabs, threshold = 0.4)
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")),
+
+    // every point's top-3 bucket-mate neighbors (directed self-join)
+    "sim_knn_join" -> ((s, d) =>
+      simKnnJoin(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", dupTabs, k = 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")),
 
     "sim_pq_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
@@ -914,6 +975,10 @@ object Similarity {
     },
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
+    "sim_knn_join" ->
+      s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+    "cluster_kmeans" ->
+      s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id, cid FROM fr WHERE crank = 1) SELECT l.vec_id, l.cid, s.cluster_n FROM lists l JOIN (SELECT cid, count(*) AS cluster_n FROM lists GROUP BY cid) s USING (cid) ORDER BY l.vec_id""",
     "sim_pq_ann" -> pqOracle,
     "sim_ivfpq_ann" -> ivfPqOracle,
     // identical results to the in-session index — same oracle

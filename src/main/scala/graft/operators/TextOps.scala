@@ -87,6 +87,24 @@ object TextOps {
           .otherwise("fr"))
   }
 
+  /** Corpus composition report: the curator's first query against a raw
+    * crawl — per (predicted language, source): doc count, total
+    * whitespace tokens, mean quality score, and how many docs survive a
+    * token-count gate. Derives everything from the single-pass [[quality]]
+    * + [[langId]] projections, so the whole report is one scan + one hash
+    * aggregate whose output is #langs × #sources rows regardless of input
+    * size — at 100 TB the map-side partial agg collapses each partition
+    * to a handful of rows before the (tiny) exchange.
+    */
+  def corpusReport(df: DataFrame, textCol: String, sourceCol: String,
+                   minTokens: Long): DataFrame =
+    quality(langId(df, textCol), textCol)
+      .groupBy(col("lang_pred"), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Stable.avgRounded(col("quality_score"), count(lit(1)), 4).as("avg_quality"),
+        sum(when(col("n_tokens") >= minTokens, 1L).otherwise(0L)).as("n_gate_pass"))
+
   /** Per-document repetition signals (the Gopher/C4-family quality gates):
     * duplicate word-n-gram fractions — the share of n-gram slots occupied
     * by a repeat of an earlier n-gram in the same document. Templated /
@@ -459,6 +477,12 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // the corpus curator's first query: per (lang, source) composition
+    "corpus_report" -> ((s, d) =>
+      corpusReport(Tables.documents(s, d).select("doc_id", "text", "source"),
+        "text", "source", minTokens = 20L)
+        .orderBy("lang_pred", "source")),
+
     // deterministic 50-per-language sample by md5 rank
     "sample_stratified" -> ((s, d) =>
       sampleStratified(Tables.documents(s, d).select("doc_id", "lang", "source"),
@@ -575,6 +599,12 @@ object TextOps {
       raw"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents), h AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($enIn)))::BIGINT AS en_hits, len(list_filter(tk, x -> x IN ($esIn)))::BIGINT AS es_hits, len(list_filter(tk, x -> x IN ($frIn)))::BIGINT AS fr_hits FROM t) SELECT doc_id, en_hits, es_hits, fr_hits, CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und' WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred FROM h ORDER BY doc_id""",
     "text_fingerprint" ->
       raw"""SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp FROM documents ORDER BY doc_id""",
+    "corpus_report" -> {
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      raw"""WITH c AS (SELECT doc_id, source, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents), h AS (SELECT source, ntok, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS q, len(list_filter(tk, x -> x IN ($enIn))) AS en_hits, len(list_filter(tk, x -> x IN ($esIn))) AS es_hits, len(list_filter(tk, x -> x IN ($frIn))) AS fr_hits FROM c), l AS (SELECT source, ntok, q, CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und' WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred FROM h) SELECT lang_pred, source, count(*) AS n_docs, sum(ntok)::BIGINT AS total_tokens, ${Stable.sqlAvgRounded("q", 4)} AS avg_quality, (count(*) FILTER (WHERE ntok >= 20))::BIGINT AS n_gate_pass FROM l GROUP BY lang_pred, source ORDER BY lang_pred, source"""
+    },
     "dedup_exact" ->
       raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "text_pii_mask" ->

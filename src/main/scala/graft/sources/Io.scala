@@ -51,6 +51,17 @@ object Io {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Schema-evolution read: a long-lived dataset's early files lack
+    * columns later files carry (additive evolution — the only kind a
+    * lakehouse does without rewriting history). `mergeSchema` unions the
+    * per-file parquet footers into one planning-time schema; columns
+    * absent from a file read as NULL for its rows. The merge is
+    * footer-only metadata work — no data pass — so a 100 TB table with
+    * thousands of heterogeneous files plans in footer-read time.
+    */
+  def readMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** File streaming source: tail a directory as a stream (new files become
     * micro-batches). Schema is mandatory — streaming never infers.
     */
@@ -121,6 +132,22 @@ object Io {
       readOrc(s, out).orderBy("s_suppkey")
     }),
 
+    // additive schema evolution: era=0 files lack o_orderpriority; the
+    // merged read serves NULL for them and the real value for era=1
+    "src_parquet_merge_schema" -> ((s, d) => {
+      val out = s"$scratch/evolve"
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$out/era=0")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$out/era=1")
+      readMergedSchema(s, out)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
     "sink_kv_batches" -> ((s, d) =>
       kvBatches(Tables.events(s, d),
         key = pmod(col("user_id"), lit(50)),
@@ -147,6 +174,8 @@ object Io {
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey""",
     "src_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey""",
+    "src_parquet_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority FROM orders ORDER BY o_orderkey""",
     "sink_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sink_kv_batches" ->

@@ -22,4 +22,19 @@ object GraftBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The RDD-level storage beneath a (local)checkpointed Dataset.
+    *
+    * `Dataset.unpersist()` only consults the CacheManager
+    * (InMemoryRelation entries) and silently IGNORES the persisted RDD a
+    * localCheckpoint created — the checkpointed blocks stay resident
+    * until the GC-driven ContextCleaner happens to reclaim the RDD
+    * object, which is nondeterministic and can lag arbitrarily on a busy
+    * driver. Deterministically freeing checkpoint storage therefore
+    * requires unpersisting the LogicalRDD's rdd directly.
+    */
+  def checkpointRdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }

@@ -171,6 +171,26 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(rows.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
   }
 
+  test("etl_quarantine: channels partition the input, nulls fail rules") {
+    val rows = run("etl_quarantine").collect()
+    assert(rows.length == Tables.orders(spark, sfDir).count().toInt)
+    rows.foreach { r =>
+      val failed = r.getString(3); val valid = r.getBoolean(4)
+      assert(valid == failed.isEmpty)
+      assert(valid == (r.getDouble(1) <= 300000.0 && r.getDouble(1) >= 1000.0))
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+    // a NULL predicate input quarantines (validation semantics, not 3VL SQL)
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq((1L, Some(5.0)), (2L, None), (3L, Some(-1.0)))
+      .toDF("id", "v")
+    val checked = Etl.validateRules(withNulls,
+      Seq("v_pos" -> (col("v") > 0))).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(checked(1L) == "" && checked(2L) == "v_pos" && checked(3L) == "v_pos")
+  }
+
   test("flow split/join round-trips") {
     val joined = run("flow_join").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
@@ -344,5 +364,25 @@ class EtlFlowEventsSpec extends SparkSpec {
       }
     }.groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
     assert(rows == brute)
+  }
+
+  test("events_sliding_window: each window = the sum of its tumbling halves") {
+    val sliding = run("events_sliding_window").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(2)).toMap
+    assert(sliding.nonEmpty)
+    // 5-minute tumbling counts from the raw table
+    val tumb = Tables.events(spark, sfDir).select(col("ts")).collect()
+      .map { r =>
+        val t = r.getTimestamp(0).getTime
+        t - java.lang.Math.floorMod(t, 5 * 60 * 1000L)
+      }
+      .groupBy(x => x).map { case (k, v) => k -> v.size.toLong }
+    // a [s, s+10min) window holds exactly the events of buckets s and s+5min
+    sliding.foreach { case (ms, n) =>
+      val expect = tumb.getOrElse(ms, 0L) + tumb.getOrElse(ms + 5 * 60 * 1000L, 0L)
+      assert(n == expect, s"window at $ms: $n != $expect")
+    }
+    // every event is counted exactly twice across the sliding windows
+    assert(sliding.values.sum == 2 * Tables.events(spark, sfDir).count())
   }
 }

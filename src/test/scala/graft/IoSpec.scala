@@ -29,4 +29,13 @@ class IoSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("o_orderpriority=")))
   }
+
+  test("merge-schema read: old-era rows read the evolved column as NULL") {
+    val rows = run("src_parquet_merge_schema").collect()
+    assert(rows.length == Tables.orders(spark, sfDir).count())
+    rows.foreach { r =>
+      if (r.getLong(0) % 2 == 0) assert(r.isNullAt(2), s"era-0 row ${r.getLong(0)}")
+      else assert(!r.isNullAt(2), s"era-1 row ${r.getLong(0)}")
+    }
+  }
 }

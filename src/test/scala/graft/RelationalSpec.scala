@@ -203,4 +203,56 @@ class RelationalSpec extends SparkSpec {
       assert(total == raw(r.getTimestamp(0)))
     }
   }
+
+  test("q_agg_cube: margins agree with the cells and contain the rollup") {
+    val cube = run("q_agg_cube").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val cells = cube.filter { case ((a, b), _) => a != "ALL" && b != "ALL" }
+    assert(cells.nonEmpty)
+    // grand total = sum of cells; each one-dim margin = sum of its row/col
+    assert(cube(("ALL", "ALL"))._1 == cells.values.map(_._1).sum)
+    cube.keys.collect { case (a, "ALL") if a != "ALL" => a }.foreach { a =>
+      assert(cube((a, "ALL"))._1 ==
+        cells.collect { case ((`a`, _), (n, _)) => n }.sum)
+    }
+    cube.keys.collect { case ("ALL", b) if b != "ALL" => b }.foreach { b =>
+      assert(cube(("ALL", b))._1 ==
+        cells.collect { case ((_, `b`), (n, _)) => n }.sum)
+    }
+    // CUBE ⊇ ROLLUP: every rollup row appears with identical values
+    run("q_agg_rollup").collect().foreach { r =>
+      assert(cube((r.getString(0), r.getString(1))) == ((r.getLong(2), r.getDouble(3))))
+    }
+  }
+
+  test("q_window_ntile: equal-frequency bands, ordered and tight") {
+    val rows = run("q_window_ntile").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (_, bands) =>
+      val sorted = bands.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      // NTILE: band sizes differ by at most one, larger bands first
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes.sorted.reverse.toSeq == sizes.toSeq)
+      // value ranges are ordered and non-overlapping across bands
+      sorted.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, _, _, hi1), (_, _, _, lo2, _)) => assert(hi1 <= lo2)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_tpch_pricing: top-10 unshipped revenue, no global sort") {
+    val df = run("q_tpch_pricing")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val cutoff = java.time.LocalDateTime.parse("1995-03-15T00:00:00")
+    assert(rows.forall(_.getAs[java.time.LocalDateTime](2).isBefore(cutoff)))
+    // the final top-10 must be a per-partition heap, not a range sort
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
 }

@@ -155,6 +155,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cluster_kmeans: a partition of the corpus with consistent sizes") {
+    val rows = run("cluster_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n, "every vector lands in exactly one cluster")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // reported cluster_n matches the actual membership count per cid
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.forall(_._3 == members.length))
+    }
+    assert(rows.map(_._2).distinct.length > 1, "multiple clusters in use")
+  }
+
+  test("sim_knn_join: directed ranks, descending cosine, bucketed plan") {
+    val df = run("sim_knn_join")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      val sims = sorted.map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // self-join-shaped, but never all-pairs: candidates come from buckets
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // sanity vs exact: no approximate cosine may exceed the true top-1
+    val exact = run("sim_topk").collect()
+      .filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter { case (q, _, _, _) => exact.contains(q) }.foreach {
+      case (q, _, sim, _) => assert(sim <= exact(q) + 1e-9)
+    }
+  }
+
   test("persisted IVF-PQ index answers identically to the in-session index") {
     val mem = run("sim_ivfpq_ann").collect().map(_.toString).sorted
     val disk = run("sim_ivfpq_persisted").collect().map(_.toString).sorted

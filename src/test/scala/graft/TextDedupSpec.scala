@@ -326,7 +326,7 @@ class TextDedupSpec extends SparkSpec {
     // blocks for the session lifetime. The SparkEntry wrapper sweeps the
     // previous invocation's registrations, so repeated invocations must
     // NOT grow the persisted-RDD set.
-    def persisted = spark.sparkContext.getPersistentRDDs.size
+    def persisted = spark.sparkContext.getPersistentRDDs
     def cycle(): Unit =
       Seq("dedup_components", "text_quality_band", "dedup_pipeline_e2e")
         .foreach(n => run(n).count())
@@ -334,8 +334,10 @@ class TextDedupSpec extends SparkSpec {
     val afterOne = persisted
     (1 to 3).foreach(_ => cycle())
     val afterFour = persisted
-    assert(afterFour <= afterOne,
-      s"checkpoint blocks accreted across invocations: $afterOne -> $afterFour")
+    assert(afterFour.size <= afterOne.size,
+      s"checkpoint blocks accreted across invocations: ${afterOne.size} -> ${afterFour.size}\n" +
+        s"afterOne: ${afterOne.map { case (k, v) => s"$k=${v.name}:${v.getStorageLevel}" }.mkString("; ")}\n" +
+        s"afterFour: ${afterFour.map { case (k, v) => s"$k=${v.name}:${v.getStorageLevel}" }.mkString("; ")}")
   }
 
   test("star contraction: pathological chain beyond the propagation budget") {
@@ -459,5 +461,43 @@ class TextDedupSpec extends SparkSpec {
     val trainFrac = full.values.count(_ == "train") / n
     assert(math.abs(trainFrac - 0.8) < 0.08, s"train fraction $trainFrac")
     assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("sample_weighted: monotone in weight, boundary weights exact") {
+    import graft.operators.Dedup.sampleWeighted
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val total = docs.count()
+    // weight 1 keeps everything, weight 0 keeps nothing
+    assert(sampleWeighted(docs, "doc_id", lit(1.0)).count() == total)
+    assert(sampleWeighted(docs, "doc_id", lit(0.0)).count() == 0)
+    // the draw is fixed per id, so a higher weight keeps a SUPERSET
+    val lo = sampleWeighted(docs, "doc_id", lit(0.3)).collect().map(_.getLong(0)).toSet
+    val hi = sampleWeighted(docs, "doc_id", lit(0.7)).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    // and the registered query keeps long docs at a higher rate
+    val kept = run("sample_weighted").collect().map(_.getLong(0)).toSet
+    val byLen = docs.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val (long, short) = byLen.partition(_._2 >= 2000)
+    if (long.nonEmpty && short.nonEmpty) {
+      def frac(xs: Array[(Long, Long)]) = xs.count(x => kept(x._1)).toDouble / xs.length
+      assert(frac(long) >= frac(short),
+        s"long-doc keep ${frac(long)} < short-doc keep ${frac(short)}")
+    }
+  }
+
+  test("corpus_report: margins reconcile with the per-doc projections") {
+    val rows = run("corpus_report").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.values.map(_._1).sum == totalDocs, "every doc lands in one cell")
+    rows.values.foreach { case (nDocs, totTok, avgQ, nPass) =>
+      assert(nPass <= nDocs && totTok >= 0)
+      assert(avgQ >= -1.0 && avgQ <= 1.5)
+    }
+    // token margin agrees with the standalone tokencount operator
+    val wsTotal = run("text_tokencount").collect().map(_.getLong(1)).sum
+    assert(rows.values.map(_._2).sum == wsTotal)
   }
 }
