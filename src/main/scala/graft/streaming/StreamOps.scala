@@ -23,14 +23,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Tumbling-window counts/sums per key with late-data watermark. Emits
-    * one row per (window_start, keys...) in Append mode once the watermark
-    * passes the window end.
+  /** Tumbling (or, with `slide`, OVERLAPPING) window counts/sums per key
+    * with late-data watermark. Emits one row per (window_start, keys...)
+    * in Append mode once the watermark passes the window end. A slide
+    * makes it the streaming twin of Events.slidingWindowAgg — same
+    * declared ×(win/slide) row expansion before the stateful agg, state
+    * still bounded by the watermark (windows per key per event are a
+    * constant, not data-driven).
     */
   def windowedAgg(events: DataFrame, ts: String, delay: String, win: String,
-                  keys: Seq[String]): DataFrame =
+                  keys: Seq[String], slide: Option[String] = None): DataFrame =
     events.withWatermark(ts, delay)
-      .groupBy(window(col(ts), win) +: keys.map(col): _*)
+      .groupBy(slide.map(s => window(col(ts), win, s)).getOrElse(window(col(ts), win)) +:
+        keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
         graft.operators.Stable.sumRounded(col("value"), 2).as("sum_value"))
       .select(col("window.start").as("window_start") +: keys.map(col) :+

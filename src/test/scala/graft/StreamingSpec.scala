@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SLIDING windowedAgg matches batch slidingWindowAgg") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val agg = StreamOps.windowedAgg(input.toDF(), ts = "ts", delay = "1 hour",
+      win = "10 minutes", keys = Nil, slide = Some("5 minutes"))
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("slide_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Events.slidingWindowAgg(eventRows.toDF(), "ts",
+        durMin = 10, slideMin = 5)
+        .select("w_start", "n_events", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batch && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("parquet file SINK: exactly-once append lands every row once") {
     // rounds out the streaming I/O story: checkpointed file sink — the
     // durable landing zone of a streaming ETL — replays must not
