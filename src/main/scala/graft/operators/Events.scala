@@ -62,6 +62,23 @@ object Events {
         col("n_events"), col("sum_value"))
   }
 
+  /** Daily growth curve: new users per day (by each user's FIRST event)
+    * plus the cumulative user count — the canonical product-growth query.
+    * Two hash aggs collapse the event stream to per-user then per-day
+    * rows BEFORE any windowing, so the running sum runs over the tiny
+    * daily series (days are bounded — thousands of rows at any corpus
+    * size), where a single-partition frame is the right shape, not a
+    * scale smell. Event-stream work stays map-side-combined aggregation.
+    */
+  def cumulativeUsers(df: DataFrame, ts: String, user: String): DataFrame = {
+    val firstSeen = df.groupBy(col(user))
+      .agg(min(date_trunc("day", col(ts))).as("day"))
+    val daily = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same key exceeds `gapSec`. session_seq is a
     * running sum of session-start flags — the standard scale-out
@@ -360,6 +377,10 @@ object Events {
       slidingWindowAgg(Tables.events(s, d), "ts", durMin = 10, slideMin = 5)
         .orderBy("w_start")),
 
+    "events_cumulative_users" -> ((s, d) =>
+      cumulativeUsers(Tables.events(s, d), "ts", "user_id")
+        .orderBy("day")),
+
     "events_sessionize" -> ((s, d) =>
       sessionStats(Tables.events(s, d), key = "user_id", ts = "ts",
         gapSec = 3600, tiebreak = "event_id")
@@ -448,6 +469,8 @@ object Events {
     // each event expands to its two covering window starts, then a plain agg
     "events_sliding_window" ->
       """WITH x AS (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts), time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start, value FROM events) SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM x GROUP BY w_start ORDER BY w_start""",
+    "events_cumulative_users" ->
+      """WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY user_id), d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day) SELECT day, new_users, CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM d ORDER BY day""",
     "events_sessionize" ->
       """WITH flagged AS (SELECT user_id, ts, event_id, value, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, value, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)), sess AS (SELECT user_id, ts, value, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM flagged) SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
     // right side deduped per (user, ts) with the same whole-row max rule

@@ -208,6 +208,25 @@ object Mm {
       when(isPng, ph).when(isJpeg, jh).as("height"))
   }
 
+  /** ViT-style patch tokenization budget: per image, the patch grid
+    * (ceil(w/patch) × ceil(h/patch)) and the resulting vision-token
+    * count — the number a multimodal packing stage budgets against
+    * (images enter the context window as n_patches tokens). Pure
+    * projection over the decoded metadata (zero shuffle); undecodable
+    * payloads budget 0 tokens rather than poisoning the pack. The
+    * per-patch coordinate explode for feature extraction is the same
+    * doc-local explode mm_chunks/mm_frames already demonstrate — this
+    * operator is the budget view a packer actually consumes.
+    */
+  def visionTokens(meta: DataFrame, patch: Int): DataFrame = {
+    val px = ceil(col("width").cast("double") / patch).cast("long")
+    val py = ceil(col("height").cast("double") / patch).cast("long")
+    meta.select(col("doc_id"), col("format"), col("width"), col("height"),
+      coalesce(px, lit(0L)).as("patches_x"),
+      coalesce(py, lit(0L)).as("patches_y"),
+      coalesce(px * py, lit(0L)).as("vision_tokens"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -233,6 +252,13 @@ object Mm {
     // real-file header bytes so construction and parse can't share a bug.
     "mm_decode_meta" -> ((s, d) =>
       decodeImageMeta(synthesizeMedia(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
+
+    // 16px ViT patch grid over the decoded dims: the vision-token budget
+    "mm_vision_tokens" -> ((s, d) =>
+      visionTokens(
+        decodeImageMeta(synthesizeMedia(Tables.documents(s, d), "doc_id", "text")),
+        patch = 16)
         .orderBy("doc_id"))
   )
 
@@ -250,6 +276,8 @@ object Mm {
     // ground truth of the synthesized headers: dims derive from doc_id for
     // the png/jpeg thirds; raw-text blobs carry no container
     "mm_decode_meta" ->
-      """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
+    "mm_vision_tokens" ->
+      """WITH m AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents) SELECT doc_id, format, width, height, coalesce(CAST(ceil(width / 16.0) AS BIGINT), 0) AS patches_x, coalesce(CAST(ceil(height / 16.0) AS BIGINT), 0) AS patches_y, coalesce(CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS vision_tokens FROM m ORDER BY doc_id"""
   )
 }

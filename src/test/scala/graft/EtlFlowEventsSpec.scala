@@ -366,6 +366,20 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(rows == brute)
   }
 
+  test("events_cumulative_users: monotone growth curve totalling distinct users") {
+    val rows = run("events_cumulative_users").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // cumulative = running sum of new; final = exact distinct user count
+    rows.foldLeft(0L) { case (acc, (_, nu, cum)) =>
+      assert(cum == acc + nu); cum
+    }
+    val distinctUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.last._3 == distinctUsers)
+    assert(rows.map(_._2).sum == distinctUsers)
+  }
+
   test("events_sliding_window: each window = the sum of its tumbling halves") {
     val sliding = run("events_sliding_window").collect()
       .map(r => r.getTimestamp(0).getTime -> r.getLong(2)).toMap

@@ -198,6 +198,21 @@ class SimilaritySpec extends SparkSpec {
     assert(mem.nonEmpty && mem.sameElements(disk))
   }
 
+  test("mm_vision_tokens: patch grid from decoded dims, zero for undecodable") {
+    val rows = run("mm_vision_tokens").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getString(1) == "unknown") {
+        assert(r.isNullAt(2) && r.getLong(6) == 0L)
+      } else {
+        val (w, h) = (r.getLong(2), r.getLong(3))
+        val (px, py) = (r.getLong(4), r.getLong(5))
+        assert(px == (w + 15) / 16 && py == (h + 15) / 16)
+        assert(r.getLong(6) == px * py && r.getLong(6) > 0)
+      }
+    }
+  }
+
   test("mm_meta plumbing: sizes, hashes and stub decode are consistent") {
     val rows = run("mm_meta").collect()
     assert(rows.nonEmpty)
