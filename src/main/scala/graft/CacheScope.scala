@@ -34,6 +34,14 @@ object CacheScope {
     * sweep fix: sweeping only dropped the LAST strong reference and left
     * actual freeing to the garbage collector). Blocking, so the storage
     * is gone before the caller allocates more.
+    *
+    * CAUTION — this walks the WHOLE analyzed plan and unpersists EVERY
+    * LogicalRDD in it, not just "the df's own" checkpoint: pass the
+    * checkpoint-ROOT Dataset (what localCheckpoint returned, or a
+    * projection over exactly that one checkpoint). A derived plan that
+    * JOINS a still-live shared checkpoint (e.g. a session-lifetime index
+    * table) would have the shared blocks destroyed — and a checkpoint's
+    * lineage is truncated, so later readers fail instead of recomputing.
     */
   def free(df: DataFrame): Unit = {
     try df.unpersist(blocking = true)

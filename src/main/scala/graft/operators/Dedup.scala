@@ -303,10 +303,9 @@ object Dedup {
         .observe(obs, count(when(col("cluster") =!= col("_prev"), lit(1))).as("changed"))
         .localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Long]
-      // free the superseded CHECKPOINTED df (labels is a projection over
-      // it — freeing the projection would leak one snapshot per round);
-      // CacheScope.free reaches the RDD-level blocks Dataset.unpersist
-      // ignores
+      // free the superseded snapshot — its checkpoint-root Dataset, per
+      // CacheScope.free's contract (free walks the whole plan's
+      // LogicalRDDs, so the root names exactly the one checkpoint)
       CacheScope.free(snapshot)
       snapshot = next
       labels = next.select(col(id), col("cluster"))

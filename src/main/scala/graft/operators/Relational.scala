@@ -330,9 +330,15 @@ object Relational {
     }.reduce(_ && _)
   }
 
+  /** `prebuiltWords` lets a caller reuse a session-cached sketch (the
+    * simIvfAnn prebuiltLists pattern) — the filter/join body lives only
+    * here either way.
+    */
   def bloomPrunedJoin(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
-                      numBits: Int, numHashes: Int): DataFrame = {
-    val words = bloomOf(dim.select(col(pk)), pk, numBits, numHashes)
+                      numBits: Int, numHashes: Int,
+                      prebuiltWords: Option[Array[Long]] = None): DataFrame = {
+    val words = prebuiltWords.getOrElse(bloomOf(dim.select(col(pk)), pk, numBits, numHashes))
+    require(words.length * 64 == numBits, "prebuilt sketch width != numBits")
     fact.filter(col(fk).isNotNull && bloomMightContain(col(fk), words, numHashes))
       .join(dim, col(fk) === col(pk))
   }
@@ -541,17 +547,22 @@ object Relational {
     // fact side pruned at the scan by a 2 KB bloom sketch of the dim keys.
     // Output is exact (the sketch only pre-filters an exact equi-join).
     "q_join_bloom" -> ((s, d) => {
-      val dim = Tables.customer(s, d).filter(col("c_nationkey") === 3)
+      val nation = 3
+      val (numBits, numHashes) = (1 << 14, 4)
+      val dim = Tables.customer(s, d).filter(col("c_nationkey") === nation)
         .select("c_custkey", "c_name")
       // the sketch is an INDEX ARTIFACT like the ANN lists: deterministic
       // for a (corpus, predicate, config), so build it once per session
-      // instead of one synchronous driver-side job per invocation
-      val words = bloomCache.computeIfAbsent(s"$d|nation3|14|4",
-        _ => bloomOf(dim.select(col("c_custkey")), "c_custkey", 1 << 14, 4))
-      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-        .filter(col("o_custkey").isNotNull &&
-          bloomMightContain(col("o_custkey"), words, 4))
-        .join(dim, col("o_custkey") === col("c_custkey"))
+      // instead of one synchronous driver-side job per invocation. Every
+      // predicate/config input is part of the cache key — editing the
+      // filter without the key serving a stale (false-negative) sketch
+      // is impossible by construction.
+      val words = bloomCache.computeIfAbsent(s"$d|c_nationkey=$nation|$numBits|$numHashes",
+        _ => bloomOf(dim.select(col("c_custkey")), "c_custkey", numBits, numHashes))
+      bloomPrunedJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        fk = "o_custkey", dim = dim, pk = "c_custkey",
+        numBits = numBits, numHashes = numHashes, prebuiltWords = Some(words))
         .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
         .orderBy("o_orderkey")
     })
