@@ -259,7 +259,30 @@ object Mm {
       visionTokens(
         decodeImageMeta(synthesizeMedia(Tables.documents(s, d), "doc_id", "text")),
         patch = 16)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // MULTIMODAL context packing: a doc costs text tokens PLUS its
+    // image's vision tokens; pack the combined budget with the same
+    // shard-local prefix sums as text_pack_sequences. (The test corpus
+    // synthesizes the payload from the text column, so the two token
+    // projections join back on doc_id; a real multimodal table carries
+    // text and blob as columns of ONE row — a single scan, no join.)
+    "mm_pack_multimodal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val text = docs.select(col("doc_id"), col("text"))
+      val ws = TextOps.tokenCount(text, "text").select(col("doc_id"), col("ws_tokens"))
+      val vis = visionTokens(
+        decodeImageMeta(synthesizeMedia(docs, "doc_id", "text")), patch = 16)
+        .select(col("doc_id"), col("vision_tokens"))
+      val budgeted = ws.join(vis, "doc_id")
+        .withColumn("total_tokens", col("ws_tokens") + col("vision_tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      TextOps.packSequences(budgeted, idCol = "doc_id", shardCol = "shard",
+        tokensCol = "total_tokens", budget = 4096L)
+        .select("doc_id", "shard", "ws_tokens", "vision_tokens",
+          "total_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,6 +301,8 @@ object Mm {
     "mm_decode_meta" ->
       """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
     "mm_vision_tokens" ->
-      """WITH m AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents) SELECT doc_id, format, width, height, coalesce(CAST(ceil(width / 16.0) AS BIGINT), 0) AS patches_x, coalesce(CAST(ceil(height / 16.0) AS BIGINT), 0) AS patches_y, coalesce(CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS vision_tokens FROM m ORDER BY doc_id"""
+      """WITH m AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents) SELECT doc_id, format, width, height, coalesce(CAST(ceil(width / 16.0) AS BIGINT), 0) AS patches_x, coalesce(CAST(ceil(height / 16.0) AS BIGINT), 0) AS patches_y, coalesce(CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS vision_tokens FROM m ORDER BY doc_id""",
+    "mm_pack_multimodal" ->
+      raw"""WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens FROM documents), v AS (SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 0 ELSE CAST(ceil((doc_id % 900 + 100) / 16.0) AS BIGINT) * CAST(ceil(((doc_id * 3) % 900 + 100) / 16.0) AS BIGINT) END AS vision_tokens FROM documents), u AS (SELECT doc_id, ws_tokens, vision_tokens, ws_tokens + vision_tokens AS total_tokens, doc_id % 8 AS shard FROM t JOIN v USING (doc_id)), c AS (SELECT *, sum(total_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total_tokens AS cum FROM u) SELECT doc_id, shard, ws_tokens, vision_tokens, total_tokens, (cum // 4096)::BIGINT AS pack_id, (cum % 4096)::BIGINT AS pack_offset FROM c ORDER BY doc_id"""
   )
 }

@@ -213,6 +213,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mm_pack_multimodal: combined budget packs by shard-local prefix sums") {
+    val rows = run("mm_pack_multimodal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, ws, vis, tot, _, _) => assert(tot == ws + vis) }
+    // some docs must actually carry image cost
+    assert(rows.exists(_._4 > 0) && rows.exists(_._4 == 0))
+    // replay the packing per shard in doc_id order
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (_, _, _, _, tot, packId, off) =>
+        assert(packId == cum / 4096 && off == cum % 4096)
+        cum += tot
+      }
+    }
+  }
+
   test("mm_meta plumbing: sizes, hashes and stub decode are consistent") {
     val rows = run("mm_meta").collect()
     assert(rows.nonEmpty)
