@@ -217,4 +217,81 @@ class PropertySpec extends SparkSpec {
       .collect().head.getDouble(1)
     assert(gotN == -47.2538)
   }
+
+  test("validateRules == brute-force rule evaluation on random data with nulls") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 400).map { i =>
+      (i.toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(200) - 50),
+        if (rnd.nextInt(7) == 0) None else Some(rnd.nextInt(4).toString))
+    }
+    val df = rows.toDF("id", "x", "cat")
+    val got = Etl.validateRules(df, Seq(
+      "x_nonneg" -> (col("x") >= 0),
+      "x_lt_100" -> (col("x") < 100),
+      "cat_known" -> col("cat").isInCollection(Seq("0", "1", "2"))))
+      .collect().map(r => r.getLong(0) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    val want = rows.map { case (id, x, cat) =>
+      val failed = Seq(
+        if (x.exists(_ >= 0)) None else Some("x_nonneg"),
+        if (x.exists(_ < 100)) None else Some("x_lt_100"),
+        if (cat.exists(Set("0", "1", "2"))) None else Some("cat_known")).flatten
+      id -> ((failed.mkString(","), failed.isEmpty))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("ntileBands == brute-force NTILE on random data (ties included)") {
+    val s = spark
+    import s.implicits._
+    // duplicate values on purpose: the tiebreak column must decide bands
+    val rows = (1 to 500).map { i =>
+      (i.toLong, s"g${rnd.nextInt(4)}", (rnd.nextInt(40) / 4.0))
+    }
+    val got = Relational.ntileBands(rows.toDF("id", "g", "v"),
+      group = "g", value = "v", tiebreak = "id", buckets = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(t => (t._3, t._1))
+      val n = sorted.length
+      // standard NTILE: first (n mod 4) bands get the extra row
+      val base = n / 4; val extra = n % 4
+      var idx = 0
+      (1 to 4).flatMap { b =>
+        val sz = base + (if (b <= extra) 1 else 0)
+        val band = sorted.slice(idx, idx + sz); idx += sz
+        if (band.isEmpty) None
+        else Some((g, b.toLong) ->
+          ((band.length.toLong, band.map(_._3).min, band.map(_._3).max)))
+      }
+    }
+    assert(got == want)
+  }
+
+  test("cumulativeUsers == brute-force first-seen fold on random event data") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 600).map { _ =>
+      (rnd.nextInt(80).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(14) * 86400000L + rnd.nextInt(86400000)))
+    }
+    val got = graft.operators.Events.cumulativeUsers(
+      rows.toDF("user_id", "ts"), "ts", "user_id")
+      .orderBy("day").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+    val firstDay = rows.groupBy(_._1).map { case (_, es) =>
+      val t = es.map(_._2.getTime).min
+      t - java.lang.Math.floorMod(t, 86400000L)
+    }
+    val daily = firstDay.groupBy(x => x).map { case (d, v) => d -> v.size.toLong }
+      .toSeq.sortBy(_._1)
+    val want = daily.scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (d, nu)) =>
+      (d, nu, cum + nu)
+    }.drop(1)
+    assert(got.toSeq == want)
+  }
 }
