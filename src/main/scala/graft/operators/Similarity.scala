@@ -601,18 +601,24 @@ object Similarity {
     * brute force would be N² at corpus scale; instead candidates come
     * from the same LSH bucket machinery as [[embeddingPairs]] but kept
     * DIRECTED (every point is a query; (a,b) and (b,a) rank
-    * independently). The candidate shuffle carries ids only; per-bucket
-    * fanout is bounded by the bucket population (hyperplane tables keep
-    * buckets balanced on normalized data — no all-pairs blowup), and the
-    * per-query rank is a window over each point's own candidates, not a
-    * global sort. Points whose buckets hold < k mates return fewer rows
-    * (recall is approximate by design; the oracle mirrors the buckets).
+    * independently). The candidate shuffle carries ids only, the
+    * per-query rank is a window over each point's own candidates (not a
+    * global sort), and — same skew-proofing as the dedup family — each
+    * (table, bucket) is CAPPED to its `bucketCap` lowest-id members on
+    * the NEIGHBOR side, so a degenerate corpus (a viral embedding with m
+    * copies) costs O(m·cap) instead of O(m²); the cap is mirrored in the
+    * oracle, and a capped point still surfaces through its other tables.
+    * The query side stays uncapped — every point keeps its query role.
+    * Points whose buckets hold < k mates return fewer rows (recall is
+    * approximate by design; the oracle mirrors the buckets).
     */
   def simKnnJoin(df: DataFrame, id: String, emb: String,
-                 tabs: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+                 tabs: Seq[Seq[Seq[Double]]], k: Int,
+                 bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
     val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
     val a = b.select(col(id).as("query_id"), col("t"), col("bucket"))
-    val bb = b.select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
+    val bb = Dedup.capBuckets(b, Seq("t", "bucket"), id, bucketCap)
+      .select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
     val cand = a.join(bb, col("t") === col("t2") && col("bucket") === col("bucket2") &&
         col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -976,7 +982,7 @@ object Similarity {
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
     "sim_knn_join" ->
-      s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+      s"""WITH ${bucketsCte(dupTabs)}, $normCte, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
     "cluster_kmeans" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id, cid FROM fr WHERE crank = 1) SELECT l.vec_id, l.cid, s.cluster_n FROM lists l JOIN (SELECT cid, count(*) AS cluster_n FROM lists GROUP BY cid) s USING (cid) ORDER BY l.vec_id""",
     "sim_pq_ann" -> pqOracle,

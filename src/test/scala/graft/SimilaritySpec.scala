@@ -192,6 +192,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_join: bucket cap bounds a duplicate-embedding flood") {
+    val s = spark
+    import s.implicits._
+    // 200 identical vectors: every table puts them all in ONE bucket —
+    // uncapped, that's 200x199 candidate pairs; capped, each query sees
+    // only the cap lowest-id neighbors
+    val flood = (0L until 200L).map(i => (i, Seq.fill(8)(0.5))).toDF("vec_id", "embedding")
+    val cap = 8
+    val rows = graft.operators.Similarity.simKnnJoin(
+      flood, "vec_id", "embedding", graft.operators.Similarity.dupTabs,
+      k = 3, bucketCap = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val allowedNeighbors = (0L until cap.toLong).toSet
+    assert(rows.forall { case (q, n) => allowedNeighbors(n) && q != n },
+      "capped flood must only surface the cap lowest-id neighbors")
+    // every point still gets k answers — the cap bounds work, not recall
+    // for the queries (identical vectors: any capped neighbor is optimal)
+    assert(rows.groupBy(_._1).size == 200)
+  }
+
   test("persisted IVF-PQ index answers identically to the in-session index") {
     val mem = run("sim_ivfpq_ann").collect().map(_.toString).sorted
     val disk = run("sim_ivfpq_persisted").collect().map(_.toString).sorted
