@@ -529,6 +529,39 @@ object Relational {
         .select("o_orderkey", "o_custkey", "running_total", "running_n", "mov_avg")
         .orderBy("o_custkey", "o_orderkey")),
 
+    // correlated-subquery semantics ("orders 1.5x above their customer's
+    // average"), decorrelated to the scale-right agg + join by hand — the
+    // shape Catalyst itself rewrites a correlated scalar subquery into.
+    // The comparison runs in EXACT integer/decimal arithmetic
+    // (price*n*2 > sum*3, never avg-as-double), so boundary rows can't
+    // flip on cross-engine float drift.
+    "q_above_custavg" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      val stats = o.groupBy("o_custkey")
+        .agg(Stable.sumDec(col("o_totalprice")).as("_sum"), count(lit(1)).as("_n"))
+      o.join(stats, "o_custkey")
+        .filter(col("o_totalprice").cast("decimal(20,6)") * col("_n") * 2 >
+          col("_sum") * 3)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // FULL OUTER reconciliation: per-day click vs purchase counts, days
+    // present on either side surviving with 0 for the missing one (the
+    // report-reconciliation join; both sides pre-aggregate to day grain
+    // before the join, so the outer join is over bounded series)
+    "q_join_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", date_trunc("day", col("ts")))
+      def perDay(t: String, as: String) =
+        ev.filter(col("event_type") === t).groupBy("day").agg(count(lit(1)).as(as))
+      perDay("click", "n_clicks")
+        .join(perDay("purchase", "n_purchases"), Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("day")
+    }),
+
     // customers who never placed an urgent order: NOT EXISTS as a LeftAnti
     "q_join_anti" -> ((s, d) =>
       semiJoin(Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
@@ -613,6 +646,12 @@ object Relational {
       s"""WITH b AS (SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w1 AS rsum, count(*) OVER w1 AS rcount, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w2 AS msum, count(*) OVER w2 AS mn FROM orders WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) SELECT o_orderkey, o_custkey, round(rsum, 2)::DOUBLE AS running_total, rcount AS running_n, ${Stable.sqlAvgRoundedFrom("msum", "mn", 4)} AS mov_avg FROM b ORDER BY o_custkey, o_orderkey""",
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey""",
+    // stated as the correlated subquery it semantically is — DuckDB
+    // decorrelates it to the same agg+join shape the Spark side hand-writes
+    "q_above_custavg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o WHERE CAST(o_totalprice AS DECIMAL(20,6)) * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) * 2 > (SELECT sum(CAST(o_totalprice AS DECIMAL(20,6))) FROM orders i WHERE i.o_custkey = o.o_custkey) * 3 ORDER BY o_orderkey""",
+    "q_join_full_outer" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY 1), p AS (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases FROM events WHERE event_type = 'purchase' GROUP BY 1) SELECT coalesce(c.day, p.day) AS day, coalesce(n_clicks, 0) AS n_clicks, coalesce(n_purchases, 0) AS n_purchases FROM c FULL OUTER JOIN p ON c.day = p.day ORDER BY day""",
     "q_percentile_group" ->
       """WITH r AS (SELECT o_orderpriority, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, count(*) AS n, max(CASE WHEN rn = ceil(0.5 * n) THEN o_totalprice END) AS p50, max(CASE WHEN rn = ceil(0.95 * n) THEN o_totalprice END) AS p95 FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the bloom sketch is plan-transparent: the oracle is the plain join

@@ -244,6 +244,34 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_above_custavg == brute-force per-customer threshold") {
+    val got = run("q_above_custavg").collect().map(_.getLong(0)).toSet
+    val all = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2))))
+    val byCust = all.groupBy(_._2)
+    val want = all.filter { case (_, c, p) =>
+      val g = byCust(c)
+      p * g.length * 2 > g.map(_._3).sum * 3
+    }.map(_._1).toSet
+    assert(got == want && got.nonEmpty && got.size < all.length)
+  }
+
+  test("q_join_full_outer: one-sided days survive with zero counts") {
+    val rows = run("q_join_full_outer").collect()
+      .map(r => r.getTimestamp(0).getTime -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)))
+    def daily(t: String) = ev.filter(_._2 == t).groupBy(_._1)
+      .map { case (d, v) => d -> v.size.toLong }
+    val (clicks, purchases) = (daily("click"), daily("purchase"))
+    assert(rows.keySet == clicks.keySet ++ purchases.keySet)
+    rows.foreach { case (d, (nc, np)) =>
+      assert(nc == clicks.getOrElse(d, 0L) && np == purchases.getOrElse(d, 0L))
+    }
+  }
+
   test("q_tpch_pricing: top-10 unshipped revenue, no global sort") {
     val df = run("q_tpch_pricing")
     val rows = df.collect()
