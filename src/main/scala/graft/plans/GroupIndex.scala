@@ -25,6 +25,28 @@ object GroupIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(path)
 
+  /** Incremental maintenance — the ingest-path story `build`'s doc
+    * promises: merge a DELTA batch's values into the existing index
+    * without touching the fact table. Work is O(index + delta-distinct):
+    * the delta reduces to its distinct values (map-side partial agg)
+    * before unioning with the tiny index file, so a 100 TB table's index
+    * stays fresh at per-batch cost. Writes to a temp path first — the
+    * union reads the live index lazily, and overwriting a parquet dir
+    * that an unmaterialized plan still reads would corrupt the read.
+    */
+  def merge(delta: DataFrame, field: String, path: String): Unit = {
+    val spark = delta.sparkSession
+    val merged = spark.read.parquet(path)
+      .unionByName(delta.select(col(field)).distinct()
+        .withColumn("opt_lower", lower(col(field))))
+      .distinct()
+      .coalesce(1)
+    val tmp = path + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    // atomic-enough swap for a local/HDFS path: reread from tmp, rewrite
+    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
   /** Serve group-options from the index: the prefix predicate hits the
     * pre-lowered column as a pushable startsWith filter on a tiny file.
     */

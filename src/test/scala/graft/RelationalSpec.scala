@@ -244,6 +244,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("GroupIndex.merge: incremental delta == full rebuild") {
+    import graft.plans.GroupIndex
+    val part = Tables.part(spark, sfDir)
+    val idx = "/tmp/graft_io/gidx_merge_test"
+    // build from half the table, merge the other half as a delta batch
+    GroupIndex.build(part.filter(col("p_partkey") % 2 === 0), "p_type", idx)
+    GroupIndex.merge(part.filter(col("p_partkey") % 2 === 1), "p_type", idx)
+    val merged = GroupIndex.options(spark, idx, "p_type", "", 10000)
+      .collect().map(_.getString(0)).toSeq
+    val full = "/tmp/graft_io/gidx_merge_full"
+    GroupIndex.build(part, "p_type", full)
+    val rebuilt = GroupIndex.options(spark, full, "p_type", "", 10000)
+      .collect().map(_.getString(0)).toSeq
+    assert(merged == rebuilt && merged.nonEmpty)
+    // idempotent: re-merging the same delta changes nothing
+    GroupIndex.merge(part.filter(col("p_partkey") % 2 === 1), "p_type", idx)
+    val again = GroupIndex.options(spark, idx, "p_type", "", 10000)
+      .collect().map(_.getString(0)).toSeq
+    assert(again == rebuilt)
+  }
+
   test("q_above_custavg == brute-force per-customer threshold") {
     val got = run("q_above_custavg").collect().map(_.getLong(0)).toSet
     val all = Tables.orders(spark, sfDir)
