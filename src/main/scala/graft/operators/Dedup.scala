@@ -444,6 +444,62 @@ object Dedup {
     df.filter(draw < weight * 65536)
   }
 
+  /** Temperature-scaled source mixing — the standard "flatten the source
+    * distribution" knob of a multilingual/multi-source training mix
+    * (T5/mC4-style: sampling share ∝ n_s^α with α < 1, realised here by
+    * DOWNSAMPLING the head so no source needs upsampling). With α = 0.5
+    * the keep rate per source is r_s = sqrt(n_min / n_s): the smallest
+    * source keeps everything, a source 100× larger keeps 10%. The rates
+    * derive from one tiny per-source count agg (|sources| rows) that
+    * broadcast-joins back onto the corpus; the keep decision is the same
+    * stateless md5 draw as [[mixSources]] — so the whole operator costs
+    * one map-side-combined count pass plus a zero-shuffle filtered
+    * projection at any scale. sqrt and the long→double divide are
+    * IEEE-correctly-rounded in both engines (unlike pow/exp, whose libm
+    * implementations may differ by ulps — why α is fixed at 0.5 here:
+    * other temperatures would need a portable rational-power ladder).
+    */
+  def mixTemperatureHalf(df: DataFrame, sourceCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val nmin = counts.agg(min(col("_n")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(sourceCol),
+        sqrt(col("_nmin").cast("double") / col("_n").cast("double")).as("_rate"))
+    val draw = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    df.join(broadcast(rates), sourceCol)
+      .filter(draw < col("_rate") * 65536)
+      .drop("_rate")
+  }
+
+  /** Exact-substring decontamination: which training docs contain a
+    * benchmark item's probe phrase verbatim? The complement of
+    * [[contaminationPairs]]' shingle-overlap fraction — this is the
+    * "answer string appears verbatim in the training set" check run
+    * before every eval. Probe = each benchmark doc's first `k` tokens
+    * joined by a single space (normalising the whitespace the substring
+    * scan must not depend on). The benchmark side is tiny by definition,
+    * so it broadcasts and the whole check is corpus × |bench| codegen'd
+    * substring probes — embarrassingly parallel, ZERO shuffle of the
+    * corpus side; at 100 TB this is a single filtered pass. (A
+    * benchmark too large to broadcast would switch to
+    * [[contaminationPairs]]' shingle equi-join shape instead.)
+    */
+  def exactContamination(train: DataFrame, bench: DataFrame, id: String,
+                         textCol: String, k: Int): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    val phrases = bench
+      .select(col(id).as("bench_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("bench_id"), array_join(slice(col("_t"), 1, k), " ").as("_phrase"))
+    train.select(col(id), col(textCol))
+      .crossJoin(broadcast(phrases))
+      .filter(col(id) =!= col("bench_id") &&
+        instr(col(textCol), col("_phrase")) > 0)
+      .select(col(id), col("bench_id"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -507,6 +563,23 @@ object Dedup {
       sampleWeighted(Tables.documents(s, d).select("doc_id", "source", "n_chars"),
         idCol = "doc_id", weight = least(col("n_chars") / lit(2000.0), lit(1.0)))
         .orderBy("doc_id")),
+
+    // temperature-flattened multilingual mix (α = 0.5): head languages
+    // downsampled toward the smallest language's share
+    "mix_temperature" -> ((s, d) =>
+      mixTemperatureHalf(Tables.documents(s, d).select("doc_id", "lang"),
+        sourceCol = "lang", idCol = "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // verbatim-phrase contamination: probe = first 5 tokens of each
+    // benchmark doc (the first 20 docs), scanned against the whole corpus
+    "decon_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      exactContamination(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", k = 5)
+        .orderBy("doc_id", "bench_id")
+    }),
 
     // "benchmark" = the first 20 docs; training corpus = everything
     "decon_overlap" -> ((s, d) => {
@@ -592,6 +665,11 @@ object Dedup {
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, $jac AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE $jac >= 0.5 ORDER BY id_a, id_b"""
     },
+    // same tiny count agg + sqrt rate + md5 draw, stated relationally
+    "mix_temperature" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), mn AS (SELECT min(n) AS nmin FROM cnt), rate AS (SELECT lang, sqrt(nmin::DOUBLE / n::DOUBLE) AS r FROM cnt CROSS JOIN mn) SELECT d.doc_id, d.lang FROM documents d JOIN rate USING (lang) WHERE $drawSql < r * 65536 ORDER BY doc_id""",
+    "decon_exact" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents WHERE doc_id < 20), ph AS (SELECT doc_id AS bench_id, array_to_string(t[1:5], ' ') AS phrase FROM tk WHERE len(t) >= 5) SELECT d.doc_id, p.bench_id FROM documents d CROSS JOIN ph p WHERE d.doc_id != p.bench_id AND strpos(d.text, p.phrase) > 0 ORDER BY d.doc_id, p.bench_id""",
     "decon_overlap" -> {
       val frac = graft.operators.Stable.sqlRatioRounded("sv.shared", "bz.bench_sh", 4)
       s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20), bz AS (SELECT doc_id AS bench_id, len(sh) AS bench_sh FROM shs WHERE doc_id < 20), sh2 AS (SELECT t.doc_id, b.bench_id, count(*) AS shared FROM sh t JOIN bsh b ON t.s = b.s AND t.doc_id != b.bench_id GROUP BY t.doc_id, b.bench_id) SELECT sv.doc_id, sv.bench_id, sv.shared, $frac AS overlap_frac FROM sh2 sv JOIN bz ON sv.bench_id = bz.bench_id WHERE $frac >= 0.2 ORDER BY sv.doc_id, sv.bench_id"""

@@ -136,6 +136,46 @@ object Etl {
       }: _*)), ","))
       .withColumn("is_valid", col("failed_rules") === "")
 
+  /** One-pass table profiling — the "what is this table?" query every
+    * ingest/curation flow runs first: per column, null count, EXACT
+    * distinct count, and min/max (stringified so heterogeneous column
+    * types share one output schema). ALL columns profile in a single
+    * aggregate: Catalyst plans the multiple DISTINCT aggregates as one
+    * Expand (one row-group per distinct column) + two-phase hash agg —
+    * one scan and one shuffle regardless of column count, with map-side
+    * partial dedup bounding the exchange. The 1-row wide result then
+    * unpivots via inline() — driver-side row count is |columns|. At
+    * 100 TB the same shape holds; if exact distincts ever dominate, the
+    * drop-in relaxation is approx_count_distinct (HLL, no Expand), which
+    * [[Events.approxStats]] already demonstrates. Doubles stringify
+    * through DECIMAL(18,2) and timestamps through an explicit format so
+    * both engines render identical text (raw double/timestamp casts are
+    * formatting-dependent).
+    */
+  def profileTable(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType, DataType}
+    def asStr(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case DoubleType    => c.cast("decimal(18,2)").cast("string")
+      case _             => c.cast("string")
+    }
+    val aggs = df.schema.fields.flatMap { f =>
+      Seq(
+        (count(lit(1)) - count(col(f.name))).as(s"${f.name}__nulls"),
+        count_distinct(col(f.name)).as(s"${f.name}__dist"),
+        asStr(min(col(f.name)), f.dataType).as(s"${f.name}__min"),
+        asStr(max(col(f.name)), f.dataType).as(s"${f.name}__max"))
+    }.toSeq
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(df.columns.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}__nulls").as("n_nulls"),
+      col(s"${c}__dist").as("n_distinct"),
+      col(s"${c}__min").as("min_val"),
+      col(s"${c}__max").as("max_val"))): _*)
+    wide.select(inline(entries))
+  }
+
   /** JSON-lines → typed columns: schema-on-read projection of a JSON string
     * column (the S3 batch reader semantics without the row loop).
     */
@@ -168,6 +208,11 @@ object Etl {
             Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
           "not_low_value" -> (col("o_totalprice") >= 1000.0)))
         .orderBy("o_orderkey")),
+
+    // one-pass profile of orders: nulls / exact distincts / extrema per column
+    "data_profile" -> ((s, d) =>
+      profileTable(Tables.orders(s, d))
+        .orderBy("col_name")),
 
     "etl_rename_normalize" -> ((s, d) =>
       renameNormalize(
@@ -253,6 +298,21 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    // one UNION ALL branch per column, each the same aggregate the Spark
+    // side computes inside its single Expand pass
+    "data_profile" -> {
+      def branch(c: String, minMax: String => String) =
+        s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, ${minMax(s"min($c)")} AS min_val, ${minMax(s"max($c)")} AS max_val FROM orders"""
+      val vch = (e: String) => s"$e::VARCHAR"
+      val dec = (e: String) => s"$e::DECIMAL(18,2)::VARCHAR"
+      val tsf = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      Seq(
+        branch("o_orderkey", vch), branch("o_custkey", vch),
+        branch("o_orderstatus", vch), branch("o_totalprice", dec),
+        branch("o_orderdate", tsf), branch("o_orderpriority", vch)
+      ).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
     // row_number window mirrors Spark's min(struct(...)) composite order
     // exactly (arg_min can't take a composite key in DuckDB); NULLS FIRST
     // matches Spark's struct comparison (nulls sort first ascending) where

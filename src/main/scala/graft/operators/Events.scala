@@ -339,6 +339,31 @@ object Events {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Sequence-pattern detection: every `a` event followed by a `b` event
+    * of the same key within `withinSec` (the MATCH_RECOGNIZE-lite /
+    * "view converted to purchase inside an hour" trigger shape, and the
+    * batch analog of the reference's event automations). One conditional
+    * window over the per-key time order — `min(ts) filtered to b` over
+    * the STRICTLY-FOLLOWING frame — finds each a-event's next b in a
+    * single shuffle+sort per key; no self-join, no per-pattern rescan,
+    * and the frame's running minimum is O(n) per key partition. The gap
+    * comes out in exact integer MICROSECONDS (μs epochs subtract
+    * exactly; second-granularity datediffs disagree across engines on
+    * sub-second boundaries).
+    */
+  def patternWithin(df: DataFrame, key: String, typeCol: String, tsCol: String,
+                    tiebreak: String, a: String, b: String,
+                    withinSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tiebreak))
+      .rowsBetween(1, Window.unboundedFollowing)
+    df.withColumn("_b_ts", min(when(col(typeCol) === b, col(tsCol))).over(w))
+      .filter(col(typeCol) === a && col("_b_ts").isNotNull)
+      .withColumn("gap_us", unix_micros(col("_b_ts")) - unix_micros(col(tsCol)))
+      .filter(col("gap_us") <= withinSec * 1000000L)
+      .select(col(key), col(tiebreak), col(tsCol).as("a_ts"),
+        col("_b_ts").as("b_ts"), col("gap_us"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -451,7 +476,14 @@ object Events {
     "events_histogram" -> ((s, d) =>
       histogram(Tables.events(s, d).select("event_type", "value"),
         key = "event_type", v = "value", width = 50.0, bins = 10)
-        .orderBy("event_type", "bin"))
+        .orderBy("event_type", "bin")),
+
+    // every view converting to a purchase within an hour, per user
+    "events_pattern" -> ((s, d) =>
+      patternWithin(Tables.events(s, d), key = "user_id", typeCol = "event_type",
+        tsCol = "ts", tiebreak = "event_id",
+        a = "view", b = "purchase", withinSec = 3600L)
+        .orderBy("user_id", "event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,6 +521,9 @@ object Events {
       s"""WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket, ${Stable.sqlAvgRounded("value", 4)} AS obs_value FROM events GROUP BY user_id, date_trunc('day', ts)), span AS (SELECT user_id, min(bucket) AS a, max(bucket) AS b FROM obs GROUP BY user_id), grid AS (SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 DAY)) AS bucket FROM span), j AS (SELECT g.user_id, g.bucket, o.obs_value FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket) SELECT user_id, bucket, last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, (obs_value IS NULL) AS filled FROM j ORDER BY user_id, bucket""",
     "events_transitions" ->
       """WITH t AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions FROM t WHERE next_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    // same strictly-following conditional-min window; gaps as exact μs
+    "events_pattern" ->
+      """WITH x AS (SELECT user_id, event_id, ts, event_type, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b_ts FROM events) SELECT user_id, event_id, ts AS a_ts, b_ts, epoch_us(b_ts) - epoch_us(ts) AS gap_us FROM x WHERE event_type = 'view' AND b_ts IS NOT NULL AND epoch_us(b_ts) - epoch_us(ts) <= 3600000000 ORDER BY user_id, event_id""",
     // identical chained-window shape: each stage's first-hit min can
     // reference the previous stage's column (unbounded frames, no ordering)
     "events_funnel" ->

@@ -179,6 +179,43 @@ object Relational {
           .otherwise(coalesce(col(g2), lit("(null)"))).as(g2),
         col("n"), col("sum_val"))
 
+  /** Arbitrary GROUPING SETS aggregation — the asymmetric cousin of
+    * [[rollupAgg]]/[[cubeAgg]]: the caller picks exactly which subtotal
+    * combinations exist (here the cells plus BOTH one-dimensional margins,
+    * but NOT the grand total — the shape a report wants when the page
+    * already shows a global header). Catalyst plans any grouping-set list
+    * as ONE Expand + hash aggregate: the declared sets cost a single scan
+    * and a single shuffle regardless of how many sets are listed, and the
+    * Expand's row multiplication collapses in the map-side partial agg
+    * before the exchange. grouping() bits discriminate subtotal rows from
+    * genuine NULL data keys, exactly as in rollup/cube.
+    */
+  def groupingSetsAgg(df: DataFrame, g1: String, g2: String,
+                      measure: String): DataFrame =
+    df.groupingSets(
+        Seq(Seq(col(g1), col(g2)), Seq(col(g1)), Seq(col(g2))),
+        col(g1), col(g2))
+      .agg(count(lit(1)).as("n"), Stable.sumRounded(col(measure), 2).as("sum_val"),
+        grouping(col(g1)).as("_gg1"), grouping(col(g2)).as("_gg2"))
+      .select(
+        when(col("_gg1") === 1, "ALL")
+          .otherwise(coalesce(col(g1), lit("(null)"))).as(g1),
+        when(col("_gg2") === 1, "ALL")
+          .otherwise(coalesce(col(g2), lit("(null)"))).as(g2),
+        col("n"), col("sum_val"))
+
+  /** Set operations with DISTINCT semantics: INTERSECT and EXCEPT over
+    * key projections. Catalyst rewrites Intersect to a left-SEMI join and
+    * Except to a left-ANTI join over deduplicated single-column inputs —
+    * so at 100 TB each operand reduces to its distinct key set map-side
+    * (partial agg) before any exchange, the joins ship key columns only,
+    * and no payload ever moves. This is the engine answer to the
+    * reference's row-at-a-time "collect ids into JS Sets and diff them"
+    * idiom — same algebra, executed as three co-partitioned key streams.
+    */
+  def intersectExcept(a: DataFrame, b: DataFrame, c: DataFrame): DataFrame =
+    a.intersect(b).except(c)
+
   /** Equal-frequency banding: NTILE(buckets) per group (the "quartile of
     * balance within segment" report), then one aggregate per (group, band)
     * — count + band edges. NTILE's standard definition (first
@@ -486,6 +523,22 @@ object Relational {
       cubeAgg(Tables.orders(s, d), "o_orderstatus", "o_orderpriority", "o_totalprice")
         .orderBy("o_orderstatus", "o_orderpriority")),
 
+    "q_grouping_sets" -> ((s, d) =>
+      groupingSetsAgg(Tables.orders(s, d), "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // parts shipped both as returns ('R') and accepted ('A'), minus any
+    // part ever shipped at quantity >= 48 — (R ∩ A) \ big
+    "q_set_ops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      intersectExcept(
+        li.filter(col("l_returnflag") === "R").select("l_partkey"),
+        li.filter(col("l_returnflag") === "A").select("l_partkey"),
+        li.filter(col("l_quantity") >= 48).select("l_partkey"))
+        .orderBy("l_partkey")
+    }),
+
     "q_window_ntile" -> ((s, d) =>
       ntileBands(Tables.customer(s, d).select("c_mktsegment", "c_acctbal", "c_custkey"),
         group = "c_mktsegment", value = "c_acctbal", tiebreak = "c_custkey", buckets = 4)
@@ -636,6 +689,10 @@ object Relational {
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, '(null)') END AS o_orderstatus, CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, '(null)') END AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
     "q_agg_cube" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, '(null)') END AS o_orderstatus, CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, '(null)') END AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus, o_orderpriority""",
+    "q_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE coalesce(o_orderstatus, '(null)') END AS o_orderstatus, CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE coalesce(o_orderpriority, '(null)') END AS o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_val FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority)) ORDER BY o_orderstatus, o_orderpriority""",
+    "q_set_ops" ->
+      """(SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' INTERSECT SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity >= 48 ORDER BY l_partkey""",
     "q_window_ntile" ->
       """SELECT c_mktsegment, band, count(*) AS n, round(min(c_acctbal),2) AS lo, round(max(c_acctbal),2) AS hi FROM (SELECT c_mktsegment, c_acctbal, ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS band FROM customer) GROUP BY c_mktsegment, band ORDER BY c_mktsegment, band""",
     "q_tpch_pricing" ->

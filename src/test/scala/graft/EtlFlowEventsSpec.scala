@@ -399,4 +399,48 @@ class EtlFlowEventsSpec extends SparkSpec {
     // every event is counted exactly twice across the sliding windows
     assert(sliding.values.sum == 2 * Tables.events(spark, sfDir).count())
   }
+
+  test("events_pattern == brute-force next-purchase walk, no self-join") {
+    val df = run("events_pattern")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // brute force: per user, in (ts, event_id) order, each view's next
+    // purchase ts (min over strictly-later rows) within the hour
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)), r.getString(3)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val ord = rows.sortBy(r => (r._3, r._2))
+      ord.zipWithIndex.collect { case ((_, eid, ts, "view"), i) =>
+        val later = ord.drop(i + 1).filter(_._4 == "purchase").map(_._3)
+        (eid, ts, if (later.isEmpty) None else Some(later.min))
+      }.collect { case (eid, ts, Some(b)) if b - ts <= 3600000000L =>
+        (user, eid) -> (b - ts)
+      }
+    }.toMap
+    assert(got == expect)
+    // one window pass — the naive shape (events self-joined to events)
+    // must not appear
+    assert(!plan(df).contains("Join"))
+  }
+
+  test("data_profile: one row per column, aggregates agree with direct queries") {
+    val rows = run("data_profile").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))).toMap
+    val o = Tables.orders(spark, sfDir)
+    assert(rows.keySet == o.columns.toSet)
+    for (c <- o.columns)
+      assert(rows(c)._2 == o.select(c).distinct().count())
+    assert(rows.values.forall(_._1 == 0L)) // generator emits no nulls
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows("o_orderkey")._3 == keys.min.toString &&
+      rows("o_orderkey")._4 == keys.max.toString)
+    // doubles render through DECIMAL(18,2): exactly two decimals
+    assert(rows("o_totalprice")._3.matches("""-?\d+\.\d\d"""))
+  }
 }

@@ -304,4 +304,40 @@ class RelationalSpec extends SparkSpec {
     // the final top-10 must be a per-partition heap, not a range sort
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
+
+  test("q_grouping_sets: declared margins only (no grand total), one Expand agg") {
+    val rows = run("q_grouping_sets").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val leaf = rows.filter { case ((s, p), _) => s != "ALL" && p != "ALL" }
+    val m1 = rows.filter { case ((s, p), _) => s != "ALL" && p == "ALL" }
+    val m2 = rows.filter { case ((s, p), _) => s == "ALL" && p != "ALL" }
+    assert(leaf.nonEmpty && m1.nonEmpty && m2.nonEmpty)
+    // the grand total set was NOT declared, so it must not appear
+    assert(!rows.contains(("ALL", "ALL")))
+    // each declared margin reconciles with its cells
+    for (((s, _), n) <- m1)
+      assert(leaf.collect { case ((`s`, _), c) => c }.sum == n)
+    for (((_, p), n) <- m2)
+      assert(leaf.collect { case ((_, `p`), c) => c }.sum == n)
+    // still ONE Expand + agg pass, not a union of re-aggregations
+    val p = plan(run("q_grouping_sets"))
+    assert("Expand".r.findAllIn(p).size >= 1 && !p.contains("Union"))
+  }
+
+  test("q_set_ops == brute-force set algebra, planned as semi/anti joins") {
+    val li = Tables.lineitem(spark, sfDir)
+    def keys(pred: org.apache.spark.sql.Column) =
+      li.filter(pred).select("l_partkey").collect().map(_.getLong(0)).toSet
+    val expect = (keys(col("l_returnflag") === "R") &
+      keys(col("l_returnflag") === "A")) --
+      keys(col("l_quantity") >= 48)
+    val df = run("q_set_ops")
+    val got = df.collect().map(_.getLong(0))
+    assert(got.toSet == expect && got.length == expect.size) // distinct semantics
+    assert(got.sorted.sameElements(got))
+    // Catalyst rewrites INTERSECT/EXCEPT to key-only semi/anti joins —
+    // no payload columns ever shuffle
+    val p = plan(df)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
 }

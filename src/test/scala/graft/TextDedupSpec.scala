@@ -500,4 +500,52 @@ class TextDedupSpec extends SparkSpec {
     val wsTotal = run("text_tokencount").collect().map(_.getLong(1)).sum
     assert(rows.values.map(_._2).sum == wsTotal)
   }
+
+  test("mix_temperature: keep rates flatten the head, smallest lang keeps all") {
+    val all = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val total = all.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("mix_temperature").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keptBy = kept.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // every row of the smallest language survives (its rate is exactly 1)
+    val smallest = total.minBy(t => (t._2, t._1))._1
+    assert(keptBy(smallest) == total(smallest))
+    // exact brute-force replication of the draw: md5 first-4-nibble
+    // integer under sqrt(nmin/n) * 65536 (the realized FRACTIONS carry
+    // binomial noise at this sf, so assert the decision rule itself)
+    val nmin = total.values.min
+    def draw(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = all.collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, l) =>
+        draw(id) < math.sqrt(nmin.toDouble / total(l).toDouble) * 65536
+      }.toSet
+    assert(kept.toSet == expect)
+    // deterministic: the md5 draw has no RNG state
+    assert(run("mix_temperature").collect().map(r =>
+      (r.getLong(0), r.getString(1))).sameElements(kept))
+  }
+
+  test("decon_exact == brute-force phrase containment, bench side broadcast") {
+    val df = run("decon_exact")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val phrases = all.filter(_._1 < 20).flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 5) Some(id -> toks.take(5).mkString(" ")) else None
+    }
+    val expect = (for {
+      (did, text) <- all
+      (bid, ph) <- phrases
+      if did != bid && text.contains(ph)
+    } yield (did, bid)).toSet
+    assert(got == expect)
+    // the bench side must broadcast — corpus side never shuffles
+    assert(plan(df).contains("BroadcastNestedLoopJoin"))
+  }
 }
