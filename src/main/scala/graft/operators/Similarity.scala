@@ -594,6 +594,46 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Radius (range) search: every corpus vector within cosine ≥ `tau` of
+    * each query — the "give me EVERYTHING this similar" retrieval shape
+    * (dedup review queues, policy screens), where top-k's fixed cutoff
+    * is wrong because the answer size is data-dependent. Same machinery
+    * as [[simLshAnn]] — bucket-mate candidates (query-side multi-probe
+    * lifts recall at zero corpus cost), id-only candidate shuffle,
+    * vectors joined back for one dot fold — but the final predicate is
+    * the threshold itself, no window/rank stage at all: at 100 TB this
+    * saves the per-query sort that top-k needs, and the output contract
+    * (recall < 1 only through the mirrored buckets) stays
+    * oracle-exact.
+    */
+  def simRangeSearch(df: DataFrame, id: String, emb: String, queryPred: Column,
+                     tabs: Seq[Seq[Seq[Double]]], tau: Double,
+                     multiProbe: Boolean = true): DataFrame = {
+    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    val qOwn = b.filter(queryPred)
+    val q = (if (!multiProbe) qOwn else {
+      val bits = tabs.head.size
+      val variants = col("bucket") +: (0 until bits).map { i =>
+        concat(substring(col("bucket"), 1, i),
+          when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+          substring(col("bucket"), i + 2, bits))
+      }
+      qOwn.withColumn("bucket", explode(array(variants: _*)))
+    }).select(col(id).as("query_id"), col("t"), col("bucket"))
+    val c = b.select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
+    val cand = q.join(c, col("t") === col("t2") && col("bucket") === col("bucket2") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val n = normalized(df, id, emb)
+    broadcast(
+        n.select(col(id).as("query_id"), col("ne").as("qe"))
+          .join(broadcast(cand), "query_id"))
+      .join(n.select(col(id).as("neighbor_id"), col("ne").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   /** Approximate k-NN JOIN: EVERY point's top-k nearest bucket-mates —
     * the corpus-wide neighbor table behind near-dup clustering, label
     * propagation and retrieval-index bootstrapping. Unlike [[simTopK]]
@@ -741,6 +781,27 @@ object Similarity {
         "vec_id", "embedding", dupTabs, threshold = 0.4)
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")),
+
+    // data-dependent answer size: everything with cos >= 0.25 per query
+    "sim_range_search" -> ((s, d) =>
+      simRangeSearch(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", col("vec_id") < 10, annTabs, tau = 0.25)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "neighbor_id")),
+
+    // SemDeDup-shaped semantic dedup: near-dup embedding pairs ->
+    // components -> keep each cluster's min member with its cluster size
+    "dedup_semantic_e2e" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val pairs = embeddingPairs(e, "vec_id", "embedding", dupTabs,
+        threshold = 0.4).select("id_a", "id_b")
+      val comps = Dedup.connectedComponents(e.select("vec_id"), "vec_id",
+        pairs, "id_a", "id_b")
+      val sizes = comps.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
+      comps.filter(col("vec_id") === col("cluster")).select("vec_id")
+        .join(sizes.select(col("cluster").as("vec_id"), col("cluster_n")), "vec_id")
+        .orderBy("vec_id")
+    }),
 
     // every point's top-3 bucket-mate neighbors (directed self-join)
     "sim_knn_join" -> ((s, d) =>
@@ -981,6 +1042,17 @@ object Similarity {
     },
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
+    // the lsh-ann oracle minus the rank stage: threshold, not top-k
+    "sim_range_search" -> {
+      val bits = annTabs.head.size
+      val flips = ("bucket" +: (0 until bits).map(i =>
+        s"substr(bucket, 1, $i) || (CASE WHEN substr(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 2}, $bits)")).mkString("[", ", ", "]")
+      s"""WITH ${bucketsCte(annTabs)}, $normCte, qb AS (SELECT vec_id, tid, unnest($flips) AS bucket FROM bkt WHERE vec_id < 10), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM qb a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id) SELECT query_id, neighbor_id, cos_sim FROM p WHERE cos_sim >= 0.25 ORDER BY query_id, neighbor_id"""
+    },
+    // the dedup_embedding pair CTEs feeding the same recursive min-label
+    // fixpoint the Dedup oracles use; keep self-labelled reps + sizes
+    "dedup_semantic_e2e" ->
+      s"""WITH RECURSIVE ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id), prs AS (SELECT id_a, id_b FROM p WHERE cos_sim >= 0.4), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT cluster, count(*) AS cluster_n FROM comp GROUP BY cluster) SELECT c.id AS vec_id, s.cluster_n FROM comp c JOIN sizes s ON c.cluster = s.cluster WHERE c.id = c.cluster ORDER BY vec_id""",
     "sim_knn_join" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
     "cluster_kmeans" ->

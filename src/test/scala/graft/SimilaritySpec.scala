@@ -252,6 +252,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_range_search: threshold semantics, subset of brute force, no rank stage") {
+    val df = run("sim_range_search")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ >= 0.25))
+    // brute force: every (query < 10, neighbor) pair at cos >= tau
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x / na * y / nb }.sum
+    }
+    val brute = (for {
+      (q, qe) <- e if q < 10
+      (n, ne) <- e if n != q
+      c = cos(qe, ne) if c >= 0.245 // rounding slack at the boundary
+    } yield (q, n)).toSet
+    // bucketed candidates can only MISS brute-force pairs, never invent
+    assert(got.keySet.subsetOf(brute))
+    // every returned cosine equals the brute-force value (4dp)
+    got.foreach { case ((q, n), c) =>
+      val b = cos(e.toMap.apply(q), e.toMap.apply(n))
+      assert(math.abs(c - b) < 5e-4)
+    }
+    // the point of range search: NO per-query rank window in the plan
+    assert(!plan(df).contains("Window"))
+  }
+
+  test("dedup_semantic_e2e: reps are cluster minima, sizes partition the corpus") {
+    val rows = run("dedup_semantic_e2e").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = Tables.embeddings(spark, sfDir).count()
+    // cluster sizes partition the corpus exactly
+    assert(rows.map(_._2).sum == total)
+    // brute-force transitive closure over the operator's own pair stage
+    import graft.operators.Similarity
+    val pairs = Similarity.embeddingPairs(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      "vec_id", "embedding", Similarity.dupTabs, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = Tables.embeddings(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0))
+    val expect = ids.groupBy(find).map { case (_, m) => m.min -> m.length.toLong }
+    assert(rows.toMap == expect)
+  }
+
   test("mm_meta plumbing: sizes, hashes and stub decode are consistent") {
     val rows = run("mm_meta").collect()
     assert(rows.nonEmpty)
