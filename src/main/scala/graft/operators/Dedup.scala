@@ -500,6 +500,42 @@ object Dedup {
       .select(col(id), col("bench_id"))
   }
 
+  /** SOFT dedup by near-dup cluster: keep each doc with probability
+    * 1 / (its cluster's DOC count) — expected one surviving copy per
+    * near-dup cluster, without hard dedup's all-or-nothing choice
+    * (unique content always survives; a 1000-copy boilerplate cluster
+    * survives ~once, and which copy survives is a reproducible hash
+    * draw, not a min-id policy). The "downweight duplicates instead of
+    * dropping them" knob of a training mix.
+    *
+    * Shape: the same exact-rep → minhash-pair → components chain as
+    * [[connectedComponents]] clustering (reps/pairs costs shared with
+    * any co-running dedup pass), cluster DOC sizes = one tiny agg over
+    * reps (sum of exact-copy counts), and the doc→rep mapping joins on
+    * the md5 CONTENT HASH — ids and 32-char hashes shuffle, never the
+    * text. The final keep decision is the stateless md5 draw; 1.0/n is
+    * one IEEE divide, bitwise portable.
+    */
+  def softDedupByCluster(docs: DataFrame, id: String, textCol: String): DataFrame = {
+    val reps = CacheScope.register(
+      representatives(docs, id, textCol).localCheckpoint(true))
+    val pairs = minhashPairsOfReps(reps.select(col(id), col(textCol)),
+      id, textCol, n = 3, k = 8, rowsPerBand = 2)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(reps.select(col(id)), id, pairs, "id_a", "id_b")
+    val repC = reps
+      .select(col(id).as("_rep"), col("n_dupes"),
+        md5(col(textCol).cast("binary")).as("_h"))
+      .join(comps.select(col(id).as("_rep"), col("cluster")), "_rep")
+    val sizes = repC.groupBy("cluster").agg(sum("n_dupes").as("cluster_docs"))
+    val mapped = docs
+      .withColumn("_h", md5(col(textCol).cast("binary")))
+      .join(repC.select("_h", "cluster"), "_h")
+      .join(broadcast(sizes), "cluster")
+    sampleWeighted(mapped, id, lit(1.0) / col("cluster_docs"))
+      .select(col(id), col("cluster"), col("cluster_docs"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -556,6 +592,12 @@ object Dedup {
       mixSources(Tables.documents(s, d).select("doc_id", "source"),
         sourceCol = "source", idCol = "doc_id",
         rates = Map("src0" -> 0.9, "src1" -> 0.1), defaultRate = 0.5)
+        .orderBy("doc_id")),
+
+    // probabilistic near-dup downweighting: expected one copy per cluster
+    "sample_soft_dedup" -> ((s, d) =>
+      softDedupByCluster(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text")
         .orderBy("doc_id")),
 
     // per-row weighted keep: upsample long docs (weight = n_chars/2000, capped)
@@ -684,6 +726,10 @@ object Dedup {
       s"""SELECT doc_id, source FROM documents WHERE $drawSql < (CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536 ORDER BY doc_id""",
     "sample_weighted" ->
       s"""SELECT doc_id, source, n_chars FROM documents WHERE $drawSql < least(n_chars / 2000.0, 1.0) * 65536 ORDER BY doc_id""",
+    // the dedup_components recursive chain (reps carrying exact-copy
+    // counts) + cluster doc sizes + the same md5 draw under 1/size
+    "sample_soft_dedup" ->
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster), m AS (SELECT d.doc_id, c.cluster, s.cluster_docs FROM documents d JOIN reps r ON d.text = r.text JOIN comp c ON r.doc_id = c.id JOIN sizes s ON c.cluster = s.cluster) SELECT doc_id, cluster, cluster_docs FROM m WHERE $drawSql < (1.0 / cluster_docs) * 65536 ORDER BY doc_id""",
     // the recursive CTE reaches the same unique min-label fixpoint the
     // Spark propagation loop converges to
     "dedup_components" ->

@@ -339,6 +339,25 @@ object Events {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Windowed top-k: the k most frequent event types per time bucket
+    * (the "trending now" monitoring panel). Counts collapse to
+    * (bucket, type) FIRST — one map-side-combined hash agg is the only
+    * corpus-sized work — and the per-bucket rank then runs over at most
+    * |types| rows per bucket; Spark's WindowGroupLimit additionally
+    * prunes rank > k before the window's shuffle. Count-desc ties break
+    * on the type string so the top-k set is deterministic.
+    */
+  def windowedTopK(df: DataFrame, ts: String, granularity: String,
+                   typeCol: String, k: Int): DataFrame = {
+    val counts = df
+      .groupBy(date_trunc(granularity, col(ts)).as("bucket"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n").desc, col(typeCol).asc)
+    counts.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Sequence-pattern detection: every `a` event followed by a `b` event
     * of the same key within `withinSec` (the MATCH_RECOGNIZE-lite /
     * "view converted to purchase inside an hour" trigger shape, and the
@@ -478,6 +497,12 @@ object Events {
         key = "event_type", v = "value", width = 50.0, bins = 10)
         .orderBy("event_type", "bin")),
 
+    // top-3 trending event types per day
+    "events_windowed_topk" -> ((s, d) =>
+      windowedTopK(Tables.events(s, d), ts = "ts", granularity = "day",
+        typeCol = "event_type", k = 3)
+        .orderBy("bucket", "rank")),
+
     // every view converting to a purchase within an hour, per user
     "events_pattern" -> ((s, d) =>
       patternWithin(Tables.events(s, d), key = "user_id", typeCol = "event_type",
@@ -521,6 +546,8 @@ object Events {
       s"""WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket, ${Stable.sqlAvgRounded("value", 4)} AS obs_value FROM events GROUP BY user_id, date_trunc('day', ts)), span AS (SELECT user_id, min(bucket) AS a, max(bucket) AS b FROM obs GROUP BY user_id), grid AS (SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 DAY)) AS bucket FROM span), j AS (SELECT g.user_id, g.bucket, o.obs_value FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket) SELECT user_id, bucket, last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, (obs_value IS NULL) AS filled FROM j ORDER BY user_id, bucket""",
     "events_transitions" ->
       """WITH t AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions FROM t WHERE next_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    "events_windowed_topk" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS bucket, event_type, count(*) AS n FROM events GROUP BY bucket, event_type), r AS (SELECT bucket, event_type, n, row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS rank FROM c) SELECT bucket, event_type, n, rank FROM r WHERE rank <= 3 ORDER BY bucket, rank""",
     // same strictly-following conditional-min window; gaps as exact μs
     "events_pattern" ->
       """WITH x AS (SELECT user_id, event_id, ts, event_type, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS b_ts FROM events) SELECT user_id, event_id, ts AS a_ts, b_ts, epoch_us(b_ts) - epoch_us(ts) AS gap_us FROM x WHERE event_type = 'view' AND b_ts IS NOT NULL AND epoch_us(b_ts) - epoch_us(ts) <= 3600000000 ORDER BY user_id, event_id""",

@@ -253,6 +253,17 @@ object Relational {
       values.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
   }
 
+  /** Unpivot (melt): the inverse of [[pivotCounts]] — wide per-value
+    * columns back to (key, name, value) long form, the shape feature
+    * stores and plotting layers want. Spark plans unpivot as ONE Expand
+    * (|valueCols| output rows per input row) — a pure projection, zero
+    * shuffle, no join against a names table; at 100 TB the melt is free
+    * compared to the upstream aggregation that built the wide table.
+    */
+  def unpivotCounts(wide: DataFrame, rowKey: String, valueCols: Seq[String],
+                    varName: String, valName: String): DataFrame =
+    wide.unpivot(Array(col(rowKey)), valueCols.map(col).toArray, varName, valName)
+
   /** Semi/anti join: EXISTS / NOT EXISTS predicates as their dedicated
     * physical join shapes. A LeftSemi/LeftAnti join ships NO payload from
     * the right side and short-circuits per probe row — at 100 TB the
@@ -574,6 +585,16 @@ object Relational {
         "day", "event_type", Seq("click", "view", "purchase", "error", "signup"))
         .orderBy("day")),
 
+    // round-trip shape: the q_pivot wide table melted back to long form
+    // (zero-count cells survive as explicit rows — the declared domain)
+    "q_unpivot" -> ((s, d) =>
+      unpivotCounts(
+        pivotCounts(Tables.events(s, d).withColumn("day", date_trunc("day", col("ts"))),
+          "day", "event_type", Seq("click", "view", "purchase", "error", "signup")),
+        "day", Seq("click", "view", "purchase", "error", "signup"),
+        "event_type", "n")
+        .orderBy("day", "event_type")),
+
     "q_window_running" -> ((s, d) =>
       runningWindow(Tables.orders(s, d)
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
@@ -699,6 +720,8 @@ object Relational {
       """SELECT l_orderkey, round(sum(CAST(l_extendedprice AS DECIMAL(20,6)) * (1 - CAST(l_discount AS DECIMAL(20,6)))),2)::DOUBLE AS revenue, o_orderdate, o_orderpriority FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
     "q_pivot" ->
       """SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day ORDER BY day""",
+    "q_unpivot" ->
+      """WITH w AS (SELECT date_trunc('day', ts) AS day, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'signup') AS signup FROM events GROUP BY day) SELECT day, event_type, n FROM w UNPIVOT (n FOR event_type IN (click, view, purchase, error, signup)) ORDER BY day, event_type""",
     "q_window_running" ->
       s"""WITH b AS (SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w1 AS rsum, count(*) OVER w1 AS rcount, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w2 AS msum, count(*) OVER w2 AS mn FROM orders WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) SELECT o_orderkey, o_custkey, round(rsum, 2)::DOUBLE AS running_total, rcount AS running_n, ${Stable.sqlAvgRoundedFrom("msum", "mn", 4)} AS mov_avg FROM b ORDER BY o_custkey, o_orderkey""",
     "q_join_anti" ->

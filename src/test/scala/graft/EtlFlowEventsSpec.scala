@@ -428,6 +428,26 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(!plan(df).contains("Join"))
   }
 
+  test("events_windowed_topk: per-bucket top-3 by count, ties on type") {
+    val rows = run("events_windowed_topk").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("b"), col("event_type")).count()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      assert(rs.length <= 3 && rs.map(_._4).sorted.sameElements(1L to rs.length))
+      // rank order == (count desc, type asc), counts match the direct agg
+      val ord = rs.sortBy(_._4)
+      assert(ord.map(r => (-r._3, r._2)).sorted.sameElements(ord.map(r => (-r._3, r._2))))
+      ord.foreach { case (_, t, n, _) => assert(direct((b, t)) == n) }
+      // nothing outside the top-3 beats anything inside it
+      val inMin = ord.map(_._3).min
+      val outside = direct.collect { case ((`b`, t), n) if !rs.exists(_._2 == t) => n }
+      assert(outside.forall(_ <= inMin))
+    }
+  }
+
   test("data_profile: one row per column, aggregates agree with direct queries") {
     val rows = run("data_profile").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),

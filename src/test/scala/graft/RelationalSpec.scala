@@ -305,6 +305,22 @@ class RelationalSpec extends SparkSpec {
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
 
+  test("q_unpivot: melt inverts the pivot, zero cells explicit, Expand not join") {
+    val long = run("q_unpivot").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val days = long.keys.map(_._1).toSet
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    // complete grid: every (day, declared type) cell exists
+    assert(long.size == days.size * types.size)
+    // counts agree with the raw aggregation; absent combos are explicit 0s
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type")).count()
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    long.foreach { case (k, n) => assert(n == direct.getOrElse(k, 0L)) }
+    // the melt is an Expand projection — no join against a names table
+    assert(plan(run("q_unpivot")).contains("Expand"))
+  }
+
   test("q_grouping_sets: declared margins only (no grand total), one Expand agg") {
     val rows = run("q_grouping_sets").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -530,6 +530,50 @@ class TextDedupSpec extends SparkSpec {
       (r.getLong(0), r.getString(1))).sameElements(kept))
   }
 
+  test("sample_soft_dedup == exact draw replay over the operator's own clusters") {
+    val rows = run("sample_soft_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replay: reps -> minhash pairs -> union-find min labels -> cluster
+    // doc counts -> the md5 draw under 1/size, all in plain Scala
+    val reps = Dedup.representatives(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_dupes")))
+    val pairs = Dedup.minhashPairsOfReps(
+      Dedup.representatives(docs, "doc_id", "text").select("doc_id", "text"),
+      "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusterOfRep = reps.map { case (rid, _, _) => rid -> find(rid) }.toMap
+    val clusterDocs = reps.groupBy(r => clusterOfRep(r._1))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val repOfText = reps.map { case (rid, t, _) => t -> rid }.toMap
+    def draw(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, t) =>
+        val c = clusterOfRep(repOfText(t))
+        val n = clusterDocs(c)
+        if (draw(id) < 65536.0 / n) Some((id, c, n)) else None
+      }
+    assert(rows.toSet == expect.toSet && rows.nonEmpty)
+    // singleton clusters have rate exactly 1: every one survives
+    assert(clusterDocs.values.exists(_ == 1L))
+    // stateless draw: identical output on re-run
+    assert(run("sample_soft_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sameElements(rows))
+  }
+
   test("decon_exact == brute-force phrase containment, bench side broadcast") {
     val df = run("decon_exact")
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
