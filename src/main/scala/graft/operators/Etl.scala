@@ -176,6 +176,25 @@ object Etl {
     wide.select(inline(entries))
   }
 
+  /** Referential-integrity audit: orphan-row counts per declared FK
+    * relationship — the data-quality report an ingest runs before
+    * promoting a batch (the reference trusts its link recovery,
+    * generateApi.ts recoverLinks, to find the target; at batch scale
+    * the missing-target count must be measured, not assumed). Each
+    * relationship is one LEFT ANTI join (key-only right shuffle, no
+    * payload) counted to a single row; relationships evaluate
+    * independently and union — at 100 TB each check stays one
+    * co-partitioned key-stream pass, and a bounded-dimension side
+    * broadcasts under AQE sizing like any other dim join.
+    */
+  def fkIntegrity(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    rels.map { case (name, fact, fk, dim, pk) =>
+      fact.select(col(fk)).filter(col(fk).isNotNull)
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+
   /** JSON-lines → typed columns: schema-on-read projection of a JSON string
     * column (the S3 batch reader semantics without the row loop).
     */
@@ -208,6 +227,22 @@ object Etl {
             Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
           "not_low_value" -> (col("o_totalprice") >= 1000.0)))
         .orderBy("o_orderkey")),
+
+    // orphan counts per FK relationship; events.user_id -> customer is the
+    // deliberately-unconstrained edge (event users need no account)
+    "etl_fk_integrity" -> ((s, d) =>
+      fkIntegrity(Seq(
+        ("orders_customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("lineitem_part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("customer_nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("events_customer", Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey")))
+        .orderBy("relationship")),
 
     // one-pass profile of orders: nulls / exact distincts / extrema per column
     "data_profile" -> ((s, d) =>
@@ -298,6 +333,18 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_fk_integrity" -> {
+      def branch(name: String, fact: String, fk: String, dim: String, pk: String) =
+        s"""SELECT '$name' AS relationship, count(*) AS n_orphans FROM $fact f WHERE f.$fk IS NOT NULL AND NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)"""
+      Seq(
+        branch("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        branch("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        branch("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        branch("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        branch("events_customer", "events", "user_id", "customer", "c_custkey")
+      ).mkString("", " UNION ALL ", " ORDER BY relationship")
+    },
+
     // one UNION ALL branch per column, each the same aggregate the Spark
     // side computes inside its single Expand pass
     "data_profile" -> {

@@ -448,6 +448,21 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("etl_fk_integrity: orphan counts match direct anti-join counts, TPC-H edges clean") {
+    val rows = run("etl_fk_integrity").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 5)
+    // the TPC-H-shaped relationships hold by construction
+    for (r <- Seq("orders_customer", "lineitem_orders", "lineitem_part",
+        "customer_nation"))
+      assert(rows(r) == 0L, s"$r should have no orphans")
+    // the unconstrained edge really measures something
+    val direct = Tables.events(spark, sfDir).select(col("user_id"))
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey")),
+        col("user_id") === col("c_custkey"), "left_anti").count()
+    assert(rows("events_customer") == direct)
+  }
+
   test("data_profile: one row per column, aggregates agree with direct queries") {
     val rows = run("data_profile").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),

@@ -187,6 +187,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup state store is bounded by the watermark, not by history") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val deduped = StreamOps.streamingDedup(input.toDF(), "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_state_out")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L // fixed epoch — the spec must be deterministic
+      def r(id: Long, min: Long) =
+        Reading(id % 20, new java.sql.Timestamp(base + min * 60000L), id, 1.0)
+      // epoch 1: 500 distinct keys inside one watermark window
+      input.addData((0L until 500L).map(i => r(i, i % 10)))
+      q.processAllAvailable()
+      val afterEpoch1 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterEpoch1 >= 500) // all keys resident while the window is open
+      // epoch 2: the stream moves on ~17 hours — the watermark passes every
+      // epoch-1 key, so their state must be EVICTED, not accumulated
+      input.addData((1000L until 1500L).map(i => r(i, 1000 + i % 10)))
+      q.processAllAvailable()
+      // one more micro-batch so the advanced watermark's eviction lands
+      input.addData(Seq(r(2000L, 1020L)))
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators.head.numRowsTotal
+      // 1001 distinct keys were fed; bounded state holds only the live
+      // window's ~501 — an unbounded store would sit at ~1001
+      assert(finalRows <= 600L,
+        s"state store held $finalRows rows — epoch-1 keys were not evicted")
+      // and the dedup semantics still held across all batches
+      val n = s.table("dedup_state_out").count()
+      assert(n == 1001L)
+    } finally q.stop()
+  }
+
   test("streaming ETL e2e: file tail -> normalize -> dedup -> kv batches matches batch") {
     // the reference's ETL loop (apis/etl.ts) as a live pipeline: batch
     // files land in a directory, each micro-batch is normalized, deduped
