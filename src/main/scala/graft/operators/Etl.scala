@@ -136,21 +136,29 @@ object Etl {
       }: _*)), ","))
       .withColumn("is_valid", col("failed_rules") === "")
 
-  /** One-pass table profiling — the "what is this table?" query every
+  /** Table profiling — the "what is this table?" query every
     * ingest/curation flow runs first: per column, null count, EXACT
     * distinct count, and min/max (stringified so heterogeneous column
-    * types share one output schema). ALL columns profile in a single
-    * aggregate: Catalyst plans the multiple DISTINCT aggregates as one
-    * Expand (one row-group per distinct column) + two-phase hash agg —
-    * one scan and one shuffle regardless of column count, with map-side
-    * partial dedup bounding the exchange. The 1-row wide result then
-    * unpivots via inline() — driver-side row count is |columns|. At
-    * 100 TB the same shape holds; if exact distincts ever dominate, the
-    * drop-in relaxation is approx_count_distinct (HLL, no Expand), which
-    * [[Events.approxStats]] already demonstrates. Doubles stringify
-    * through DECIMAL(18,2) and timestamps through an explicit format so
-    * both engines render identical text (raw double/timestamp casts are
-    * formatting-dependent).
+    * types share one output schema). TWO aggregates, deliberately:
+    *
+    *  - all EXACT DISTINCT counts in one agg → Catalyst's one Expand
+    *    (a row-group per column) + two-phase HASH aggregation. Keeping
+    *    min/max OUT of this agg matters: string/timestamp extrema have
+    *    variable-length buffers HashAggregateExec can't hold, and mixing
+    *    them in demotes the whole Expand to a SortAggregate that SORTS
+    *    |rows|×(cols+1) expanded rows on a 7-part key — measured 3.3s vs
+    *    0.9s at sf0.1 for this exact query.
+    *  - null counts + extrema in a plain single-group agg (streaming
+    *    partial aggregation, no sort, no Expand), crossJoined back (1×1).
+    *
+    * Cost: two scans of a column-pruned parquet table; the alternative
+    * one-scan plan pays a corpus-sized SORT — strictly worse at any
+    * scale. If exact distincts ever dominate at 100 TB, the drop-in
+    * relaxation is approx_count_distinct (HLL — no Expand, one scan),
+    * which [[Events.approxStats]] already demonstrates. Doubles
+    * stringify through DECIMAL(18,2) and timestamps through an explicit
+    * format so both engines render identical text (raw double/timestamp
+    * casts are formatting-dependent).
     */
   def profileTable(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, TimestampType, DataType}
@@ -159,14 +167,17 @@ object Etl {
       case DoubleType    => c.cast("decimal(18,2)").cast("string")
       case _             => c.cast("string")
     }
-    val aggs = df.schema.fields.flatMap { f =>
+    val distAggs = df.schema.fields.map { f =>
+      count_distinct(col(f.name)).as(s"${f.name}__dist")
+    }.toSeq
+    val statAggs = df.schema.fields.flatMap { f =>
       Seq(
         (count(lit(1)) - count(col(f.name))).as(s"${f.name}__nulls"),
-        count_distinct(col(f.name)).as(s"${f.name}__dist"),
         asStr(min(col(f.name)), f.dataType).as(s"${f.name}__min"),
         asStr(max(col(f.name)), f.dataType).as(s"${f.name}__max"))
     }.toSeq
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = df.agg(distAggs.head, distAggs.tail: _*)
+      .crossJoin(df.agg(statAggs.head, statAggs.tail: _*))
     val entries = array(df.columns.map(c => struct(
       lit(c).as("col_name"),
       col(s"${c}__nulls").as("n_nulls"),
