@@ -594,6 +594,25 @@ object Dedup {
         rates = Map("src0" -> 0.9, "src1" -> 0.1), defaultRate = 0.5)
         .orderBy("doc_id")),
 
+    // the dedup run's summary report: how big are the near-dup clusters?
+    // (cluster DOC size -> number of clusters). Everything corpus-sized
+    // is already spent building components; the histogram itself is two
+    // tiny aggs over |reps| rows.
+    "dedup_size_hist" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val reps = CacheScope.register(
+        representatives(docs, "doc_id", "text").localCheckpoint(true))
+      val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        .select("id_a", "id_b")
+      val comps = connectedComponents(reps.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b")
+      reps.select("doc_id", "n_dupes").join(comps, "doc_id")
+        .groupBy("cluster").agg(sum("n_dupes").as("cluster_docs"))
+        .groupBy("cluster_docs").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_docs")
+    }),
+
     // probabilistic near-dup downweighting: expected one copy per cluster
     "sample_soft_dedup" -> ((s, d) =>
       softDedupByCluster(Tables.documents(s, d).select("doc_id", "text"),
@@ -726,6 +745,8 @@ object Dedup {
       s"""SELECT doc_id, source FROM documents WHERE $drawSql < (CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536 ORDER BY doc_id""",
     "sample_weighted" ->
       s"""SELECT doc_id, source, n_chars FROM documents WHERE $drawSql < least(n_chars / 2000.0, 1.0) * 65536 ORDER BY doc_id""",
+    "dedup_size_hist" ->
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster) SELECT cluster_docs, count(*) AS n_clusters FROM sizes GROUP BY cluster_docs ORDER BY cluster_docs""",
     // the dedup_components recursive chain (reps carrying exact-copy
     // counts) + cluster doc sizes + the same md5 draw under 1/size
     "sample_soft_dedup" ->

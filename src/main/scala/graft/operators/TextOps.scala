@@ -399,6 +399,32 @@ object TextOps {
       .drop("_s", "_rank", "_n")
   }
 
+  /** Fixed-weight LINEAR quality classifier — the transparent cousin of
+    * the fasttext/logreg quality filters modern pipelines gate on
+    * (DCLM/FineWeb-style "classifier says keep"): a distilled weight
+    * vector over the [[quality]] features, evaluated as one codegen
+    * projection (zero shuffle — classifier inference at 100 TB is a
+    * map). Deliberately emits the LOGIT, not the sigmoid probability:
+    * the dot product is a fixed left-to-right fold of IEEE ops (bitwise
+    * portable across engines), while exp() differs in final ulps across
+    * libms — and since the sigmoid is monotonic, thresholding the logit
+    * IS thresholding the probability. Gate: logit >= theta keeps.
+    */
+  def classifierFilter(df: DataFrame, id: String, textCol: String,
+                       wAlpha: Double, wPunct: Double, wStop: Double,
+                       wLen: Double, intercept: Double,
+                       theta: Double): DataFrame = {
+    val feats = quality(df.select(col(id), col(textCol)), textCol)
+    val logit = lit(intercept) +
+      lit(wAlpha) * col("alpha_ratio") +
+      lit(wPunct) * col("punct_ratio") +
+      lit(wStop) * col("stop_ratio") +
+      lit(wLen) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+    feats.withColumn("logit", logit)
+      .filter(col("logit") >= theta)
+      .select(col(id), col("logit"))
+  }
+
   /** Exact dedup by content hash: one hash-agg groupBy (map-side combine,
     * one shuffle on the 128-bit key — uniform, skew-free at any scale),
     * keep-first = min doc id per hash.
@@ -419,6 +445,15 @@ object TextOps {
       quality(Tables.documents(s, d).select("doc_id", "text"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "alpha_ratio", "punct_ratio",
           "stop_ratio", "quality_score")
+        .orderBy("doc_id")),
+
+    // classifier-gate filtering: fixed-weight linear head over the
+    // quality features, thresholded on the logit (theta = 1.7, ~the corpus median)
+    "text_classifier_gate" -> ((s, d) =>
+      classifierFilter(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text",
+        wAlpha = 2.0, wPunct = -3.0, wStop = 1.5, wLen = 0.8,
+        intercept = -0.5, theta = 1.7)
         .orderBy("doc_id")),
 
     "text_repetition" -> ((s, d) =>
@@ -580,6 +615,15 @@ object TextOps {
       val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
       val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
       raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents) SELECT doc_id, ln::BIGINT AS n_chars_m, ntok::BIGINT AS n_tokens, $alphaR AS alpha_ratio, $punctR AS punct_ratio, $stopR AS stop_ratio, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM c ORDER BY doc_id"""
+    },
+    // identical feature CTEs + the identical left-to-right IEEE fold of
+    // the linear head; the unrounded logit matches BITWISE (shared fold,
+    // SURVEY §6), so no rounding detour is needed
+    "text_classifier_gate" -> {
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents), lg AS (SELECT doc_id, (-0.5) + 2.0 * $alphaR + (-3.0) * $punctR + 1.5 * $stopR + 0.8 * least(ntok / 100.0, 1.0) AS logit FROM c) SELECT doc_id, logit FROM lg WHERE logit >= 1.7 ORDER BY doc_id"""
     },
     // tokens via the nonempty-runs contract (list_filter) to match
     // WordNgrams; range(1, len(t)) builds the 2-gram list, range(1,

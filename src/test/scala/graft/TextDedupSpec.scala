@@ -574,6 +574,40 @@ class TextDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sameElements(rows))
   }
 
+  test("text_classifier_gate: logit threshold == sigmoid threshold, zero shuffle") {
+    val df = run("text_classifier_gate")
+    val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty && rows.values.forall(_ >= 1.7))
+    // replay the linear head over the quality features
+    val feats = TextOps.quality(docs, "text")
+      .select("doc_id", "alpha_ratio", "punct_ratio", "stop_ratio", "n_tokens")
+      .collect().map(r => (r.getLong(0),
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    val expect = feats.flatMap { case (id, a, p, st, n) =>
+      val logit = -0.5 + 2.0 * a + (-3.0) * p + 1.5 * st +
+        0.8 * math.min(n.toDouble / 100.0, 1.0)
+      if (logit >= 1.7) Some(id -> logit) else None
+    }.toMap
+    assert(rows == expect)
+    // the gate must really discriminate on this corpus
+    assert(rows.size < feats.length)
+    // classifier inference is a projection: no wide exchange (the only
+    // Exchange is the single-partition one under the trailing answer sort)
+    assert(!plan(df).contains("hashpartitioning"))
+  }
+
+  test("dedup_size_hist: histogram margins reconcile with the corpus") {
+    val rows = run("dedup_size_hist").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    // Σ size × count == corpus docs; Σ count == number of clusters
+    val total = rows.map { case (s, n) => s * n }.sum
+    assert(total == docs.count())
+    // reconciles with the e2e keeper table (one keeper per cluster)
+    val keepers = run("dedup_pipeline_e2e").count()
+    assert(rows.map(_._2).sum == keepers)
+  }
+
   test("decon_exact == brute-force phrase containment, bench side broadcast") {
     val df = run("decon_exact")
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
