@@ -460,16 +460,23 @@ object Dedup {
     * other temperatures would need a portable rational-power ladder).
     */
   def mixTemperatureHalf(df: DataFrame, sourceCol: String, idCol: String): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    // NULL sources fold into a sentinel group for BOTH the counts and the
+    // join key: a plain inner join on sourceCol would silently drop every
+    // NULL row while its group still participated in (and could set) the
+    // global minimum — a group no row of which can survive must not
+    // dictate everyone else's keep rate.
+    val srcKey = coalesce(col(sourceCol).cast("string"), lit(" null"))
+    val counts = df.groupBy(srcKey.as("_src")).agg(count(lit(1)).as("_n"))
     val nmin = counts.agg(min(col("_n")).as("_nmin"))
     val rates = counts.crossJoin(broadcast(nmin))
-      .select(col(sourceCol),
+      .select(col("_src"),
         sqrt(col("_nmin").cast("double") / col("_n").cast("double")).as("_rate"))
     val draw = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
       16, 10).cast("long")
-    df.join(broadcast(rates), sourceCol)
+    df.withColumn("_src", srcKey)
+      .join(broadcast(rates), "_src")
       .filter(draw < col("_rate") * 65536)
-      .drop("_rate")
+      .drop("_rate", "_src")
   }
 
   /** Exact-substring decontamination: which training docs contain a
@@ -493,10 +500,14 @@ object Dedup {
       .select(col(id).as("bench_id"), toks.as("_t"))
       .filter(size(col("_t")) >= k)
       .select(col("bench_id"), array_join(slice(col("_t"), 1, k), " ").as("_phrase"))
+    // the SCAN side normalises its whitespace too — the probe is
+    // single-space-joined, so a training doc carrying the phrase
+    // re-wrapped (newline, double space) must still match
+    val normText = regexp_replace(col(textCol), "\\s+", " ")
     train.select(col(id), col(textCol))
       .crossJoin(broadcast(phrases))
       .filter(col(id) =!= col("bench_id") &&
-        instr(col(textCol), col("_phrase")) > 0)
+        instr(normText, col("_phrase")) > 0)
       .select(col(id), col("bench_id"))
   }
 
@@ -516,7 +527,15 @@ object Dedup {
     * text. The final keep decision is the stateless md5 draw; 1.0/n is
     * one IEEE divide, bitwise portable.
     */
-  def softDedupByCluster(docs: DataFrame, id: String, textCol: String): DataFrame = {
+  /** The shared first half of [[softDedupByCluster]] and the
+    * dedup_size_hist report: exact reps (with copy counts) → minhash
+    * pairs → components → per-cluster DOC sizes. Returns the rep-level
+    * table (_h content hash, cluster, n_dupes, cluster_docs) — rep rows
+    * only, never corpus-sized. The minhash parameters are pinned here so
+    * every consumer (and both SQL oracles) stays in lockstep.
+    */
+  private[operators] def clusterDocSizes(docs: DataFrame, id: String,
+                                         textCol: String): DataFrame = {
     val reps = CacheScope.register(
       representatives(docs, id, textCol).localCheckpoint(true))
     val pairs = minhashPairsOfReps(reps.select(col(id), col(textCol)),
@@ -528,11 +547,21 @@ object Dedup {
         md5(col(textCol).cast("binary")).as("_h"))
       .join(comps.select(col(id).as("_rep"), col("cluster")), "_rep")
     val sizes = repC.groupBy("cluster").agg(sum("n_dupes").as("cluster_docs"))
+    repC.join(broadcast(sizes), "cluster")
+  }
+
+  def softDedupByCluster(docs: DataFrame, id: String, textCol: String): DataFrame = {
+    val repC = clusterDocSizes(docs, id, textCol)
     val mapped = docs
       .withColumn("_h", md5(col(textCol).cast("binary")))
-      .join(repC.select("_h", "cluster"), "_h")
-      .join(broadcast(sizes), "cluster")
-    sampleWeighted(mapped, id, lit(1.0) / col("cluster_docs"))
+      .join(repC.select("_h", "cluster", "cluster_docs"), "_h")
+    // 32-bit draw, not the 16-bit one sampleWeighted uses: the keep rate
+    // here is 1/cluster_docs, and a 16-bit draw floors at 1/65536 — a
+    // million-copy boilerplate cluster would keep ~15 expected copies
+    // instead of ~1. Eight md5 nibbles give rates down to 1/2^32.
+    val draw = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    mapped.filter(draw < (lit(1.0) / col("cluster_docs")) * 4294967296.0)
       .select(col(id), col("cluster"), col("cluster_docs"))
   }
 
@@ -598,20 +627,12 @@ object Dedup {
     // (cluster DOC size -> number of clusters). Everything corpus-sized
     // is already spent building components; the histogram itself is two
     // tiny aggs over |reps| rows.
-    "dedup_size_hist" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      val reps = CacheScope.register(
-        representatives(docs, "doc_id", "text").localCheckpoint(true))
-      val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
-        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
-        .select("id_a", "id_b")
-      val comps = connectedComponents(reps.select("doc_id"), "doc_id",
-        pairs, "id_a", "id_b")
-      reps.select("doc_id", "n_dupes").join(comps, "doc_id")
-        .groupBy("cluster").agg(sum("n_dupes").as("cluster_docs"))
+    "dedup_size_hist" -> ((s, d) =>
+      clusterDocSizes(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text")
+        .select("cluster", "cluster_docs").distinct()
         .groupBy("cluster_docs").agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_docs")
-    }),
+        .orderBy("cluster_docs")),
 
     // probabilistic near-dup downweighting: expected one copy per cluster
     "sample_soft_dedup" -> ((s, d) =>
@@ -706,6 +727,13 @@ object Dedup {
       s"((strpos('0123456789abcdef', substr(md5(($idExpr)::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
       .mkString("(", " + ", ")")
 
+  /** 8-nibble md5 draw on [0, 2^32) — the oracle image of
+    * softDedupByCluster's wide draw (rates down to 1/2^32). */
+  private[operators] def sqlDraw32(idExpr: String): String =
+    (1 to 8).map(j =>
+      s"((strpos('0123456789abcdef', substr(md5(($idExpr)::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))})")
+      .mkString("(", " + ", ")")
+
   private val nibV = (1 to 8).map(j =>
     s"((strpos('0123456789abcdef', substr(md5(s), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))})")
     .mkString(" + ")
@@ -730,7 +758,7 @@ object Dedup {
     "mix_temperature" ->
       s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), mn AS (SELECT min(n) AS nmin FROM cnt), rate AS (SELECT lang, sqrt(nmin::DOUBLE / n::DOUBLE) AS r FROM cnt CROSS JOIN mn) SELECT d.doc_id, d.lang FROM documents d JOIN rate USING (lang) WHERE $drawSql < r * 65536 ORDER BY doc_id""",
     "decon_exact" ->
-      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents WHERE doc_id < 20), ph AS (SELECT doc_id AS bench_id, array_to_string(t[1:5], ' ') AS phrase FROM tk WHERE len(t) >= 5) SELECT d.doc_id, p.bench_id FROM documents d CROSS JOIN ph p WHERE d.doc_id != p.bench_id AND strpos(d.text, p.phrase) > 0 ORDER BY d.doc_id, p.bench_id""",
+      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents WHERE doc_id < 20), ph AS (SELECT doc_id AS bench_id, array_to_string(t[1:5], ' ') AS phrase FROM tk WHERE len(t) >= 5) SELECT d.doc_id, p.bench_id FROM documents d CROSS JOIN ph p WHERE d.doc_id != p.bench_id AND strpos(regexp_replace(d.text, '\s+', ' ', 'g'), p.phrase) > 0 ORDER BY d.doc_id, p.bench_id""",
     "decon_overlap" -> {
       val frac = graft.operators.Stable.sqlRatioRounded("sv.shared", "bz.bench_sh", 4)
       s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20), bz AS (SELECT doc_id AS bench_id, len(sh) AS bench_sh FROM shs WHERE doc_id < 20), sh2 AS (SELECT t.doc_id, b.bench_id, count(*) AS shared FROM sh t JOIN bsh b ON t.s = b.s AND t.doc_id != b.bench_id GROUP BY t.doc_id, b.bench_id) SELECT sv.doc_id, sv.bench_id, sv.shared, $frac AS overlap_frac FROM sh2 sv JOIN bz ON sv.bench_id = bz.bench_id WHERE $frac >= 0.2 ORDER BY sv.doc_id, sv.bench_id"""
@@ -748,9 +776,9 @@ object Dedup {
     "dedup_size_hist" ->
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster) SELECT cluster_docs, count(*) AS n_clusters FROM sizes GROUP BY cluster_docs ORDER BY cluster_docs""",
     // the dedup_components recursive chain (reps carrying exact-copy
-    // counts) + cluster doc sizes + the same md5 draw under 1/size
+    // counts) + cluster doc sizes + the WIDE (32-bit) md5 draw under 1/size
     "sample_soft_dedup" ->
-      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster), m AS (SELECT d.doc_id, c.cluster, s.cluster_docs FROM documents d JOIN reps r ON d.text = r.text JOIN comp c ON r.doc_id = c.id JOIN sizes s ON c.cluster = s.cluster) SELECT doc_id, cluster, cluster_docs FROM m WHERE $drawSql < (1.0 / cluster_docs) * 65536 ORDER BY doc_id""",
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster), m AS (SELECT d.doc_id, c.cluster, s.cluster_docs FROM documents d JOIN reps r ON d.text = r.text JOIN comp c ON r.doc_id = c.id JOIN sizes s ON c.cluster = s.cluster) SELECT doc_id, cluster, cluster_docs FROM m WHERE ${sqlDraw32("doc_id")} < (1.0 / cluster_docs) * 4294967296 ORDER BY doc_id""",
     // the recursive CTE reaches the same unique min-label fixpoint the
     // Spark propagation loop converges to
     "dedup_components" ->

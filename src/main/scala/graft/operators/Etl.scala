@@ -198,13 +198,17 @@ object Etl {
     * co-partitioned key-stream pass, and a bounded-dimension side
     * broadcasts under AQE sizing like any other dim join.
     */
-  def fkIntegrity(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+  def fkIntegrity(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(rels.nonEmpty, "fkIntegrity needs at least one relationship")
     rels.map { case (name, fact, fk, dim, pk) =>
-      fact.select(col(fk)).filter(col(fk).isNotNull)
-        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+      // rename both sides before the join: a relationship whose fk and pk
+      // share a column name would otherwise make the condition ambiguous
+      fact.select(col(fk).as("_fk")).filter(col("_fk").isNotNull)
+        .join(dim.select(col(pk).as("_pk")), col("_fk") === col("_pk"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
         .select(lit(name).as("relationship"), col("n_orphans"))
     }.reduce(_ unionByName _)
+  }
 
   /** JSON-lines → typed columns: schema-on-read projection of a JSON string
     * column (the S3 batch reader semantics without the row loop).

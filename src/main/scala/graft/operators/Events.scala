@@ -363,18 +363,24 @@ object Events {
     * "view converted to purchase inside an hour" trigger shape, and the
     * batch analog of the reference's event automations). One conditional
     * window over the per-key time order — `min(ts) filtered to b` over
-    * the STRICTLY-FOLLOWING frame — finds each a-event's next b in a
-    * single shuffle+sort per key; no self-join, no per-pattern rescan,
-    * and the frame's running minimum is O(n) per key partition. The gap
-    * comes out in exact integer MICROSECONDS (μs epochs subtract
-    * exactly; second-granularity datediffs disagree across engines on
+    * the rows strictly after each event — finds each a-event's next b
+    * in a single shuffle+sort per key; no self-join, no per-pattern
+    * rescan. The frame is stated as (unboundedPreceding, -1) over the
+    * REVERSED order: the identical row set ("strictly after me in time
+    * order"), but Spark evaluates a growing unbounded-PRECEDING frame
+    * incrementally (one aggregate update per row) while an
+    * unbounded-FOLLOWING frame re-aggregates the whole remaining
+    * partition per row — O(n²) on a hot key. The gap comes out in
+    * exact integer MICROSECONDS (μs epochs subtract exactly;
+    * second-granularity datediffs disagree across engines on
     * sub-second boundaries).
     */
   def patternWithin(df: DataFrame, key: String, typeCol: String, tsCol: String,
                     tiebreak: String, a: String, b: String,
                     withinSec: Long): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tiebreak))
-      .rowsBetween(1, Window.unboundedFollowing)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol).desc, col(tiebreak).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("_b_ts", min(when(col(typeCol) === b, col(tsCol))).over(w))
       .filter(col(typeCol) === a && col("_b_ts").isNotNull)
       .withColumn("gap_us", unix_micros(col("_b_ts")) - unix_micros(col(tsCol)))

@@ -103,12 +103,21 @@ object Similarity {
     * fanout on the tiny query side and ZERO extra cost on the corpus side
     * (no extra tables, no wider corpus shuffle).
     */
-  def simLshAnn(df: DataFrame, id: String, emb: String, queryPred: Column,
-                tabs: Seq[Seq[Seq[Double]]], k: Int,
-                multiProbe: Boolean = false): DataFrame = {
-    // Candidate pairs travel as bare (query_id, neighbor_id) ints — the
-    // wide embedding arrays are joined back only AFTER the distinct, so the
-    // bucket self-join shuffle stays narrow.
+  /** Shared candidate generation + exact scoring of the query-set LSH
+    * family ([[simLshAnn]], [[simRangeSearch]]): bucket-mate candidate
+    * pairs travel as bare (query_id, neighbor_id) ints — the wide
+    * embedding arrays are joined back only AFTER the distinct, so the
+    * bucket self-join shuffle stays narrow. `multiProbe` additionally
+    * probes, on the QUERY side only, every bucket at hamming distance 1
+    * (one sign flipped) — the standard multi-probe recall lift at
+    * (bits+1)× fanout on the tiny query side and ZERO extra corpus
+    * cost. Query-side candidates are |Q|-bounded: broadcast them (and
+    * the candidates⋈queries intermediate) so the corpus vectors are
+    * scanned, never shuffled — same shape as rerankExact.
+    */
+  private def lshScoredCandidates(df: DataFrame, id: String, emb: String,
+                                  queryPred: Column, tabs: Seq[Seq[Seq[Double]]],
+                                  multiProbe: Boolean): DataFrame = {
     val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
     val qOwn = b.filter(queryPred)
     val q = (if (!multiProbe) qOwn else {
@@ -125,15 +134,18 @@ object Similarity {
         col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val n = normalized(df, id, emb)
-    // query-side candidates are |Q|-bounded: broadcast them (and the
-    // candidates⋈queries intermediate) so the corpus vectors are scanned,
-    // never shuffled — same shape as rerankExact
-    val scored = broadcast(
+    broadcast(
         n.select(col(id).as("query_id"), col("ne").as("qe"))
           .join(broadcast(cand), "query_id"))
       .join(n.select(col(id).as("neighbor_id"), col("ne").as("ce")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
+  }
+
+  def simLshAnn(df: DataFrame, id: String, emb: String, queryPred: Column,
+                tabs: Seq[Seq[Seq[Double]]], k: Int,
+                multiProbe: Boolean = false): DataFrame = {
+    val scored = lshScoredCandidates(df, id, emb, queryPred, tabs, multiProbe)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -608,31 +620,9 @@ object Similarity {
     */
   def simRangeSearch(df: DataFrame, id: String, emb: String, queryPred: Column,
                      tabs: Seq[Seq[Seq[Double]]], tau: Double,
-                     multiProbe: Boolean = true): DataFrame = {
-    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
-    val qOwn = b.filter(queryPred)
-    val q = (if (!multiProbe) qOwn else {
-      val bits = tabs.head.size
-      val variants = col("bucket") +: (0 until bits).map { i =>
-        concat(substring(col("bucket"), 1, i),
-          when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-          substring(col("bucket"), i + 2, bits))
-      }
-      qOwn.withColumn("bucket", explode(array(variants: _*)))
-    }).select(col(id).as("query_id"), col("t"), col("bucket"))
-    val c = b.select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
-    val cand = q.join(c, col("t") === col("t2") && col("bucket") === col("bucket2") &&
-        col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
-    val n = normalized(df, id, emb)
-    broadcast(
-        n.select(col(id).as("query_id"), col("ne").as("qe"))
-          .join(broadcast(cand), "query_id"))
-      .join(n.select(col(id).as("neighbor_id"), col("ne").as("ce")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
+                     multiProbe: Boolean = true): DataFrame =
+    lshScoredCandidates(df, id, emb, queryPred, tabs, multiProbe)
       .filter(col("cos_sim") >= tau)
-  }
 
   /** Approximate k-NN JOIN: EVERY point's top-k nearest bucket-mates —
     * the corpus-wide neighbor table behind near-dup clustering, label

@@ -528,6 +528,15 @@ class TextDedupSpec extends SparkSpec {
     // deterministic: the md5 draw has no RNG state
     assert(run("mix_temperature").collect().map(r =>
       (r.getLong(0), r.getString(1))).sameElements(kept))
+    // NULL sources form their own group (rate from their own count)
+    // instead of silently dropping while still setting the minimum
+    val s2 = spark
+    import s2.implicits._
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "en"),
+      (3L, "en"), (4L, "en")).toDF("doc_id", "lang")
+    val gotNull = Dedup.mixTemperatureHalf(withNull, "lang", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotNull.contains(1L)) // the singleton NULL group keeps its row
   }
 
   test("sample_soft_dedup == exact draw replay over the operator's own clusters") {
@@ -555,16 +564,18 @@ class TextDedupSpec extends SparkSpec {
     val clusterDocs = reps.groupBy(r => clusterOfRep(r._1))
       .view.mapValues(_.map(_._3).sum).toMap
     val repOfText = reps.map { case (rid, t, _) => t -> rid }.toMap
+    // WIDE 32-bit draw (8 md5 nibbles): rates of 1/cluster_docs must not
+    // floor at 1/65536 for huge clusters
     def draw(id: Long): Long = {
       val dig = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
-      java.lang.Long.parseLong(dig.take(2).map("%02x".format(_)).mkString, 16)
+      java.lang.Long.parseLong(dig.take(4).map("%02x".format(_)).mkString, 16)
     }
     val expect = docs.collect().map(r => (r.getLong(0), r.getString(1)))
       .flatMap { case (id, t) =>
         val c = clusterOfRep(repOfText(t))
         val n = clusterDocs(c)
-        if (draw(id) < 65536.0 / n) Some((id, c, n)) else None
+        if (draw(id) < 4294967296.0 / n) Some((id, c, n)) else None
       }
     assert(rows.toSet == expect.toSet && rows.nonEmpty)
     // singleton clusters have rate exactly 1: every one survives
@@ -620,9 +631,18 @@ class TextDedupSpec extends SparkSpec {
     val expect = (for {
       (did, text) <- all
       (bid, ph) <- phrases
-      if did != bid && text.contains(ph)
+      if did != bid && text.replaceAll("\\s+", " ").contains(ph)
     } yield (did, bid)).toSet
     assert(got == expect)
+    // the scan side normalises whitespace: a re-wrapped copy still matches
+    val s2 = spark
+    import s2.implicits._
+    val wrapped = Seq((900L, phrases.head._2.replace(" ", "\n")),
+      (901L, "nothing shared here")).toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.exactContamination(
+      wrapped, docs.filter(col("doc_id") < 20), "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((900L, phrases.head._1)) && !hits.exists(_._1 == 901L))
     // the bench side must broadcast — corpus side never shuffles
     assert(plan(df).contains("BroadcastNestedLoopJoin"))
   }
