@@ -294,4 +294,53 @@ class PropertySpec extends SparkSpec {
     }.drop(1)
     assert(got.toSeq == want)
   }
+
+  test("patternWithin == brute-force next-b scan on random streams (dup timestamps)") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // duplicate (key, ts) pairs ON PURPOSE: the strictly-after contract
+    // must resolve through the tiebreak, and b-events at the same ts as
+    // their a-event must not match
+    val rows = (1L to 900L).map { i =>
+      (rnd.nextInt(12).toLong, i,
+        new java.sql.Timestamp(base + rnd.nextInt(200) * 1000L),
+        if (rnd.nextBoolean()) "a" else "b")
+    }
+    val got = graft.operators.Events.patternWithin(
+      rows.toDF("k", "eid", "ts", "typ"),
+      key = "k", typeCol = "typ", tsCol = "ts", tiebreak = "eid",
+      a = "a", b = "b", withinSec = 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+      val ord = g.sortBy(t => (t._3.getTime, t._2))
+      ord.zipWithIndex.collect { case ((_, eid, ts, "a"), i) =>
+        val later = ord.drop(i + 1).filter(_._4 == "b").map(_._3.getTime)
+        (eid, ts.getTime, later.minOption)
+      }.collect { case (eid, t, Some(b)) if (b - t) * 1000L <= 60000000L =>
+        (k, eid) -> (b - t) * 1000L
+      }
+    }.toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("groupingSetsAgg margins == brute-force sums on random data (with NULL keys)") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 500).map { _ =>
+      (if (rnd.nextInt(10) == 0) null else s"g${rnd.nextInt(3)}",
+        if (rnd.nextInt(10) == 0) null else s"h${rnd.nextInt(4)}",
+        rnd.nextInt(1000) / 4.0)
+    }
+    val got = Relational.groupingSetsAgg(rows.toDF("g1", "g2", "m"), "g1", "g2", "m")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def key(x: String) = if (x == null) "(null)" else x
+    def agg(g: Seq[(String, String, Double)]) =
+      (g.size.toLong, g.map(t => BigDecimal(t._3)).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val cells = rows.groupBy(t => (key(t._1), key(t._2))).map { case (k, g) => k -> agg(g) }
+    val m1 = rows.groupBy(t => key(t._1)).map { case (k, g) => (k, "ALL") -> agg(g) }
+    val m2 = rows.groupBy(t => key(t._2)).map { case (k, g) => ("ALL", k) -> agg(g) }
+    assert(got == cells ++ m1 ++ m2) // and no ("ALL","ALL") grand total
+  }
 }
