@@ -511,6 +511,30 @@ object Dedup {
       .select(col(id), col("bench_id"))
   }
 
+  /** Fractional-epoch UPSAMPLING — the other half of the mixing family
+    * ([[sampleWeighted]] can only thin): a weight of 2.3 replicates
+    * every row twice and keeps a third copy with probability 0.3, so a
+    * small high-quality source can contribute >1 epoch to a training
+    * mix. Deterministic: the integer part is a sequence-explode (no
+    * RNG), the fractional copy rides the same stateless md5 draw as
+    * every sampler here — reproducible across engines, runs and task
+    * retries. Zero shuffle: replication happens where the row is read,
+    * and output rows carry their epoch index (epoch ≥ 1) so downstream
+    * packing can spread copies across shards. Weight is capped by the
+    * caller; each row's cost is O(weight) — bounded fan-out, never a
+    * join.
+    */
+  def upsampleWeighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val draw = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    val whole = floor(weight).cast("long")
+    val extra = when(draw < (weight - whole.cast("double")) * 65536, 1L).otherwise(0L)
+    df.withColumn("_copies", whole + extra)
+      .filter(col("_copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_copies"))))
+      .drop("_copies")
+  }
+
   /** SOFT dedup by near-dup cluster: keep each doc with probability
     * 1 / (its cluster's DOC count) — expected one surviving copy per
     * near-dup cluster, without hard dedup's all-or-nothing choice
@@ -671,6 +695,18 @@ object Dedup {
         "doc_id", "text", prebuilt = Some(clusterSizesOf(s, d)))
         .orderBy("doc_id")),
 
+    // fractional epochs: src0 contributes 2.3 epochs, src1 exactly 1,
+    // everything else 0.5 — the upsample knob of a training mix
+    "sample_upsample" -> ((s, d) => {
+      val w = when(col("source") === "src0", 2.3)
+        .when(col("source") === "src1", 1.0)
+        .otherwise(0.5)
+      upsampleWeighted(Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id", w)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // per-row weighted keep: upsample long docs (weight = n_chars/2000, capped)
     "sample_weighted" -> ((s, d) =>
       sampleWeighted(Tables.documents(s, d).select("doc_id", "source", "n_chars"),
@@ -808,6 +844,10 @@ object Dedup {
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster) SELECT cluster_docs, count(*) AS n_clusters FROM sizes GROUP BY cluster_docs ORDER BY cluster_docs""",
     // the dedup_components recursive chain (reps carrying exact-copy
     // counts) + cluster doc sizes + the WIDE (32-bit) md5 draw under 1/size
+    // same floor/fraction split: whole epochs explode, the fractional
+    // copy rides the md5 draw
+    "sample_upsample" ->
+      s"""WITH w AS (SELECT doc_id, source, CASE WHEN source = 'src0' THEN 2.3 WHEN source = 'src1' THEN 1.0 ELSE 0.5 END AS wt FROM documents), c AS (SELECT doc_id, source, floor(wt)::BIGINT + (CASE WHEN $drawSql < (wt - floor(wt)) * 65536 THEN 1 ELSE 0 END) AS copies FROM w) SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch FROM c WHERE copies >= 1 ORDER BY doc_id, epoch""",
     "sample_soft_dedup" ->
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster), m AS (SELECT d.doc_id, c.cluster, s.cluster_docs FROM documents d JOIN reps r ON d.text = r.text JOIN comp c ON r.doc_id = c.id JOIN sizes s ON c.cluster = s.cluster) SELECT doc_id, cluster, cluster_docs FROM m WHERE ${sqlDraw32("doc_id")} < (1.0 / cluster_docs) * 4294967296 ORDER BY doc_id""",
     // the recursive CTE reaches the same unique min-label fixpoint the

@@ -619,6 +619,32 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.map(_._2).sum == keepers)
   }
 
+  test("sample_upsample: contiguous epochs, exact draw replay, no shuffle") {
+    val df = run("sample_upsample")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // epochs are contiguous 1..copies per doc
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1L to rs.length))
+    }
+    // exact replay of floor + fractional-draw semantics
+    def draw(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, src) =>
+        val w = src match { case "src0" => 2.3; case "src1" => 1.0; case _ => 0.5 }
+        val copies = w.toLong + (if (draw(id) < (w - w.toLong) * 65536) 1L else 0L)
+        (1L to copies).map(e => (id, src, e))
+      }
+    assert(rows.toSet == expect.toSet)
+    // replication happens where the row is read: no wide exchange
+    assert(!plan(df).contains("hashpartitioning"))
+  }
+
   test("decon_exact == brute-force phrase containment, bench side broadcast") {
     val df = run("decon_exact")
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
