@@ -358,6 +358,33 @@ object Events {
       .filter(col("rank") <= k)
   }
 
+  /** Exact rolling percentile over a bounded trailing frame — the "p90
+    * of the last N readings" live-monitoring gauge. For a SMALL, FIXED
+    * frame (N is a config constant, not data-sized) the exact answer is
+    * affordable: collect the frame's values, sort, index at the pinned
+    * discrete rank ceil(p·n) — O(N log N) per row with N bounded, one
+    * shuffle+sort on the key like every other per-key window here. The
+    * rank definition is the same pinned discrete convention as
+    * q_percentile_group (engines disagree on interpolation); values
+    * pass through unchanged (no arithmetic), so doubles compare
+    * bitwise. An UNBOUNDED or data-sized frame would need a sketch
+    * instead ([[approxStats]]' t-digest) — this operator is explicitly
+    * the bounded-frame exact gauge.
+    */
+  def rollingPercentile(df: DataFrame, key: String, tsCol: String,
+                        tiebreak: String, v: String, frameRows: Int,
+                        p: Double): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tiebreak))
+      .rowsBetween(-(frameRows - 1), Window.currentRow)
+    // one collect per row (the frame column is materialized once, then
+    // the rank lookup is a plain projection over it)
+    df.withColumn("_fr", array_sort(collect_list(col(v)).over(w)))
+      .withColumn("frame_n", size(col("_fr")).cast("bigint"))
+      .withColumn("roll_p",
+        element_at(col("_fr"), ceil(lit(p) * col("frame_n")).cast("int")))
+      .drop("_fr")
+  }
+
   /** Sequence-pattern detection: every `a` event followed by a `b` event
     * of the same key within `withinSec` (the MATCH_RECOGNIZE-lite /
     * "view converted to purchase inside an hour" trigger shape, and the
@@ -503,6 +530,15 @@ object Events {
         key = "event_type", v = "value", width = 50.0, bins = 10)
         .orderBy("event_type", "bin")),
 
+    // p90 of each user's trailing 10 readings — the live gauge shape
+    "events_rolling_p90" -> ((s, d) =>
+      rollingPercentile(Tables.events(s, d)
+          .select("user_id", "event_id", "ts", "value"),
+        key = "user_id", tsCol = "ts", tiebreak = "event_id",
+        v = "value", frameRows = 10, p = 0.9)
+        .select("event_id", "user_id", "value", "frame_n", "roll_p")
+        .orderBy("event_id")),
+
     // top-3 trending event types per day
     "events_windowed_topk" -> ((s, d) =>
       windowedTopK(Tables.events(s, d), ts = "ts", granularity = "day",
@@ -552,6 +588,9 @@ object Events {
       s"""WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket, ${Stable.sqlAvgRounded("value", 4)} AS obs_value FROM events GROUP BY user_id, date_trunc('day', ts)), span AS (SELECT user_id, min(bucket) AS a, max(bucket) AS b FROM obs GROUP BY user_id), grid AS (SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 DAY)) AS bucket FROM span), j AS (SELECT g.user_id, g.bucket, o.obs_value FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket) SELECT user_id, bucket, last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, (obs_value IS NULL) AS filled FROM j ORDER BY user_id, bucket""",
     "events_transitions" ->
       """WITH t AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions FROM t WHERE next_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    // DuckDB's list() over the same rows frame, list_sort, same pinned rank
+    "events_rolling_p90" ->
+      """WITH f AS (SELECT event_id, user_id, value, list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS fr FROM events) SELECT event_id, user_id, value, len(fr)::BIGINT AS frame_n, fr[ceil(0.9 * len(fr))::INT] AS roll_p FROM f ORDER BY event_id""",
     "events_windowed_topk" ->
       """WITH c AS (SELECT date_trunc('day', ts) AS bucket, event_type, count(*) AS n FROM events GROUP BY bucket, event_type), r AS (SELECT bucket, event_type, n, row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS rank FROM c) SELECT bucket, event_type, n, rank FROM r WHERE rank <= 3 ORDER BY bucket, rank""",
     // same strictly-following conditional-min window; gaps as exact μs

@@ -428,6 +428,28 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(!plan(df).contains("Join"))
   }
 
+  test("events_rolling_p90 == brute-force trailing-frame rank walk") {
+    val got = run("events_rolling_p90").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ord = rows.sortBy(r => (r._3, r._2))
+      ord.zipWithIndex.map { case ((_, eid, _, _), i) =>
+        val frame = ord.slice(math.max(0, i - 9), i + 1).map(_._4).sorted
+        val rank = math.ceil(0.9 * frame.length).toInt
+        eid -> ((frame.length.toLong, frame(rank - 1)))
+      }
+    }.toMap
+    assert(got == expect && got.nonEmpty)
+    // early rows have growing frames; steady state is exactly 10
+    assert(got.values.exists(_._1 < 10L) && got.values.exists(_._1 == 10L))
+  }
+
   test("events_windowed_topk: per-bucket top-3 by count, ties on type") {
     val rows = run("events_windowed_topk").collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
