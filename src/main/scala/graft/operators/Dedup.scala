@@ -465,7 +465,7 @@ object Dedup {
     // NULL row while its group still participated in (and could set) the
     // global minimum — a group no row of which can survive must not
     // dictate everyone else's keep rate.
-    val srcKey = coalesce(col(sourceCol).cast("string"), lit("\u0000null"))
+    val srcKey = coalesce(col(sourceCol).cast("string"), lit("\u0001null"))
     val counts = df.groupBy(srcKey.as("_src")).agg(count(lit(1)).as("_n"))
     val nmin = counts.agg(min(col("_n")).as("_nmin"))
     val rates = counts.crossJoin(broadcast(nmin))
@@ -502,12 +502,14 @@ object Dedup {
       .select(col("bench_id"), array_join(slice(col("_t"), 1, k), " ").as("_phrase"))
     // the SCAN side normalises its whitespace too — the probe is
     // single-space-joined, so a training doc carrying the phrase
-    // re-wrapped (newline, double space) must still match
-    val normText = regexp_replace(col(textCol), "\\s+", " ")
-    train.select(col(id), col(textCol))
+    // re-wrapped (newline, double space) must still match. Projected
+    // ONCE before the crossJoin: inside the join condition the regex
+    // would re-run per (doc, phrase) pair — |bench|× the cost.
+    train.select(col(id),
+        regexp_replace(col(textCol), "\\s+", " ").as("_norm"))
       .crossJoin(broadcast(phrases))
       .filter(col(id) =!= col("bench_id") &&
-        instr(normText, col("_phrase")) > 0)
+        instr(col("_norm"), col("_phrase")) > 0)
       .select(col(id), col("bench_id"))
   }
 
@@ -566,6 +568,14 @@ object Dedup {
       id, textCol, n = 3, k = 8, rowsPerBand = 2)
       .select("id_a", "id_b")
     val comps = connectedComponents(reps.select(col(id)), id, pairs, "id_a", "id_b")
+    repClusterSizes(reps, comps, id, textCol)
+  }
+
+  /** The rep-level (content hash, cluster, cluster_docs) join shared by
+    * [[clusterDocSizes]] and the cached [[clusterSizesOf]] — ONE place
+    * defines how cluster doc sizes derive from (reps, comps). */
+  private def repClusterSizes(reps: DataFrame, comps: DataFrame,
+                              id: String, textCol: String): DataFrame = {
     val repC = reps
       .select(col(id).as("_rep"), col("n_dupes"),
         md5(col(textCol).cast("binary")).as("_h"))
@@ -592,51 +602,41 @@ object Dedup {
 
   // ------------------------------------------------- session index tables
 
-  /** Session-lifetime dedup INDEX artifacts — the same contract as the
-    * ANN list/code tables in [[Similarity]] (and GroupIndex before
-    * them): exact-dedup reps and the minhash component labelling are
+  /** Session-lifetime dedup INDEX artifacts (shared [[graft.IndexCache]]
+    * contract, same as the ANN list/code tables in [[Similarity]]):
+    * exact-dedup reps and the minhash component labelling are
     * corpus-level indexes a dedup deployment builds ONCE and serves
     * every downstream query from (components, keeper tables, soft
     * dedup, size reports). Deterministic constructions, so caching
-    * cannot change any result; deliberately NOT CacheScope-registered —
-    * these survive for the session like any index, while per-invocation
-    * intermediates inside the builders still sweep normally.
+    * cannot change any result. Dependencies between indexes resolve
+    * BEFORE the dependent's IndexCache.of call — computeIfAbsent is not
+    * re-entrant (see IndexCache docs).
     */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def cachedIndex(key: String)(build: => DataFrame): DataFrame =
-    indexCache.computeIfAbsent(key, _ => build.localCheckpoint(true))
-
-  /** Exact-dedup representatives of the documents table (min doc per
-    * distinct content + copy count), as a session index. */
   def repsOf(s: SparkSession, d: String): DataFrame =
-    cachedIndex(s"$d|reps")(
+    graft.IndexCache.of(s"$d|reps")(
       representatives(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text"))
 
   /** Minhash near-dup component labelling (doc_id → cluster) over the
     * reps, as a session index (params pinned to the oracle constants). */
-  def componentsOf(s: SparkSession, d: String): DataFrame =
-    cachedIndex(s"$d|components|3|8|2") {
-      val reps = repsOf(s, d)
+  def componentsOf(s: SparkSession, d: String): DataFrame = {
+    val reps = repsOf(s, d) // resolved OUTSIDE the thunk (not re-entrant)
+    graft.IndexCache.of(s"$d|components|3|8|2") {
       val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .select("id_a", "id_b")
       connectedComponents(reps.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
     }
+  }
 
   /** Rep-level cluster table with content hash and per-cluster DOC
     * sizes — the shared substrate of soft dedup and the size report. */
-  def clusterSizesOf(s: SparkSession, d: String): DataFrame =
-    cachedIndex(s"$d|clustersizes") {
-      val repC = repsOf(s, d)
-        .select(col("doc_id").as("_rep"), col("n_dupes"),
-          md5(col("text").cast("binary")).as("_h"))
-        .join(componentsOf(s, d).select(col("doc_id").as("_rep"), col("cluster")),
-          "_rep")
-      val sizes = repC.groupBy("cluster").agg(sum("n_dupes").as("cluster_docs"))
-      repC.join(broadcast(sizes), "cluster")
-    }
+  def clusterSizesOf(s: SparkSession, d: String): DataFrame = {
+    val reps = repsOf(s, d)       // both dependencies resolved OUTSIDE
+    val comps = componentsOf(s, d) // the thunk (not re-entrant)
+    graft.IndexCache.of(s"$d|clustersizes")(
+      repClusterSizes(reps, comps, "doc_id", "text"))
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -821,9 +821,11 @@ object Dedup {
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, $jac AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE $jac >= 0.5 ORDER BY id_a, id_b"""
     },
-    // same tiny count agg + sqrt rate + md5 draw, stated relationally
+    // same tiny count agg + sqrt rate + md5 draw, stated relationally;
+    // the NUL-sentinel coalesce mirrors mixTemperatureHalf so NULL
+    // langs group (and survive) identically in both engines
     "mix_temperature" ->
-      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), mn AS (SELECT min(n) AS nmin FROM cnt), rate AS (SELECT lang, sqrt(nmin::DOUBLE / n::DOUBLE) AS r FROM cnt CROSS JOIN mn) SELECT d.doc_id, d.lang FROM documents d JOIN rate USING (lang) WHERE $drawSql < r * 65536 ORDER BY doc_id""",
+      s"""WITH cnt AS (SELECT coalesce(lang, chr(1) || 'null') AS lang_k, count(*) AS n FROM documents GROUP BY 1), mn AS (SELECT min(n) AS nmin FROM cnt), rate AS (SELECT lang_k, sqrt(nmin::DOUBLE / n::DOUBLE) AS r FROM cnt CROSS JOIN mn) SELECT d.doc_id, d.lang FROM documents d JOIN rate ON coalesce(d.lang, chr(1) || 'null') = rate.lang_k WHERE $drawSql < r * 65536 ORDER BY doc_id""",
     "decon_exact" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents WHERE doc_id < 20), ph AS (SELECT doc_id AS bench_id, array_to_string(t[1:5], ' ') AS phrase FROM tk WHERE len(t) >= 5) SELECT d.doc_id, p.bench_id FROM documents d CROSS JOIN ph p WHERE d.doc_id != p.bench_id AND strpos(regexp_replace(d.text, '\s+', ' ', 'g'), p.phrase) > 0 ORDER BY d.doc_id, p.bench_id""",
     "decon_overlap" -> {

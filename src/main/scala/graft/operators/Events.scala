@@ -377,11 +377,15 @@ object Events {
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tiebreak))
       .rowsBetween(-(frameRows - 1), Window.currentRow)
     // one collect per row (the frame column is materialized once, then
-    // the rank lookup is a plain projection over it)
+    // the rank lookup is a plain projection over it). collect_list drops
+    // NULL readings, so frame_n counts OBSERVED values — and a frame of
+    // only-NULL readings yields NULL (element_at(_, 0) would error); the
+    // oracle mirrors both choices with an explicit list_filter + CASE.
     df.withColumn("_fr", array_sort(collect_list(col(v)).over(w)))
       .withColumn("frame_n", size(col("_fr")).cast("bigint"))
       .withColumn("roll_p",
-        element_at(col("_fr"), ceil(lit(p) * col("frame_n")).cast("int")))
+        when(col("frame_n") === 0, lit(null).cast("double"))
+          .otherwise(element_at(col("_fr"), ceil(lit(p) * col("frame_n")).cast("int"))))
       .drop("_fr")
   }
 
@@ -588,9 +592,10 @@ object Events {
       s"""WITH obs AS (SELECT user_id, date_trunc('day', ts) AS bucket, ${Stable.sqlAvgRounded("value", 4)} AS obs_value FROM events GROUP BY user_id, date_trunc('day', ts)), span AS (SELECT user_id, min(bucket) AS a, max(bucket) AS b FROM obs GROUP BY user_id), grid AS (SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 DAY)) AS bucket FROM span), j AS (SELECT g.user_id, g.bucket, o.obs_value FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket) SELECT user_id, bucket, last_value(obs_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled, (obs_value IS NULL) AS filled FROM j ORDER BY user_id, bucket""",
     "events_transitions" ->
       """WITH t AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions FROM t WHERE next_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
-    // DuckDB's list() over the same rows frame, list_sort, same pinned rank
+    // DuckDB's list() over the same rows frame, NULLs filtered like
+    // Spark's collect_list, list_sort, same pinned rank, NULL on empty
     "events_rolling_p90" ->
-      """WITH f AS (SELECT event_id, user_id, value, list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS fr FROM events) SELECT event_id, user_id, value, len(fr)::BIGINT AS frame_n, fr[ceil(0.9 * len(fr))::INT] AS roll_p FROM f ORDER BY event_id""",
+      """WITH f AS (SELECT event_id, user_id, value, list_sort(list_filter(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), x -> x IS NOT NULL)) AS fr FROM events) SELECT event_id, user_id, value, len(fr)::BIGINT AS frame_n, CASE WHEN len(fr) = 0 THEN NULL ELSE fr[ceil(0.9 * len(fr))::INT] END AS roll_p FROM f ORDER BY event_id""",
     "events_windowed_topk" ->
       """WITH c AS (SELECT date_trunc('day', ts) AS bucket, event_type, count(*) AS n FROM events GROUP BY bucket, event_type), r AS (SELECT bucket, event_type, n, row_number() OVER (PARTITION BY bucket ORDER BY n DESC, event_type ASC) AS rank FROM c) SELECT bucket, event_type, n, rank FROM r WHERE rank <= 3 ORDER BY bucket, rank""",
     // same strictly-following conditional-min window; gaps as exact μs

@@ -708,10 +708,10 @@ object Similarity {
     * key. Contents are deterministic, so caching cannot change results —
     * the correctness gate's first invocation builds them from scratch.
     */
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // shared session-index contract — see graft.IndexCache (NOT re-entrant:
+  // builders must resolve nested index dependencies before the call)
   private def cachedIndex(key: String)(build: => DataFrame): DataFrame =
-    indexCache.computeIfAbsent(key, _ => build.localCheckpoint(true))
+    graft.IndexCache.of(key)(build)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> ((s, d) => {

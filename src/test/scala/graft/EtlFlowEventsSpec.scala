@@ -448,6 +448,23 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
     // early rows have growing frames; steady state is exactly 10
     assert(got.values.exists(_._1 < 10L) && got.values.exists(_._1 == 10L))
+    // NULL readings: dropped from the frame, and an all-NULL frame
+    // yields NULL instead of an element_at(_, 0) error
+    val s2 = spark
+    import s2.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val nulls = Seq((1L, 1L, t(1), null.asInstanceOf[java.lang.Double]),
+      (1L, 2L, t(2), java.lang.Double.valueOf(5.0)),
+      (1L, 3L, t(3), null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "event_id", "ts", "value")
+    val nr = graft.operators.Events.rollingPercentile(nulls, "user_id", "ts",
+      "event_id", "value", frameRows = 10, p = 0.9)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(1), r.getLong(4), Option(r.get(5))))
+    assert(nr(0) == ((1L, 0L, None)))           // all-NULL frame -> NULL
+    assert(nr(1) == ((2L, 1L, Some(5.0))))      // NULLs dropped from count
+    assert(nr(2) == ((3L, 1L, Some(5.0))))
   }
 
   test("events_windowed_topk: per-bucket top-3 by count, ties on type") {
