@@ -187,6 +187,31 @@ object Etl {
     wide.select(inline(entries))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view half of
+    * the GroupIndex story: a per-key aggregate table (count + exact
+    * decimal sum) folded with a delta batch at O(|aggregate| + |delta|)
+    * cost, never re-touching raw history. Works because count/sum are
+    * ASSOCIATIVE partial aggregates: the delta batch collapses to its
+    * own per-key partials (map-side combined), unions with the base
+    * aggregate rows, and one re-agg merges them — the same algebra
+    * Spark's own two-phase aggregation uses, applied across batches.
+    * The merged table is bit-identical to a full rebuild (sums ride
+    * DECIMAL(20,6) — order-free), which is exactly what the oracle
+    * asserts by recomputing from scratch. avg is derived, not stored —
+    * averages don't merge, (n, sum) pairs do.
+    */
+  def aggMaintain(baseAgg: DataFrame, delta: DataFrame, key: String,
+                  v: String): DataFrame =
+    baseAgg.unionByName(aggOf(delta, key, v))
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"))
+
+  /** The per-key (n, sum) aggregate shape [[aggMaintain]] maintains. */
+  def aggOf(df: DataFrame, key: String, v: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"),
+        sum(col(v).cast("decimal(20,6)")).as("sum_v"))
+
   /** Referential-integrity audit: orphan-row counts per declared FK
     * relationship — the data-quality report an ingest runs before
     * promoting a batch (the reference trusts its link recovery,
@@ -242,6 +267,19 @@ object Etl {
             Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
           "not_low_value" -> (col("o_totalprice") >= 1000.0)))
         .orderBy("o_orderkey")),
+
+    // materialized per-type aggregate maintained with a delta batch: the
+    // base (first ~half of the month) folds with the rest at index+delta
+    // cost; the result equals the full rebuild the oracle computes
+    "etl_agg_maintain" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "ts", "value")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val base = aggOf(ev.filter(col("ts") < cutoff), "event_type", "value")
+      aggMaintain(base, ev.filter(col("ts") >= cutoff), "event_type", "value")
+        .select(col("event_type"), col("n"),
+          round(col("sum_v"), 2).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
 
     // orphan counts per FK relationship; events.user_id -> customer is the
     // deliberately-unconstrained edge (event users need no account)
@@ -348,6 +386,11 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle IS the invariant: a from-scratch rebuild over all rows
+    // must equal the incrementally-maintained aggregate
+    "etl_agg_maintain" ->
+      """SELECT event_type, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM events GROUP BY event_type ORDER BY event_type""",
+
     "etl_fk_integrity" -> {
       def branch(name: String, fact: String, fk: String, dim: String, pk: String) =
         s"""SELECT '$name' AS relationship, count(*) AS n_orphans FROM $fact f WHERE f.$fk IS NOT NULL AND NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk)"""

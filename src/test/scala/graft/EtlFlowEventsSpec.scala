@@ -487,6 +487,36 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("etl_agg_maintain: chained delta folds == full rebuild, empty delta is a no-op") {
+    val ev = Tables.events(spark, sfDir).select("event_type", "ts", "value")
+    val full = Etl.aggOf(ev, "event_type", "value").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    // fold the stream in as FOUR chronological delta batches
+    val cuts = Seq("2024-01-08", "2024-01-16", "2024-01-24")
+      .map(c => lit(java.sql.Timestamp.valueOf(s"$c 00:00:00")))
+    val parts = Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+      ev.filter(col("ts") >= cuts(2)))
+    val folded = parts.tail.foldLeft(Etl.aggOf(parts.head, "event_type", "value")) {
+      (acc, delta) => Etl.aggMaintain(acc, delta, "event_type", "value")
+    }
+    val got = folded.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    assert(got.keySet == full.keySet)
+    got.foreach { case (k, (n, s)) =>
+      assert(n == full(k)._1 && s.compareTo(full(k)._2) == 0)
+    }
+    // an empty delta batch changes nothing
+    val noop = Etl.aggMaintain(folded, ev.filter(lit(false)), "event_type", "value")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    assert(noop.keySet == got.keySet)
+    noop.foreach { case (k, (n, s)) =>
+      assert(n == got(k)._1 && s.compareTo(got(k)._2) == 0)
+    }
+  }
+
   test("etl_fk_integrity: orphan counts match direct anti-join counts, TPC-H edges clean") {
     val rows = run("etl_fk_integrity").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
