@@ -663,6 +663,19 @@ object Dedup {
     "dedup_components" -> ((s, d) =>
       componentsOf(s, d).orderBy("doc_id")),
 
+    // the component index's PERSISTENCE lifecycle (the sim_ivfpq_persisted
+    // contract for the dedup family): the labelling written once as a
+    // parquet artifact, read back and served — identical answers to the
+    // in-session index, so the SAME oracle; the read-back scan is two
+    // narrow columns
+    "dedup_components_persisted" -> ((s, d) => {
+      val path = "/tmp/graft_io/dedup_components/" +
+        s"$d|3|8|2".replaceAll("[^A-Za-z0-9.]", "_")
+      if (!new java.io.File(path).exists())
+        componentsOf(s, d).write.mode("overwrite").parquet(path)
+      s.read.parquet(path).orderBy("doc_id")
+    }),
+
     // the whole near-dedup pass composed: exact dedup -> minhash pairs ->
     // components -> keep each cluster's min doc (with its exact-copy
     // count riding along). Output = the clean corpus.
@@ -813,6 +826,9 @@ object Dedup {
     s"((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
     .mkString("(", " + ", ")")
 
+  private lazy val componentsOracle: String =
+    s"""WITH RECURSIVE $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src) SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
@@ -854,8 +870,9 @@ object Dedup {
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster), m AS (SELECT d.doc_id, c.cluster, s.cluster_docs FROM documents d JOIN reps r ON d.text = r.text JOIN comp c ON r.doc_id = c.id JOIN sizes s ON c.cluster = s.cluster) SELECT doc_id, cluster, cluster_docs FROM m WHERE ${sqlDraw32("doc_id")} < (1.0 / cluster_docs) * 4294967296 ORDER BY doc_id""",
     // the recursive CTE reaches the same unique min-label fixpoint the
     // Spark propagation loop converges to
-    "dedup_components" ->
-      s"""WITH RECURSIVE $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src) SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id ORDER BY doc_id""",
+    "dedup_components" -> componentsOracle,
+    // the persisted artifact must answer identically — same oracle
+    "dedup_components_persisted" -> componentsOracle,
     "dedup_simhash" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, hv AS (SELECT doc_id, $nibV AS v FROM sh), bits AS (SELECT doc_id, $sumCols FROM hv GROUP BY doc_id), simh AS (SELECT doc_id, ($hExpr)::BIGINT AS h FROM bits), blocks AS (SELECT doc_id, h, b, (h >> (8 * b)) & 255 AS blk FROM simh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bands), blkc AS (SELECT doc_id, h, b, blk FROM (SELECT *, row_number() OVER (PARTITION BY b, blk ORDER BY doc_id) AS _rn FROM blocks) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.h, b.h))::BIGINT AS hamming FROM blkc a JOIN blkc b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 3 ORDER BY id_a, id_b"""
   )

@@ -607,6 +607,18 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan(df).contains("hashpartitioning"))
   }
 
+  test("dedup_components_persisted == the in-session index, narrow scan") {
+    val persisted = run("dedup_components_persisted").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val live = run("dedup_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(persisted.sameElements(live) && persisted.nonEmpty)
+    // the read-back is a plain two-column parquet scan
+    val p = plan(run("dedup_components_persisted"))
+    assert(p.contains("Scan parquet") &&
+      p.contains("ReadSchema: struct<doc_id:bigint,cluster:bigint>"))
+  }
+
   test("dedup_size_hist: histogram margins reconcile with the corpus") {
     val rows = run("dedup_size_hist").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
