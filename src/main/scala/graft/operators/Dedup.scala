@@ -233,6 +233,39 @@ object Dedup {
       .filter(col("overlap_frac") >= threshold)
   }
 
+  /** SCOPED near-dup candidate pairs: the minhash chain with every
+    * bucket additionally keyed by a scope column — "dedup within each
+    * source/language, never across" (licensing boundaries, per-language
+    * corpora, per-tenant isolation). Scoping is free at scale: the
+    * scope rides the band key, so buckets — and therefore ALL pairwise
+    * work — split by scope (a skewed scope only floods its own capped
+    * buckets). The exact-dedup pre-pass also scopes: identical content
+    * in two scopes is NOT a duplicate here, so each scope keeps its own
+    * representative.
+    */
+  def minhashPairsScoped(docs: DataFrame, id: String, textCol: String,
+                         scope: String, n: Int, k: Int, rowsPerBand: Int,
+                         bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val reps = docs.groupBy(col(scope), md5(col(textCol)).as("_ch"))
+      .agg(min(struct(col(id), col(textCol))).as("_f"))
+      .select(col(scope), col(s"_f.$id").as(id), col(s"_f.$textCol").as(textCol))
+    val sig = minhashSignatures(reps.select(col(id), col(textCol)), id, textCol, n, k)
+      .join(reps.select(col(id), col(scope)), id) // reps ids are unique
+    val buckets = capBuckets(
+      bandBuckets(sig, k, rowsPerBand)
+        .withColumn("band_key", concat_ws("|", col(scope), col("band_key"))),
+      Seq("band_key"), id, bucketCap)
+    val a = buckets.select(col("band_key") +: col(scope) +: col(id).as("id_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = buckets.select(col("band_key").as("bk2") +: col(id).as("id_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val est = (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    a.join(b, col("band_key") === col("bk2") && col("id_a") < col("id_b"))
+      .select(col(scope), col("id_a"), col("id_b"), est.as("est_sim"))
+      .distinct()
+  }
+
   /** Connected components over an undirected edge set: the step that
     * turns near-dup PAIRS into dedup GROUPS (cluster = the min member id,
     * i.e. the doc to keep; everything else in the component is the
@@ -646,6 +679,12 @@ object Dedup {
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .orderBy("id_a", "id_b")),
 
+    // dedup scoped per source: pairs never cross the source boundary
+    "dedup_scoped" -> ((s, d) =>
+      minhashPairsScoped(Tables.documents(s, d).select("doc_id", "text", "source"),
+        "doc_id", "text", scope = "source", n = 3, k = 8, rowsPerBand = 2)
+        .orderBy("source", "id_a", "id_b")),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2, threshold = 0.5)
@@ -832,6 +871,11 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+    // scope rides the band key: reps per (source, text), buckets and cap
+    // per source-prefixed band key — pairs cannot cross sources
+    "dedup_scoped" ->
+      s"""WITH reps AS (SELECT source, min(doc_id) AS doc_id, text FROM documents GROUP BY source, text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, bks AS (SELECT b.doc_id, ${(0 until 8).map(i => s"b.mh$i").mkString(", ")}, r.source, r.source || '|' || b.band_key AS sband FROM bk b JOIN reps r USING (doc_id)), bkcs AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY sband ORDER BY doc_id) AS _rn FROM bks) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkcs a JOIN bkcs b ON a.sband = b.sband AND a.doc_id < b.doc_id ORDER BY a.source, id_a, id_b""",
+
     "dedup_ngram_jaccard" -> {
       val jac = graft.operators.Stable.sqlRatioRounded(
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)

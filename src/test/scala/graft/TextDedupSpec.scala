@@ -607,6 +607,33 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan(df).contains("hashpartitioning"))
   }
 
+  test("dedup_scoped: pairs never cross the scope boundary, per-scope reps") {
+    val rows = run("dedup_scoped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every pair's endpoints share the source (by construction of the
+    // output, but assert against the raw table to close the loop)
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (s, a, b) =>
+      assert(srcOf(a) == s && srcOf(b) == s)
+    }
+    // synthetic: near-dup pairs inside each source surface; identical
+    // content ACROSS sources neither pairs nor collapses
+    val s2 = spark
+    import s2.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val near = base + " iota"
+    val syn = Seq(
+      (1L, base, "s1"), (2L, near, "s1"),   // near-dups within s1
+      (3L, base, "s2"), (4L, near, "s2"),   // same pair within s2
+      (5L, base, "s3")                      // identical to 1/3, alone in s3
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.minhashPairsScoped(
+      syn, "doc_id", "text", "source", n = 3, k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("s1", 1L, 2L), ("s2", 3L, 4L)))
+  }
+
   test("dedup_components_persisted == the in-session index, narrow scan") {
     val persisted = run("dedup_components_persisted").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
