@@ -142,6 +142,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Ingest-path incremental near-dedup: candidate pairs between a NEW
+    * batch and the EXISTING corpus only — the corpus is never paired
+    * against itself (that work already happened when it was ingested;
+    * see the persisted component index). The batch's band rows (reps ×
+    * bands, a few rows per new doc) are BROADCAST, so the corpus-sized
+    * side takes no join shuffle at all: at 100 TB the daily increment
+    * streams past the corpus bands with map-side hash probes. Only the
+    * batch buckets are capped (a hot corpus bucket contributes output
+    * linear in its size × the batch cap, never quadratic). At real
+    * scale the corpus band table would be a maintained index artifact
+    * (built once, appended per ingest) rather than recomputed — the
+    * recompute here keeps the oracle exact.
+    */
+  def incrementalPairs(corpus: DataFrame, batch: DataFrame, id: String,
+                       textCol: String, n: Int, k: Int, rowsPerBand: Int,
+                       batchCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    def bandsOf(docs: DataFrame) = bandBuckets(
+      minhashSignatures(representatives(docs, id, textCol).select(col(id), col(textCol)),
+        id, textCol, n, k), k, rowsPerBand)
+    val bBk = capBuckets(bandsOf(batch), Seq("band_key"), id, batchCap)
+    val a = bBk.select(col("band_key") +: col(id).as("batch_id") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = bandsOf(corpus).select(col("band_key").as("bk2") +: col(id).as("corpus_id") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val est = (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    b.join(broadcast(a), col("bk2") === col("band_key"))
+      .select(col("batch_id"), col("corpus_id"), est.as("est_sim"))
+      .distinct()
+  }
+
   /** LSH candidates verified with exact n-gram Jaccard >= threshold. The
     * expensive set intersection runs only on bucket-mates, never all pairs.
     */
@@ -679,6 +710,16 @@ object Dedup {
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .orderBy("id_a", "id_b")),
 
+    // ingest increment (doc_id % 10 == 0) vs existing corpus (the rest)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      incrementalPairs(
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        batch = docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // dedup scoped per source: pairs never cross the source boundary
     "dedup_scoped" -> ((s, d) =>
       minhashPairsScoped(Tables.documents(s, d).select("doc_id", "text", "source"),
@@ -829,6 +870,26 @@ object Dedup {
   private val estExpr = "(" +
     (0 until 8).map(i => s"(a.mh$i = b.mh$i)::INT").mkString(" + ") + ")::DOUBLE / 8"
 
+  /** The tk→shs→sh→sig→bk chain with every CTE name prefixed, over an
+    * arbitrary (doc_id, text) source CTE — for oracles that need TWO
+    * independent signature chains (incremental dedup). Fragments are
+    * byte-identical to the fixed-name chain above modulo the prefix.
+    */
+  private def sqlSigChain(p: String, srcRel: String): String = {
+    val tk = raw"""${p}tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM $srcRel)"""
+    val shs = s"""${p}shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM ${p}tk WHERE len(t) >= 3)"""
+    val sh = s"""${p}sh AS (SELECT doc_id, unnest(sh) AS s FROM ${p}shs)"""
+    val sig = s"${p}sig AS (SELECT doc_id, " + (0 until 8).map { i =>
+      val (seed, piece) = (i / 4, i % 4)
+      s"min(substr(md5('$seed|' || s), ${1 + 8 * piece}, 8)) AS mh$i"
+    }.mkString(", ") + s" FROM ${p}sh GROUP BY doc_id)"
+    val bk = s"${p}bk AS (SELECT doc_id, " + (0 until 8).map(i => s"mh$i").mkString(", ") +
+      ", unnest([" +
+      (0 until 4).map(b => s"'$b|' || mh${2 * b} || '|' || mh${2 * b + 1}").mkString(", ") +
+      s"]) AS band_key FROM ${p}sig)"
+    s"$tk, $shs, $sh, $sig, $bk"
+  }
+
   /** The full exact-dedup → minhash-pairs → components → keep-minima CTE
     * chain over an arbitrary (doc_id, text) source relation, ending in a
     * `keep(doc_id)` CTE — the reusable oracle image of the near-dedup
@@ -871,6 +932,11 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+
+    // two independent signature chains (per-side exact-dedup reps), only
+    // the batch buckets capped — mirrors incrementalPairs exactly
+    "dedup_incremental" ->
+      s"""WITH bsrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id % 10 = 0 GROUP BY text), csrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id % 10 != 0 GROUP BY text), ${sqlSigChain("b", "bsrc")}, ${sqlSigChain("c", "csrc")}, bbkc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS _rn FROM bbk) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id, $estExpr AS est_sim FROM bbkc a JOIN cbk b ON a.band_key = b.band_key ORDER BY batch_id, corpus_id""",
     // scope rides the band key: reps per (source, text), buckets and cap
     // per source-prefixed band key — pairs cannot cross sources
     "dedup_scoped" ->

@@ -420,9 +420,39 @@ object Events {
         col("_b_ts").as("b_ts"), col("gap_us"))
   }
 
+  /** Top user-journey paths: each user's first `k` events (by time),
+    * rendered as an `a>b>c` path string, counted across users. Three
+    * stages, each scale-bounded: (1) the first-k filter is a
+    * row_number window whose `rn <= k` filter Spark pushes into a
+    * map-side WindowGroupLimit — every partition keeps only k rows per
+    * user BEFORE the shuffle, so a user with millions of events costs
+    * the exchange k rows; (2) the per-user path agg reuses the window's
+    * hash(user) partitioning (no second exchange) and collects at most
+    * k elements per group; (3) the path frequency count is a map-side-
+    * combined agg on path with TakeOrderedAndProject for the top list.
+    */
+  def topPaths(df: DataFrame, user: String, typeCol: String, tsCol: String,
+               tiebreak: String, k: Int, top: Int): DataFrame = {
+    val w = Window.partitionBy(col(user)).orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val firstK = df.select(col(user), col(tsCol), col(tiebreak), col(typeCol))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    // struct sort key = (rn, type); rn is unique per user so the sort is total
+    val paths = firstK.groupBy(col(user))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col(typeCol).as("t")))),
+          s => s.getField("t")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(top)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_paths" -> ((s, d) =>
+      topPaths(Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
+        k = 5, top = 50)),
+
     "events_approx_stats" -> ((s, d) =>
       approxStats(Tables.events(s, d), "event_type", "user_id", "value")
         .orderBy("event_type")),
@@ -558,6 +588,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_paths" ->
+      """WITH r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path FROM r WHERE rn <= 5 GROUP BY user_id) SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 50""",
     // floor(double/width) is the same IEEE op both engines; counts exact
     "events_histogram" ->
       """SELECT event_type, CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin, count(*) AS n FROM events GROUP BY event_type, bin ORDER BY event_type, bin""",

@@ -433,6 +433,55 @@ object TextOps {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** BPE tokenizer training's inner counting step: frequency of every
+    * adjacent character pair, weighted by word frequency. The critical
+    * scale move is the same one every real BPE trainer makes — collapse
+    * the corpus to its WORD VOCABULARY first (one hash-agg; vocabulary
+    * size grows ~log with corpus size, Heaps' law), then do all pair work
+    * on the vocabulary. A 100 TB corpus has billions of token
+    * occurrences but only millions of distinct words, so the pair
+    * explode + second agg run on data ~4 orders of magnitude smaller
+    * than the input; merge iterations beyond this first one would loop
+    * over the same vocabulary-sized table without touching the corpus
+    * again. Top-K plans as TakeOrderedAndProject (no global sort).
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+    val wc = words.groupBy("w").agg(count(lit(1)).as("wn"))
+    // sequence(1, len-1) would DESCEND for 1-char words (Spark's sequence
+    // steps -1 when start > stop), so short words are filtered first
+    val pairs = wc.filter(length(col("w")) >= 2)
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(sum("wn").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(topK)
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary rate per document against the
+    * corpus's own top-`vocabK` terms — the pre-tokenizer audit that tells
+    * you what fraction of a corpus a fixed vocabulary would cover (high
+    * OOV rate flags encoding damage, wrong-language spills, or a stale
+    * vocab). Two passes by necessity (the vocabulary is a global
+    * aggregate): pass 1 is a hash-agg + TakeOrdered down to `vocabK`
+    * rows; pass 2 joins the token stream against the vocabulary — which
+    * is BROADCAST, so the corpus-sized side never shuffles for the join
+    * and the only wide exchange is the final per-doc agg.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    def toks = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(vocabK)
+      .select(col("term"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", Stable.ratioRounded(col("n_oov"), col("n_tokens"), 4))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -459,6 +508,16 @@ object TextOps {
     "text_repetition" -> ((s, d) =>
       repetition(Tables.documents(s, d).select("doc_id", "text"), "text")
         .select("doc_id", "n_tokens", "dup_2gram_frac", "dup_3gram_frac")
+        .orderBy("doc_id")),
+
+    // BPE pair statistics over the corpus vocabulary (top 256 pairs)
+    "text_bpe_pairs" -> ((s, d) =>
+      bpePairCounts(Tables.documents(s, d).select("text"), "text", topK = 256)),
+
+    // OOV rate per doc vs the corpus's own top-1000 terms
+    "text_oov_rate" -> ((s, d) =>
+      oovRate(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        vocabK = 1000)
         .orderBy("doc_id")),
 
     "text_ngram_counts" -> ((s, d) =>
@@ -632,6 +691,14 @@ object TextOps {
       val d2 = Stable.sqlRatioRounded("tot2 - d2", "tot2", 4)
       val d3 = Stable.sqlRatioRounded("tot3 - d3", "tot3", 4)
       raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents), g AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, greatest(len(t) - 1, 0) AS tot2, len(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS d2, greatest(len(t) - 2, 0) AS tot3, len(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS d3 FROM tk) SELECT doc_id, n_tokens, CASE WHEN tot2 = 0 THEN 0.0 ELSE $d2 END AS dup_2gram_frac, CASE WHEN tot3 = 0 THEN 0.0 ELSE $d3 END AS dup_3gram_frac FROM g ORDER BY doc_id"""
+    },
+    // same vocabulary-collapse: word counts once, pairs over DISTINCT words
+    "text_bpe_pairs" ->
+      raw"""WITH wds AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS w FROM documents), wc AS (SELECT w, count(*) AS wn FROM wds GROUP BY w), p AS (SELECT wn, unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM wc WHERE length(w) >= 2) SELECT pair, sum(wn)::BIGINT AS pair_count FROM p GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 256""",
+    "text_oov_rate" -> {
+      val rate = Stable.sqlRatioRounded(
+        "sum(CASE WHEN inv THEN 0 ELSE 1 END)", "count(*)", 4)
+      raw"""WITH tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS term FROM documents), v AS (SELECT term FROM (SELECT term, count(*) AS tf FROM tk GROUP BY term ORDER BY tf DESC, term ASC LIMIT 1000)), j AS (SELECT t.doc_id, (v.term IS NOT NULL) AS inv FROM tk t LEFT JOIN v ON t.term = v.term) SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(CASE WHEN inv THEN 0 ELSE 1 END)::BIGINT AS n_oov, $rate AS oov_rate FROM j GROUP BY doc_id ORDER BY doc_id"""
     },
     "text_ngram_counts" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents), gs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g FROM tk WHERE len(t) >= 2) SELECT g2 AS gram, count(*) AS doc_freq FROM (SELECT unnest(g) AS g2 FROM gs) GROUP BY gram ORDER BY doc_freq DESC, gram ASC LIMIT 100""",

@@ -547,4 +547,25 @@ class EtlFlowEventsSpec extends SparkSpec {
     // doubles render through DECIMAL(18,2): exactly two decimals
     assert(rows("o_totalprice")._3.matches("""-?\d+\.\d\d"""))
   }
+
+  test("events_paths: first-k journeys, counted and rank-limit pushed down") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      (1L, t(0), 100L, "view"), (2L, t(1), 100L, "click"), (3L, t(2), 100L, "purchase"),
+      (4L, t(0), 200L, "view"), (5L, t(1), 200L, "click"), (6L, t(2), 200L, "purchase"),
+      (7L, t(0), 300L, "view"),
+      // a 4-event user truncates at k=3: the 4th type never shows up
+      (8L, t(0), 400L, "view"), (9L, t(1), 400L, "click"),
+      (10L, t(2), 400L, "purchase"), (11L, t(3), 400L, "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val df = Events.topPaths(ev, "user_id", "event_type", "ts", "event_id",
+      k = 3, top = 10)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view>click>purchase" -> 3L, "view" -> 1L))
+    // rn <= k must prune map-side: partial + final WindowGroupLimit
+    assert("WindowGroupLimit".r.findAllIn(plan(df)).size >= 2, plan(df))
+  }
 }

@@ -711,4 +711,47 @@ class TextDedupSpec extends SparkSpec {
     // the bench side must broadcast — corpus side never shuffles
     assert(plan(df).contains("BroadcastNestedLoopJoin"))
   }
+
+  test("text_bpe_pairs matches a hand-counted vocabulary") {
+    val s = spark
+    import s.implicits._
+    // wc: ab->2, abc->1, cd->1 (x is 1 char, contributes no pair)
+    val two = Seq((1L, "ab ab abc"), (2L, "x cd")).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(two, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 3L, "bc" -> 1L, "cd" -> 1L))
+  }
+
+  test("text_oov_rate: top-k vocab coverage, zero OOV under a full vocab") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aa aa bb"), (2L, "aa zz")).toDF("doc_id", "text")
+    // vocabK=1 -> vocab={aa} (tf 3); doc1 flags bb, doc2 flags zz
+    val tight = TextOps.oovRate(df, "doc_id", "text", vocabK = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(tight(1L) == ((3L, 1L, 0.3333)))
+    assert(tight(2L) == ((2L, 1L, 0.5)))
+    // a vocab bigger than the term universe covers everything
+    val full = TextOps.oovRate(df, "doc_id", "text", vocabK = 100)
+      .collect().map(_.getLong(2))
+    assert(full.forall(_ == 0L))
+  }
+
+  test("dedup_incremental: pairs cross the boundary only, batch side broadcast") {
+    val s = spark
+    import s.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog tonight"
+    val t2 = "completely unrelated content about spark physical plans here"
+    val corpus = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val batch = Seq((10L, t1), (11L, "third text sharing nothing with either corpus doc")).toDF("doc_id", "text")
+    val df = Dedup.incrementalPairs(corpus, batch, "doc_id", "text",
+      n = 3, k = 8, rowsPerBand = 2)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the exact copy is found with full signature agreement
+    assert(rows.contains((10L, 1L, 1.0)))
+    // ids never come from the same side
+    assert(rows.forall { case (b, c, _) => Set(10L, 11L)(b) && Set(1L, 2L)(c) })
+    // the increment is the broadcast side — the corpus takes no join shuffle
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
 }
