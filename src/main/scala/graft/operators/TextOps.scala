@@ -433,6 +433,56 @@ object TextOps {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
+  /** Canonicalization dedup — the layer every real pipeline runs between
+    * byte-exact and MinHash: lowercase, collapse every non-alphanumeric
+    * run to a single space, trim, THEN hash. Catches the near-universal
+    * trivial variants (case, punctuation, whitespace/encoding damage)
+    * at exact-dedup cost: the normalization is a zero-shuffle projection
+    * fused into the scan, and the dedup stays ONE hash-agg on a uniform
+    * 128-bit key — no candidate generation, no verify pass, skew-free at
+    * any scale. `n_raw_variants` (distinct raw hashes per canonical
+    * group) separates what THIS layer merged from what byte-exact dedup
+    * would already have caught.
+    */
+  def dedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    df.groupBy(md5(norm).as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"),
+        countDistinct(md5(col(textCol))).as("n_raw_variants"))
+  }
+
+  /** Collocation mining: adjacent-token pairs scored by the Dice
+    * coefficient 2·c(x,y)/(c(x)+c(y)) — chosen over PMI because it is a
+    * ratio of exact integer counts (bitwise-portable via the scaled
+    * half-up rounding in [[Stable.ratioRounded]]; PMI's log is monotone
+    * in the same quantity for fixed margins, so the ranking story is the
+    * same). Scale shape: bigram and unigram counting are the only
+    * corpus-sized passes (map-side-combined hash aggs); the min-count
+    * floor then shrinks the bigram table BEFORE the two margin joins,
+    * which run vocabulary-vs-vocabulary — the unigram side is BROADCAST
+    * (vocabulary grows ~log with the corpus, Heaps' law; for an extreme
+    * vocab a shuffle join on the word key is still vocabulary-scale, not
+    * corpus-scale). Top-K plans as TakeOrderedAndProject.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long,
+                   topK: Int): DataFrame = {
+    val toks = df.select(tokens(lower(col(textCol))).as("t"))
+    val uni = toks.select(explode(col("t")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(t)), i -> struct(element_at(t, i - 1) AS x, element_at(t, i) AS y))")).as("b"))
+      .select(col("b.x").as("w1"), col("b.y").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        Stable.ratioRounded(col("pair_count") * 2, col("c1") + col("c2"), 4).as("dice"))
+      .orderBy(col("dice").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** BPE tokenizer training's inner counting step: frequency of every
     * adjacent character pair, weighted by word frequency. The critical
     * scale move is the same one every real BPE trainer makes — collapse
@@ -542,6 +592,16 @@ object TextOps {
       dedupExact(Tables.documents(s, d), "doc_id", "text")
         .select("content_hash", "keep_id", "n_dupes")
         .orderBy("keep_id")),
+
+    "dedup_normalized" -> ((s, d) =>
+      dedupNormalized(Tables.documents(s, d), "doc_id", "text")
+        .select("norm_hash", "keep_id", "n_dupes", "n_raw_variants")
+        .orderBy("keep_id")),
+
+    // Dice-scored adjacent-token collocations, count floor 5, top 100
+    "text_collocations" -> ((s, d) =>
+      collocations(Tables.documents(s, d).select("text"), "text",
+        minCount = 5L, topK = 100)),
 
     // events.props carries digits, so the mask is non-vacuous there
     "text_pii_mask" -> ((s, d) =>
@@ -718,6 +778,12 @@ object TextOps {
     },
     "dedup_exact" ->
       raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "dedup_normalized" ->
+      raw"""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash, min(doc_id) AS keep_id, count(*) AS n_dupes, count(DISTINCT md5(text)) AS n_raw_variants FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "text_collocations" -> {
+      val dice = Stable.sqlRatioRounded("2 * pair_count", "c1 + c2", 4)
+      raw"""WITH tk AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), bi AS (SELECT t[i-1] AS w1, t[i] AS w2 FROM (SELECT t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY w1, w2 HAVING count(*) >= 5), j AS (SELECT b.w1, b.w2, b.pair_count, u1.c AS c1, u2.c AS c2 FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w) SELECT w1, w2, pair_count, $dice AS dice FROM j ORDER BY dice DESC, w1 ASC, w2 ASC LIMIT 100"""
+    },
     "text_pii_mask" ->
       raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id""",
     "text_tfidf_top" ->

@@ -754,4 +754,40 @@ class TextDedupSpec extends SparkSpec {
     // the increment is the broadcast side — the corpus takes no join shuffle
     assert(plan(df).contains("BroadcastHashJoin"))
   }
+
+  test("dedup_normalized merges case/punct/whitespace variants, counts raw kinds") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-world"),
+      (4L, "something else")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupNormalized(df, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // three trivially-distinct variants collapse to one canonical group
+    assert(got(1L) == ((3L, 3L)))
+    assert(got(4L) == ((1L, 1L)))
+    // the normalization is a projection: no join, exactly one wide agg
+    val df2 = TextOps.dedupNormalized(df, "doc_id", "text")
+    assert(!plan(df2).contains("Join"))
+  }
+
+  test("text_collocations: dice over hand-counted margins, floor respected") {
+    val s = spark
+    import s.implicits._
+    // c(a)=5, c(b)=5, c(a,b)=5 -> dice = 10/10 = 1.0; (b,c) appears twice
+    // -> below the floor of 5 and must not surface
+    val df = Seq(
+      (1L, "a b c a b"), (2L, "a b c a b"), (3L, "a b")
+    ).toDF("doc_id", "text")
+    val got = TextOps.collocations(df, "text", minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", "b", 5L, 1.0)))
+    // margins joined broadcast: the corpus-sized pass is only the two aggs
+    val lowFloor = TextOps.collocations(df, "text", minCount = 1L, topK = 10)
+    assert(plan(lowFloor).contains("BroadcastHashJoin"))
+    val all = lowFloor.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // c(b,c)=2, c(b)=5, c(c)=2 -> 4/7 = 0.5714...
+    assert(all(("b", "c")) == 0.5714)
+  }
 }
