@@ -208,6 +208,110 @@ object Mm {
       when(isPng, ph).when(isJpeg, jh).as("height"))
   }
 
+  /** Deterministic synthetic AUDIO payloads with REAL RIFF/WAVE container
+    * structure: doc_id % 3 picks plain WAV (RIFF header, then `fmt ` as
+    * the first chunk), WAV with a LIST chunk of doc_id-varying length
+    * BEFORE `fmt ` (so a parser must actually walk the chunk chain), or
+    * the raw text bytes (no container). All multi-byte fields are
+    * little-endian per the RIFF spec — the opposite byte order of the
+    * PNG/JPEG synthesis above, so the two decoders can't share an
+    * endianness bug. Format parameters derive from doc_id, giving
+    * [[decodeWavMeta]] a ground truth the oracle states independently:
+    * channels = id%2+1, sample_rate = 8000*(id%5+1), bytes/sample =
+    * id%3+1, and the data-chunk size is chosen so the decoded duration
+    * is exactly 250*(id%10+1) ms (byte_rate divides it, no rounding).
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    def le16(v: Column): Column = {
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le32(v: Column): Column = {
+      val be = lpad(hex(v), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val channels = id % 2 + 1
+    val rateK = id % 5 + 1
+    val bytesPerSample = id % 3 + 1
+    val rate = rateK * 8000L
+    val byteRate = rate * channels * bytesPerSample
+    val blockAlign = channels * bytesPerSample
+    val dataSize = lit(2000L) * rateK * channels * bytesPerSample * (id % 10 + 1)
+    val fmtChunk = concat(lit("666D7420"), le32(lit(16L)), le16(lit(1L)),
+      le16(channels), le32(rate), le32(byteRate), le16(blockAlign),
+      le16(bytesPerSample * 8))
+    // LIST payload 2..10 bytes (always even — RIFF pads odd chunks, and
+    // the walker here does not model the pad byte)
+    val listPad = (id % 5 + 1) * 2
+    val listChunk = concat(lit("4C495354"), le32(listPad),
+      substr(lit("0" * 20), lit(1), listPad * 2))
+    val hexText = hex(substring(col(textCol), 1, 64).cast("binary"))
+    val dataChunk = concat(lit("64617461"), le32(dataSize), hexText)
+    def riff(chunks: Column): Column =
+      concat(lit("52494646"), le32(dataSize + 36L), lit("57415645"), chunks)
+    df.select(id.cast("bigint").as("doc_id"),
+      unhex(when(id % 3 === 0, riff(concat(fmtChunk, dataChunk)))
+        .when(id % 3 === 1, riff(concat(listChunk, fmtChunk, dataChunk)))
+        .otherwise(hexText)).as("blob"))
+  }
+
+  /** WAV header decode by chunk-chain walk — the little-endian mirror of
+    * [[decodeImageMeta]]'s JPEG segment walk, pure codegen expressions
+    * over the hex image of the first `headBytes` bytes. RIFF layout:
+    * "RIFF" + u32 size + "WAVE", then chunks of [4-byte id][u32 le
+    * size][payload]; `fmt ` carries channels/rate/bits at fixed payload
+    * offsets, `data`'s size field with the byte rate gives the duration.
+    * Each walk step rides as a NAMED column (same de-exponentiation as
+    * the JPEG walk: a position feeds the next one twice, so inlining
+    * would double the expression tree per hop). Zero shuffle, zero UDFs;
+    * at 100 TB this is a scan-fused projection like every other decode.
+    */
+  def decodeWavMeta(blobs: DataFrame, maxSegs: Int = 4,
+                    headBytes: Int = 128): DataFrame = {
+    val hx = col("_hx")
+    def le16(q: Column): Column =
+      conv(concat(substr(hx, q + 2, lit(2)), substr(hx, q, lit(2))), 16, 10).cast("long")
+    def le32(q: Column): Column =
+      conv(concat(substr(hx, q + 6, lit(2)), substr(hx, q + 4, lit(2)),
+        substr(hx, q + 2, lit(2)), substr(hx, q, lit(2))), 16, 10).cast("long")
+    def idAt(p: Column): Column = substr(hx, p, lit(8))
+    // chunk-start hex positions: byte 12 → hex 25; next = p + 16 + 2*size.
+    // A non-RIFF blob yields garbage u32 "sizes" (up to 4 GiB — unlike the
+    // JPEG walk's u16s), so every step clamps to just past the head window:
+    // substr there returns '' (no id match), and positions stay in range.
+    val past = lit(2L * headBytes + 1L)
+    val walked = (1 until maxSegs).foldLeft(
+      blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes)))
+        .withColumn("_p0", lit(25L))) { (df, i) =>
+      df.withColumn(s"_p$i",
+        least(col(s"_p${i - 1}") + 16L + le32(col(s"_p${i - 1}") + 8L) * 2L, past))
+    }
+    def firstChunk(idHex: String): Column = coalesce(
+      (0 until maxSegs).map(i => when(idAt(col(s"_p$i")) === idHex, col(s"_p$i"))): _*)
+    val staged = walked
+      .withColumn("_fmt", firstChunk("666D7420"))
+      .withColumn("_data", firstChunk("64617461"))
+    val isWav = substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57415645" && col("_fmt").isNotNull
+    val pay = col("_fmt") + 16L
+    val channels = le16(pay + 4L)
+    val rate = le32(pay + 8L)
+    val byteRate = le32(pay + 16L)
+    val bits = le16(pay + 28L)
+    val dataSize = le32(col("_data") + 8L)
+    // exact when byte_rate divides data bytes*1000 (true of any whole-ms
+    // PCM stream); operands stay far below 2^53 so the double math is exact
+    val durMs = floor(dataSize.cast("double") * 1000.0 / byteRate.cast("double")).cast("long")
+    staged.select(col("doc_id"),
+      when(isWav, lit("wav")).otherwise(lit("unknown")).as("format"),
+      when(isWav, channels).as("channels"),
+      when(isWav, rate).as("sample_rate"),
+      when(isWav, bits).as("bits"),
+      when(isWav && col("_data").isNotNull && byteRate > 0, durMs).as("duration_ms"))
+  }
+
   /** ViT-style patch tokenization budget: per image, the patch grid
     * (ceil(w/patch) × ceil(h/patch)) and the resulting vision-token
     * count — the number a multimodal packing stage budgets against
@@ -252,6 +356,11 @@ object Mm {
     // real-file header bytes so construction and parse can't share a bug.
     "mm_decode_meta" -> ((s, d) =>
       decodeImageMeta(synthesizeMedia(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
+
+    // little-endian RIFF/WAVE chunk walk — audio mirror of mm_decode_meta
+    "mm_decode_wav" -> ((s, d) =>
+      decodeWavMeta(synthesizeAudio(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
 
     // 16px ViT patch grid over the decoded dims: the vision-token budget
@@ -300,6 +409,9 @@ object Mm {
     // the png/jpeg thirds; raw-text blobs carry no container
     "mm_decode_meta" ->
       """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
+    // ground truth of the synthesized RIFF headers, from doc_id alone
+    "mm_decode_wav" ->
+      """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 2 + 1 END AS channels, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8000 * (doc_id % 5 + 1) END AS sample_rate, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8 * (doc_id % 3 + 1) END AS bits, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 250 * (doc_id % 10 + 1) END AS duration_ms FROM documents ORDER BY doc_id""",
     "mm_vision_tokens" ->
       """WITH m AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents) SELECT doc_id, format, width, height, coalesce(CAST(ceil(width / 16.0) AS BIGINT), 0) AS patches_x, coalesce(CAST(ceil(height / 16.0) AS BIGINT), 0) AS patches_y, coalesce(CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS vision_tokens FROM m ORDER BY doc_id""",
     "mm_pack_multimodal" ->

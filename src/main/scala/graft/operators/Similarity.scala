@@ -45,6 +45,32 @@ object Similarity {
       .withColumn("_norm", sqrt(dotD(col(emb), col(emb))))
       .select(col(id), transform(col(emb), x => x.cast("double") / col("_norm")).as("ne"))
 
+  /** Embedding-store health audit — the table-level check run before any
+    * index build: per label, the vector count, the dims range (ragged
+    * arrays break every ANN index downstream) and the squared-norm range
+    * (zero-norm rows break cosine; runaway norms flag encoder bugs), plus
+    * a NaN-vector count. One map-side-combined hash agg over a zero-
+    * shuffle projection; every aggregate is order-free (count/min/max/
+    * integer sum), so the doubles need no rounding — the row-local norm
+    * fold is the same IEEE left fold in both engines ([[dotD]] /
+    * `list_reduce`), and min/max of identical doubles are bitwise
+    * portable at any partitioning.
+    */
+  def embProfile(df: DataFrame, labelCol: String, emb: String): DataFrame =
+    df.select(col(labelCol).cast("long").as("label"),
+        size(col(emb)).cast("long").as("dims"),
+        dotD(col(emb), col(emb)).as("n2"),
+        when(exists(col(emb), x => isnan(x)), 1L).otherwise(0L).as("bad"))
+      // NaN norms are EXCLUDED from the range (they are counted in
+      // n_nan_vecs): engines disagree on NaN's place in min/max ordering,
+      // and a poisoned range tells the auditor nothing anyway
+      .withColumn("n2", when(isnan(col("n2")), lit(null)).otherwise(col("n2")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dims").as("min_dims"), max("dims").as("max_dims"),
+        min("n2").as("min_norm2"), max("n2").as("max_norm2"),
+        sum("bad").as("n_nan_vecs"))
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -714,6 +740,10 @@ object Similarity {
     graft.IndexCache.of(key)(build)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_profile" -> ((s, d) =>
+      embProfile(Tables.embeddings(s, d), "label", "embedding")
+        .orderBy("label")),
+
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       simTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -1024,6 +1054,8 @@ object Similarity {
       s"""bkt AS (SELECT vec_id, tid, string_agg(CASE WHEN ${sqlDot("embedding", "w")} >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket FROM embeddings CROSS JOIN pl GROUP BY vec_id, tid)"""
 
   val oracles: Map[String, String] = Map(
+    "emb_profile" ->
+      s"""SELECT label::BIGINT AS label, count(*) AS n_vecs, min(len(embedding))::BIGINT AS min_dims, max(len(embedding))::BIGINT AS max_dims, min(n2) AS min_norm2, max(n2) AS max_norm2, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_nan_vecs FROM (SELECT label, embedding, CASE WHEN isnan(n2r) THEN NULL ELSE n2r END AS n2, bad FROM (SELECT label, embedding, ${sqlDot("embedding", "embedding")} AS n2r, len(list_filter(embedding, x -> isnan(x))) > 0 AS bad FROM embeddings)) GROUP BY label ORDER BY label""",
     "sim_topk" ->
       s"""WITH $normCte, q AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE vec_id < 10), c AS (SELECT vec_id AS neighbor_id, ne AS ce FROM nrm), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("qe", "ce")}, 4) AS cos_sim FROM q CROSS JOIN c WHERE query_id != neighbor_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_lsh_ann" -> {

@@ -137,6 +137,47 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2).getString(1) == "unknown" && out(2).isNullAt(2) && out(2).isNullAt(3))
   }
 
+  test("emb_profile: norms, ragged dims and NaN vectors per label") {
+    import graft.operators.Similarity
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f), 0),          // norm2 = 25
+      (2L, Array(1.0f, 0.0f), 0),          // norm2 = 1
+      (3L, Array(1.0f, 2.0f, 2.0f), 1),    // ragged: 3 dims, norm2 = 9
+      (4L, Array(Float.NaN, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embProfile(df, "label", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got(0L) == ((2L, 2L, 2L, 1.0, 25.0, 0L)))
+    val l1 = got(1L)
+    assert(l1._1 == 2L && l1._2 == 2L && l1._3 == 3L && l1._6 == 1L)
+    // the NaN vector is counted but EXCLUDED from the norm range
+    assert(l1._4 == 9.0 && l1._5 == 9.0)
+  }
+
+  test("mm decodeWavMeta parses REAL RIFF header bytes (fixture anchor)") {
+    import graft.operators.Mm
+    val s = spark
+    import s.implicits._
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // canonical CD-quality WAV header as any encoder writes it: 44100 Hz,
+    // 16-bit stereo, 176400 data bytes = exactly 1 second
+    val wav = "52494646" + "34B10200" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" +
+      "0400" + "1000" +
+      "64617461" + "10B10200"
+    val df = Seq((0L, bytes(wav)), (1L, bytes("48656C6C6F"))).toDF("doc_id", "blob")
+    val out = Mm.decodeWavMeta(df).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "wav" && out(0).getLong(2) == 2L &&
+      out(0).getLong(3) == 44100L && out(0).getLong(4) == 16L &&
+      out(0).getLong(5) == 1000L)
+    assert(out(1).getString(1) == "unknown" && out(1).isNullAt(2) &&
+      out(1).isNullAt(3) && out(1).isNullAt(4) && out(1).isNullAt(5))
+  }
+
   test("mm_decode_meta: synthesized containers round-trip their dims") {
     val rows = run("mm_decode_meta").collect()
     assert(rows.nonEmpty)
