@@ -446,9 +446,27 @@ object Events {
       .limit(top)
   }
 
+  /** Day-of-week × hour-of-day activity heatmap — the calendar panel of
+    * every monitoring dashboard. One map-side-combined hash agg to a
+    * bounded 7×24-cell result: the exchange moves at most 168 rows per
+    * map partition regardless of corpus size, so this is scan-dominated
+    * at any scale. Weekday is Sunday-first 0-6 (Spark's dayofweek is
+    * 1-based Sunday-first; the oracle's engine is 0-based — the -1 here
+    * pins one convention). Sums ride the exact-decimal path (order-free).
+    */
+  def heatmap(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy((dayofweek(col(tsCol)) - 1).cast("long").as("dow"),
+        hour(col(tsCol)).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"),
+        Stable.sumRounded(col(valueCol), 2).as("sum_value"))
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_heatmap" -> ((s, d) =>
+      heatmap(Tables.events(s, d), "ts", "value")
+        .orderBy("dow", "hod")),
+
     "events_paths" -> ((s, d) =>
       topPaths(Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
         k = 5, top = 50)),
@@ -588,6 +606,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_heatmap" ->
+      """SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM events GROUP BY dow, hod ORDER BY dow, hod""",
     "events_paths" ->
       """WITH r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path FROM r WHERE rn <= 5 GROUP BY user_id) SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 50""",
     // floor(double/width) is the same IEEE op both engines; counts exact

@@ -532,6 +532,42 @@ object TextOps {
       .withColumn("oov_rate", Stable.ratioRounded(col("n_oov"), col("n_tokens"), 4))
   }
 
+  /** Corpus-trained bigram language-model quality score — the cheap
+    * stand-in for a perplexity filter: train add-one-smoothed token
+    * bigram probabilities on the corpus itself (one pass), then score
+    * each document by its average log-probability (a second pass). Low
+    * scores flag boilerplate-free gibberish; implausibly high scores
+    * flag templated/repeated text. Scale shape: the model IS the bigram
+    * table (vocabulary²-bounded, Heaps' law — it and the unigram margins
+    * broadcast; a huge vocab shuffle-joins at vocabulary scale), and the
+    * corpus-sized work is two token-stream passes ending in one per-doc
+    * agg. Portability: each bigram's log-prob is quantized to 1e-4 by
+    * FLOOR (unambiguous on any double, unlike round-at-tie), summed as
+    * exact integers, so per-doc totals are order-free; the final avg
+    * divides identical exact operands in both engines.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("t"))
+    val uni = toks.select(explode(col("t")).as("w")).filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    def docBi = toks.filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(t)), i -> struct(element_at(t, i - 1) AS x, element_at(t, i) AS y))")).as("b"))
+      .select(col(idCol), col("b.x").as("w1"), col("b.y").as("w2"))
+    val bi = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val li = floor(log((col("c12") + 1).cast("double") /
+      (col("c1") + col("v")).cast("double")) * 1e4).cast("long")
+    docBi.join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni), col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), li.as("li"))
+      .groupBy(col(idCol))
+      .agg(sum("li").as("logp_q4"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_logp",
+        col("logp_q4").cast("double") / (col("n_bigrams").cast("double") * lit(10000.0)))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -602,6 +638,11 @@ object TextOps {
     "text_collocations" -> ((s, d) =>
       collocations(Tables.documents(s, d).select("text"), "text",
         minCount = 5L, topK = 100)),
+
+    // corpus-trained bigram LM score (the perplexity-filter stand-in)
+    "text_lm_score" -> ((s, d) =>
+      lmScore(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // events.props carries digits, so the mask is non-vacuous there
     "text_pii_mask" -> ((s, d) =>
@@ -784,6 +825,9 @@ object TextOps {
       val dice = Stable.sqlRatioRounded("2 * pair_count", "c1 + c2", 4)
       raw"""WITH tk AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), bi AS (SELECT t[i-1] AS w1, t[i] AS w2 FROM (SELECT t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY w1, w2 HAVING count(*) >= 5), j AS (SELECT b.w1, b.w2, b.pair_count, u1.c AS c1, u2.c AS c2 FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w) SELECT w1, w2, pair_count, $dice AS dice FROM j ORDER BY dice DESC, w1 ASC, w2 ASC LIMIT 100"""
     },
+    // same two-pass shape: bigram model CTEs, then per-doc quantized sums
+    "text_lm_score" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), vv AS (SELECT count(*) AS v FROM uc), db AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2), s AS (SELECT db.doc_id, CAST(floor(ln((bc.c12 + 1)::DOUBLE / (uc.c1 + vv.v)::DOUBLE) * 10000) AS BIGINT) AS li FROM db JOIN bc USING (w1, w2) JOIN uc ON db.w1 = uc.w CROSS JOIN vv) SELECT doc_id, sum(li)::BIGINT AS logp_q4, count(*) AS n_bigrams, sum(li)::DOUBLE / (count(*)::DOUBLE * 10000.0) AS avg_logp FROM s GROUP BY doc_id ORDER BY doc_id""",
     "text_pii_mask" ->
       raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id""",
     "text_tfidf_top" ->

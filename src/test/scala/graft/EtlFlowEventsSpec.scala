@@ -568,4 +568,19 @@ class EtlFlowEventsSpec extends SparkSpec {
     // rn <= k must prune map-side: partial + final WindowGroupLimit
     assert("WindowGroupLimit".r.findAllIn(plan(df)).size >= 2, plan(df))
   }
+
+  test("events_heatmap: Sunday-first 0-6 cells, exact decimal sums") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    // 2024-01-01 was a Monday; 2024-01-07 a Sunday
+    val ev = Seq(
+      ("2024-01-01 09:15:00", 1.5), ("2024-01-01 09:45:00", 2.25),
+      ("2024-01-01 17:00:00", 1.0), ("2024-01-07 09:30:00", 4.0)
+    ).toDF("s", "value").withColumn("ts", col("s").cast("timestamp"))
+    val got = Events.heatmap(ev, "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map((1L, 9L) -> ((2L, 3.75)), (1L, 17L) -> ((1L, 1.0)),
+      (0L, 9L) -> ((1L, 4.0))))
+  }
 }

@@ -790,4 +790,19 @@ class TextDedupSpec extends SparkSpec {
     // c(b,c)=2, c(b)=5, c(c)=2 -> 4/7 = 0.5714...
     assert(all(("b", "c")) == 0.5714)
   }
+
+  test("text_lm_score: add-one bigram log-probs, quantized and exact") {
+    val s = spark
+    import s.implicits._
+    // uni: a=3 b=3, V=2; every bigram has c12=2 -> p = 3/5
+    // floor(ln(0.6) * 1e4) = floor(-5108.256) = -5109
+    val df = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((-15327L, 3L, -0.5109)))
+    assert(got(2L) == ((-5109L, 1L, -0.5109)))
+    // the model tables broadcast; the corpus side never shuffles for them
+    val df2 = TextOps.lmScore(df, "doc_id", "text")
+    assert(plan(df2).contains("BroadcastHashJoin"))
+  }
 }
