@@ -173,6 +173,35 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH candidates verified with BOUNDED edit distance — the
+    * character-level verify metric, complementing the token-level n-gram
+    * Jaccard verify: it catches in-word mutations (typos, OCR damage,
+    * diffing URLs) that whitespace shingles blur. Same scale contract as
+    * every verify here: the quadratic-ish metric runs ONLY on
+    * bucket-bounded candidate pairs, and the `maxDist` threshold caps
+    * each pair's cost at O(len · maxDist) (Spark's bounded levenshtein
+    * returns -1 past the bound and stops early) — an adversarial
+    * megabyte-long pair costs the band, not a full DP matrix. Texts join
+    * back to id pairs on the uniform id key; similarity is an exact
+    * integer ratio of (maxLen - dist) / maxLen.
+    */
+  def editVerify(docs: DataFrame, id: String, textCol: String, n: Int, k: Int,
+                 rowsPerBand: Int, maxDist: Int): DataFrame = {
+    val pairs = minhashPairs(docs, id, textCol, n, k, rowsPerBand)
+      .select("id_a", "id_b")
+    val t = docs.select(col(id), col(textCol))
+    pairs
+      .join(t.select(col(id).as("id_a"), col(textCol).as("text_a")), "id_a")
+      .join(t.select(col(id).as("id_b"), col(textCol).as("text_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("lev"),
+        greatest(length(col("text_a")), length(col("text_b"))).as("ml"))
+      .filter(col("lev") >= 0)
+      .select(col("id_a"), col("id_b"), col("lev").cast("long").as("edit_dist"),
+        Stable.ratioRounded(col("ml") - col("lev"), col("ml"), 4).as("edit_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH candidates verified with exact n-gram Jaccard >= threshold. The
     * expensive set intersection runs only on bucket-mates, never all pairs.
     */
@@ -710,6 +739,11 @@ object Dedup {
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .orderBy("id_a", "id_b")),
 
+    // character-level verify over the same LSH candidates
+    "dedup_edit_verify" -> ((s, d) =>
+      editVerify(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2, maxDist = 64)),
+
     // ingest increment (doc_id % 10 == 0) vs existing corpus (the rest)
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -932,6 +966,11 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+
+    // the minhash pair chain, texts joined back, full levenshtein with
+    // the bound as a post-filter (DuckDB has no early-exit threshold arg)
+    "dedup_edit_verify" ->
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), lv AS (SELECT id_a, id_b, levenshtein(da.text, db.text) AS lev, greatest(length(da.text), length(db.text)) AS ml FROM prs JOIN documents da ON prs.id_a = da.doc_id JOIN documents db ON prs.id_b = db.doc_id) SELECT id_a, id_b, lev::BIGINT AS edit_dist, ${Stable.sqlRatioRounded("ml - lev", "ml", 4)} AS edit_sim FROM lv WHERE lev <= 64 ORDER BY id_a, id_b""",
 
     // two independent signature chains (per-side exact-dedup reps), only
     // the batch buckets capped — mirrors incrementalPairs exactly

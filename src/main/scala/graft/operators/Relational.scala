@@ -636,6 +636,21 @@ object Relational {
         .orderBy("day")
     }),
 
+    // NOT IN (subquery) — deliberately NOT the same operator as NOT
+    // EXISTS above: three-valued logic means a NULL probe key never
+    // qualifies once the list is non-empty. Catalyst plans this as its
+    // null-aware anti join (single-key NAAJ, broadcast build side);
+    // nullif() manufactures NULL probe keys so the semantics are
+    // actually exercised against the oracle, not just the happy path.
+    "q_not_in_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      Tables.customer(s, d).createOrReplaceTempView("g_customer")
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM g_orders
+               WHERE nullif(o_custkey, 7) NOT IN
+                     (SELECT c_custkey FROM g_customer WHERE c_acctbal < 0)
+               ORDER BY o_orderkey""")
+    }),
+
     // customers who never placed an urgent order: NOT EXISTS as a LeftAnti
     "q_join_anti" -> ((s, d) =>
       semiJoin(Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment"),
@@ -726,6 +741,9 @@ object Relational {
       s"""WITH b AS (SELECT o_orderkey, o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w1 AS rsum, count(*) OVER w1 AS rcount, sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w2 AS msum, count(*) OVER w2 AS mn FROM orders WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) SELECT o_orderkey, o_custkey, round(rsum, 2)::DOUBLE AS running_total, rcount AS running_n, ${Stable.sqlAvgRoundedFrom("msum", "mn", 4)} AS mov_avg FROM b ORDER BY o_custkey, o_orderkey""",
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey""",
+    // identical three-valued NOT IN text: both engines drop NULL probes
+    "q_not_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE nullif(o_custkey, 7) NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) ORDER BY o_orderkey""",
     // stated as the correlated subquery it semantically is — DuckDB
     // decorrelates it to the same agg+join shape the Spark side hand-writes
     "q_above_custavg" ->

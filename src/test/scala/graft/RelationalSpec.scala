@@ -163,6 +163,25 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q_not_in_subquery: three-valued NOT IN drops NULL probes, plans NAAJ") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, java.lang.Long.valueOf(10L)), (2L, java.lang.Long.valueOf(20L)),
+      (3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "k").createOrReplaceTempView("nin_probe")
+    Seq(Tuple1(10L)).toDF("k2").createOrReplaceTempView("nin_list")
+    // non-empty list: k=20 survives, k=10 matches out, NULL k is UNKNOWN
+    val got = s.sql(
+      "SELECT id FROM nin_probe WHERE k NOT IN (SELECT k2 FROM nin_list)")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+    // the benchmark query must take Catalyst's null-aware anti join path
+    // (the NAAJ flag prints as the bare trailing boolean in Spark 4)
+    val p = plan(run("q_not_in_subquery"))
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+    assert(run("q_not_in_subquery").collect().nonEmpty)
+  }
+
   test("q_join_bloom: sketch pre-filter never loses rows and really prunes") {
     val dim = Tables.customer(spark, sfDir).filter(col("c_nationkey") === 3)
       .select("c_custkey", "c_name")

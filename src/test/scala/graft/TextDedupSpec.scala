@@ -791,6 +791,24 @@ class TextDedupSpec extends SparkSpec {
     assert(all(("b", "c")) == 0.5714)
   }
 
+  test("dedup_edit_verify: bounded levenshtein on LSH candidates only") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val typo = base.replace("quick", "quikc") // in-word mutation, 2 edits
+    val far = "completely different content with no overlap at all whatsoever here now"
+    val df = Seq((1L, base), (2L, typo), (3L, far)).toDF("doc_id", "text")
+    val got = Dedup.editVerify(df, "doc_id", "text", n = 3, k = 8,
+      rowsPerBand = 2, maxDist = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 1)
+    val (a, b, d, sim) = got.head
+    assert(a == 1L && b == 2L && d == 2L)
+    val ml = math.max(base.length, typo.length)
+    val expected = math.floor((2e4 * (ml - 2) + ml) / (2.0 * ml)) / 1e4
+    assert(sim == expected)
+  }
+
   test("text_lm_score: add-one bigram log-probs, quantized and exact") {
     val s = spark
     import s.implicits._
