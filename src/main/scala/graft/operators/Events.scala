@@ -446,6 +446,26 @@ object Events {
       .limit(top)
   }
 
+  /** Trailing time-RANGE window per user — the rate-limit/velocity audit
+    * (how many events and how much value did this user generate in the
+    * hour before each event, INCLUDING simultaneous peers). This is the
+    * RANGE frame the ROWS-frame operators here can't express: the frame
+    * is defined by the ORDER VALUE (epoch micros), so ties are all
+    * included and the result is partitioning- and sort-stability-
+    * independent — no tiebreak column needed, unlike every ROWS frame.
+    * One hash(user) exchange + per-partition sort; both aggregates share
+    * the single window. Value sums ride the exact-decimal path.
+    */
+  def rollingRange(df: DataFrame, user: String, tsCol: String,
+                   valueCol: String, backUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(user)).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-backUs, 0)
+    df.select(col("event_id"), col(user), col(tsCol),
+        count(lit(1)).over(w).as("n_trail"),
+        round(Stable.sumDec(col(valueCol)).over(w), 2).cast("double").as("sum_trail"))
+      .drop(tsCol)
+  }
+
   /** Day-of-week × hour-of-day activity heatmap — the calendar panel of
     * every monitoring dashboard. One map-side-combined hash agg to a
     * bounded 7×24-cell result: the exchange moves at most 168 rows per
@@ -466,6 +486,12 @@ object Events {
     "events_heatmap" -> ((s, d) =>
       heatmap(Tables.events(s, d), "ts", "value")
         .orderBy("dow", "hod")),
+
+    // trailing 1-hour RANGE frame per user (rate-limit audit)
+    "events_rolling_1h" -> ((s, d) =>
+      rollingRange(Tables.events(s, d), "user_id", "ts", "value",
+        backUs = 3600L * 1000000L)
+        .orderBy("event_id")),
 
     "events_paths" -> ((s, d) =>
       topPaths(Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
@@ -608,6 +634,10 @@ object Events {
   val oracles: Map[String, String] = Map(
     "events_heatmap" ->
       """SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM events GROUP BY dow, hod ORDER BY dow, hod""",
+    // RANGE frame over epoch micros: tie rows (same ts) are all peers in
+    // both engines, so no tiebreak column is needed or wanted
+    "events_rolling_1h" ->
+      """SELECT event_id, user_id, count(*) OVER w AS n_trail, round(sum(CAST(value AS DECIMAL(20,6))) OVER w, 2)::DOUBLE AS sum_trail FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id""",
     "events_paths" ->
       """WITH r AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path FROM r WHERE rn <= 5 GROUP BY user_id) SELECT path, count(*) AS n_users FROM p GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 50""",
     // floor(double/width) is the same IEEE op both engines; counts exact

@@ -569,6 +569,30 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan(df)).size >= 2, plan(df))
   }
 
+  test("events_rolling_1h: RANGE frame includes ties, excludes beyond-horizon") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      (1L, t(0), 5L, 1.0),
+      (2L, t(30), 5L, 2.0),
+      (3L, t(30), 5L, 4.0),   // tie with event 2: both are frame peers
+      (4L, t(61), 5L, 8.0),   // events at t=0 now beyond the 1h horizon
+      (5L, t(0), 6L, 16.0)    // other user: frames never cross users
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = Events.rollingRange(ev, "user_id", "ts", "value",
+      backUs = 3600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 1.0)))
+    // ties: BOTH rows at t=30 see each other (peer inclusion)
+    assert(got(2L) == ((3L, 7.0)))
+    assert(got(3L) == ((3L, 7.0)))
+    // t=61: the t=0 row fell out, the two t=30 rows remain
+    assert(got(4L) == ((3L, 14.0)))
+    assert(got(5L) == ((1L, 16.0)))
+  }
+
   test("events_heatmap: Sunday-first 0-6 cells, exact decimal sums") {
     val s = spark
     import s.implicits._
