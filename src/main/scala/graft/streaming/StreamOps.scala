@@ -69,6 +69,25 @@ object StreamOps {
                      keyCols: Seq[String]): DataFrame =
     df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-STATIC enrichment join: every streaming event joined to a
+    * static dimension table — the standard enrichment shape (event →
+    * customer segment, device → model, doc → source metadata). Unlike
+    * the stream-stream join below this needs NO join state at all: the
+    * static side broadcasts and each micro-batch probes it map-side, so
+    * the only streaming state is whatever runs downstream (here a
+    * watermarked windowed agg keyed by the enriched attribute, proving
+    * the join composes with normal state eviction). At 100 TB/day the
+    * dim refresh is a re-broadcast, not a reshuffle of the stream.
+    */
+  def enrichJoin(events: DataFrame, dim: DataFrame, key: String,
+                 ts: String, delay: String, win: String,
+                 attr: String): DataFrame =
+    events.withWatermark(ts, delay)
+      .join(broadcast(dim), Seq(key))
+      .groupBy(window(col(ts), win), col(attr))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col(attr), col("n_events"))
+
   /** Stream-stream interval join: left events enriched with right events
     * of the same key that happened within [leftTs - before, leftTs]. Both
     * sides carry watermarks and the join condition bounds the right

@@ -331,6 +331,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: broadcast dim, zero join state, matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "gold"))
+      .toDF("user_id", "segment")
+    val input = MemoryStream[Reading]
+    val agg = StreamOps.enrichJoin(input.toDF(), dim, key = "user_id",
+      ts = "ts", delay = "1 hour", win = "1 hour", attr = "segment")
+    val q = agg.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      val rows = eventRows.filter(r => Set(1L, 2L, 3L)(r.user_id))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("enrich_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+      val batch = rows.toDF().join(dim, "user_id")
+        .groupBy(window(col("ts"), "1 hour"), col("segment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("segment"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == batch && got.nonEmpty)
+      // the join itself must hold no streaming state: only the agg does
+      val p = q.lastProgress
+      assert(p.stateOperators.length == 1, p.stateOperators.mkString(","))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join, state bounded by watermark") {
     val s = spark
     import s.implicits._
