@@ -131,14 +131,29 @@ object Dedup {
     val buckets = capBuckets(
       bandBuckets(minhashSignatures(reps, id, textCol, n, k), k, rowsPerBand),
       Seq("band_key"), id, bucketCap)
-    val a = buckets.select(col("band_key") +: col(id).as("id_a") +:
+    bucketPairJoin(buckets, buckets, id, k, "id_a", "id_b",
+      col("id_a") < col("id_b"), broadcastLeft = false)
+  }
+
+  /** Shared band-bucket pair join: rename both sides' signatures apart,
+    * equi-join on the band key (plus `extraCond`), estimate similarity as
+    * the fraction of agreeing signature positions, distinct the pairs.
+    * The single body behind the self-join (a < b) and the batch-vs-corpus
+    * (broadcast left) variants.
+    */
+  private def bucketPairJoin(left: DataFrame, right: DataFrame, id: String,
+                             k: Int, leftName: String, rightName: String,
+                             extraCond: Column,
+                             broadcastLeft: Boolean): DataFrame = {
+    val a = left.select(col("band_key") +: col(id).as(leftName) +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val b = buckets.select(col("band_key").as("bk2") +: col(id).as("id_b") +:
+    val b = right.select(col("band_key").as("bk2") +: col(id).as(rightName) +:
       (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
     val est = (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / k
-    a.join(b, col("band_key") === col("bk2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), est.as("est_sim"))
+    (if (broadcastLeft) b.join(broadcast(a), col("band_key") === col("bk2") && extraCond)
+     else a.join(b, col("band_key") === col("bk2") && extraCond))
+      .select(col(leftName), col(rightName), est.as("est_sim"))
       .distinct()
   }
 
@@ -161,16 +176,9 @@ object Dedup {
     def bandsOf(docs: DataFrame) = bandBuckets(
       minhashSignatures(representatives(docs, id, textCol).select(col(id), col(textCol)),
         id, textCol, n, k), k, rowsPerBand)
-    val bBk = capBuckets(bandsOf(batch), Seq("band_key"), id, batchCap)
-    val a = bBk.select(col("band_key") +: col(id).as("batch_id") +:
-      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
-    val b = bandsOf(corpus).select(col("band_key").as("bk2") +: col(id).as("corpus_id") +:
-      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
-    val est = (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / k
-    b.join(broadcast(a), col("bk2") === col("band_key"))
-      .select(col("batch_id"), col("corpus_id"), est.as("est_sim"))
-      .distinct()
+    bucketPairJoin(capBuckets(bandsOf(batch), Seq("band_key"), id, batchCap),
+      bandsOf(corpus), id, k, "batch_id", "corpus_id",
+      lit(true), broadcastLeft = true)
   }
 
   /** LSH candidates verified with BOUNDED edit distance — the
@@ -912,24 +920,15 @@ object Dedup {
   // list_filter drops the empty first token a leading tab/newline produces
   // (trim strips only spaces) — matching WordNgrams' tokens-are-nonempty-runs
   // contract exactly instead of the split chain's empty-token artifact.
-  private def tkCteFrom(src: String) =
-    raw"""tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM $src)"""
-  private val tkCte = tkCteFrom("reps")
-  private val shListCte =
-    """shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM tk WHERE len(t) >= 3)"""
-  private val shCte =
-    """sh AS (SELECT doc_id, unnest(sh) AS s FROM shs)"""
-  private val sigCte = "sig AS (SELECT doc_id, " +
-    (0 until 8).map { i =>
-      val (seed, piece) = (i / 4, i % 4)
-      s"min(substr(md5('$seed|' || s), ${1 + 8 * piece}, 8)) AS mh$i"
-    }.mkString(", ") +
-    " FROM sh GROUP BY doc_id)"
-  private val bkCte = "bk AS (SELECT doc_id, " +
-    (0 until 8).map(i => s"mh$i").mkString(", ") +
-    ", unnest([" +
-    (0 until 4).map(b => s"'$b|' || mh${2 * b} || '|' || mh${2 * b + 1}").mkString(", ") +
-    "]) AS band_key FROM sig)"
+  // the fixed-name chain is the unprefixed sigChainParts instance — one
+  // copy of the SQL, so the recipe cannot desynchronize across oracles
+  private def tkCteFrom(src: String) = sigChainParts("", src).head
+  private lazy val fixedChain = sigChainParts("", "reps")
+  private lazy val tkCte = fixedChain(0)
+  private lazy val shListCte = fixedChain(1)
+  private lazy val shCte = fixedChain(2)
+  private lazy val sigCte = fixedChain(3)
+  private lazy val bkCte = fixedChain(4)
   // mirrors `capBuckets`: keep the cap lowest-id members per band bucket
   private val bkcCte = "bkc AS (SELECT doc_id, " +
     (0 until 8).map(i => s"mh$i").mkString(", ") +
@@ -937,25 +936,27 @@ object Dedup {
   private val estExpr = "(" +
     (0 until 8).map(i => s"(a.mh$i = b.mh$i)::INT").mkString(" + ") + ")::DOUBLE / 8"
 
-  /** The tk→shs→sh→sig→bk chain with every CTE name prefixed, over an
-    * arbitrary (doc_id, text) source CTE — for oracles that need TWO
-    * independent signature chains (incremental dedup). Fragments are
-    * byte-identical to the fixed-name chain above modulo the prefix.
+  /** The tk→shs→sh→sig→bk chain fragments with every CTE name prefixed,
+    * over an arbitrary (doc_id, text) source CTE — the SINGLE source of
+    * the signature-chain SQL: the fixed-name constants above are the
+    * p = "" / src = "reps" instance, and oracles needing TWO independent
+    * chains (incremental dedup) instantiate distinct prefixes.
     */
-  private def sqlSigChain(p: String, srcRel: String): String = {
-    val tk = raw"""${p}tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM $srcRel)"""
-    val shs = s"""${p}shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM ${p}tk WHERE len(t) >= 3)"""
-    val sh = s"""${p}sh AS (SELECT doc_id, unnest(sh) AS s FROM ${p}shs)"""
-    val sig = s"${p}sig AS (SELECT doc_id, " + (0 until 8).map { i =>
+  private def sigChainParts(p: String, srcRel: String): Seq[String] = Seq(
+    raw"""${p}tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM $srcRel)""",
+    s"""${p}shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM ${p}tk WHERE len(t) >= 3)""",
+    s"""${p}sh AS (SELECT doc_id, unnest(sh) AS s FROM ${p}shs)""",
+    s"${p}sig AS (SELECT doc_id, " + (0 until 8).map { i =>
       val (seed, piece) = (i / 4, i % 4)
       s"min(substr(md5('$seed|' || s), ${1 + 8 * piece}, 8)) AS mh$i"
-    }.mkString(", ") + s" FROM ${p}sh GROUP BY doc_id)"
-    val bk = s"${p}bk AS (SELECT doc_id, " + (0 until 8).map(i => s"mh$i").mkString(", ") +
+    }.mkString(", ") + s" FROM ${p}sh GROUP BY doc_id)",
+    s"${p}bk AS (SELECT doc_id, " + (0 until 8).map(i => s"mh$i").mkString(", ") +
       ", unnest([" +
       (0 until 4).map(b => s"'$b|' || mh${2 * b} || '|' || mh${2 * b + 1}").mkString(", ") +
-      s"]) AS band_key FROM ${p}sig)"
-    s"$tk, $shs, $sh, $sig, $bk"
-  }
+      s"]) AS band_key FROM ${p}sig)")
+
+  private def sqlSigChain(p: String, srcRel: String): String =
+    sigChainParts(p, srcRel).mkString(", ")
 
   /** The full exact-dedup → minhash-pairs → components → keep-minima CTE
     * chain over an arbitrary (doc_id, text) source relation, ending in a
@@ -1001,7 +1002,12 @@ object Dedup {
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $estExpr AS est_sim FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id ORDER BY id_a, id_b""",
 
     // the minhash pair chain, texts joined back, full levenshtein with
-    // the bound as a post-filter (DuckDB has no early-exit threshold arg)
+    // the bound as a post-filter (DuckDB has no early-exit threshold
+    // arg). ASCII-corpus caveat: DuckDB's levenshtein counts UTF-8
+    // BYTES while Spark's counts codepoints — identical on this corpus
+    // (pure ASCII, like the mm_chunks byte/char-slice note), divergent
+    // on multi-byte text; a multilingual oracle would need both sides
+    // normalized to one unit first
     "dedup_edit_verify" ->
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), lv AS (SELECT id_a, id_b, levenshtein(da.text, db.text) AS lev, greatest(length(da.text), length(db.text)) AS ml FROM prs JOIN documents da ON prs.id_a = da.doc_id JOIN documents db ON prs.id_b = db.doc_id) SELECT id_a, id_b, lev::BIGINT AS edit_dist, ${Stable.sqlRatioRounded("ml - lev", "ml", 4)} AS edit_sim FROM lv WHERE lev <= 64 ORDER BY id_a, id_b""",
 

@@ -456,11 +456,11 @@ object Events {
     * One hash(user) exchange + per-partition sort; both aggregates share
     * the single window. Value sums ride the exact-decimal path.
     */
-  def rollingRange(df: DataFrame, user: String, tsCol: String,
+  def rollingRange(df: DataFrame, idCol: String, user: String, tsCol: String,
                    valueCol: String, backUs: Long): DataFrame = {
     val w = Window.partitionBy(col(user)).orderBy(unix_micros(col(tsCol)))
       .rangeBetween(-backUs, 0)
-    df.select(col("event_id"), col(user), col(tsCol),
+    df.select(col(idCol), col(user), col(tsCol),
         count(lit(1)).over(w).as("n_trail"),
         round(Stable.sumDec(col(valueCol)).over(w), 2).cast("double").as("sum_trail"))
       .drop(tsCol)
@@ -489,7 +489,7 @@ object Events {
 
     // trailing 1-hour RANGE frame per user (rate-limit audit)
     "events_rolling_1h" -> ((s, d) =>
-      rollingRange(Tables.events(s, d), "user_id", "ts", "value",
+      rollingRange(Tables.events(s, d), "event_id", "user_id", "ts", "value",
         backUs = 3600L * 1000000L)
         .orderBy("event_id")),
 

@@ -249,11 +249,16 @@ object Mm {
       substr(lit("0" * 20), lit(1), listPad * 2))
     val hexText = hex(substring(col(textCol), 1, 64).cast("binary"))
     val dataChunk = concat(lit("64617461"), le32(dataSize), hexText)
-    def riff(chunks: Column): Column =
-      concat(lit("52494646"), le32(dataSize + 36L), lit("57415645"), chunks)
+    // RIFF size = everything after the size field: "WAVE" + fmt chunk
+    // header+payload (24) + data chunk header (8) + data, PLUS the LIST
+    // chunk (8 + pad) when present — a spec-conformant reader that
+    // bounds its walk by this field must be able to reach every chunk
+    def riff(chunks: Column, extra: Column): Column =
+      concat(lit("52494646"), le32(dataSize + 36L + extra), lit("57415645"), chunks)
     df.select(id.cast("bigint").as("doc_id"),
-      unhex(when(id % 3 === 0, riff(concat(fmtChunk, dataChunk)))
-        .when(id % 3 === 1, riff(concat(listChunk, fmtChunk, dataChunk)))
+      unhex(when(id % 3 === 0, riff(concat(fmtChunk, dataChunk), lit(0L)))
+        .when(id % 3 === 1,
+          riff(concat(listChunk, fmtChunk, dataChunk), listPad + 8L))
         .otherwise(hexText)).as("blob"))
   }
 

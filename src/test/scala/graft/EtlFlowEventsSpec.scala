@@ -581,7 +581,7 @@ class EtlFlowEventsSpec extends SparkSpec {
       (4L, t(61), 5L, 8.0),   // events at t=0 now beyond the 1h horizon
       (5L, t(0), 6L, 16.0)    // other user: frames never cross users
     ).toDF("event_id", "ts", "user_id", "value")
-    val got = Events.rollingRange(ev, "user_id", "ts", "value",
+    val got = Events.rollingRange(ev, "event_id", "user_id", "ts", "value",
       backUs = 3600L * 1000000L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
     assert(got(1L) == ((1L, 1.0)))
