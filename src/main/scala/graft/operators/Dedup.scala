@@ -904,6 +904,21 @@ object Dedup {
       contaminationPairs(docs, docs.filter(col("doc_id") < 20),
         "doc_id", "text", n = 3, threshold = 0.2)
         .orderBy("doc_id", "bench_id")
+    }),
+
+    // NEAR-dup decontamination — the paraphrase-level complement of the
+    // exact-overlap decon above, and the LSH scale path: the benchmark
+    // rides as the broadcast "batch" side of incrementalPairs, so the
+    // corpus never shuffles; output = corpus docs suspiciously close to
+    // any benchmark doc
+    "decon_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      incrementalPairs(
+        corpus = docs.filter(col("doc_id") >= 20),
+        batch = docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        .select(col("batch_id").as("bench_id"), col("corpus_id"), col("est_sim"))
+        .orderBy("bench_id", "corpus_id")
     })
   )
 
@@ -1015,6 +1030,10 @@ object Dedup {
     // the batch buckets capped — mirrors incrementalPairs exactly
     "dedup_incremental" ->
       s"""WITH bsrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id % 10 = 0 GROUP BY text), csrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id % 10 != 0 GROUP BY text), ${sqlSigChain("b", "bsrc")}, ${sqlSigChain("c", "csrc")}, bbkc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS _rn FROM bbk) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id, $estExpr AS est_sim FROM bbkc a JOIN cbk b ON a.band_key = b.band_key ORDER BY batch_id, corpus_id""",
+
+    // the incremental chain with benchmark/corpus predicates
+    "decon_minhash" ->
+      s"""WITH bsrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id < 20 GROUP BY text), csrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id >= 20 GROUP BY text), ${sqlSigChain("b", "bsrc")}, ${sqlSigChain("c", "csrc")}, bbkc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS _rn FROM bbk) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.doc_id AS bench_id, b.doc_id AS corpus_id, $estExpr AS est_sim FROM bbkc a JOIN cbk b ON a.band_key = b.band_key ORDER BY bench_id, corpus_id""",
     // scope rides the band key: reps per (source, text), buckets and cap
     // per source-prefixed band key — pairs cannot cross sources
     "dedup_scoped" ->
