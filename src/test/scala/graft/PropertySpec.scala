@@ -343,4 +343,53 @@ class PropertySpec extends SparkSpec {
     val m2 = rows.groupBy(t => key(t._2)).map { case (k, g) => ("ALL", k) -> agg(g) }
     assert(got == cells ++ m1 ++ m2) // and no ("ALL","ALL") grand total
   }
+
+  test("collocations == brute-force margins and Dice on random word soup") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val words = Vector("aa", "bb", "cc", "dd")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (1 to (2 + rnd.nextInt(8))).map(_ => words(rnd.nextInt(4))).mkString(" "))
+    }
+    val got = TextOps.collocations(docs.toDF("doc_id", "text"), "text",
+      minCount = 2L, topK = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val toks = docs.map(_._2.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = toks.flatMap(t => t.zip(t.tail)).groupBy(identity)
+      .view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val want = bi.map { case ((x, y), c) =>
+      val den = uni(x) + uni(y)
+      (x, y) -> ((c, math.floor((2e4 * 2 * c + den) / (2.0 * den)) / 1e4))
+    }
+    assert(got == want)
+    assert(got.values.forall { case (_, dice) => dice > 0.0 && dice <= 1.0 })
+  }
+
+  test("lmScore == brute-force add-one bigram model on random word soup") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val words = Vector("aa", "bb", "cc")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(6))).map(_ => words(rnd.nextInt(3))).mkString(" "))
+    }
+    val got = TextOps.lmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = uni.size.toLong
+    val bi = toks.flatMap(_._2 match { case t => t.zip(t.tail) })
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = toks.filter(_._2.size >= 2).map { case (id, t) =>
+      val lis = t.zip(t.tail).map { case p @ (x, _) =>
+        math.floor(math.log((bi(p) + 1).toDouble / (uni(x) + v).toDouble) * 1e4).toLong
+      }
+      id -> ((lis.sum, lis.size.toLong))
+    }.toMap
+    assert(got == want)
+    // every log-prob is negative: totals must be too
+    assert(got.values.forall(_._1 < 0L))
+  }
 }
