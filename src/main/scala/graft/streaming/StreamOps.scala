@@ -69,6 +69,48 @@ object StreamOps {
                      keyCols: Seq[String]): DataFrame =
     df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming CDC upsert sink — Etl.mergeUpsert as a live pipeline (the
+    * engine-agnostic image of a Delta/Iceberg MERGE): each micro-batch
+    * of change rows merges into a maintained keyed snapshot via
+    * foreachBatch — read the current snapshot, keep-latest merge with
+    * tombstone deletes, write the result as a NEW versioned snapshot and
+    * flip a pointer file (never overwrite the directory being read: the
+    * scan is lazy). Per batch the work is one key-partitioned window
+    * over snapshot ∪ changes — at real scale the snapshot is a
+    * partitioned/bucketed table and the merge rewrites only affected
+    * partitions; the versioned-dir + pointer swap is exactly the commit
+    * protocol table formats implement properly.
+    */
+  def upsertSink(changes: DataFrame, dir: String, key: String,
+                 version: String, deleted: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val s = batch.sparkSession
+        val cur = latestSnapshot(s, dir) match {
+          case Some(snap) => snap.withColumn(deleted, lit(false))
+          case None => batch.filter(lit(false)) // empty, batch schema
+        }
+        graft.operators.Etl.mergeUpsert(cur, batch, key, version, deleted)
+          .write.mode("overwrite").parquet(s"$dir/snap_$bid")
+        val tmp = java.nio.file.Paths.get(dir, "_latest.tmp")
+        java.nio.file.Files.writeString(tmp, bid.toString)
+        java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_latest"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+    }.start()
+  }
+
+  /** The committed snapshot the pointer file names, if any. */
+  def latestSnapshot(s: org.apache.spark.sql.SparkSession,
+                     dir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(dir, "_latest")
+    if (java.nio.file.Files.exists(p))
+      Some(s.read.parquet(s"$dir/snap_${java.nio.file.Files.readString(p).trim}"))
+    else None
+  }
+
   /** Stream-STATIC enrichment join: every streaming event joined to a
     * static dimension table — the standard enrichment shape (event →
     * customer segment, device → model, doc → source metadata). Unlike

@@ -289,6 +289,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsertSink: CDC merge across micro-batches == batch mergeUpsert") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = "/tmp/graft_stream_upsert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+
+    val input = MemoryStream[(Long, Long, Boolean, String)]
+    val changes = input.toDF().toDF("k", "ver", "del", "payload")
+    val q = StreamOps.upsertSink(changes, dir, key = "k", version = "ver",
+      deleted = "del")
+    val b1 = Seq((1L, 1L, false, "a"), (2L, 1L, false, "b"), (3L, 1L, false, "c"))
+    // update key 1, tombstone key 2, insert key 4
+    val b2 = Seq((1L, 2L, false, "a2"), (2L, 2L, true, "x"), (4L, 1L, false, "d"))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = StreamOps.latestSnapshot(s, dir).get
+        .select("k", "ver", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val all = (b1 ++ b2).toDF("k", "ver", "del", "payload")
+      val want = graft.operators.Etl.mergeUpsert(
+        all.filter(lit(false)), all, "k", "ver", "del")
+        .select("k", "ver", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == want)
+      assert(got == Set((1L, 2L, "a2"), (3L, 1L, "c"), (4L, 1L, "d")))
+    } finally q.stop()
+  }
+
   test("append-mode session_window: closed sessions emit exactly once") {
     val s = spark
     import s.implicits._
