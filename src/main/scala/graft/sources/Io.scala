@@ -51,6 +51,21 @@ object Io {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Partition BACKFILL: overwrite ONLY the partitions present in `df`,
+    * leaving every other partition untouched — the daily-reprocessing
+    * shape (re-run one day, don't clobber the table). Static overwrite
+    * mode would delete ALL partitions first; the dynamic setting scopes
+    * the delete to partitions the write actually produces. The option is
+    * set per-write, not on the session, so concurrent writers keep their
+    * own semantics. At 100 TB this is the difference between rewriting a
+    * day and rewriting the table.
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
   /** Schema-evolution read: a long-lived dataset's early files lack
     * columns later files carry (additive evolution — the only kind a
     * lakehouse does without rewriting history). `mergeSchema` unions the

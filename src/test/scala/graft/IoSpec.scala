@@ -38,4 +38,22 @@ class IoSpec extends SparkSpec {
       else assert(!r.isNullAt(2), s"era-1 row ${r.getLong(0)}")
     }
   }
+
+  test("overwritePartitions backfills ONE partition, leaves the rest untouched") {
+    val s = spark
+    import s.implicits._
+    val dir = "/tmp/graft_dyn_overwrite"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val base = Seq((1L, "d1", 10.0), (2L, "d2", 20.0), (3L, "d3", 30.0))
+      .toDF("id", "day", "v")
+    graft.sources.Io.writePartitioned(base, dir, Seq("day"))
+    // backfill d2 only, with corrected values and a new row
+    val fix = Seq((2L, "d2", 21.0), (4L, "d2", 40.0)).toDF("id", "day", "v")
+    graft.sources.Io.overwritePartitions(fix, dir, Seq("day"))
+    val got = s.read.parquet(dir).select("id", "day", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // d1/d3 survive; d2 fully replaced (old row 2@20.0 gone)
+    assert(got == Set((1L, "d1", 10.0), (3L, "d3", 30.0),
+      (2L, "d2", 21.0), (4L, "d2", 40.0)))
+  }
 }
