@@ -532,6 +532,22 @@ object TextOps {
       .withColumn("oov_rate", Stable.ratioRounded(col("n_oov"), col("n_tokens"), 4))
   }
 
+  /** Sentence segmentation + per-sentence table: split on terminal
+    * punctuation runs ([.!?]+ followed by whitespace or end), emit one
+    * row per (doc, sentence index) with the sentence text and its token
+    * count — the substrate of sentence-level dedup, citation chunking
+    * and per-sentence quality filters. Doc-local explode, zero shuffle,
+    * scan-fused; the regex split is one pass per doc. Empty fragments
+    * (leading/trailing/double terminators) are dropped, mirroring every
+    * real segmenter.
+    */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(expr(
+        s"filter(transform(split($textCol, '[.!?]+(\\\\s+|$$)'), s -> trim(s)), s -> s != '')"))
+        .as(Seq("sent_idx", "sentence")))
+      .withColumn("sent_idx", col("sent_idx").cast("long"))
+      .withColumn("n_tokens", size(tokens(col("sentence"))).cast("long"))
+
   /** Corpus-trained bigram language-model quality score — the cheap
     * stand-in for a perplexity filter: train add-one-smoothed token
     * bigram probabilities on the corpus itself (one pass), then score
@@ -643,6 +659,16 @@ object TextOps {
     "text_lm_score" -> ((s, d) =>
       lmScore(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // the corpus is unpunctuated word soup, so the query derives a
+    // deterministically punctuated column first (same rewrite in the
+    // oracle) — the segmenter itself is what's under test
+    "text_sentences" -> ((s, d) =>
+      sentences(Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " table ", " table. ").as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id", "sent_idx")),
 
     // events.props carries digits, so the mask is non-vacuous there
     "text_pii_mask" -> ((s, d) =>
@@ -825,6 +851,8 @@ object TextOps {
       val dice = Stable.sqlRatioRounded("2 * pair_count", "c1 + c2", 4)
       raw"""WITH tk AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), bi AS (SELECT t[i-1] AS w1, t[i] AS w2 FROM (SELECT t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY w1, w2 HAVING count(*) >= 5), j AS (SELECT b.w1, b.w2, b.pair_count, u1.c AS c1, u2.c AS c2 FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w) SELECT w1, w2, pair_count, $dice AS dice FROM j ORDER BY dice DESC, w1 ASC, w2 ASC LIMIT 100"""
     },
+    "text_sentences" ->
+      raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2) SELECT doc_id, (i - 1)::BIGINT AS sent_idx, ss[i] AS sentence, len(string_split_regex(trim(ss[i]), '\s+'))::BIGINT AS n_tokens FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM sp) ORDER BY doc_id, sent_idx""",
     // same two-pass shape: bigram model CTEs, then per-doc quantized sums
     "text_lm_score" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), vv AS (SELECT count(*) AS v FROM uc), db AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2), s AS (SELECT db.doc_id, CAST(floor(ln((bc.c12 + 1)::DOUBLE / (uc.c1 + vv.v)::DOUBLE) * 10000) AS BIGINT) AS li FROM db JOIN bc USING (w1, w2) JOIN uc ON db.w1 = uc.w CROSS JOIN vv) SELECT doc_id, sum(li)::BIGINT AS logp_q4, count(*) AS n_bigrams, sum(li)::DOUBLE / (count(*)::DOUBLE * 10000.0) AS avg_logp FROM s GROUP BY doc_id ORDER BY doc_id""",

@@ -809,6 +809,23 @@ class TextDedupSpec extends SparkSpec {
     assert(sim == expected)
   }
 
+  test("text_sentences: terminator runs, empty fragments dropped, indexed") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "First one. Second!! Third?  "),
+      (2L, "No terminator at all"),
+      (3L, "...")
+    ).toDF("doc_id", "text")
+    val got = TextOps.sentences(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, "First one", 2L), (1L, 1L, "Second", 1L), (1L, 2L, "Third", 1L)))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "No terminator at all", 4L)))
+    // a doc that is ONLY terminators contributes no sentences
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("text_lm_score: add-one bigram log-probs, quantized and exact") {
     val s = spark
     import s.implicits._
