@@ -169,6 +169,53 @@ object StreamOps {
     * edge detector. Rows are ordered by (ts, event_id) within each batch
     * so cross-batch behaviour is deterministic.
     */
+  case class TopKRow(window_start: java.sql.Timestamp, event_type: String,
+                     n: Long, rank: Int)
+  case class TopKState(counts: Map[String, Long])
+
+  /** Streaming per-window top-k (twin of the batch events_windowed_topk):
+    * per tumbling event-time window, the k most frequent event types,
+    * emitted EXACTLY ONCE when the watermark passes the window end.
+    * Spark's windowed agg can't chain a rank after a streaming agg, so
+    * the window's type-count map rides custom state keyed by window
+    * start, and an EVENT-TIME TIMEOUT set to the window end fires the
+    * final top-k and drops the state. State is bounded by (windows
+    * inside the watermark horizon) × (distinct types per window) —
+    * timeouts evict every closed window, and the per-window map is
+    * |types|-bounded, not row-bounded, so a hot window costs counting,
+    * not buffering.
+    */
+  def streamingTopK(events: DataFrame, ts: String, typeCol: String,
+                    delay: String, winMs: Long, k: Int): Dataset[TopKRow] = {
+    import events.sparkSession.implicits._
+    events.withWatermark(ts, delay)
+      .select(col(ts).as("ts"), col(typeCol).as("t"))
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey { case (time, _) => math.floorDiv(time.getTime, winMs) * winMs }
+      .flatMapGroupsWithState[TopKState, TopKRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ws, rows, state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .zipWithIndex.iterator.map { case ((t, n), i) =>
+                TopKRow(new java.sql.Timestamp(ws), t, n, i + 1)
+              }
+          } else {
+            val cur = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val upd = rows.foldLeft(cur) { case (m, (_, t)) =>
+              m.updated(t, m.getOrElse(t, 0L) + 1L)
+            }
+            state.update(TopKState(upd))
+            // fires once the WATERMARK (event time, not wall clock)
+            // passes the window end
+            state.setTimeoutTimestamp(ws + winMs)
+            Iterator.empty
+          }
+      }
+  }
+
   def thresholdAutomation(readings: Dataset[Reading], high: Double,
                           low: Double): Dataset[Trigger] = {
     import readings.sparkSession.implicits._

@@ -289,6 +289,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTopK: closed windows emit exactly once, match batch rank") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val winMs = 3600 * 1000L
+    val input = MemoryStream[Reading]
+    // user_id stands in for the event type key (string form)
+    val typed = input.toDF().withColumn("event_type", concat(lit("t"), col("user_id")))
+    val out = StreamOps.streamingTopK(typed, "ts", "event_type",
+      delay = "30 minutes", winMs = winMs, k = 3)
+    val q = out.writeStream.format("memory").queryName("topk_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // closing flush: one far-future row drags the watermark past every window
+      val last = eventRows.map(_.ts.getTime).max
+      input.addData(Seq(Reading(999L, new java.sql.Timestamp(last + 48 * 3600 * 1000L), 0L, 0.0)))
+      q.processAllAvailable()
+      val flushWs = math.floorDiv(last + 48 * 3600 * 1000L, winMs) * winMs
+      val got = s.table("topk_out")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(3)))
+        .filter(_._1 != flushWs) // the flush row's own (still-open) window
+        .toSet
+      // batch reference: plain Scala count + rank over the same rows
+      val want = eventRows.groupBy(r => math.floorDiv(r.ts.getTime, winMs) * winMs)
+        .flatMap { case (ws, g) =>
+          g.groupBy(r => "t" + r.user_id).view.mapValues(_.size.toLong).toSeq
+            .sortBy { case (t, n) => (-n, t) }.take(3).zipWithIndex
+            .map { case ((t, n), i) => (ws, t, n, i + 1) }
+        }.toSet
+      assert(got == want && got.nonEmpty)
+      // exactly-once: no (window, type) appears twice
+      val keys = s.table("topk_out").collect().map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(keys.length == keys.distinct.length)
+    } finally q.stop()
+  }
+
   test("streaming upsertSink: CDC merge across micro-batches == batch mergeUpsert") {
     val s = spark
     import s.implicits._
