@@ -466,6 +466,30 @@ object Events {
       .drop(tsCol)
   }
 
+  /** DAU / trailing-7-day WAU — the active-users panel. Rolling DISTINCT
+    * does not decompose into window frames (a user active twice in the
+    * window must count once), and count_distinct over a 7-day window
+    * re-scans per day. The scale shape instead: collapse the corpus to
+    * the (user, day) grain ONCE (the only corpus-sized shuffle), then
+    * each user-day contributes to the ≤7 window-end days it is visible
+    * in — a bounded ×7 explode on the already-tiny grain table, dedup,
+    * count. Total work is O(user-days × 7) regardless of how many raw
+    * events a hot user generates. Reported days are days that HAVE
+    * events (the join back to DAU pins that).
+    */
+  def activeUsers(df: DataFrame, user: String, tsCol: String,
+                  windowDays: Int): DataFrame = {
+    val ud = df.select(to_date(col(tsCol)).as("day"), col(user).as("u")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val contrib = ud.select(explode(
+        expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("wday"),
+        col("u"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    dau.join(contrib, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** Day-of-week × hour-of-day activity heatmap — the calendar panel of
     * every monitoring dashboard. One map-side-combined hash agg to a
     * bounded 7×24-cell result: the exchange moves at most 168 rows per
@@ -486,6 +510,11 @@ object Events {
     "events_heatmap" -> ((s, d) =>
       heatmap(Tables.events(s, d), "ts", "value")
         .orderBy("dow", "hod")),
+
+    // DAU + trailing-7-day WAU (exact rolling distinct, ×7 bounded)
+    "events_active_users" -> ((s, d) =>
+      activeUsers(Tables.events(s, d), "user_id", "ts", windowDays = 7)
+        .orderBy("day")),
 
     // trailing 1-hour RANGE frame per user (rate-limit audit)
     "events_rolling_1h" -> ((s, d) =>
@@ -634,6 +663,9 @@ object Events {
   val oracles: Map[String, String] = Map(
     "events_heatmap" ->
       """SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM events GROUP BY dow, hod ORDER BY dow, hod""",
+    // same ×7 contribution construction; DATE + integer adds days
+    "events_active_users" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events), dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), c AS (SELECT DISTINCT wday, u FROM (SELECT day + i::INT AS wday, u FROM ud, (SELECT unnest(range(0, 7)) AS i))), wau AS (SELECT wday, count(*) AS wau FROM c GROUP BY wday) SELECT day, dau, wau FROM dau JOIN wau ON day = wday ORDER BY day""",
     // RANGE frame over epoch micros: tie rows (same ts) are all peers in
     // both engines, so no tiebreak column is needed or wanted
     "events_rolling_1h" ->

@@ -593,6 +593,28 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got(5L) == ((1L, 16.0)))
   }
 
+  test("events_active_users: DAU exact, WAU is a true rolling distinct") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 10:00:00").getTime)
+    val ev = Seq(
+      (1L, t(1), 100L, "view"), (2L, t(1), 100L, "view"), // same user twice on d1
+      (3L, t(1), 200L, "view"),
+      (4L, t(3), 100L, "view"),                           // same user again d3
+      (5L, t(12), 300L, "view")                           // beyond d1's 7-day reach
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.activeUsers(ev, "user_id", "ts", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    // d1: users {100,200}; d3: {100}; d12: {300}
+    assert(got("2024-01-01") == ((2L, 2L)))
+    // WAU at d3 = distinct over d1..d3 = {100,200} = 2, NOT 3 (100 counted once)
+    assert(got("2024-01-03") == ((1L, 2L)))
+    // d12 is beyond both earlier days' windows
+    assert(got("2024-01-12") == ((1L, 1L)))
+  }
+
   test("events_heatmap: Sunday-first 0-6 cells, exact decimal sums") {
     val s = spark
     import s.implicits._
