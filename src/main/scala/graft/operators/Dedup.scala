@@ -701,6 +701,27 @@ object Dedup {
     repC.join(broadcast(sizes), "cluster")
   }
 
+  /** Leakage-safe train/val/test split: the unit of assignment is the
+    * near-dup CLUSTER, not the document — if two near-duplicates land on
+    * opposite sides of the train/test boundary, the held-out set has
+    * leaked into training and the eval is contaminated. Docs map to
+    * their component label through the exact-dedup content hash (the
+    * same path soft dedup uses), the deterministic md5 draw runs on the
+    * CLUSTER id, and every member inherits its cluster's split — so the
+    * guarantee is structural, not statistical. Work beyond the session
+    * component index: one hash join at the content-hash grain + a
+    * zero-shuffle projection.
+    */
+  def leakageSafeSplit(docs: DataFrame, id: String, textCol: String,
+                       splits: Seq[(String, Double)],
+                       prebuilt: Option[DataFrame] = None): DataFrame = {
+    val repC = prebuilt.getOrElse(clusterDocSizes(docs, id, textCol))
+    val mapped = docs.withColumn("_h", md5(col(textCol).cast("binary")))
+      .join(repC.select("_h", "cluster"), "_h")
+      .select(col(id), col("cluster"))
+    TextOps.hashSplit(mapped, "cluster", splits)
+  }
+
   def softDedupByCluster(docs: DataFrame, id: String, textCol: String,
                          prebuilt: Option[DataFrame] = None): DataFrame = {
     val repC = prebuilt.getOrElse(clusterDocSizes(docs, id, textCol))
@@ -861,6 +882,13 @@ object Dedup {
     "sample_soft_dedup" -> ((s, d) =>
       softDedupByCluster(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", prebuilt = Some(clusterSizesOf(s, d)))
+        .orderBy("doc_id")),
+
+    // cluster-granular split: near-dups never straddle train/test
+    "sample_leakage_split" -> ((s, d) =>
+      leakageSafeSplit(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        prebuilt = Some(clusterSizesOf(s, d)))
         .orderBy("doc_id")),
 
     // fractional epochs: src0 contributes 2.3 epochs, src1 exactly 1,
@@ -1075,6 +1103,15 @@ object Dedup {
       s"""WITH w AS (SELECT doc_id, source, CASE WHEN source = 'src0' THEN 2.3 WHEN source = 'src1' THEN 1.0 ELSE 0.5 END AS wt FROM documents), c AS (SELECT doc_id, source, floor(wt)::BIGINT + (CASE WHEN $drawSql < (wt - floor(wt)) * 65536 THEN 1 ELSE 0 END) AS copies FROM w) SELECT doc_id, source, unnest(generate_series(1, copies)) AS epoch FROM c WHERE copies >= 1 ORDER BY doc_id, epoch""",
     "sample_soft_dedup" ->
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT c.cluster, sum(r.n_dupes) AS cluster_docs FROM reps r JOIN comp c ON r.doc_id = c.id GROUP BY c.cluster), m AS (SELECT d.doc_id, c.cluster, s.cluster_docs FROM documents d JOIN reps r ON d.text = r.text JOIN comp c ON r.doc_id = c.id JOIN sizes s ON c.cluster = s.cluster) SELECT doc_id, cluster, cluster_docs FROM m WHERE ${sqlDraw32("doc_id")} < (1.0 / cluster_docs) * 4294967296 ORDER BY doc_id""",
+    // the soft-dedup mapping chain, split drawn on the CLUSTER id (the
+    // 4-nibble 16-bit draw sample_hash_split uses, over cluster::VARCHAR)
+    "sample_leakage_split" -> {
+      val draw = (1 to 4).map(j =>
+        s"((strpos('0123456789abcdef', substr(md5(cluster::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+        .mkString("(", " + ", ")")
+      s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), m AS (SELECT d.doc_id, c.cluster FROM documents d JOIN reps r ON d.text = r.text JOIN comp c ON r.doc_id = c.id) SELECT doc_id, cluster, CASE WHEN $draw < 0.8 * 65536 THEN 'train' WHEN $draw < 0.9 * 65536 THEN 'val' ELSE 'test' END AS split FROM m ORDER BY doc_id"""
+    },
+
     // the recursive CTE reaches the same unique min-label fixpoint the
     // Spark propagation loop converges to
     "dedup_components" -> componentsOracle,

@@ -809,6 +809,21 @@ class TextDedupSpec extends SparkSpec {
     assert(sim == expected)
   }
 
+  test("sample_leakage_split: a cluster never straddles the split boundary") {
+    val rows = run("sample_leakage_split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty && rows.length == rows.map(_._1).distinct.length)
+    // structural guarantee: one split value per cluster
+    val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct.size)
+    assert(byCluster.values.forall(_ == 1))
+    // and specifically: every near-dup candidate pair lands on one side
+    val splits = rows.map(r => r._1 -> r._3).toMap
+    val pairs = run("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(splits(a) == splits(b), s"($a,$b)") }
+  }
+
   test("text_sentences: terminator runs, empty fragments dropped, indexed") {
     val s = spark
     import s.implicits._
