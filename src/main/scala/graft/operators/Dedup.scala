@@ -714,20 +714,27 @@ object Dedup {
     */
   def leakageSafeSplit(docs: DataFrame, id: String, textCol: String,
                        splits: Seq[(String, Double)],
-                       prebuilt: Option[DataFrame] = None): DataFrame = {
-    val repC = prebuilt.getOrElse(clusterDocSizes(docs, id, textCol))
-    val mapped = docs.withColumn("_h", md5(col(textCol).cast("binary")))
-      .join(repC.select("_h", "cluster"), "_h")
-      .select(col(id), col("cluster"))
-    TextOps.hashSplit(mapped, "cluster", splits)
-  }
+                       prebuilt: Option[DataFrame] = None): DataFrame =
+    TextOps.hashSplit(
+      docClusters(docs, id, textCol,
+        prebuilt.getOrElse(clusterDocSizes(docs, id, textCol)))
+        .select(col(id), col("cluster")),
+      "cluster", splits)
+
+  /** doc → cluster mapping through the exact-dedup content hash — the
+    * ONE definition of how a raw document finds its component (soft
+    * dedup and the leakage-safe split both ride it; the repC columns
+    * beyond (_h, cluster) pass through untouched).
+    */
+  private def docClusters(docs: DataFrame, id: String, textCol: String,
+                          repC: DataFrame): DataFrame =
+    docs.withColumn("_h", md5(col(textCol).cast("binary")))
+      .join(repC.drop("_rep", "n_dupes"), "_h")
 
   def softDedupByCluster(docs: DataFrame, id: String, textCol: String,
                          prebuilt: Option[DataFrame] = None): DataFrame = {
     val repC = prebuilt.getOrElse(clusterDocSizes(docs, id, textCol))
-    val mapped = docs
-      .withColumn("_h", md5(col(textCol).cast("binary")))
-      .join(repC.select("_h", "cluster", "cluster_docs"), "_h")
+    val mapped = docClusters(docs, id, textCol, repC)
     // 32-bit draw, not the 16-bit one sampleWeighted uses: the keep rate
     // here is 1/cluster_docs, and a 16-bit draw floors at 1/65536 — a
     // million-copy boilerplate cluster would keep ~15 expected copies

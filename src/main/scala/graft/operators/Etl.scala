@@ -84,14 +84,28 @@ object Etl {
     * wins at equal version), then the remaining columns ascending.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
-                  version: String, deleted: String): DataFrame = {
-    val all = base.unionByName(changes)
+                  version: String, deleted: String): DataFrame =
+    mergeLatest(base.unionByName(changes), key, version, deleted)
+      .filter(!col(deleted))
+      .drop(deleted)
+
+  /** The keep-latest core WITHOUT the tombstone filter: one winning row
+    * per key, `deleted` column retained. An INCREMENTALLY maintained
+    * snapshot must store winning tombstones (not just drop the key):
+    * compacting them away forgets that a deletion happened, and a later
+    * redelivery of an older version — the at-least-once delivery the
+    * streaming path assumes — would resurrect the key. Batch
+    * [[mergeUpsert]] can drop them because it always sees the full
+    * change set in one merge.
+    */
+  def mergeLatest(all: DataFrame, key: String, version: String,
+                  deleted: String): DataFrame = {
     val rest = all.columns.filter(c => c != key && c != version && c != deleted)
     val w = Window.partitionBy(col(key))
       .orderBy(col(version).desc +: col(deleted).desc +: rest.map(col(_).asc): _*)
     all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && !col(deleted))
-      .drop("_rn", deleted)
+      .filter(col("_rn") === 1)
+      .drop("_rn")
   }
 
   /** SCD Type-2 history build: the same change stream `mergeUpsert`

@@ -87,22 +87,34 @@ object StreamOps {
     changes.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val s = batch.sparkSession
-        val cur = latestSnapshot(s, dir) match {
-          case Some(snap) => snap.withColumn(deleted, lit(false))
-          case None => batch.filter(lit(false)) // empty, batch schema
-        }
-        graft.operators.Etl.mergeUpsert(cur, batch, key, version, deleted)
+        // snapshots RETAIN winning tombstones (Etl.mergeLatest, not
+        // mergeUpsert): dropping a deleted key from the stored state
+        // would let an at-least-once REDELIVERY of an older version
+        // resurrect it — the live view filters them on read instead
+        val cur = latestSnapshot(s, dir).getOrElse(batch.filter(lit(false)))
+        graft.operators.Etl.mergeLatest(cur.unionByName(batch),
+            key, version, deleted)
           .write.mode("overwrite").parquet(s"$dir/snap_$bid")
         val tmp = java.nio.file.Paths.get(dir, "_latest.tmp")
         java.nio.file.Files.writeString(tmp, bid.toString)
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_latest"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // retention: superseded snapshots are dead weight (only _latest
+        // is ever read); keep ONE predecessor for in-flight readers that
+        // resolved the pointer just before the flip, vacuum the rest
+        val dead = new java.io.File(dir).listFiles()
+          .filter(f => f.getName.startsWith("snap_"))
+          .map(f => (f.getName.stripPrefix("snap_").toLong, f))
+          .filter(_._1 < bid).sortBy(-_._1).drop(1)
+        dead.foreach { case (_, f) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(f) }
         ()
     }.start()
   }
 
-  /** The committed snapshot the pointer file names, if any. */
+  /** The committed snapshot the pointer file names (tombstones
+    * included), if any. */
   def latestSnapshot(s: org.apache.spark.sql.SparkSession,
                      dir: String): Option[DataFrame] = {
     val p = java.nio.file.Paths.get(dir, "_latest")
@@ -110,6 +122,12 @@ object StreamOps {
       Some(s.read.parquet(s"$dir/snap_${java.nio.file.Files.readString(p).trim}"))
     else None
   }
+
+  /** The live rows of the maintained table: winning tombstones filtered
+    * out on read. */
+  def liveSnapshot(s: org.apache.spark.sql.SparkSession, dir: String,
+                   deleted: String): Option[DataFrame] =
+    latestSnapshot(s, dir).map(_.filter(!col(deleted)).drop(deleted))
 
   /** Stream-STATIC enrichment join: every streaming event joined to a
     * static dimension table — the standard enrichment shape (event →
@@ -160,15 +178,6 @@ object StreamOps {
   case class AutoState(armed: Boolean)
   case class Trigger(user_id: Long, event_id: Long, value: Double)
 
-  /** Threshold automation with hysteresis — the reference's trigger/
-    * state-machine plane (protolib/src/bundles/events automations, state
-    * machines in apis/) as a streaming operator: FIRE once when a key's
-    * value rises to >= high, then stay disarmed until it falls back to
-    * <= low (no alert storms). One boolean per key in the state store,
-    * shuffled once on the key — O(keys) state, the same contract as the
-    * edge detector. Rows are ordered by (ts, event_id) within each batch
-    * so cross-batch behaviour is deterministic.
-    */
   case class TopKRow(window_start: java.sql.Timestamp, event_type: String,
                      n: Long, rank: Int)
   case class TopKState(counts: Map[String, Long])
@@ -216,6 +225,15 @@ object StreamOps {
       }
   }
 
+  /** Threshold automation with hysteresis — the reference's trigger/
+    * state-machine plane (protolib/src/bundles/events automations, state
+    * machines in apis/) as a streaming operator: FIRE once when a key's
+    * value rises to >= high, then stay disarmed until it falls back to
+    * <= low (no alert storms). One boolean per key in the state store,
+    * shuffled once on the key — O(keys) state, the same contract as the
+    * edge detector. Rows are ordered by (ts, event_id) within each batch
+    * so cross-batch behaviour is deterministic.
+    */
   def thresholdAutomation(readings: Dataset[Reading], high: Double,
                           low: Double): Dataset[Trigger] = {
     import readings.sparkSession.implicits._

@@ -343,19 +343,27 @@ class StreamingSpec extends SparkSpec {
     val b1 = Seq((1L, 1L, false, "a"), (2L, 1L, false, "b"), (3L, 1L, false, "c"))
     // update key 1, tombstone key 2, insert key 4
     val b2 = Seq((1L, 2L, false, "a2"), (2L, 2L, true, "x"), (4L, 1L, false, "d"))
+    // at-least-once upstream REDELIVERS key 2's old pre-delete version:
+    // the stored tombstone must keep the key dead
+    val b3 = Seq((2L, 1L, false, "b"))
     try {
       input.addData(b1); q.processAllAvailable()
       input.addData(b2); q.processAllAvailable()
-      val got = StreamOps.latestSnapshot(s, dir).get
+      input.addData(b3); q.processAllAvailable()
+      val got = StreamOps.liveSnapshot(s, dir, deleted = "del").get
         .select("k", "ver", "payload")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-      val all = (b1 ++ b2).toDF("k", "ver", "del", "payload")
+      val all = (b1 ++ b2 ++ b3).toDF("k", "ver", "del", "payload")
       val want = graft.operators.Etl.mergeUpsert(
         all.filter(lit(false)), all, "k", "ver", "del")
         .select("k", "ver", "payload")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(got == want)
       assert(got == Set((1L, 2L, "a2"), (3L, 1L, "c"), (4L, 1L, "d")))
+      // retention: at most the committed snapshot plus one predecessor
+      val snaps = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(_.startsWith("snap_"))
+      assert(snaps.length <= 2, snaps.mkString(","))
     } finally q.stop()
   }
 
