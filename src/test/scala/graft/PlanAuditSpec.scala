@@ -78,6 +78,27 @@ class PlanAuditSpec extends SparkSpec {
       "quality band should broadcast the distinct-score rank table")
   }
 
+  test("fifth-session ops keep their scale shapes") {
+    // active users: the ×7 contribution explode runs on the (user, day)
+    // grain, never the raw event stream — the explode must sit ABOVE the
+    // first distinct/agg, i.e. no Generate directly over the file scan
+    val au = plan(run("events_active_users"))
+    // the Generate's immediate child must be the (user, day) distinct
+    // aggregate, never the raw file scan
+    assert("""explode[^\n]*\n[^\n]*HashAggregate""".r.findFirstIn(au).isDefined,
+      au.take(800))
+    // leakage split: cluster mapping joins the (tiny) rep table; the split
+    // itself is a projection — no extra wide exchange beyond the mapping
+    val ls = plan(run("sample_leakage_split"))
+    assert(ls.contains("BroadcastHashJoin") || ls.contains("SortMergeJoin"), ls.take(800))
+    // collocations: margin joins broadcast; top-k is a TakeOrdered
+    val co = plan(run("text_collocations"))
+    assert(co.contains("BroadcastHashJoin") && co.contains("TakeOrderedAndProject"), co.take(800))
+    // LM score: both model tables broadcast back onto the token stream
+    val lm = plan(run("text_lm_score"))
+    assert("BroadcastHashJoin".r.findAllIn(lm).size >= 2, lm.take(800))
+  }
+
   test("NO query plans a range sort: answer sorts are single-partition local") {
     // the trailing presentation orderBy must not cost a range-sampling
     // job anywhere: SparkEntry rewrites every root Sort to repartition(1)
