@@ -490,6 +490,24 @@ object Events {
       .select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Stickiness panel: DAU / WAU(7) / MAU(28) and the DAU/MAU ratio per
+    * day — three [[activeUsers]] window sizes sharing the ONE corpus
+    * collapse to the (user, day) grain; the ×7 and ×28 contribution
+    * explodes run on that grain, and the ratio is an exact integer
+    * division ([[Stable.ratioRounded]]).
+    */
+  def stickiness(df: DataFrame, user: String, tsCol: String): DataFrame = {
+    val ud = df.select(to_date(col(tsCol)).as("day"), col(user).as("u")).distinct()
+    def windowed(days: Int, as: String) = ud.select(explode(
+        expr(s"sequence(day, date_add(day, ${days - 1}))")).as("wday"), col("u"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as(as))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(windowed(7, "wau"), col("day") === col("wday")).drop("wday")
+      .join(windowed(28, "mau"), col("day") === col("wday")).drop("wday")
+      .withColumn("stickiness", Stable.ratioRounded(col("dau"), col("mau"), 4))
+  }
+
   /** Day-of-week × hour-of-day activity heatmap — the calendar panel of
     * every monitoring dashboard. One map-side-combined hash agg to a
     * bounded 7×24-cell result: the exchange moves at most 168 rows per
@@ -514,6 +532,11 @@ object Events {
     // DAU + trailing-7-day WAU (exact rolling distinct, ×7 bounded)
     "events_active_users" -> ((s, d) =>
       activeUsers(Tables.events(s, d), "user_id", "ts", windowDays = 7)
+        .orderBy("day")),
+
+    // DAU/WAU/MAU + DAU:MAU ratio (the stickiness panel)
+    "events_stickiness" -> ((s, d) =>
+      stickiness(Tables.events(s, d), "user_id", "ts")
         .orderBy("day")),
 
     // trailing 1-hour RANGE frame per user (rate-limit audit)
@@ -663,6 +686,12 @@ object Events {
   val oracles: Map[String, String] = Map(
     "events_heatmap" ->
       """SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM events GROUP BY dow, hod ORDER BY dow, hod""",
+    "events_stickiness" -> {
+      val ratio = Stable.sqlRatioRounded("dau", "mau", 4)
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events), dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), c7 AS (SELECT DISTINCT wday, u FROM (SELECT day + i::INT AS wday, u FROM ud, (SELECT unnest(range(0, 7)) AS i))), wau AS (SELECT wday, count(*) AS wau FROM c7 GROUP BY wday), c28 AS (SELECT DISTINCT wday, u FROM (SELECT day + i::INT AS wday, u FROM ud, (SELECT unnest(range(0, 28)) AS i))), mau AS (SELECT wday, count(*) AS mau FROM c28 GROUP BY wday) SELECT day, dau, wau, mau, """ +
+        ratio +
+        """ AS stickiness FROM dau JOIN wau ON day = wau.wday JOIN mau ON day = mau.wday ORDER BY day"""
+    },
     // same ×7 contribution construction; DATE + integer adds days
     "events_active_users" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events), dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), c AS (SELECT DISTINCT wday, u FROM (SELECT day + i::INT AS wday, u FROM ud, (SELECT unnest(range(0, 7)) AS i))), wau AS (SELECT wday, count(*) AS wau FROM c GROUP BY wday) SELECT day, dau, wau FROM dau JOIN wau ON day = wday ORDER BY day""",

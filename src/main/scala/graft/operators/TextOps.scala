@@ -548,6 +548,24 @@ object TextOps {
       .withColumn("sent_idx", col("sent_idx").cast("long"))
       .withColumn("n_tokens", size(tokens(col("sentence"))).cast("long"))
 
+  /** Boilerplate detection: the sentences repeated across the most
+    * DOCUMENTS (headers, footers, cookie banners, license blurbs — the
+    * text a training pipeline strips before tokenizing). Composes
+    * [[sentences]] with a per-doc distinct (a sentence repeated inside
+    * one doc counts once — document frequency, not raw frequency) and
+    * one map-side-combined hash agg on the sentence hash; top-k plans
+    * as TakeOrderedAndProject. The min-docs floor keeps the output
+    * boilerplate-sized at any corpus scale.
+    */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+                  minDocs: Long, topK: Int): DataFrame =
+    sentences(df, idCol, textCol)
+      .select(col(idCol), col("sentence")).distinct()
+      .groupBy("sentence").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("sentence").asc)
+      .limit(topK)
+
   /** Corpus-trained bigram language-model quality score — the cheap
     * stand-in for a perplexity filter: train add-one-smoothed token
     * bigram probabilities on the corpus itself (one pass), then score
@@ -659,6 +677,14 @@ object TextOps {
     "text_lm_score" -> ((s, d) =>
       lmScore(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // doc-frequency of repeated sentences over the same punctuated
+    // derivation — the strip-before-tokenize boilerplate report
+    "text_boilerplate" -> ((s, d) =>
+      boilerplate(Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " table ", " table. ").as("text")),
+        "doc_id", "text", minDocs = 2L, topK = 100)),
 
     // the corpus is unpunctuated word soup, so the query derives a
     // deterministically punctuated column first (same rewrite in the
@@ -853,6 +879,8 @@ object TextOps {
     },
     "text_sentences" ->
       raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2) SELECT doc_id, (i - 1)::BIGINT AS sent_idx, ss[i] AS sentence, len(string_split_regex(trim(ss[i]), '\s+'))::BIGINT AS n_tokens FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM sp) ORDER BY doc_id, sent_idx""",
+    "text_boilerplate" ->
+      raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2), ds AS (SELECT DISTINCT doc_id, unnest(ss) AS sentence FROM sp) SELECT sentence, count(*) AS n_docs FROM ds GROUP BY sentence HAVING count(*) >= 2 ORDER BY n_docs DESC, sentence ASC LIMIT 100""",
     // same two-pass shape: bigram model CTEs, then per-doc quantized sums
     "text_lm_score" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), vv AS (SELECT count(*) AS v FROM uc), db AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2), s AS (SELECT db.doc_id, CAST(floor(ln((bc.c12 + 1)::DOUBLE / (uc.c1 + vv.v)::DOUBLE) * 10000) AS BIGINT) AS li FROM db JOIN bc USING (w1, w2) JOIN uc ON db.w1 = uc.w CROSS JOIN vv) SELECT doc_id, sum(li)::BIGINT AS logp_q4, count(*) AS n_bigrams, sum(li)::DOUBLE / (count(*)::DOUBLE * 10000.0) AS avg_logp FROM s GROUP BY doc_id ORDER BY doc_id""",

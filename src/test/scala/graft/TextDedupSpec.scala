@@ -841,6 +841,20 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("text_boilerplate: document frequency, in-doc repeats count once") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "All rights reserved. Unique alpha. All rights reserved."),
+      (2L, "All rights reserved. Unique beta."),
+      (3L, "Nothing shared here.")
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplate(df, "doc_id", "text", minDocs = 2L, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // doc 1 repeats the blurb internally but contributes ONE doc
+    assert(got.toSeq == Seq("All rights reserved" -> 2L))
+  }
+
   test("text_lm_score: add-one bigram log-probs, quantized and exact") {
     val s = spark
     import s.implicits._
