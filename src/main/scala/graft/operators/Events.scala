@@ -490,6 +490,28 @@ object Events {
       .select(col("day"), col("dau"), col("wau"))
   }
 
+  /** Engagement segmentation: users bucketed by lifetime event count on
+    * power-of-2 edges (1, 2-3, 4-7, … — the log-scaled power-user
+    * pyramid, resolution at every activity level without tuning). Two
+    * aggs: the first on the user key (corpus-sized, map-side combined),
+    * the second over the user-grain table down to ~log2(max) rows — the
+    * classic agg-of-agg funnel where each stage shrinks by orders of
+    * magnitude. The bucket floor is integer bit arithmetic (shiftright
+    * fixpoint via a bounded CASE), never a float log at a boundary.
+    */
+  def engagement(df: DataFrame, user: String, maxLog2: Int = 20): DataFrame = {
+    val perUser = df.groupBy(col(user)).agg(count(lit(1)).as("n_events"))
+    // lo = 2^k with 2^k <= n < 2^(k+1): exact integer comparisons, the
+    // LARGEST threshold tested first (outermost when)
+    val lo = (0 to maxLog2).foldLeft(lit(1L)) { (acc, k) =>
+      when(col("n_events") >= math.pow(2, k).toLong, lit(math.pow(2, k).toLong))
+        .otherwise(acc)
+    }
+    perUser.select(lo.as("bucket_lo"), col("n_events"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("total_events"))
+  }
+
   /** Stickiness panel: DAU / WAU(7) / MAU(28) and the DAU/MAU ratio per
     * day — three [[activeUsers]] window sizes sharing the ONE corpus
     * collapse to the (user, day) grain; the ×7 and ×28 contribution
@@ -538,6 +560,11 @@ object Events {
     "events_stickiness" -> ((s, d) =>
       stickiness(Tables.events(s, d), "user_id", "ts")
         .orderBy("day")),
+
+    // lifetime-count power-user pyramid (log2 buckets)
+    "events_engagement" -> ((s, d) =>
+      engagement(Tables.events(s, d), "user_id")
+        .orderBy("bucket_lo")),
 
     // trailing 1-hour RANGE frame per user (rate-limit audit)
     "events_rolling_1h" -> ((s, d) =>
@@ -686,6 +713,10 @@ object Events {
   val oracles: Map[String, String] = Map(
     "events_heatmap" ->
       """SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM events GROUP BY dow, hod ORDER BY dow, hod""",
+    // 2^floor(log2(n)) = 1 << (significant bits - 1): exact bit
+    // arithmetic, mirroring the CASE chain (bin() has no leading zeros)
+    "events_engagement" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id), b AS (SELECT (1::BIGINT << (length(bin(n)) - 1))::BIGINT AS bucket_lo, n FROM pu) SELECT bucket_lo, count(*) AS n_users, sum(n)::BIGINT AS total_events FROM b GROUP BY bucket_lo ORDER BY bucket_lo""",
     "events_stickiness" -> {
       val ratio = Stable.sqlRatioRounded("dau", "mau", 4)
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events), dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day), c7 AS (SELECT DISTINCT wday, u FROM (SELECT day + i::INT AS wday, u FROM ud, (SELECT unnest(range(0, 7)) AS i))), wau AS (SELECT wday, count(*) AS wau FROM c7 GROUP BY wday), c28 AS (SELECT DISTINCT wday, u FROM (SELECT day + i::INT AS wday, u FROM ud, (SELECT unnest(range(0, 28)) AS i))), mau AS (SELECT wday, count(*) AS mau FROM c28 GROUP BY wday) SELECT day, dau, wau, mau, """ +

@@ -603,6 +603,26 @@ object Relational {
         .select("o_orderkey", "o_custkey", "running_total", "running_n", "mov_avg")
         .orderBy("o_custkey", "o_orderkey")),
 
+    // month-over-month revenue trend: lag over an AGGREGATED series (a
+    // months-sized table — the window costs nothing after the one
+    // corpus-sized agg). The lag and delta run on the EXACT decimal
+    // sums; rounding happens per output column, so the delta cannot
+    // pick up double drift at a rounding boundary.
+    "q_trend_monthly" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(Stable.sumDec(col("o_totalprice")).as("_rev"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("_prev", lag(col("_rev"), 1).over(w))
+        .select(col("month"), col("n_orders"),
+          round(col("_rev"), 2).cast("double").as("revenue"),
+          round(col("_prev"), 2).cast("double").as("prev_revenue"),
+          round(col("_rev") - col("_prev"), 2).cast("double").as("mom_delta"))
+        .orderBy("month")
+    }),
+
     // correlated-subquery semantics ("orders 1.5x above their customer's
     // average"), decorrelated to the scale-right agg + join by hand — the
     // shape Catalyst itself rewrites a correlated scalar subquery into.
@@ -744,6 +764,9 @@ object Relational {
     // identical three-valued NOT IN text: both engines drop NULL probes
     "q_not_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE nullif(o_custkey, 7) NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) ORDER BY o_orderkey""",
+    // identical exact-decimal lag/delta over the monthly aggregate
+    "q_trend_monthly" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, sum(CAST(o_totalprice AS DECIMAL(20,6))) AS rev, count(*) AS n_orders FROM orders GROUP BY month), l AS (SELECT month, n_orders, rev, lag(rev, 1) OVER (ORDER BY month) AS prev FROM m) SELECT month, n_orders, round(rev, 2)::DOUBLE AS revenue, round(prev, 2)::DOUBLE AS prev_revenue, round(rev - prev, 2)::DOUBLE AS mom_delta FROM l ORDER BY month""",
     // stated as the correlated subquery it semantically is — DuckDB
     // decorrelates it to the same agg+join shape the Spark side hand-writes
     "q_above_custavg" ->

@@ -593,6 +593,20 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got(5L) == ((1L, 16.0)))
   }
 
+  test("events_engagement: power-of-2 buckets with exact boundaries") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    // user -> event count: 1, 2 (boundary), 3, 8 (boundary), 100
+    val ev = Seq(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 8, 5L -> 100).flatMap {
+      case (u, n) => (1 to n).map(i => (u * 1000 + i, u))
+    }.toDF("event_id", "user_id")
+    val got = Events.engagement(ev, "user_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, 1L)), 2L -> ((2L, 5L)),
+      8L -> ((1L, 8L)), 64L -> ((1L, 100L))))
+  }
+
   test("events_active_users: DAU exact, WAU is a true rolling distinct") {
     val s = spark
     import s.implicits._
