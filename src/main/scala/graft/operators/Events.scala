@@ -479,16 +479,30 @@ object Events {
     */
   def activeUsers(df: DataFrame, user: String, tsCol: String,
                   windowDays: Int): DataFrame = {
-    val ud = df.select(to_date(col(tsCol)).as("day"), col(user).as("u")).distinct()
-    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    val contrib = ud.select(explode(
-        expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("wday"),
-        col("u"))
-      .distinct()
-      .groupBy("wday").agg(count(lit(1)).as("wau"))
-    dau.join(contrib, col("day") === col("wday"))
+    val ud = userDayGrain(df, user, tsCol)
+    dailyActive(ud).join(windowedActive(ud, windowDays, "wau"),
+        col("day") === col("wday"))
       .select(col("day"), col("dau"), col("wau"))
   }
+
+  /** The (user, day) grain — the ONE corpus-sized collapse every
+    * active-user metric shares. */
+  private def userDayGrain(df: DataFrame, user: String, tsCol: String): DataFrame =
+    df.select(to_date(col(tsCol)).as("day"), col(user).as("u")).distinct()
+
+  private def dailyActive(ud: DataFrame): DataFrame =
+    ud.groupBy("day").agg(count(lit(1)).as("dau"))
+
+  /** Distinct users per trailing `days`-window end, via the bounded
+    * contribution explode. Separate explodes per window size beat one
+    * shared ×max explode consumed twice: without a persist, Spark
+    * recomputes a shared subtree per consumer, so 7+28 generated rows
+    * per user-day is CHEAPER than 28+28. */
+  private def windowedActive(ud: DataFrame, days: Int, as: String): DataFrame =
+    ud.select(explode(
+        expr(s"sequence(day, date_add(day, ${days - 1}))")).as("wday"), col("u"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as(as))
 
   /** Engagement segmentation: users bucketed by lifetime event count on
     * power-of-2 edges (1, 2-3, 4-7, … — the log-scaled power-user
@@ -496,21 +510,17 @@ object Events {
     * aggs: the first on the user key (corpus-sized, map-side combined),
     * the second over the user-grain table down to ~log2(max) rows — the
     * classic agg-of-agg funnel where each stage shrinks by orders of
-    * magnitude. The bucket floor is integer bit arithmetic (shiftright
-    * fixpoint via a bounded CASE), never a float log at a boundary.
+    * magnitude. The bucket floor is exact integer bit arithmetic —
+    * 2^floor(log2 n) = 1 << (significant bits - 1), the same `bin()`
+    * length construction the oracle uses, uncapped — never a float log
+    * at a boundary.
     */
-  def engagement(df: DataFrame, user: String, maxLog2: Int = 20): DataFrame = {
-    val perUser = df.groupBy(col(user)).agg(count(lit(1)).as("n_events"))
-    // lo = 2^k with 2^k <= n < 2^(k+1): exact integer comparisons, the
-    // LARGEST threshold tested first (outermost when)
-    val lo = (0 to maxLog2).foldLeft(lit(1L)) { (acc, k) =>
-      when(col("n_events") >= math.pow(2, k).toLong, lit(math.pow(2, k).toLong))
-        .otherwise(acc)
-    }
-    perUser.select(lo.as("bucket_lo"), col("n_events"))
+  def engagement(df: DataFrame, user: String): DataFrame =
+    df.groupBy(col(user)).agg(count(lit(1)).as("n_events"))
+      .select(expr("shiftleft(1L, length(bin(n_events)) - 1)").cast("long")
+        .as("bucket_lo"), col("n_events"))
       .groupBy("bucket_lo")
       .agg(count(lit(1)).as("n_users"), sum("n_events").as("total_events"))
-  }
 
   /** Stickiness panel: DAU / WAU(7) / MAU(28) and the DAU/MAU ratio per
     * day — three [[activeUsers]] window sizes sharing the ONE corpus
@@ -519,14 +529,10 @@ object Events {
     * division ([[Stable.ratioRounded]]).
     */
   def stickiness(df: DataFrame, user: String, tsCol: String): DataFrame = {
-    val ud = df.select(to_date(col(tsCol)).as("day"), col(user).as("u")).distinct()
-    def windowed(days: Int, as: String) = ud.select(explode(
-        expr(s"sequence(day, date_add(day, ${days - 1}))")).as("wday"), col("u"))
-      .distinct()
-      .groupBy("wday").agg(count(lit(1)).as(as))
-    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-    dau.join(windowed(7, "wau"), col("day") === col("wday")).drop("wday")
-      .join(windowed(28, "mau"), col("day") === col("wday")).drop("wday")
+    val ud = userDayGrain(df, user, tsCol)
+    dailyActive(ud)
+      .join(windowedActive(ud, 7, "wau"), col("day") === col("wday")).drop("wday")
+      .join(windowedActive(ud, 28, "mau"), col("day") === col("wday")).drop("wday")
       .withColumn("stickiness", Stable.ratioRounded(col("dau"), col("mau"), 4))
   }
 

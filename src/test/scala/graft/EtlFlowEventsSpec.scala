@@ -593,6 +593,46 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got(5L) == ((1L, 16.0)))
   }
 
+  test("events_stickiness: partial windows at corpus start, exact ratio") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 09:00:00")
+    val ev = Seq(
+      (1L, t(1), 10L), (2L, t(1), 20L), // d1: users {10, 20}
+      (3L, t(2), 10L),                  // d2: {10}
+      (4L, t(10), 30L)                  // d10: {30}; d1..d2 within its 28d, outside its 7d
+    ).toDF("event_id", "ts", "user_id")
+    val got = Events.stickiness(ev, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 2L, 1.0)))
+    assert(got("2024-01-02") == ((1L, 2L, 2L, 0.5)))
+    // d10: dau {30}; wau [d4,d10] = {30}; mau [pre,d10] = {10,20,30}
+    assert(got("2024-01-10") == ((1L, 1L, 3L, 0.3333)))
+  }
+
+  test("q_trend_monthly: first-row NULL lag, gap months lag to the previous PRESENT month") {
+    val s = spark
+    import s.implicits._
+    import graft.SparkEntry
+    val dir = "/tmp/graft_trend_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-$m%02d-15 00:00:00")
+    // months 1, 2, 4 — month 3 has no orders
+    Seq((1L, t(1), 10.0), (2L, t(2), 30.0), (3L, t(4), 20.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = SparkEntry.queries("q_trend_monthly")(s, dir)
+      .collect().map(r => (r.getTimestamp(0).toString.take(7),
+        (if (r.isNullAt(3)) null else r.getDouble(3)), r.isNullAt(4),
+        (if (r.isNullAt(4)) 0.0 else r.getDouble(4))))
+    assert(got(0) == (("2024-01", null, true, 0.0)))
+    assert(got(1) == (("2024-02", 10.0, false, 20.0)))
+    // gap: April's prev is February (the previous PRESENT month)
+    assert(got(2) == (("2024-04", 30.0, false, -10.0)))
+  }
+
   test("events_engagement: power-of-2 buckets with exact boundaries") {
     val s = spark
     import s.implicits._
