@@ -110,6 +110,13 @@ object GraftFunctions {
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
 
+  /** Exact order-free decimal sum of a <=6dp double measure via 128-bit
+    * long carry arithmetic — see [[SumDec6]]. Drop-in for
+    * `sum(c.cast(decimal(20,6)))` without the per-row BigDecimal tax.
+    */
+  def sumDec6(c: Column): Column =
+    GraftBridge.column(SumDec6(GraftBridge.expression(c)).toAggregateExpression())
+
   /** `v >> n` with a COLUMN shift amount. `functions.shiftright` only takes
     * a constant Int; the underlying Catalyst ShiftRight is two-expression
     * (and codegen'd), so bridge straight to it.

@@ -462,7 +462,7 @@ object Events {
       .rangeBetween(-backUs, 0)
     df.select(col(idCol), col(user), col(tsCol),
         count(lit(1)).over(w).as("n_trail"),
-        round(Stable.sumDec(col(valueCol)).over(w), 2).cast("double").as("sum_trail"))
+        round(Stable.sumDecRef(col(valueCol)).over(w), 2).cast("double").as("sum_trail"))
       .drop(tsCol)
   }
 

@@ -292,11 +292,12 @@ object Relational {
     val w = Window.partitionBy(col(part)).orderBy(ord.map(col(_).asc): _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mov = w.rowsBetween(-(movRows - 1), Window.currentRow)
-    val dec = col(measure).cast("decimal(20,6)")
-    df.withColumn("running_total", round(sum(dec).over(run), 2).cast("double"))
+    df.withColumn("running_total",
+        round(Stable.sumDecRef(col(measure)).over(run), 2).cast("double"))
       .withColumn("running_n", count(lit(1)).over(run))
       .withColumn("mov_avg",
-        Stable.avgRoundedFromSum(sum(dec).over(mov), count(lit(1)).over(mov), 4))
+        Stable.avgRoundedFromSum(Stable.sumDecRef(col(measure)).over(mov),
+          count(lit(1)).over(mov), 4))
   }
 
   /** Exact per-group percentiles with an EXPLICITLY PINNED definition: the

@@ -17,8 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Stable {
 
-  /** Exact order-free sum of a <=6dp measure. */
-  def sumDec(c: Column): Column = sum(c.cast("decimal(20,6)"))
+  /** Exact order-free sum of a <=6dp measure (|value| < 10^12), via the
+    * native 128-bit long-carry aggregate [[graft.functions.SumDec6]] —
+    * bit-identical to `sum(c.cast("decimal(20,6)"))` (the per-row
+    * conversion IS that cast, read from the compact representation;
+    * property-tested through 2^63-crossing partial sums) without the
+    * per-row BigDecimal allocation. Measured A/B at sf0.1: a 4-sum scan
+    * agg drops 0.96s → 0.63s, but WINDOW frames run ~25% SLOWER (the
+    * per-frame-row update re-evaluates the cast + carry chain, where the
+    * built-in decimal Sum is two expression nodes) — so groupBy callers
+    * use this and window callers use [[sumDecRef]].
+    */
+  def sumDec(c: Column): Column = graft.functions.GraftFunctions.sumDec6(c)
+
+  /** The reference BigDecimal-path sum — [[sumDec]] must stay bit-equal
+    * to it (the PropertySpec + the whole oracle gate pin this); also the
+    * faster choice inside window frames (see [[sumDec]]). */
+  def sumDecRef(c: Column): Column = sum(c.cast("decimal(20,6)"))
 
   /** round(sum, dp) as double — stable under any summation order. The
     * round happens on the EXACT decimal (both engines round decimals half

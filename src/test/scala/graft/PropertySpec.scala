@@ -344,6 +344,39 @@ class PropertySpec extends SparkSpec {
     assert(got == cells ++ m1 ++ m2) // and no ("ALL","ALL") grand total
   }
 
+  test("SumDec6 == decimal sum bitwise on random data; 128-bit carries exact") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.GraftFunctions.sumDec6
+    // random 6dp measures, negatives and nulls included, many partitions
+    val rows = (1 to 20000).map { i =>
+      val v = if (rnd.nextInt(20) == 0) null
+        else java.lang.Double.valueOf((rnd.nextLong() % 1000000000L) / 1000.0)
+      (i % 37L, v)
+    }
+    val df = rows.toDF("g", "v").repartition(16)
+    val fast = df.groupBy("g").agg(sumDec6(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val ref = df.groupBy("g").agg(sum(col("v").cast("decimal(20,6)")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(fast.keySet == ref.keySet)
+    fast.foreach { case (g, d) =>
+      assert(d.compareTo(ref(g)) == 0, s"group $g: $d vs ${ref(g)}") }
+
+    // lo-word overflow: values big enough that partial micro sums cross
+    // 2^63 (each row is 8e11 units = 8e17 micros; 20 rows ≈ 1.6e19)
+    val big = (1 to 20).map(i => (1L, 8e11 * (if (i % 4 == 0) -1 else 1)))
+      .toDF("g", "v").repartition(5)
+    val bigFast = big.agg(sumDec6(col("v"))).collect().head.getDecimal(0)
+    val bigRef = big.agg(sum(col("v").cast("decimal(20,6)"))).collect().head.getDecimal(0)
+    assert(bigFast.compareTo(bigRef) == 0, s"$bigFast vs $bigRef")
+
+    // all-null and empty groups return null like sum
+    val nn = Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("g", "v")
+      .agg(sumDec6(col("v"))).collect().head
+    assert(nn.isNullAt(0))
+  }
+
   test("collocations == brute-force margins and Dice on random word soup") {
     val s = spark
     import s.implicits._
