@@ -14,19 +14,27 @@ import org.apache.spark.sql.types._
   * carry arithmetic inside whole-stage codegen — and converts to
   * Decimal(38,6) once per group at evaluation.
   *
-  * Semantics match `sum(cast(x as decimal(20,6)))` bit-for-bit for
-  * |x| < 10^12 (the [[graft.operators.Stable]] measure contract): the
-  * per-row micro count is `UnscaledValue(cast(x as decimal(18,6)))` —
-  * the IDENTICAL double→decimal conversion the reference path performs,
-  * read out of the compact long representation — so the two paths
-  * cannot disagree on a single row. Nulls are skipped; an all-null/empty
-  * group returns null like Spark's sum. Overflow headroom is 2^127
-  * micro units (~1.7e32 — Spark's own decimal(30,6) sum buffer
-  * overflows FIRST, at 1e24).
+  * Semantics match `sum(cast(x as decimal(20,6)))` bit-for-bit on the
+  * [[graft.operators.Stable]] measure domain |x| < 2^63/1e6 ≈ 9.2e12:
+  * the per-row micro count is `UnscaledValue(cast(x as decimal(20,6)))`
+  * — the IDENTICAL double→decimal conversion the reference path
+  * performs — so the two paths cannot disagree on a single row. Beyond
+  * the domain the conversion FAILS FAST (the unscaled value no longer
+  * fits a long) rather than corrupting a sum. Rows whose cast is null
+  * (null input; NaN/Infinity/overflow under non-ANSI sessions) are
+  * skipped AND do not mark the group non-empty — exactly the reference
+  * sum's behaviour, so an all-null/all-NaN group returns null.
+  * Accumulator headroom is 2^127 micro units (~1.7e32 — Spark's own
+  * decimal(30,6) sum buffer overflows FIRST, at 1e24).
   *
-  * 128-bit add of a sign-extended 64-bit value v to (hi, lo):
-  * lo' = lo + v (wrapping); carry-out = ((lo & v) | ((lo | v) & ~lo')) >>> 63
-  * (the classic bitwise carry recovery); hi' = hi + (v >> 63) + carry.
+  * Operational note: the aggregation BUFFER schema differs from the
+  * decimal sum's (hi/lo longs + seen boolean vs one decimal) — batch
+  * results are identical, but a STREAMING query checkpointed with one
+  * path cannot restart on the other (state-store schema check).
+  *
+  * 128-bit add: lo' = lo1 + lo2 (wrapping); carry-out =
+  * ((lo1 & lo2) | ((lo1 | lo2) & ~lo')) >>> 63 (the classic bitwise
+  * carry recovery); hi' = hi1 + hi2 + carry.
   */
 case class SumDec6(child: Expression) extends DeclarativeAggregate {
 
@@ -49,42 +57,37 @@ case class SumDec6(child: Expression) extends DeclarativeAggregate {
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal(0L), Literal(0L), Literal(false))
 
-  /** (hi', lo') after adding the signed 64-bit `v` into (h, l). The
-    * lo-word add MUST wrap (that is the 128-bit carry mechanism), so it
-    * uses legacy eval mode explicitly — ANSI add would throw on exactly
-    * the overflows the carry recovers. The hi adds stay ANSI: a hi
-    * overflow IS a genuine 128-bit overflow and should throw.
+  /** (hi', lo') = (h1, l1) + (h2, l2) in 128-bit two's complement — the
+    * ONE carry implementation behind both the update and merge paths.
+    * The lo-word add MUST wrap (that is the carry mechanism), so it pins
+    * legacy eval mode — ANSI add would throw on exactly the overflows
+    * the carry recovers. The hi adds pin ANSI explicitly (never the
+    * session default): a hi overflow IS a genuine 128-bit overflow and
+    * must throw in any session.
     */
-  private def add128(h: Expression, l: Expression,
-                     v: Expression): (Expression, Expression) = {
-    val newLo = Add(l, v, EvalMode.LEGACY)
+  private def add128(h1: Expression, l1: Expression,
+                     h2: Expression, l2: Expression): (Expression, Expression) = {
+    val newLo = Add(l1, l2, EvalMode.LEGACY)
     val carry = ShiftRightUnsigned(
-      BitwiseOr(BitwiseAnd(l, v), BitwiseAnd(BitwiseOr(l, v), BitwiseNot(newLo))),
+      BitwiseOr(BitwiseAnd(l1, l2), BitwiseAnd(BitwiseOr(l1, l2), BitwiseNot(newLo))),
       Literal(63))
-    val newHi = Add(Add(h, ShiftRight(v, Literal(63))), carry)
+    val newHi = Add(Add(h1, h2, EvalMode.ANSI), carry, EvalMode.ANSI)
     (newHi, newLo)
   }
 
   override lazy val updateExpressions: Seq[Expression] = {
     // micro units via the same double→decimal cast the reference decimal
-    // sum performs, read from the compact long representation (precision
-    // 18 guarantees compact storage); nulls contribute 0 and do not mark
-    // the group non-empty
-    val micro = UnscaledValue(Cast(child, DecimalType(18, 6)))
-    val v = If(IsNull(child), Literal(0L), Coalesce(Seq(micro, Literal(0L))))
-    val (nh, nl) = add128(hi, lo, v)
-    Seq(nh, nl, Or(seen, IsNotNull(child)))
+    // sum performs; a null cast result (null/NaN/Inf/overflow under
+    // non-ANSI) is skipped and leaves `seen` untouched, mirroring sum
+    val micro = UnscaledValue(Cast(child, DecimalType(20, 6)))
+    val v = Coalesce(Seq(micro, Literal(0L)))
+    val (nh, nl) = add128(hi, lo, ShiftRight(v, Literal(63)), v)
+    Seq(nh, nl, Or(seen, IsNotNull(micro)))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = {
-    // 128-bit + 128-bit: wrapping lo add, its carry feeds the hi add
-    val newLo = Add(lo.left, lo.right, EvalMode.LEGACY)
-    val carry = ShiftRightUnsigned(
-      BitwiseOr(BitwiseAnd(lo.left, lo.right),
-        BitwiseAnd(BitwiseOr(lo.left, lo.right), BitwiseNot(newLo))),
-      Literal(63))
-    val newHi = Add(Add(hi.left, hi.right), carry)
-    Seq(newHi, newLo, Or(seen.left, seen.right))
+    val (nh, nl) = add128(hi.left, lo.left, hi.right, lo.right)
+    Seq(nh, nl, Or(seen.left, seen.right))
   }
 
   override lazy val evaluateExpression: Expression = {

@@ -363,18 +363,35 @@ class PropertySpec extends SparkSpec {
     fast.foreach { case (g, d) =>
       assert(d.compareTo(ref(g)) == 0, s"group $g: $d vs ${ref(g)}") }
 
-    // lo-word overflow: values big enough that partial micro sums cross
-    // 2^63 (each row is 8e11 units = 8e17 micros; 20 rows ≈ 1.6e19)
-    val big = (1 to 20).map(i => (1L, 8e11 * (if (i % 4 == 0) -1 else 1)))
-      .toDF("g", "v").repartition(5)
+    // lo-word overflow: ALL-POSITIVE rows so partial micro sums genuinely
+    // cross 2^63 (25 rows × 8e17 micros = 2.0e19 > 9.22e18) — exercises
+    // the wrapping LEGACY add, the carry into hi, and the hi>0 branch of
+    // the evaluation; repartition forces crossings in MERGE too
+    val big = (1 to 25).map(_ => (1L, 8e11)).toDF("g", "v").repartition(5)
     val bigFast = big.agg(sumDec6(col("v"))).collect().head.getDecimal(0)
     val bigRef = big.agg(sum(col("v").cast("decimal(20,6)"))).collect().head.getDecimal(0)
     assert(bigFast.compareTo(bigRef) == 0, s"$bigFast vs $bigRef")
+    // and back DOWN across the boundary (negative rows after the climb)
+    val swing = ((1 to 25).map(_ => (1L, 8e11)) ++ (1 to 12).map(_ => (1L, -8e11)))
+      .toDF("g", "v").repartition(4)
+    val swingFast = swing.agg(sumDec6(col("v"))).collect().head.getDecimal(0)
+    val swingRef = swing.agg(sum(col("v").cast("decimal(20,6)"))).collect().head.getDecimal(0)
+    assert(swingFast.compareTo(swingRef) == 0, s"$swingFast vs $swingRef")
 
     // all-null and empty groups return null like sum
     val nn = Seq((1L, null.asInstanceOf[java.lang.Double])).toDF("g", "v")
       .agg(sumDec6(col("v"))).collect().head
     assert(nn.isNullAt(0))
+
+    // beyond the 9.2e12 domain the conversion FAILS FAST (unscaled value
+    // no longer fits a long) instead of corrupting the sum
+    val boom = intercept[Exception] {
+      Seq((1L, 5e13)).toDF("g", "v").agg(sumDec6(col("v"))).collect()
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(rootChain(boom).exists(_.isInstanceOf[ArithmeticException]),
+      boom.toString)
   }
 
   test("collocations == brute-force margins and Dice on random word soup") {
