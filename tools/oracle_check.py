@@ -44,6 +44,12 @@ for name in sorted(os.listdir(out)):
     bad = None
     for c in g.columns:
         gv, ev = g[c], e[c]
+        # The driver hashes the STRING rendering, so an int-vs-float dtype
+        # mismatch ("1" vs "1.0") is a hash fail even when values agree —
+        # mirror that instead of silently comparing under tolerance.
+        if {gv.dtype.kind, ev.dtype.kind} == {'i', 'f'}:
+            bad = f"col {c}: DTYPE spark {gv.dtype} vs oracle {ev.dtype} (int-vs-float hashes differently)"
+            break
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
             diff = ~((gv.isna() & ev.isna()) | (abs(gv - ev) < 1e-9))
         else:
