@@ -571,11 +571,14 @@ object TextOps {
     * bigram probabilities on the corpus itself (one pass), then score
     * each document by its average log-probability (a second pass). Low
     * scores flag boilerplate-free gibberish; implausibly high scores
-    * flag templated/repeated text. Scale shape: the model IS the bigram
-    * table (vocabulary²-bounded, Heaps' law — it and the unigram margins
-    * broadcast; a huge vocab shuffle-joins at vocabulary scale), and the
-    * corpus-sized work is two token-stream passes ending in one per-doc
-    * agg. Portability: each bigram's log-prob is quantized to 1e-4 by
+    * flag templated/repeated text. Scale shape: the unigram margins are
+    * vocabulary-bounded (Heaps' law) and broadcast; the BIGRAM table is
+    * distinct-pair-bounded — corpus-scale in the worst case, far beyond
+    * any broadcast budget — so its join is left UNHINTED and AQE /
+    * autoBroadcastJoinThreshold picks broadcast (small corpora) vs
+    * shuffle (production) from the measured size. The corpus-sized work
+    * is two token-stream passes ending in one per-doc agg.
+    * Portability: each bigram's log-prob is quantized to 1e-4 by
     * FLOOR (unambiguous on any double, unlike round-at-tie), summed as
     * exact integers, so per-doc totals are order-free; the final avg
     * divides identical exact operands in both engines.
@@ -592,7 +595,7 @@ object TextOps {
     val bi = docBi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val li = floor(log((col("c12") + 1).cast("double") /
       (col("c1") + col("v")).cast("double")) * 1e4).cast("long")
-    docBi.join(broadcast(bi), Seq("w1", "w2"))
+    docBi.join(bi, Seq("w1", "w2"))
       .join(broadcast(uni), col("w1") === col("w"))
       .crossJoin(broadcast(vocab))
       .select(col(idCol), li.as("li"))

@@ -94,9 +94,11 @@ class PlanAuditSpec extends SparkSpec {
     // collocations: margin joins broadcast; top-k is a TakeOrdered
     val co = plan(run("text_collocations"))
     assert(co.contains("BroadcastHashJoin") && co.contains("TakeOrderedAndProject"), co.take(800))
-    // LM score: both model tables broadcast back onto the token stream
+    // LM score: the vocab-bounded unigram margin broadcasts; the bigram
+    // table must NOT be pinned broadcast (corpus-scale at 100 TB) — its
+    // join is size-decided, so the static plan may legally shuffle
     val lm = plan(run("text_lm_score"))
-    assert("BroadcastHashJoin".r.findAllIn(lm).size >= 2, lm.take(800))
+    assert(lm.contains("BroadcastHashJoin"), lm.take(800))
   }
 
   test("NO query plans a range sort: answer sorts are single-partition local") {

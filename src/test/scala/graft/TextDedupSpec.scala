@@ -869,4 +869,27 @@ class TextDedupSpec extends SparkSpec {
     val df2 = TextOps.lmScore(df, "doc_id", "text")
     assert(plan(df2).contains("BroadcastHashJoin"))
   }
+
+  test("text_lm_score: bigram join is size-decided, not pinned broadcast") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // -1 models "bigram table over any broadcast budget" (the 100 TB
+      // case): the unhinted bigram join must flip to a shuffle join while
+      // the explicitly-hinted unigram margin stays broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val scored = TextOps.lmScore(df, "doc_id", "text")
+      val p = plan(scored)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"bigram join should shuffle when over-threshold:\n${p.take(1200)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"hinted unigram margin should still broadcast:\n${p.take(1200)}")
+      // and the answer is identical under either join strategy
+      val got = scored.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got(1L) == ((-15327L, 3L)) && got(2L) == ((-5109L, 1L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
