@@ -848,15 +848,15 @@ object Dedup {
 
     // the component index's PERSISTENCE lifecycle (the sim_ivfpq_persisted
     // contract for the dedup family): the labelling written once as a
-    // parquet artifact, read back and served — identical answers to the
-    // in-session index, so the SAME oracle; the read-back scan is two
-    // narrow columns
+    // parquet artifact (atomic temp-dir + rename commit, served only
+    // behind a _SUCCESS marker — Io.atomicParquetArtifact), read back and
+    // served — identical answers to the in-session index, so the SAME
+    // oracle; the read-back scan is two narrow columns
     "dedup_components_persisted" -> ((s, d) => {
       val path = "/tmp/graft_io/dedup_components/" +
         s"$d|3|8|2".replaceAll("[^A-Za-z0-9.]", "_")
-      if (!new java.io.File(path).exists())
-        componentsOf(s, d).write.mode("overwrite").parquet(path)
-      s.read.parquet(path).orderBy("doc_id")
+      graft.sources.Io.atomicParquetArtifact(s, path)(componentsOf(s, d))
+        .orderBy("doc_id")
     }),
 
     // the whole near-dedup pass composed: exact dedup -> minhash pairs ->

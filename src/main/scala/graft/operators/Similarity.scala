@@ -882,13 +882,12 @@ object Similarity {
         _ => pqCodebooks(nrm, "vec_id", pqM, pqSubDims, pqKs, pqIters))
       val path = "/tmp/graft_io/ivfpq_index/" +
         s"$d|$ivfC|$pqM|$pqKs|$pqIters".replaceAll("[^A-Za-z0-9.]", "_")
-      if (!new java.io.File(path).exists())
-        ivfPqCodesTable(nrm, "vec_id", coarse, cbs, pqSubDims)
-          .write.mode("overwrite").parquet(path)
+      val lists = graft.sources.Io.atomicParquetArtifact(s, path)(
+        ivfPqCodesTable(nrm, "vec_id", coarse, cbs, pqSubDims))
       simIvfPqAnn(e, "vec_id", "embedding", coarse, cbs,
         queryPred = col("vec_id") < 10, nProbe = 2,
         subDims = pqSubDims, shortlist = pqShort, k = 5,
-        prebuiltLists = Some(s.read.parquet(path)))
+        prebuiltLists = Some(lists))
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     }),

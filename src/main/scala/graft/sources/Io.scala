@@ -95,6 +95,33 @@ object Io {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Durable-index commit protocol: a parquet artifact is served ONLY if
+    * fully committed. A bare existence check is not a protocol — a build
+    * that crashed mid-write leaves the directory present and every later
+    * session would serve a partial (or empty) index. Here the build lands
+    * in a private temp directory first and is RENAMED into place (atomic
+    * on one filesystem — the same flip the CDC sink's `_latest` pointer
+    * uses), and the reader trusts a path only when Spark's `_SUCCESS`
+    * commit marker is inside it. A half-written directory (present, no
+    * marker) is swept and rebuilt instead of being trusted. If a
+    * concurrent builder wins the rename race, its committed artifact is
+    * served and ours is discarded — both answer identically, because
+    * artifacts are deterministic functions of (input path, parameters).
+    */
+  def atomicParquetArtifact(spark: SparkSession, path: String)
+                           (build: => DataFrame): DataFrame = {
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(dir.getParentFile,
+        dir.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      if (!tmp.renameTo(dir))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   /** KV batch-write shape: the reference batch-writes <= `batchSize` items
     * per request to a key-value store (apis/etl.ts:44-52 -> DynamoDB
     * batchWrite). Distributed equivalent: bucket rows per partition key

@@ -39,6 +39,36 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("atomicParquetArtifact: a crashed half-write is swept and rebuilt") {
+    val s = spark
+    import s.implicits._
+    val path = "/tmp/graft_io/atomic_artifact_test"
+    val dir = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    // simulate a builder that died mid-write: directory present, one
+    // stale/partial part file, NO _SUCCESS commit marker
+    Seq((99L, "stale")).toDF("id", "v")
+      .write.mode("overwrite").parquet(path)
+    new java.io.File(dir, "_SUCCESS").delete()
+    assert(dir.exists() && !new java.io.File(dir, "_SUCCESS").exists())
+    var built = 0
+    def fresh = { built += 1; Seq((1L, "good"), (2L, "good")).toDF("id", "v") }
+    val got = graft.sources.Io.atomicParquetArtifact(s, path)(fresh)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the partial artifact was NOT trusted: rebuilt, committed, correct
+    assert(built == 1)
+    assert(got == Set((1L, "good"), (2L, "good")))
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    // a second reader serves the committed artifact without rebuilding
+    val again = graft.sources.Io.atomicParquetArtifact(s, path)(fresh)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(built == 1 && again == got)
+    // no temp-dir litter left behind
+    val litter = dir.getParentFile.listFiles()
+      .filter(_.getName.startsWith(dir.getName + ".tmp-"))
+    assert(litter.isEmpty, litter.mkString(","))
+  }
+
   test("overwritePartitions backfills ONE partition, leaves the rest untouched") {
     val s = spark
     import s.implicits._
