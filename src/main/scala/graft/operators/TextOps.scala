@@ -509,6 +509,69 @@ object TextOps {
       .limit(topK)
   }
 
+  /** BPE tokenizer training's MERGE LOOP — the piece a tokenizer user
+    * actually runs on top of [[bpePairCounts]]'s inner counting step:
+    * greedily merge the most frequent adjacent symbol pair, re-count,
+    * repeat `k` times. Returns the learned merge table (rank, pair,
+    * merged symbol, frequency at merge time) — the artifact a tokenizer
+    * ships.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-vocabulary
+    * hash-agg); every merge round then runs on the vocabulary table
+    * (Heaps'-law-bounded — millions of rows at 100 TB, not billions),
+    * re-materialized per round via localCheckpoint with the previous
+    * round's blocks freed immediately, so the loop holds exactly one
+    * vocabulary generation at a time. The per-round `.collect()` is the
+    * argmax — ONE row — which is how every BPE trainer sequences merges
+    * (merge i+1's counts depend on merge i having been applied).
+    *
+    * Symbols ride a separator-delimited string (" a b c " for "abc");
+    * a merge is a literal string replace of " x y " with " xy " —
+    * left-to-right non-overlapping, exactly BPE's greedy application,
+    * and expressible identically in any engine (the oracle replays the
+    * same k rounds as unrolled SQL CTEs). Ties break (count desc, lhs
+    * asc, rhs asc) in both.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val words = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab0 = words.groupBy("w").agg(count(lit(1)).as("wn"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("repr"),
+        col("wn"))
+    var cur = vocab0.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val best = cur
+        .select(col("wn"), expr("filter(split(repr, ' '), s -> s != '')").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("wn"), explode(expr(
+          "transform(sequence(2, size(t)), i -> struct(element_at(t, i - 1) AS x, element_at(t, i) AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum("wn").as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (x, y, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank.toLong, x, y, x + y, cnt))
+        val next = cur.withColumn("repr",
+          replace(col("repr"), lit(s" $x $y "), lit(s" $x$y ")))
+          .localCheckpoint(true)
+        CacheScope.free(cur)
+        cur = next
+        rank += 1
+      }
+    }
+    CacheScope.free(cur)
+    import spark.implicits._
+    spark.createDataset(merges.result())
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Vocabulary coverage / out-of-vocabulary rate per document against the
     * corpus's own top-`vocabK` terms — the pre-tokenizer audit that tells
     * you what fraction of a corpus a fixed vocabulary would cover (high
@@ -636,6 +699,11 @@ object TextOps {
     // BPE pair statistics over the corpus vocabulary (top 256 pairs)
     "text_bpe_pairs" -> ((s, d) =>
       bpePairCounts(Tables.documents(s, d).select("text"), "text", topK = 256)),
+
+    // the merge LOOP on top: k greedy merges over the vocabulary table
+    "text_bpe_merges" -> ((s, d) =>
+      bpeMerges(Tables.documents(s, d).select("text"), "text", k = bpeMergeK)
+        .orderBy("merge_rank")),
 
     // OOV rate per doc vs the corpus's own top-1000 terms
     "text_oov_rate" -> ((s, d) =>
@@ -815,6 +883,27 @@ object TextOps {
     raw"""qc AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM $src), qq AS (SELECT doc_id, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM qc), qp AS (SELECT doc_id, quality_score, round(percent_rank() OVER (ORDER BY quality_score), 6) AS pr FROM qq), band AS (SELECT doc_id FROM qp WHERE pr >= $lo AND pr <= $hi)"""
   }
 
+  /** The k merge rounds both engines run for text_bpe_merges. */
+  private[operators] val bpeMergeK = 10
+
+  /** The merge loop unrolled as SQL: g0 is the character-delimited word
+    * vocabulary; round i picks m_i = argmax pair of g_{i-1} (count desc,
+    * lhs asc, rhs asc) and g_i applies it by literal replace. If a round
+    * finds no pair the m_i CTE is empty and every later round stays
+    * empty — exactly the Spark loop's early stop.
+    */
+  private def bpeMergesOracle(k: Int): String = {
+    val base = raw"""wds AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS w FROM documents), wc AS (SELECT w, count(*) AS wn FROM wds GROUP BY w), g0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS repr, wn FROM wc)"""
+    val rounds = (1 to k).map { i =>
+      val g = s"g${i - 1}"
+      raw"""s$i AS (SELECT list_filter(str_split(repr, ' '), s -> s != '') AS t, wn FROM $g), p$i AS (SELECT t, wn, unnest(range(1, len(t))) AS j FROM s$i WHERE len(t) >= 2), m$i AS (SELECT t[j] AS x, t[j + 1] AS y, sum(wn)::BIGINT AS cnt FROM p$i GROUP BY 1, 2 ORDER BY cnt DESC, x ASC, y ASC LIMIT 1), g$i AS (SELECT replace(g.repr, ' ' || m.x || ' ' || m.y || ' ', ' ' || m.x || m.y || ' ') AS repr, g.wn FROM $g g, m$i m)"""
+    }
+    val sel = (1 to k)
+      .map(i => s"SELECT $i::BIGINT AS merge_rank, x AS lhs, y AS rhs, x || y AS merged, cnt AS pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH $base, ${rounds.mkString(", ")} SELECT * FROM ($sel) ORDER BY merge_rank"
+  }
+
   /** DuckDB mirror of Md5PrefixLong offset 0: hex-nibble parse of the
     * first 8 md5 hex chars of `inner`. */
   private def sqlHex32(inner: String): String =
@@ -851,6 +940,10 @@ object TextOps {
     // same vocabulary-collapse: word counts once, pairs over DISTINCT words
     "text_bpe_pairs" ->
       raw"""WITH wds AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS w FROM documents), wc AS (SELECT w, count(*) AS wn FROM wds GROUP BY w), p AS (SELECT wn, unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM wc WHERE length(w) >= 2) SELECT pair, sum(wn)::BIGINT AS pair_count FROM p GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 256""",
+    // the merge loop replayed as k unrolled CTE rounds: each round's
+    // argmax (m_i) + greedy delimited-string replace (g_i) — the same
+    // " x y " -> " xy " application the Spark loop does
+    "text_bpe_merges" -> bpeMergesOracle(bpeMergeK),
     "text_oov_rate" -> {
       val rate = Stable.sqlRatioRounded(
         "sum(CASE WHEN inv THEN 0 ELSE 1 END)", "count(*)", 4)

@@ -870,6 +870,36 @@ class TextDedupSpec extends SparkSpec {
     assert(plan(df2).contains("BroadcastHashJoin"))
   }
 
+  test("text_bpe_merges: greedy merge loop, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // vocab: ab(wn=2), abc(wn=1)
+    // round 1 pairs: (a,b)=3, (b,c)=1 -> merge (a,b) freq 3
+    // round 2 pairs: (ab,c)=1       -> merge (ab,c) freq 1
+    // round 3: no pairs left        -> loop stops early (k=5)
+    val df = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(df, "text", k = 5)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", "ab", 3L),
+      (2L, "ab", "c", "abc", 1L)))
+  }
+
+  test("text_bpe_merges: overlapping runs merge greedily left-to-right") {
+    val s = spark
+    import s.implicits._
+    // "aaa": round-1 pairs (a,a)=2 -> merge; greedy application leaves
+    // "aa a" (the merged symbol does NOT cascade within the round)
+    val df = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(df, "text", k = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 2L),
+      (2L, "aa", "a", "aaa", 1L)))
+  }
+
   test("text_lm_score: bigram join is size-decided, not pinned broadcast") {
     val s = spark
     import s.implicits._
