@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -199,6 +199,44 @@ object Events {
       .agg(approx_count_distinct(col(member)).as("approx_users"),
         percentile_approx(col(v), lit(0.5), lit(1000)).as("p50"),
         percentile_approx(col(v), lit(0.95), lit(1000)).as("p95"))
+
+  /** The ORACLE-CHECKABLE form of [[approxStats]]: each sketch is graded
+    * against the exact value it approximates and the output carries the
+    * exact values plus pass/fail flags — the engine-specific sketch
+    * values never leave the query, so the row hashes identically in any
+    * engine while still failing loudly if a sketch drifts out of its
+    * documented bound (the oracle asserts every flag TRUE).
+    *
+    * Bounds: HLL++ at default rsd 0.05 is graded at ±15% (3 sd);
+    * percentile_approx(accuracy=1000) guarantees rank error <= n/1000,
+    * graded with a 2x slack window. The audit adds one corpus pass with
+    * the |keys|-row sketch table broadcast back on — the same two-scan
+    * shape as the anomaly op, nothing corpus-sized shuffles.
+    */
+  def approxStatsChecked(df: DataFrame, key: String, member: String, v: String): DataFrame = {
+    val sk = approxStats(df, key, member, v)
+    val ex = df.groupBy(col(key)).agg(
+      countDistinct(col(member)).as("exact_users"),
+      count(lit(1)).as("n"))
+    val j = sk.join(ex, Seq(key))
+    val ranks = df.join(broadcast(j.select(col(key), col("p50"), col("p95"))), Seq(key))
+      .groupBy(col(key)).agg(
+        sum(when(col(v) < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col(v) <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col(v) < col("p95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col(v) <= col("p95"), 1L).otherwise(0L)).as("le95"))
+    // the sketch value is a real data point occupying ranks
+    // [lt+1, le]; valid if that interval meets [t-err, t+err]
+    def rankOk(t: Column, err: Column, lt: Column, le: Column): Column =
+      (lt + lit(1) <= t + err) && (le >= t - err)
+    val err = col("n") * lit(0.002) + lit(1)
+    j.join(ranks, Seq(key))
+      .select(col(key), col("exact_users"), col("n").as("n_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.15)).as("users_ok"),
+        rankOk(col("n") * lit(0.5), err, col("lt50"), col("le50")).as("p50_ok"),
+        rankOk(col("n") * lit(0.95), err, col("lt95"), col("le95")).as("p95_ok"))
+  }
 
   /** Fixed-bin value histogram per key — the monitoring-dashboard shape
     * (and the right exact primitive at 100 TB: one map-side-combinable
@@ -582,8 +620,11 @@ object Events {
       topPaths(Tables.events(s, d), "user_id", "event_type", "ts", "event_id",
         k = 5, top = 50)),
 
+    // sketches graded in-query against exact values: flags + exact
+    // values are the output, so the row is oracle-checkable even though
+    // the sketch values themselves are engine-specific
     "events_approx_stats" -> ((s, d) =>
-      approxStats(Tables.events(s, d), "event_type", "user_id", "value")
+      approxStatsChecked(Tables.events(s, d), "event_type", "user_id", "value")
         .orderBy("event_type")),
 
     // the EXACT half of the monitoring stats (count / extrema per type) —
@@ -743,6 +784,11 @@ object Events {
       """SELECT event_type, CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bin, count(*) AS n FROM events GROUP BY event_type, bin ORDER BY event_type, bin""",
     "events_exact_stats" ->
       """SELECT event_type, count(*) AS n_events, min(value) AS min_value, max(value) AS max_value, min(ts) AS min_ts, max(ts) AS max_ts FROM events GROUP BY event_type ORDER BY event_type""",
+    // the exact values are recomputed in SQL; the flags assert the
+    // engine-side sketches sat inside their documented bounds — any
+    // sketch drift flips a flag and fails the hash
+    "events_approx_stats" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users, count(*)::BIGINT AS n_events, TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok FROM events GROUP BY event_type ORDER BY event_type""",
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type""",
     "events_recent" ->

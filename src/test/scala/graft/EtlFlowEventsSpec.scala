@@ -287,11 +287,24 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("events_approx_stats: sketches bounded against exact values") {
-    val approx = run("events_approx_stats").collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+  test("events_approx_stats: sketches graded in-query, every flag green") {
+    // the registered query outputs exact values + bound flags; the raw
+    // sketches must sit inside their documented error bounds
+    val rows = run("events_approx_stats").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} HLL outside +-15%")
+      assert(r.getBoolean(4), s"${r.getString(0)} p50 rank outside bound")
+      assert(r.getBoolean(5), s"${r.getString(0)} p95 rank outside bound")
+    }
+    // and the exact half agrees with the dedicated exact query
     val exact = run("events_distinct_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == exact(r.getString(0))))
+    // the raw sketch surface keeps its direct bound check too
+    val approx = graft.operators.Events.approxStats(
+      Tables.events(spark, sfDir), "event_type", "user_id", "value").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     approx.foreach { case (k, (users, p50, p95)) =>
       assert(math.abs(users - exact(k)).toDouble / exact(k) < 0.1, s"$k HLL off >10%")
       assert(p50 <= p95)
