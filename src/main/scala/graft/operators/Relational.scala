@@ -50,6 +50,39 @@ object Relational {
     }
   }
 
+  /** The reference's parseSearch (ProtoModel.ts:10-29) re-expressed:
+    * extract `key:value` and `key:"two words"` tags from a raw search
+    * string — keys lowercased, values quote-stripped and lowercased —
+    * leaving the residual free text trimmed. Driver-side string work:
+    * the search string is request-sized, never data-sized; only the
+    * predicates it compiles to touch the cluster.
+    */
+  def parseSearch(searchStr: String): (Map[String, String], String) = {
+    val tagRe = """(\w+):("[^"]+"|\S+)""".r
+    val tags = tagRe.findAllMatchIn(searchStr).map { m =>
+      m.group(1).toLowerCase -> m.group(2).replace("\"", "").toLowerCase
+    }.toMap
+    (tags, tagRe.replaceAllIn(searchStr, "").trim)
+  }
+
+  /** [[search]] driven by a RAW search string: parse, then predicate.
+    * Tag equality is case-insensitive (parseSearch lowercases the value,
+    * so we compare the lowercased column — the evident intent of
+    * ProtoModel.ts:197-202, whose literal lowercased-value-vs-raw-data
+    * comparison silently never matches mixed-case rows).
+    */
+  def searchParsed(df: DataFrame, searchFields: Seq[String], searchStr: String): DataFrame = {
+    val (tags, free) = parseSearch(searchStr)
+    val tagged = tags.foldLeft(df) { case (d, (k, v)) =>
+      d.filter(lower(col(k)) === lit(v))
+    }
+    if (free.isEmpty) tagged
+    else {
+      val needle = free.toLowerCase
+      tagged.filter(searchFields.map(f => lower(col(f)).contains(needle)).reduce(_ || _))
+    }
+  }
+
   /** AutoAPI list pagination: global sort (with deterministic tiebreak) then
     * page window (generateApi.ts:180-202). Sort+limit compiles to
     * TakeOrderedAndProject: each partition keeps only page_end rows, so no
@@ -439,6 +472,14 @@ object Relational {
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
         .orderBy("p_partkey")),
 
+    // the raw-string path: a quoted two-word tag + residual free text,
+    // parsed by parseSearch exactly as the reference's regex does
+    "q_search_tags_quoted" -> ((s, d) =>
+      searchParsed(Tables.part(s, d), Seq("p_name", "p_brand", "p_type"),
+        """p_name:"small ring" Brand#1""")
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
     "q_orderby_page" -> ((s, d) =>
       orderPage(Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority"),
         "o_totalprice", asc = false, tiebreak = "o_orderkey", page = 2, itemsPerPage = 25)),
@@ -720,6 +761,8 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders WHERE o_totalprice >= 10000.0 AND o_totalprice <= 200000.0 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate <= TIMESTAMP '1998-12-31 00:00:00' ORDER BY o_orderkey""",
     "q_search_tags" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part WHERE p_brand = 'Brand#13' AND (lower(p_name) LIKE '%pro%' OR lower(p_brand) LIKE '%pro%' OR lower(p_type) LIKE '%pro%') ORDER BY p_partkey""",
+    "q_search_tags_quoted" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part WHERE lower(p_name) = 'small ring' AND (lower(p_name) LIKE '%brand#1%' OR lower(p_brand) LIKE '%brand#1%' OR lower(p_type) LIKE '%brand#1%') ORDER BY p_partkey""",
     "q_orderby_page" ->
       """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25 OFFSET 50""",
     "q_orderby_page_envelope" ->

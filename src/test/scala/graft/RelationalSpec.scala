@@ -46,6 +46,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
   }
 
+  test("parseSearch: quoted phrases, bare tags, residual free text") {
+    import graft.operators.Relational.parseSearch
+    // the reference regex: (\w+):("[^"]+"|\S+) — quotes stripped,
+    // keys and values lowercased, matched text removed from the residue
+    assert(parseSearch("""Name:"Two Words" other:plain  free text""") ==
+      (Map("name" -> "two words", "other" -> "plain"), "free text"))
+    assert(parseSearch("no tags at all") == (Map.empty[String, String], "no tags at all"))
+    assert(parseSearch("""k:"a b"""") == (Map("k" -> "a b"), ""))
+  }
+
+  test("q_search_tags_quoted: quoted tag exact-matches, free text filters") {
+    val rows = run("q_search_tags_quoted").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1).toLowerCase == "small ring")
+      assert(Seq(1, 2, 3).exists(i => r.getString(i).toLowerCase.contains("brand#1")))
+    }
+  }
+
   test("q_join_links keeps every order and is a broadcast join") {
     val df = run("q_join_links")
     val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
