@@ -127,13 +127,33 @@ object Dedup {
     */
   def minhashPairsOfReps(reps: DataFrame, id: String, textCol: String,
                          n: Int, k: Int, rowsPerBand: Int,
-                         bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+                         bucketCap: Int = Dedup.defaultBucketCap,
+                         prebuiltSigs: Option[DataFrame] = None): DataFrame = {
+    val sig = sigsFor(reps, id, textCol, n, k, prebuiltSigs)
     val buckets = capBuckets(
-      bandBuckets(minhashSignatures(reps, id, textCol, n, k), k, rowsPerBand),
+      bandBuckets(sig, k, rowsPerBand),
       Seq("band_key"), id, bucketCap)
     bucketPairJoin(buckets, buckets, id, k, "id_a", "id_b",
       col("id_a") < col("id_b"), broadcastLeft = false)
   }
+
+  /** Signatures for a rep set: computed fresh, or — when a session
+    * signature index keyed by content hash is supplied ([[sigsByTextOf]])
+    * — pulled by content-hash join, because a MinHash signature is a
+    * pure function of the text. The join is reps-sized (narrow id+hash
+    * vs hash+k ints); the shingle explode and k/4 md5 calls per shingle
+    * — the dominant cost of every LSH chain — happen once per session
+    * instead of once per variant. The prebuilt index MUST be built at
+    * the same (n, k); the callers pin both to the oracle constants.
+    */
+  private def sigsFor(reps: DataFrame, id: String, textCol: String,
+                      n: Int, k: Int,
+                      prebuiltSigs: Option[DataFrame]): DataFrame =
+    prebuiltSigs match {
+      case Some(sb) =>
+        reps.select(col(id), md5(col(textCol)).as("_ch")).join(sb, "_ch").drop("_ch")
+      case None => minhashSignatures(reps, id, textCol, n, k)
+    }
 
   /** Shared band-bucket pair join: rename both sides' signatures apart,
     * equi-join on the band key (plus `extraCond`), estimate similarity as
@@ -172,10 +192,11 @@ object Dedup {
     */
   def incrementalPairs(corpus: DataFrame, batch: DataFrame, id: String,
                        textCol: String, n: Int, k: Int, rowsPerBand: Int,
-                       batchCap: Int = Dedup.defaultBucketCap): DataFrame = {
+                       batchCap: Int = Dedup.defaultBucketCap,
+                       prebuiltSigs: Option[DataFrame] = None): DataFrame = {
     def bandsOf(docs: DataFrame) = bandBuckets(
-      minhashSignatures(representatives(docs, id, textCol).select(col(id), col(textCol)),
-        id, textCol, n, k), k, rowsPerBand)
+      sigsFor(representatives(docs, id, textCol).select(col(id), col(textCol)),
+        id, textCol, n, k, prebuiltSigs), k, rowsPerBand)
     bucketPairJoin(capBuckets(bandsOf(batch), Seq("band_key"), id, batchCap),
       bandsOf(corpus), id, k, "batch_id", "corpus_id",
       lit(true), broadcastLeft = true)
@@ -329,11 +350,12 @@ object Dedup {
     */
   def minhashPairsScoped(docs: DataFrame, id: String, textCol: String,
                          scope: String, n: Int, k: Int, rowsPerBand: Int,
-                         bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+                         bucketCap: Int = Dedup.defaultBucketCap,
+                         prebuiltSigs: Option[DataFrame] = None): DataFrame = {
     val reps = docs.groupBy(col(scope), md5(col(textCol)).as("_ch"))
       .agg(min(struct(col(id), col(textCol))).as("_f"))
       .select(col(scope), col(s"_f.$id").as(id), col(s"_f.$textCol").as(textCol))
-    val sig = minhashSignatures(reps.select(col(id), col(textCol)), id, textCol, n, k)
+    val sig = sigsFor(reps.select(col(id), col(textCol)), id, textCol, n, k, prebuiltSigs)
       .join(reps.select(col(id), col(scope)), id) // reps ids are unique
     val buckets = capBuckets(
       bandBuckets(sig, k, rowsPerBand)
@@ -769,11 +791,29 @@ object Dedup {
     * once per metric. dedup_minhash stays the raw, per-run-priced build
     * of exactly this table.
     */
-  def pairsOf(s: SparkSession, d: String): DataFrame = {
+  /** Session SIGNATURE index: one MinHash signature row per distinct
+    * text, keyed by content hash, at the oracle constants (n=3, k=8).
+    * This is THE expensive LSH computation (shingle explode + k/4 md5
+    * per shingle); the scoped / incremental / decon variants each have
+    * their own rep sets (per-scope minima, batch/corpus subsets) but a
+    * signature depends only on the text — so every variant joins its
+    * ids onto this one table by content hash instead of re-hashing.
+    */
+  def sigsByTextOf(s: SparkSession, d: String): DataFrame = {
     val reps = repsOf(s, d) // resolved OUTSIDE the thunk (not re-entrant)
+    graft.IndexCache.of(s"$d|sigs|3|8")(
+      minhashSignatures(reps.select("doc_id", "text"), "doc_id", "text", n = 3, k = 8)
+        .join(reps.select(col("doc_id"), md5(col("text")).as("_ch")), "doc_id")
+        .drop("doc_id"))
+  }
+
+  def pairsOf(s: SparkSession, d: String): DataFrame = {
+    val reps = repsOf(s, d)          // both dependencies resolved OUTSIDE
+    val sigs = sigsByTextOf(s, d)    // the thunk (not re-entrant)
     graft.IndexCache.of(s"$d|pairs|3|8|2")(
       minhashPairsOfReps(reps.select("doc_id", "text"),
-        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2))
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2,
+        prebuiltSigs = Some(sigs)))
   }
 
   /** Minhash near-dup component labelling (doc_id → cluster) over the
@@ -810,20 +850,24 @@ object Dedup {
         Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", maxDist = 64)),
 
-    // ingest increment (doc_id % 10 == 0) vs existing corpus (the rest)
+    // ingest increment (doc_id % 10 == 0) vs existing corpus (the rest);
+    // signatures pulled from the shared session index by content hash
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       incrementalPairs(
         corpus = docs.filter(col("doc_id") % 10 =!= 0),
         batch = docs.filter(col("doc_id") % 10 === 0),
-        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2,
+        prebuiltSigs = Some(sigsByTextOf(s, d)))
         .orderBy("batch_id", "corpus_id")
     }),
 
-    // dedup scoped per source: pairs never cross the source boundary
+    // dedup scoped per source: pairs never cross the source boundary;
+    // per-scope reps join the shared signature index by content hash
     "dedup_scoped" -> ((s, d) =>
       minhashPairsScoped(Tables.documents(s, d).select("doc_id", "text", "source"),
-        "doc_id", "text", scope = "source", n = 3, k = 8, rowsPerBand = 2)
+        "doc_id", "text", scope = "source", n = 3, k = 8, rowsPerBand = 2,
+        prebuiltSigs = Some(sigsByTextOf(s, d)))
         .orderBy("source", "id_a", "id_b")),
 
     // verify metrics run over the SHARED session pairs index (pairsOf);
@@ -951,7 +995,8 @@ object Dedup {
       incrementalPairs(
         corpus = docs.filter(col("doc_id") >= 20),
         batch = docs.filter(col("doc_id") < 20),
-        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2,
+        prebuiltSigs = Some(sigsByTextOf(s, d)))
         .select(col("batch_id").as("bench_id"), col("corpus_id"), col("est_sim"))
         .orderBy("bench_id", "corpus_id")
     })
