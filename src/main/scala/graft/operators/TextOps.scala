@@ -318,18 +318,33 @@ object TextOps {
     * sees distinct documents but long shared spans remain.
     *
     * Shape: fingerprints stay doc-local (the zero-shuffle native kernel)
-    * until the explode; span document-frequency is ONE hash agg on the
-    * fingerprint (uniform 32-bit key, map-side combinable); the join back
-    * runs on the same fp partitioning. The per-doc fraction is an average
-    * of 0/1 indicators through Stable (exact decimal sum + integer
-    * rounding — a raw round(double ratio) can flip between engines).
-    * Docs too short to fingerprint surface with n_fps = 0 and frac 0.
+    * until the explode, then ONE explicit repartition on the fingerprint
+    * feeds BOTH the span document-frequency aggregate and the probe side
+    * of the join back — the two consumers share the exchange
+    * (ReuseExchange), so the fingerprint kernel + explode run once and
+    * the join needs no second shuffle of the fp table. (Leaving the agg
+    * to plan its own exchange puts partial-agg rows in it, which defeats
+    * the reuse and computes the kernel twice — measured 2× slower at 10×
+    * scale.) The per-doc fraction is an average of 0/1 indicators through
+    * Stable (exact decimal sum + integer rounding — a raw round(double
+    * ratio) can flip between engines). Docs too short to fingerprint
+    * surface with n_fps = 0 and frac 0.
     */
   def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
                       k: Int, w: Int): DataFrame = {
-    val fps = df.select(col(idCol), explode(
-      graft.functions.GraftFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
-    val spanDf = fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+    // The explicit isNotNull mirrors the constraint the final doc-grain
+    // LEFT join infers on its build side; without it the inferred filter
+    // pushes into only the probe branch's scan and the two subtrees stop
+    // canonicalizing equal. The `count(idCol)` leg is count(1) in
+    // disguise (ids are non-null): it keeps idCol referenced so column
+    // pruning can't specialize this branch away from the join's either.
+    // Identical subtrees are what lets ReuseExchange fire.
+    val fps = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(
+        graft.functions.GraftFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .repartition(col("fp"))
+    val spanDf = fps.groupBy(col("fp"))
+      .agg(count(col(idCol)).as("_df"))
     val ind = when(col("_df") >= 2, 1.0).otherwise(0.0)
     val perDoc = fps.join(spanDf, "fp")
       .groupBy(col(idCol))

@@ -124,6 +124,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_dup_spans runs the winnow kernel once (exchange reused)") {
+    // The span-frequency aggregate and the join probe both consume the
+    // one repartition-by-fp exchange; if the subtrees stop canonicalizing
+    // equal (pruning/filter asymmetry), the corpus fingerprint kernel
+    // silently runs twice — 2.4× slower at 10× scale.
+    val df = run("text_dup_spans")
+    df.collect() // AQE reuse only materializes in the executed plan
+    val fin = plan(df).split("== Initial Plan ==")(0)
+    assert("winnowfingerprints".r.findAllIn(fin).size == 1,
+      s"fingerprint kernel computed more than once:\n${fin.take(2000)}")
+    assert(fin.contains("Reused"), s"no exchange reuse:\n${fin.take(2000)}")
+  }
+
   test("mm_decode_meta is a pure projection: no joins, no shuffles") {
     val p = plan(run("mm_decode_meta"))
     assert(!p.contains("Join"), p.take(1500))
