@@ -41,6 +41,19 @@ object Stable {
     */
   def sumRounded(c: Column, dp: Int): Column = round(sumDec(c), dp).cast("double")
 
+  /** [[sumRounded]] for STREAMING stateful aggregates, over the builtin
+    * decimal Sum instead of [[graft.functions.SumDec6]]. Two reasons a
+    * streaming agg must not ride the kernel: (a) the aggregation-buffer
+    * schema is part of the checkpoint contract — swapping one decimal
+    * buffer for SumDec6's (hi, lo, seen) makes every existing checkpoint
+    * unrestartable; (b) SumDec6 fail-fasts above ~9.2e12 absolute input,
+    * a narrowing a long-lived stream can't tolerate mid-flight. Values
+    * are identical (both sums are exact decimals; PropertySpec pins the
+    * bit-equality), so the streaming==batch twin specs hold either way.
+    */
+  def sumRoundedStream(c: Column, dp: Int): Column =
+    round(sumDecRef(c), dp).cast("double")
+
   /** round(sum/n, dp) as double — stable average. round() on a DOUBLE is
     * NOT portable at exact decimal halves (Spark rounds the shortest
     * decimal string half-up; DuckDB rounds the binary value, which sits

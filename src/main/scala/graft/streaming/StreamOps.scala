@@ -37,7 +37,7 @@ object StreamOps {
       .groupBy(slide.map(s => window(col(ts), win, s)).getOrElse(window(col(ts), win)) +:
         keys.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
-        graft.operators.Stable.sumRounded(col("value"), 2).as("sum_value"))
+        graft.operators.Stable.sumRoundedStream(col("value"), 2).as("sum_value"))
       .select(col("window.start").as("window_start") +: keys.map(col) :+
         col("n_events") :+ col("sum_value"): _*)
 
@@ -53,7 +53,7 @@ object StreamOps {
     events.withWatermark(ts, delay)
       .groupBy(col(key), session_window(col(ts), gap))
       .agg(count(lit(1)).as("n_events"),
-        graft.operators.Stable.sumRounded(col("value"), 2).as("sum_value"),
+        graft.operators.Stable.sumRoundedStream(col("value"), 2).as("sum_value"),
         min(col(ts)).as("session_start"),
         max(col(ts)).as("session_end"))
       .select(col(key), col("session_start"), col("session_end"),
