@@ -22,6 +22,10 @@ object GraftSession {
       // test tables carry TIMESTAMP(NANOS) which the vectorized reader
       // rejects; read as long and convert in Tables.events (μs-lossless)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generator emits TIMESTAMP(μs) without isAdjustedToUTC; with the
+      // session pinned to UTC the LTZ reading is value-identical to NTZ
+      // and matches DuckDB's naive-timestamp reading of the same files
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // the default 100-entry generated-class cache thrashes once ~60
       // distinct queries (some with large literal-array expressions) run
       // in one JVM: re-Janino-compiling the biggest classes cost seconds

@@ -337,8 +337,8 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 10)
     val revs = rows.map(_.getDouble(1))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
-    val cutoff = java.time.LocalDateTime.parse("1995-03-15T00:00:00")
-    assert(rows.forall(_.getAs[java.time.LocalDateTime](2).isBefore(cutoff)))
+    val cutoff = java.sql.Timestamp.valueOf("1995-03-15 00:00:00")
+    assert(rows.forall(_.getTimestamp(2).before(cutoff)))
     // the final top-10 must be a per-partition heap, not a range sort
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
