@@ -122,6 +122,41 @@ object Io {
     spark.read.parquet(path)
   }
 
+  /** One-file-per-row blob export — the fixture/export half of the blob
+    * ingestion pair. Each row lands as its own file named by `nameCol`
+    * (executor-local file IO; on a real deployment the export side is an
+    * object-store API — the operator under test here is the READER).
+    */
+  def writeBlobFiles(df: DataFrame, dir: String, nameCol: Column, payloadCol: Column): Unit = {
+    val target = new java.io.File(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    target.mkdirs()
+    df.select(nameCol.cast("string").as("_name"), payloadCol.cast("binary").as("_bytes"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0)), r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** Blob-directory reader: Spark's `binaryFile` source — the real
+    * ingestion path for a 100 TB image/audio corpus laid out as one
+    * object per item. Listing is distributed, each file becomes one
+    * (path, length, content) row (files are never split — a blob is an
+    * atomic value), and `pathGlobFilter` prunes at LISTING time, so a
+    * glob over a million-object prefix never opens non-matching files.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
+  /** Whole-file text reader (`wholetext`): one document per file — the
+    * classic LLM-corpus drop layout. Same distributed-listing contract
+    * as `binaryFile`; each file arrives as a single string row.
+    */
+  def readWholeTextFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+
   /** KV batch-write shape: the reference batch-writes <= `batchSize` items
     * per request to a key-value store (apis/etl.ts:44-52 -> DynamoDB
     * batchWrite). Distributed equivalent: bucket rows per partition key
@@ -190,6 +225,34 @@ object Io {
         .orderBy("o_orderkey")
     }),
 
+    // one-object-per-item blob layout read back through the binaryFile
+    // source; content decoded for the compare (ASCII corpus — the same
+    // byte/char-unit caveat the levenshtein oracle documents)
+    "src_binary_files" -> ((s, d) => {
+      val out = s"$scratch/blob"
+      writeBlobFiles(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        out, concat(lit("doc_"), col("doc_id"), lit(".txt")), col("text"))
+      readBinaryFiles(s, out, "*.txt")
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+          col("length").as("n_bytes"),
+          col("content").cast("string").as("text"))
+        .orderBy("file_name")
+    }),
+
+    // the same blob layout as one-document-per-file TEXT (wholetext) —
+    // the LLM corpus-drop ingestion shape
+    "src_text_files" -> ((s, d) => {
+      val out = s"$scratch/blob"
+      writeBlobFiles(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+        out, concat(lit("doc_"), col("doc_id"), lit(".txt")), col("text"))
+      readWholeTextFiles(s, out)
+        .select(col("_metadata.file_name").as("file_name"), col("value").as("text"))
+        .orderBy("file_name")
+    }),
+
     "sink_kv_batches" -> ((s, d) =>
       kvBatches(Tables.events(s, d),
         key = pmod(col("user_id"), lit(50)),
@@ -220,6 +283,10 @@ object Io {
       """SELECT o_orderkey, o_totalprice, CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority FROM orders ORDER BY o_orderkey""",
     "sink_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS sum_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "src_binary_files" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS file_name, octet_length(text::BLOB)::BIGINT AS n_bytes, text FROM documents WHERE doc_id % 10 = 0 ORDER BY file_name""",
+    "src_text_files" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS file_name, text FROM documents WHERE doc_id % 10 = 0 ORDER BY file_name""",
     "sink_kv_batches" ->
       """WITH p AS (SELECT user_id % 50 AS pk, to_json(struct_pack(event_id := event_id, event_type := event_type, value := value))::VARCHAR AS payload FROM events), b AS (SELECT pk, payload, (row_number() OVER (PARTITION BY pk ORDER BY payload) - 1) // 25 AS batch_seq FROM p) SELECT pk, batch_seq, count(*) AS n_items, md5(string_agg(payload, chr(10) ORDER BY payload)) AS digest FROM b GROUP BY pk, batch_seq ORDER BY pk, batch_seq"""
   )

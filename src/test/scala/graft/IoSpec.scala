@@ -39,6 +39,39 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile blob read-back: every exported doc arrives byte-complete") {
+    val got = run("src_binary_files").collect()
+    val src = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("file_name"), col("text"))
+      .orderBy("file_name").collect()
+    assert(got.length == src.length && got.nonEmpty)
+    got.zip(src).foreach { case (g, s) =>
+      assert(g.getString(0) == s.getString(0))
+      assert(g.getLong(1) == s.getString(1).getBytes("UTF-8").length.toLong)
+      assert(g.getString(2) == s.getString(1))
+    }
+  }
+
+  test("wholetext read: one row per file, content identical to the export") {
+    val got = run("src_text_files").collect()
+    val bin = run("src_binary_files").collect()
+    assert(got.length == bin.length)
+    got.zip(bin).foreach { case (t, b) =>
+      assert(t.getString(0) == b.getString(0) && t.getString(1) == b.getString(2))
+    }
+  }
+
+  test("binaryFile pathGlobFilter prunes non-matching files at listing time") {
+    run("src_binary_files").collect() // materialize the fixture dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_io/blob/ignore.bin"),
+      "not a doc".getBytes("UTF-8"))
+    val got = graft.sources.Io.readBinaryFiles(spark, "/tmp/graft_io/blob", "*.txt")
+    assert(!got.select("path").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().exists(_.endsWith("ignore.bin")))
+  }
+
   test("atomicParquetArtifact: a crashed half-write is swept and rebuilt") {
     val s = spark
     import s.implicits._
