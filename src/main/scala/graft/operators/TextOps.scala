@@ -358,6 +358,45 @@ object TextOps {
         coalesce(col("dup_span_frac"), lit(0.0)).as("dup_span_frac"))
   }
 
+  /** Span-level decontamination: for each corpus doc, the fraction of its
+    * winnowing fingerprints that appear anywhere in the BENCHMARK set —
+    * the localization complement of the shingle-overlap and minhash decon
+    * checks: those say "this doc is suspiciously close to a benchmark
+    * item"; this one says "this many of its spans literally collide",
+    * catching a long quoted answer pasted into an otherwise-unrelated doc
+    * (doc-level similarity stays low, span collision is high).
+    *
+    * Shape: the benchmark fingerprint set is tiny by definition (eval
+    * suites, not corpora) and BROADCASTS; corpus fingerprints come off
+    * the one-pass native winnow kernel, doc-local, with the kernel run
+    * ONCE (n_fps rides the explode as a constant-per-doc column instead
+    * of a second kernel pass). The only exchange is the final doc-grain
+    * re-agg, and map-side partial agg collapses each doc's fp rows in
+    * place first (a doc's fingerprints are produced in one task), so the
+    * shuffle carries one row per doc. At 100 TB: one filtered pass over
+    * the corpus, no corpus-side join shuffle.
+    */
+  def spanContamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, k: Int, w: Int): DataFrame = {
+    val bfp = bench
+      .select(explode(
+        graft.functions.GraftFunctions.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    val rows = corpus.select(col(idCol),
+        graft.functions.GraftFunctions.winnowFingerprints(col(textCol), k, w).as("_fps"))
+      .select(col(idCol), size(col("_fps")).cast("long").as("n_fps"),
+        explode_outer(col("_fps")).as("fp"))
+    rows.join(broadcast(bfp), Seq("fp"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(max(col("n_fps")).as("n_fps"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .select(col(idCol), col("n_fps"), col("n_hits"),
+        when(col("n_fps") === 0, lit(0.0))
+          .otherwise(Stable.ratioRounded(col("n_hits"), col("n_fps"), 4))
+          .as("contam_frac"))
+  }
+
   /** Deterministic train/val/test split: the id's content-hash draw
     * (first 4 md5 nibbles, uniform on [0, 65536)) lands in cumulative
     * weight buckets — no RNG state, so the assignment is reproducible
@@ -829,6 +868,15 @@ object TextOps {
         "doc_id", "text", k = 8, w = 4)
         .orderBy("doc_id")),
 
+    // span-level decontamination: share of each corpus doc's winnow
+    // fingerprints colliding with the benchmark set (doc_id < 20)
+    "decon_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      spanContamination(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id")
+    }),
+
     // stable 80/10/10 train/val/test assignment by content-hash draw
     "sample_hash_split" -> ((s, d) =>
       hashSplit(Tables.documents(s, d).select("doc_id", "source"), "doc_id",
@@ -1009,6 +1057,11 @@ object TextOps {
     // document frequencies and the per-doc Stable-rounded indicator mean
     "text_dup_spans" ->
       s"""WITH hs AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN list_transform(range(1, length(text) - 6), i -> ${sqlHex32("substr(text, i, 8)")}) ELSE []::BIGINT[] END AS hl FROM documents), wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN list_distinct(list_transform(range(1, len(hl) - 2), j -> list_min(hl[j:j+3]))) ELSE []::BIGINT[] END AS fps FROM hs), u AS (SELECT doc_id, unnest(fps) AS fp FROM wn), dfs AS (SELECT fp, count(*) AS df FROM u GROUP BY fp), j AS (SELECT u.doc_id, CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END AS ind FROM u JOIN dfs USING (fp)), per AS (SELECT doc_id, count(*) AS n_fps, sum(ind)::BIGINT AS n_shared, ${Stable.sqlAvgRounded("ind", 4)} AS dup_span_frac FROM j GROUP BY doc_id) SELECT w.doc_id, coalesce(p.n_fps, 0)::BIGINT AS n_fps, coalesce(p.n_shared, 0)::BIGINT AS n_shared, coalesce(p.dup_span_frac, 0.0) AS dup_span_frac FROM wn w LEFT JOIN per p USING (doc_id) ORDER BY doc_id""",
+    // the text_dup_spans winnow CTE split benchmark/corpus: distinct
+    // benchmark fps, per-corpus-doc collision count, Stable ratio
+    "decon_spans" ->
+      s"""WITH hs AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN list_transform(range(1, length(text) - 6), i -> ${sqlHex32("substr(text, i, 8)")}) ELSE []::BIGINT[] END AS hl FROM documents), wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN list_distinct(list_transform(range(1, len(hl) - 2), j -> list_min(hl[j:j+3]))) ELSE []::BIGINT[] END AS fps FROM hs), b AS (SELECT DISTINCT unnest(fps) AS fp FROM wn WHERE doc_id < 20), c AS (SELECT doc_id, fps FROM wn WHERE doc_id >= 20), u AS (SELECT doc_id, unnest(fps) AS fp FROM c), h AS (SELECT u.doc_id, count(*) AS n_hits FROM u JOIN b USING (fp) GROUP BY u.doc_id) SELECT c.doc_id, len(c.fps)::BIGINT AS n_fps, coalesce(h.n_hits, 0)::BIGINT AS n_hits, CASE WHEN len(c.fps) = 0 THEN 0.0 ELSE ${Stable.sqlRatioRounded("coalesce(h.n_hits, 0)", "len(c.fps)", 4)} END AS contam_frac FROM c LEFT JOIN h USING (doc_id) ORDER BY c.doc_id""",
+
     // the same 4-nibble draw the mix_sources oracle uses; cut arithmetic
     // mirrors Spark's double fold (integer draws never land on the 1e-10
     // cut differences, so 0.8/0.9 literals are safe)

@@ -445,6 +445,30 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.values.exists(_._3 > 0.5), "planted near-dups should share spans")
   }
 
+  test("decon_spans == brute-force bench-fp collisions, bench side broadcast") {
+    val df = run("decon_spans")
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val fps = Tables.documents(spark, sfDir).select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowFingerprints(col("text"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val benchSet = fps.filter(_._1 < 20).values.flatten.toSet
+    val corpus = fps.filter(_._1 >= 20)
+    assert(rows.keySet == corpus.keySet, "every corpus doc must surface")
+    corpus.foreach { case (id, set) =>
+      val (nFps, nHits, frac) = rows(id)
+      assert(nFps == set.size)
+      assert(nHits == set.count(benchSet.contains))
+      if (nFps > 0) assert(math.abs(frac - nHits.toDouble / nFps) < 1e-4)
+      else assert(frac == 0.0)
+    }
+    // benchmark fingerprints ride a broadcast — the corpus side never
+    // shuffles for the join (the only exchange is the doc-grain re-agg)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), "bench fp set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
   test("sample_hash_split: stable under corpus growth, rates near weights") {
     val full = run("sample_hash_split").collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
