@@ -257,6 +257,34 @@ object Etl {
       .select((df.columns.filter(_ != jsonCol).map(col) ++
         schema.fields.map(f => col(s"_j.${f.name}").as(f.name))): _*)
 
+  /** Snapshot DIFF — the dataset-versioning primitive: between two corpus
+    * versions, which documents were added, removed, or changed (by
+    * content hash)? This is what a pipeline runs between ingest snapshots
+    * to size incremental work (re-embed only `changed`+`added`, retire
+    * `removed` from indexes) and to audit a release ("v2 = v1 − 1.2M
+    * boilerplate docs + 0.4M new crawl").
+    *
+    * Shape: each side collapses to (id, content-hash) — hashing is
+    * scan-local, so the join carries two narrow id+16-byte streams, never
+    * the documents. One id-grain shuffle per side (zero if both snapshots
+    * are bucketed on id — writeBucketed is the companion layout), and the
+    * UNCHANGED bulk — at 100 TB essentially everything — is filtered
+    * before materialization, so output is change-sized, not corpus-sized.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(contentCol).cast("binary")).as("old_hash"))
+    val n = newDf.select(col(idCol), md5(col(contentCol).cast("binary")).as("new_hash"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col(idCol), col("status"), col("old_hash"), col("new_hash"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -359,6 +387,20 @@ object Etl {
     // the merge_upsert change stream kept as SCD2 history: every version
     // becomes a validity interval, tombstones included (a deleted row's
     // current interval records the deletion)
+    // snapshot v2 = v1 minus short docs, every 7th doc normalized, plus
+    // 10 new arrivals — exercising removed/changed/added in one diff
+    "etl_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.select("doc_id", "text")
+      val v2 = docs.filter(col("n_chars") >= 50)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      snapshotDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
+    }),
+
     "etl_scd2" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -400,6 +442,9 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same v1/v2 construction and hash-compare, stated relationally
+    "etl_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS old_hash FROM documents), v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS new_hash FROM documents WHERE n_chars >= 50 UNION ALL SELECT doc_id + 1000000 AS doc_id, md5(text) AS new_hash FROM documents WHERE doc_id < 10) SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, CASE WHEN v1.doc_id IS NULL THEN 'added' WHEN v2.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status, v1.old_hash, v2.new_hash FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.old_hash != v2.new_hash ORDER BY doc_id""",
     // the oracle IS the invariant: a from-scratch rebuild over all rows
     // must equal the incrementally-maintained aggregate
     "etl_agg_maintain" ->

@@ -26,6 +26,36 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("etl_snapshot_diff: added/removed/changed partition exactly, unchanged never surfaces") {
+    val rows = run("etl_snapshot_diff").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    docs.foreach { case (id, text, nChars) =>
+      val expected =
+        if (nChars < 50) Some("removed")
+        else if (id % 7 == 0 && text.toUpperCase != text) Some("changed")
+        else None
+      expected match {
+        case Some(st) => assert(rows(id)._1 == st, s"doc $id expected $st")
+        case None     => assert(!rows.contains(id), s"doc $id should be unchanged")
+      }
+    }
+    docs.filter(_._1 < 10).foreach { case (id, _, _) =>
+      assert(rows(id + 1000000L)._1 == "added")
+    }
+    // all three statuses exercised; added rows have no old hash,
+    // removed rows no new hash, changed rows both
+    rows.values.foreach {
+      case ("added", oh, nh)   => assert(oh == null && nh != null)
+      case ("removed", oh, nh) => assert(oh != null && nh == null)
+      case ("changed", oh, nh) => assert(oh != null && nh != null && oh != nh)
+      case other               => fail(s"unexpected status $other")
+    }
+    assert(Set("added", "removed", "changed").subsetOf(rows.values.map(_._1).toSet))
+  }
+
   test("merge_upsert: update wins, delete tombstones, insert lands, late version loses") {
     val s = spark
     import s.implicits._
