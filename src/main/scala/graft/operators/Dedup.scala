@@ -598,6 +598,39 @@ object Dedup {
     * implementations may differ by ulps — why α is fixed at 0.5 here:
     * other temperatures would need a portable rational-power ladder).
     */
+  /** Token-budget planning table: given a target mix (integer percent
+    * weights) and a total training-token budget, what does each source
+    * contribute per epoch, how many epochs must it repeat to fill its
+    * share, and does that exceed the repetition cap? This is the planner
+    * behind every data-mixing config — weights come from a mixing law,
+    * the budget from compute, and `epochs > cap` is the signal to go
+    * collect more of a source rather than over-repeat it.
+    *
+    * One corpus pass (per-source whitespace-token sum, map-side
+    * combined), then source-grain arithmetic on an n_sources-row table.
+    * Targets use integer arithmetic (budget × pct ÷ 100) and the epoch
+    * ratio goes through Stable — both engine-portable where a
+    * double-weight multiply could flip a floor on a tie.
+    */
+  def mixTokenBudget(df: DataFrame, sourceCol: String, textCol: String,
+                     weightsPct: Seq[(String, Long)], budgetTokens: Long,
+                     epochCap: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weightsPct.toDF("source", "weight_pct")
+    val avail = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(graft.operators.TextOps.tokens(col(textCol))).cast("long"))
+        .as("avail_tokens"))
+    avail.join(broadcast(wdf), "source")
+      .withColumn("target_tokens", expr(s"($budgetTokens * weight_pct) div 100"))
+      .withColumn("epochs",
+        Stable.ratioRounded(col("target_tokens"), col("avail_tokens"), 4))
+      .withColumn("over_cap", col("epochs") > lit(epochCap))
+      .select("source", "weight_pct", "avail_tokens", "target_tokens",
+        "epochs", "over_cap")
+  }
+
   def mixTemperatureHalf(df: DataFrame, sourceCol: String, idCol: String): DataFrame = {
     // NULL sources fold into a sentinel group for BOTH the counts and the
     // join key: a plain inner join on sourceCol would silently drop every
@@ -968,6 +1001,15 @@ object Dedup {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // epoch/budget planning table for a 60/30/10 mix over a 10M-token
+    // budget with a 4-epoch repetition cap
+    "mix_token_budget" -> ((s, d) =>
+      mixTokenBudget(Tables.documents(s, d).select("source", "text"),
+        sourceCol = "source", textCol = "text",
+        weightsPct = Seq(("src0", 60L), ("src1", 30L), ("src2", 10L)),
+        budgetTokens = 10000000L, epochCap = 4.0)
+        .orderBy("source")),
+
     // verbatim-phrase contamination: probe = first 5 tokens of each
     // benchmark doc (the first 20 docs), scanned against the whole corpus
     "decon_exact" -> ((s, d) => {
@@ -1140,6 +1182,10 @@ object Dedup {
     // per-content counts
     "dedup_pipeline_e2e" ->
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id) SELECT r.doc_id, r.n_dupes FROM reps r JOIN comp c ON r.doc_id = c.id WHERE c.cluster = r.doc_id ORDER BY r.doc_id""",
+    // per-source token sums + integer-arithmetic targets + Stable epochs
+    "mix_token_budget" ->
+      raw"""WITH avail AS (SELECT source, sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail_tokens FROM documents GROUP BY source), w(source, weight_pct) AS (VALUES ('src0', 60), ('src1', 30), ('src2', 10)), t AS (SELECT a.source, w.weight_pct::BIGINT AS weight_pct, a.avail_tokens, ((10000000 * w.weight_pct) // 100)::BIGINT AS target_tokens FROM avail a JOIN w ON a.source = w.source) SELECT source, weight_pct, avail_tokens, target_tokens, ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} AS epochs, ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} > 4.0 AS over_cap FROM t ORDER BY source""",
+
     // deterministic weighted mix: 4-nibble md5 draw under rate*65536
     "mix_sources" ->
       s"""SELECT doc_id, source FROM documents WHERE $drawSql < (CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536 ORDER BY doc_id""",

@@ -390,6 +390,29 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == clusters)
   }
 
+  test("mix_token_budget: targets, epochs and cap flags match brute-force sums") {
+    val rows = run("mix_token_budget").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(rows.keySet == Set("src0", "src1", "src2"), "only configured sources")
+    val avail = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .filter(r => rows.contains(r.getString(0)))
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        src -> rs.map(_.getString(1).trim.split("\\s+").length.toLong).sum
+      }
+    val weights = Map("src0" -> 60L, "src1" -> 30L, "src2" -> 10L)
+    rows.foreach { case (src, (pct, av, target, epochs, overCap)) =>
+      assert(pct == weights(src))
+      assert(av == avail(src))
+      assert(target == 10000000L * pct / 100)
+      assert(math.abs(epochs - target.toDouble / av) < 1e-4)
+      assert(overCap == (epochs > 4.0))
+    }
+    // the 10M budget over this corpus forces repetition somewhere
+    assert(rows.values.exists(_._5), "some source should exceed the cap")
+  }
+
   test("mix_sources: deterministic, rates order the per-source keep fractions") {
     val a = run("mix_sources").collect().map(_.getLong(0))
     val b = run("mix_sources").collect().map(_.getLong(0))
