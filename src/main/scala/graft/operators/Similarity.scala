@@ -278,12 +278,24 @@ object Similarity {
       .select(col(id).as("neighbor_id"), col("ne").as("ce2"),
         col("_nn")(0)("cid").as("cid"))
 
+  /** `neighborPred` is the FILTERED-ANN path (vector search with a
+    * metadata predicate — "top-k among label=2 only"): the predicate
+    * applies to the posting-lists scan BEFORE any scoring, so pruned
+    * rows cost a codegen'd comparison, not a dot product. Real vector
+    * stores denormalize the filter columns into the index for exactly
+    * this pushdown; callers here pass prebuilt lists carrying the
+    * metadata column. Selective predicates thin each probed list, so
+    * recall against the filtered ground truth is recovered by probing
+    * MORE lists (raise nProbe) — the standard filtered-search knob.
+    */
   def simIvfAnn(df: DataFrame, id: String, emb: String,
                 cents: Seq[(Any, Seq[Double])], queryPred: Column,
                 nProbe: Int, k: Int, euclid: Boolean = false,
-                prebuiltLists: Option[DataFrame] = None): DataFrame = {
+                prebuiltLists: Option[DataFrame] = None,
+                neighborPred: Option[Column] = None): DataFrame = {
     val nrm = normalized(df, id, emb)
-    val lists = prebuiltLists.getOrElse(ivfListsTable(nrm, id, cents, euclid))
+    val lists0 = prebuiltLists.getOrElse(ivfListsTable(nrm, id, cents, euclid))
+    val lists = neighborPred.map(lists0.filter).getOrElse(lists0)
     // only QUERY rows need the nProbe-deep assignment — assign after the
     // predicate, not the whole corpus
     val probes = ivfAssign(nrm.filter(queryPred), cents, nProbe, euclid)
@@ -776,6 +788,29 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // metadata-FILTERED ANN: top-5 among label=2 vectors only, the
+    // predicate pushed to the posting-lists scan (label denormalized
+    // into the index), nProbe raised 2->4 to recover filtered recall
+    "sim_filtered_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
+        _ => kmeansCentroids(normalized(e, "vec_id", "embedding"),
+          "vec_id", c = ivfC, iters = ivfIters))
+      val nrmI = normalized(e, "vec_id", "embedding")
+      val lists = cachedIndex(s"$d|ivf_lists|$ivfC|$ivfIters")(
+        ivfListsTable(nrmI, "vec_id", cents, euclid = true))
+      val meta = Tables.embeddings(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("label"))
+      val listsMeta = cachedIndex(s"$d|ivf_lists_meta|$ivfC|$ivfIters")(
+        lists.join(meta, "neighbor_id"))
+      simIvfAnn(e, "vec_id", "embedding", cents,
+        queryPred = col("vec_id") < 10, nProbe = 4, k = 5, euclid = true,
+        prebuiltLists = Some(listsMeta),
+        neighborPred = Some(col("label") === 2))
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // k-means topic bucketing: every vector's cluster + cluster sizes —
     // the "balance the corpus by embedding cluster" curation view. The
     // assignment IS the session-lifetime IVF lists index (built once,
@@ -1087,6 +1122,10 @@ object Similarity {
     // identical results to the in-session index — same oracle
     "sim_ivfpq_persisted" -> ivfPqOracle,
     "sim_ivfpq_res_ann" -> resOracle,
+    // the sim_ivf_ann chain with the label denormalized into the lists,
+    // the predicate applied before scoring, and crank<=4 probes
+    "sim_filtered_ann" ->
+      s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT f.vec_id AS neighbor_id, f.cid, e.label FROM fr f JOIN embeddings e ON f.vec_id = e.vec_id WHERE f.crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 4), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id AND l.label = 2), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "sim_ivf_ann" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )

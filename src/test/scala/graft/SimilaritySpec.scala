@@ -39,6 +39,28 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9) }
   }
 
+  test("sim_filtered_ann: predicate holds, recall vs filtered brute force clears floor") {
+    val got = run("sim_filtered_ann").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // every neighbor satisfies the metadata predicate
+    val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (_, n, _) => assert(labels(n) == 2, s"neighbor $n label != 2") }
+    // filtered ground truth: brute-force top-5 among label=2 only
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val truth = Similarity.simTopK(
+      e.filter(col("label") === 2).select("vec_id", "embedding"),
+      e.filter(col("vec_id") < 10).select("vec_id", "embedding"),
+      "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    val recall = (truth & gotPairs).size.toDouble / truth.size
+    info(f"filtered recall@5 = $recall%.3f over ${truth.size} truth pairs")
+    assert(recall >= 0.6, f"filtered recall $recall%.3f below 0.6 floor")
+  }
+
   test("ivf list assignment is a zero-shuffle projection (no Exchange, no Window)") {
     import graft.operators.Similarity
     val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
