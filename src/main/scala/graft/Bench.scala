@@ -135,8 +135,12 @@ object Bench {
       s"""  "$n": {"median": ${fmt(results.toMap.apply(n), 3)}, "passes": $ts}"""
     }.mkString("{\n", ",\n", ",\n") +
       s"""  "_total": ${fmt(total, 3)}, "_sf": "$sfDir", "_failed": $failedJson\n}\n"""
+    // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the full-suite
+    // record — it lands in its own sidecar
+    val sidecarName =
+      if (only.isEmpty) "bench_full.json" else "bench_subset.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(sidecarName),
       sidecar.getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"bench sidecar write failed: $e") }
     println(out)
