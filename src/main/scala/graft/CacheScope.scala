@@ -17,6 +17,16 @@ import org.apache.spark.sql.DataFrame
   * has been materialized — Verify/Bench/the driver all consume a query
   * fully before building the next) sweeps everything registered earlier.
   * At most one invocation's blocks are ever outstanding.
+  *
+  * Fault-tolerance caveat for cluster deployments: `localCheckpoint`
+  * trades lineage for speed — its blocks live on executors with no
+  * recompute path, so losing an executor mid-job fails the job (Spark
+  * then retries it from the source). That is the right trade for the
+  * session-index pattern here (indexes are deterministic rebuilds of
+  * cheap intermediate state, and a retry rebuilds them), but a
+  * long-lived artifact that must survive executor churn belongs in the
+  * RELIABLE persistence paths instead: `atomicParquetArtifact` (the
+  * persisted index twins) or `spark.checkpoint` with a checkpoint dir.
   */
 object CacheScope {
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -683,6 +683,50 @@ object TextOps {
       .orderBy(col("n_docs").desc, col("sentence").asc)
       .limit(topK)
 
+  /** Sentence-level dedup WITH REMOVAL — the paragraph-dedup shape the
+    * large corpus pipelines run (strip repeated boilerplate/quoted
+    * blocks but KEEP one canonical copy): a sentence appearing in >=
+    * `minDocs` distinct documents survives only in the lowest-id doc
+    * containing it; every doc's remaining sentences are reassembled in
+    * order into a cleaned text column. Differs from [[boilerplate]]
+    * (which only REPORTS the repeated sentences) by emitting the
+    * cleaned corpus, and from doc-level dedup by operating inside
+    * documents.
+    *
+    * Shape: one sentence-grain hash agg builds the (sentence, df,
+    * first_doc) table, FILTERED to df >= minDocs before the join — the
+    * kept side is duplicated-sentences-only (boilerplate-sized in a
+    * healthy corpus), while singletons (the corpus-scale bulk) never
+    * join. No pinned broadcast hint: a pathologically duplicated
+    * corpus could still outgrow broadcast size, so AQE picks the
+    * strategy (the text_lm_score lesson). The re-concat is a doc-grain
+    * agg whose input rows are produced doc-locally by the split, so
+    * map-side partials collapse before the exchange.
+    */
+  def dedupSentences(df: DataFrame, idCol: String, textCol: String,
+                     minDocs: Long = 2): DataFrame = {
+    val s = sentences(df, idCol, textCol)
+      .select(col(idCol), col("sent_idx"), col("sentence"))
+    val dups = s.select(col(idCol), col("sentence")).distinct()
+      .groupBy("sentence")
+      .agg(count(lit(1)).as("_docs"), min(col(idCol)).as("_first"))
+      .filter(col("_docs") >= minDocs)
+    val kept = s.join(dups, Seq("sentence"), "left_outer")
+      .withColumn("_keep", col("_docs").isNull || col(idCol) === col("_first"))
+    val agg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_sents"),
+      sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(when(col("_keep"),
+          struct(col("sent_idx"), col("sentence"))))),
+        x => x("sentence")), ". ").as("clean_text"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-trained bigram language-model quality score — the cheap
     * stand-in for a perplexity filter: train add-one-smoothed token
     * bigram probabilities on the corpus itself (one pass), then score
@@ -820,6 +864,15 @@ object TextOps {
             regexp_replace(col("text"), " table ", " table. ").as("text")),
         "doc_id", "text")
         .orderBy("doc_id", "sent_idx")),
+
+    // sentence-level dedup with removal over the same punctuated column:
+    // repeated sentences survive only in their lowest-id doc
+    "text_dedup_sentences" -> ((s, d) =>
+      dedupSentences(Tables.documents(s, d)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), " table ", " table. ").as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
 
     // events.props carries digits, so the mask is non-vacuous there
     "text_pii_mask" -> ((s, d) =>
@@ -1038,6 +1091,10 @@ object TextOps {
     },
     "text_sentences" ->
       raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2) SELECT doc_id, (i - 1)::BIGINT AS sent_idx, ss[i] AS sentence, len(string_split_regex(trim(ss[i]), '\s+'))::BIGINT AS n_tokens FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM sp) ORDER BY doc_id, sent_idx""",
+    // the text_sentences split, a (sentence -> df, first_doc) agg over
+    // distinct pairs, keep-first filter, ordered re-concat
+    "text_dedup_sentences" ->
+      raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2), s AS (SELECT doc_id, (i - 1)::BIGINT AS sent_idx, ss[i] AS sentence FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM sp)), ds AS (SELECT DISTINCT doc_id, sentence FROM s), fr AS (SELECT sentence, count(*) AS n_docs, min(doc_id) AS first_doc FROM ds GROUP BY sentence HAVING count(*) >= 2), k AS (SELECT s.doc_id, s.sent_idx, s.sentence, (fr.sentence IS NULL OR s.doc_id = fr.first_doc) AS keep FROM s LEFT JOIN fr USING (sentence)), agg AS (SELECT doc_id, count(*) AS n_sents, sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept, coalesce(string_agg(CASE WHEN keep THEN sentence END, '. ' ORDER BY sent_idx), '') AS clean_text FROM k GROUP BY doc_id) SELECT d.doc_id, coalesce(a.n_sents, 0)::BIGINT AS n_sents, coalesce(a.n_kept, 0)::BIGINT AS n_kept, coalesce(a.clean_text, '') AS clean_text FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "text_boilerplate" ->
       raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2), ds AS (SELECT DISTINCT doc_id, unnest(ss) AS sentence FROM sp) SELECT sentence, count(*) AS n_docs FROM ds GROUP BY sentence HAVING count(*) >= 2 ORDER BY n_docs DESC, sentence ASC LIMIT 100""",
     // same two-pass shape: bigram model CTEs, then per-doc quantized sums

@@ -468,6 +468,38 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.values.exists(_._3 > 0.5), "planted near-dups should share spans")
   }
 
+  test("text_dedup_sentences: repeated sentences survive only in their first doc") {
+    val rows = run("text_dedup_sentences").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // brute-force replay of the split + keep-first rule
+    val split = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map { r =>
+        val sents = r.getString(1).replace(" table ", " table. ")
+          .split("[.!?]+(\\s+|$)").map(_.trim).filter(_.nonEmpty).toSeq
+        r.getLong(0) -> sents
+      }.toMap
+    val firstDoc = split.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).min }
+    val docsPer = split.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    assert(rows.keySet == split.keySet)
+    split.foreach { case (id, ss) =>
+      val kept = ss.filter(s => docsPer(s) < 2 || firstDoc(s) == id)
+      val (nSents, nKept, clean) = rows(id)
+      assert(nSents == ss.size, s"doc $id n_sents")
+      assert(nKept == kept.size, s"doc $id n_kept")
+      assert(clean == kept.mkString(". "), s"doc $id clean_text")
+    }
+    // the corpus plants duplicates: something must actually be removed,
+    // and every removed sentence's canonical copy must survive somewhere
+    assert(rows.values.exists { case (n, k, _) => k < n }, "nothing was removed")
+    val allKept = rows.toSeq.flatMap { case (id, (_, _, c)) =>
+      c.split("\\. ").filter(_.nonEmpty) }.toSet
+    docsPer.filter(_._2 >= 2).keys.foreach { s =>
+      assert(allKept.exists(_.contains(s.take(40))), s"canonical copy of '$s' lost")
+    }
+  }
+
   test("decon_spans == brute-force bench-fp collisions, bench side broadcast") {
     val df = run("decon_spans")
     val rows = df.collect()
