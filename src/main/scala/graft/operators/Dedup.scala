@@ -622,11 +622,20 @@ object Dedup {
       .groupBy(col(sourceCol).as("source"))
       .agg(sum(size(graft.operators.TextOps.tokens(col(textCol))).cast("long"))
         .as("avail_tokens"))
-    avail.join(broadcast(wdf), "source")
+    // weights side drives the join: a configured source ABSENT from the
+    // corpus must still surface (avail 0, over_cap true) — that row IS
+    // the "go collect this source" signal the planner exists to produce;
+    // an inner join would silently vanish its budget share. Both sides
+    // are source-grain tiny; AQE picks the build side.
+    wdf.join(avail, Seq("source"), "left_outer")
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       .withColumn("target_tokens", expr(s"($budgetTokens * weight_pct) div 100"))
       .withColumn("epochs",
-        Stable.ratioRounded(col("target_tokens"), col("avail_tokens"), 4))
-      .withColumn("over_cap", col("epochs") > lit(epochCap))
+        when(col("avail_tokens") === 0, lit(null).cast("double"))
+          .otherwise(Stable.ratioRounded(col("target_tokens"), col("avail_tokens"), 4)))
+      // integer comparison, not epochs > cap: stays defined at avail 0
+      .withColumn("over_cap",
+        col("target_tokens") > col("avail_tokens") * lit(epochCap))
       .select("source", "weight_pct", "avail_tokens", "target_tokens",
         "epochs", "over_cap")
   }
@@ -1184,7 +1193,7 @@ object Dedup {
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id) SELECT r.doc_id, r.n_dupes FROM reps r JOIN comp c ON r.doc_id = c.id WHERE c.cluster = r.doc_id ORDER BY r.doc_id""",
     // per-source token sums + integer-arithmetic targets + Stable epochs
     "mix_token_budget" ->
-      raw"""WITH avail AS (SELECT source, sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail_tokens FROM documents GROUP BY source), w(source, weight_pct) AS (VALUES ('src0', 60), ('src1', 30), ('src2', 10)), t AS (SELECT a.source, w.weight_pct::BIGINT AS weight_pct, a.avail_tokens, ((10000000 * w.weight_pct) // 100)::BIGINT AS target_tokens FROM avail a JOIN w ON a.source = w.source) SELECT source, weight_pct, avail_tokens, target_tokens, ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} AS epochs, ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} > 4.0 AS over_cap FROM t ORDER BY source""",
+      raw"""WITH avail AS (SELECT source, sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail_tokens FROM documents GROUP BY source), w(source, weight_pct) AS (VALUES ('src0', 60), ('src1', 30), ('src2', 10)), t AS (SELECT a.source, w.weight_pct::BIGINT AS weight_pct, a.avail_tokens, ((10000000 * w.weight_pct) // 100)::BIGINT AS target_tokens FROM avail a JOIN w ON a.source = w.source) SELECT source, weight_pct, avail_tokens, target_tokens, ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} AS epochs, target_tokens > avail_tokens * 4.0 AS over_cap FROM t ORDER BY source""",
 
     // deterministic weighted mix: 4-nibble md5 draw under rate*65536
     "mix_sources" ->

@@ -273,13 +273,20 @@ object Etl {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    contentCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol), md5(col(contentCol).cast("binary")).as("old_hash"))
-    val n = newDf.select(col(idCol), md5(col(contentCol).cast("binary")).as("new_hash"))
+    // presence rides explicit indicator columns, NOT hash nullability: a
+    // NULL content value hashes to NULL, and deriving presence from the
+    // hash would misreport a doc with NULL text on one side as
+    // added/removed — retiring a live doc from downstream indexes
+    val o = oldDf.select(col(idCol), md5(col(contentCol).cast("binary")).as("old_hash"),
+      lit(true).as("_in_old"))
+    val n = newDf.select(col(idCol), md5(col(contentCol).cast("binary")).as("new_hash"),
+      lit(true).as("_in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("old_hash").isNull, lit("added"))
-          .when(col("new_hash").isNull, lit("removed"))
-          .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          // null-safe: NULL-vs-value content is a change, NULL-vs-NULL isn't
+          .when(!(col("old_hash") <=> col("new_hash")), lit("changed"))
           .otherwise(lit("unchanged")))
       .filter(col("status") =!= "unchanged")
       .select(col(idCol), col("status"), col("old_hash"), col("new_hash"))
@@ -384,9 +391,6 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
-    // the merge_upsert change stream kept as SCD2 history: every version
-    // becomes a validity interval, tombstones included (a deleted row's
-    // current interval records the deletion)
     // snapshot v2 = v1 minus short docs, every 7th doc normalized, plus
     // 10 new arrivals — exercising removed/changed/added in one diff
     "etl_snapshot_diff" -> ((s, d) => {
@@ -401,6 +405,9 @@ object Etl {
       snapshotDiff(v1, v2, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // the merge_upsert change stream kept as SCD2 history: every version
+    // becomes a validity interval, tombstones included (a deleted row's
+    // current interval records the deletion)
     "etl_scd2" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")

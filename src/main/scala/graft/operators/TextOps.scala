@@ -693,20 +693,40 @@ object TextOps {
     * cleaned corpus, and from doc-level dedup by operating inside
     * documents.
     *
-    * Shape: one sentence-grain hash agg builds the (sentence, df,
-    * first_doc) table, FILTERED to df >= minDocs before the join — the
-    * kept side is duplicated-sentences-only (boilerplate-sized in a
-    * healthy corpus), while singletons (the corpus-scale bulk) never
-    * join. No pinned broadcast hint: a pathologically duplicated
-    * corpus could still outgrow broadcast size, so AQE picks the
-    * strategy (the text_lm_score lesson). The re-concat is a doc-grain
-    * agg whose input rows are produced doc-locally by the split, so
-    * map-side partials collapse before the exchange.
+    * Shape: the corpus-wide split feeds ONE explicit sentence-grain
+    * repartition that BOTH consumers read (the df/first-doc aggregate
+    * and the join probe) — ReuseExchange shares it, so the regexp
+    * split + explode run once (the text_dup_spans lesson: leaving each
+    * branch to plan its own exchange re-executes the split subtree).
+    * Under that partitioning the distinct and the sentence agg are
+    * partition-local (no further exchange). The frequency table is
+    * FILTERED to df >= minDocs before the join — the kept side is
+    * duplicated-sentences-only (boilerplate-sized in a healthy
+    * corpus), singletons never join; no pinned broadcast hint (a
+    * pathologically duplicated corpus could outgrow it — AQE decides).
+    * The re-concat is a doc-grain agg.
+    *
+    * Fidelity caveat: `clean_text` is REASSEMBLED from the segmenter's
+    * output, so original sentence separators ('!', '?', '...') are
+    * normalized to '. ' even in untouched docs. Pipelines that must
+    * preserve original bytes should treat n_kept < n_sents as the
+    * edit signal and splice the originals; the cleaned column is for
+    * tokenizer-bound corpora where separator normalization is routine.
     */
   def dedupSentences(df: DataFrame, idCol: String, textCol: String,
                      minDocs: Long = 2): DataFrame = {
-    val s = sentences(df, idCol, textCol)
-      .select(col(idCol), col("sent_idx"), col("sentence"))
+    // materialize the split + sentence-grain exchange ONCE (CacheScope
+    // lifetime): the df aggregate and the join probe each consume the
+    // checkpointed relation, so the corpus-wide regexp split cannot
+    // re-execute per branch. (ReuseExchange was tried first and is
+    // fragile here — the final doc-grain join infers an isNotNull into
+    // only the probe branch and column pruning specializes the agg
+    // branch's scan, so the subtrees stop canonicalizing equal.)
+    val s = graft.CacheScope.register(
+      sentences(df.filter(col(idCol).isNotNull), idCol, textCol)
+        .select(col(idCol), col("sent_idx"), col("sentence"))
+        .repartition(col("sentence"))
+        .localCheckpoint(true))
     val dups = s.select(col(idCol), col("sentence")).distinct()
       .groupBy("sentence")
       .agg(count(lit(1)).as("_docs"), min(col(idCol)).as("_first"))

@@ -181,7 +181,7 @@ object Io {
   // test; the oracle reads the original table — so a green row proves the
   // writer+reader pair is lossless.
 
-  private val scratch = "/tmp/graft_io"
+  private[graft] val scratch = "/tmp/graft_io"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_jsonlines_file" -> ((s, d) => {

@@ -56,6 +56,38 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(Set("added", "removed", "changed").subsetOf(rows.values.map(_._1).toSet))
   }
 
+  test("snapshotDiff: NULL content is presence, not absence") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, null: String), (2L, "x"), (3L, null: String), (4L, "same"))
+      .toDF("id", "t")
+    val v2 = Seq((1L, "hello"), (2L, null: String), (3L, null: String), (4L, "same"))
+      .toDF("id", "t")
+    val got = graft.operators.Etl.snapshotDiff(v1, v2, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // NULL -> value and value -> NULL are CHANGES (both snapshots hold
+    // the doc), NULL -> NULL and same -> same are unchanged
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("mix_token_budget: a configured source absent from the corpus still surfaces") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("src0", "three token text"), ("src1", "two tokens"))
+      .toDF("source", "text")
+    val got = graft.operators.Dedup.mixTokenBudget(docs, "source", "text",
+      weightsPct = Seq(("src0", 50L), ("srcNew", 50L)),
+      budgetTokens = 1000L, epochCap = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.isNullAt(4), r.getBoolean(5))).toMap
+    assert(got.keySet == Set("src0", "srcNew"), "absent source must not vanish")
+    val (avail0, target0, eNull0, cap0) = got("src0")
+    assert(avail0 == 3L && target0 == 500L && !eNull0 && cap0)
+    val (availN, targetN, eNullN, capN) = got("srcNew")
+    // zero availability: epochs undefined, over_cap = the collect signal
+    assert(availN == 0L && targetN == 500L && eNullN && capN)
+  }
+
   test("merge_upsert: update wins, delete tombstones, insert lands, late version loses") {
     val s = spark
     import s.implicits._

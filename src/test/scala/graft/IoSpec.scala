@@ -64,10 +64,11 @@ class IoSpec extends SparkSpec {
 
   test("binaryFile pathGlobFilter prunes non-matching files at listing time") {
     run("src_binary_files").collect() // materialize the fixture dir
+    val blobDir = s"${graft.sources.Io.scratch}/blob"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft_io/blob/ignore.bin"),
+      java.nio.file.Paths.get(blobDir, "ignore.bin"),
       "not a doc".getBytes("UTF-8"))
-    val got = graft.sources.Io.readBinaryFiles(spark, "/tmp/graft_io/blob", "*.txt")
+    val got = graft.sources.Io.readBinaryFiles(spark, blobDir, "*.txt")
     assert(!got.select("path").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().exists(_.endsWith("ignore.bin")))
   }

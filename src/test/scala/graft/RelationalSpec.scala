@@ -337,8 +337,10 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length <= 10)
     val revs = rows.map(_.getDouble(1))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
-    val cutoff = java.sql.Timestamp.valueOf("1995-03-15 00:00:00")
-    assert(rows.forall(_.getTimestamp(2).before(cutoff)))
+    // instant compare, not Timestamp.valueOf: the latter parses in the
+    // JVM default TZ while collected values are UTC instants
+    val cutoff = java.time.Instant.parse("1995-03-15T00:00:00Z")
+    assert(rows.forall(_.getTimestamp(2).toInstant.isBefore(cutoff)))
     // the final top-10 must be a per-partition heap, not a range sort
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
