@@ -615,13 +615,24 @@ object Dedup {
   def mixTokenBudget(df: DataFrame, sourceCol: String, textCol: String,
                      weightsPct: Seq[(String, Long)], budgetTokens: Long,
                      epochCap: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val wdf = weightsPct.toDF("source", "weight_pct")
     val avail = df
       .groupBy(col(sourceCol).as("source"))
       .agg(sum(size(graft.operators.TextOps.tokens(col(textCol))).cast("long"))
         .as("avail_tokens"))
+    mixTokenBudgetOf(avail, weightsPct, budgetTokens, epochCap)
+  }
+
+  /** The planner arithmetic over an already-computed per-source token
+    * table `(source, avail_tokens)` — the entry point for callers whose
+    * availability is denominated in something other than whitespace
+    * tokens (e.g. true BPE tokenizer counts, mix_token_budget_bpe).
+    */
+  def mixTokenBudgetOf(avail: DataFrame,
+                       weightsPct: Seq[(String, Long)], budgetTokens: Long,
+                       epochCap: Double): DataFrame = {
+    val spark = avail.sparkSession
+    import spark.implicits._
+    val wdf = weightsPct.toDF("source", "weight_pct")
     // weights side drives the join: a configured source ABSENT from the
     // corpus must still surface (avail 0, over_cap true) — that row IS
     // the "go collect this source" signal the planner exists to produce;
@@ -1019,6 +1030,22 @@ object Dedup {
         budgetTokens = 10000000L, epochCap = 4.0)
         .orderBy("source")),
 
+    // the same planner denominated in TRUE tokenizer tokens: per-doc BPE
+    // counts (session-artifact merge table) roll up to per-source
+    // availability before the identical budget arithmetic
+    "mix_token_budget_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = graft.operators.TextOps.bpeEncode(
+        docs.select("doc_id", "text"), "doc_id", "text",
+        graft.operators.TextOps.mergesFor(s, d))
+      val avail = docs.select("doc_id", "source").join(perDoc, Seq("doc_id"))
+        .groupBy(col("source")).agg(sum("bpe_tokens").as("avail_tokens"))
+      mixTokenBudgetOf(avail,
+        weightsPct = Seq(("src0", 60L), ("src1", 30L), ("src2", 10L)),
+        budgetTokens = 10000000L, epochCap = 4.0)
+        .orderBy("source")
+    }),
+
     // verbatim-phrase contamination: probe = first 5 tokens of each
     // benchmark doc (the first 20 docs), scanned against the whole corpus
     "decon_exact" -> ((s, d) => {
@@ -1192,8 +1219,15 @@ object Dedup {
     "dedup_pipeline_e2e" ->
       s"""WITH RECURSIVE reps AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dupes, text FROM documents GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id) SELECT r.doc_id, r.n_dupes FROM reps r JOIN comp c ON r.doc_id = c.id WHERE c.cluster = r.doc_id ORDER BY r.doc_id""",
     // per-source token sums + integer-arithmetic targets + Stable epochs
+    // LEFT JOIN from weights → avail so the headline contract (a
+    // configured source absent from the corpus surfaces with avail 0 /
+    // NULL epochs / over_cap true) is oracle-encoded end-to-end
     "mix_token_budget" ->
-      raw"""WITH avail AS (SELECT source, sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail_tokens FROM documents GROUP BY source), w(source, weight_pct) AS (VALUES ('src0', 60), ('src1', 30), ('src2', 10)), t AS (SELECT a.source, w.weight_pct::BIGINT AS weight_pct, a.avail_tokens, ((10000000 * w.weight_pct) // 100)::BIGINT AS target_tokens FROM avail a JOIN w ON a.source = w.source) SELECT source, weight_pct, avail_tokens, target_tokens, ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} AS epochs, target_tokens > avail_tokens * 4.0 AS over_cap FROM t ORDER BY source""",
+      raw"""WITH avail AS (SELECT source, sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail_tokens FROM documents GROUP BY source), w(source, weight_pct) AS (VALUES ('src0', 60), ('src1', 30), ('src2', 10)), t AS (SELECT w.source, w.weight_pct::BIGINT AS weight_pct, coalesce(a.avail_tokens, 0)::BIGINT AS avail_tokens, ((10000000 * w.weight_pct) // 100)::BIGINT AS target_tokens FROM w LEFT JOIN avail a ON a.source = w.source) SELECT source, weight_pct, avail_tokens, target_tokens, CASE WHEN avail_tokens = 0 THEN NULL ELSE ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} END AS epochs, target_tokens > avail_tokens * 4.0 AS over_cap FROM t ORDER BY source""",
+    // identical arithmetic over the BPE-denominated availability: the
+    // per-doc encode replay rolls up through the documents' source column
+    "mix_token_budget_bpe" ->
+      s"""WITH ${graft.operators.TextOps.bpePerDocCtes(graft.operators.TextOps.bpeMergeK)}, avail AS (SELECT d.source, sum(b.bpe_tokens)::BIGINT AS avail_tokens FROM documents d JOIN bpd b USING (doc_id) GROUP BY d.source), w(source, weight_pct) AS (VALUES ('src0', 60), ('src1', 30), ('src2', 10)), t AS (SELECT w.source, w.weight_pct::BIGINT AS weight_pct, coalesce(a.avail_tokens, 0)::BIGINT AS avail_tokens, ((10000000 * w.weight_pct) // 100)::BIGINT AS target_tokens FROM w LEFT JOIN avail a ON a.source = w.source) SELECT source, weight_pct, avail_tokens, target_tokens, CASE WHEN avail_tokens = 0 THEN NULL ELSE ${graft.operators.Stable.sqlRatioRounded("target_tokens", "avail_tokens", 4)} END AS epochs, target_tokens > avail_tokens * 4.0 AS over_cap FROM t ORDER BY source""",
 
     // deterministic weighted mix: 4-nibble md5 draw under rate*65536
     "mix_sources" ->

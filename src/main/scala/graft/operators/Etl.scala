@@ -270,6 +270,13 @@ object Etl {
     * are bucketed on id — writeBucketed is the companion layout), and the
     * UNCHANGED bulk — at 100 TB essentially everything — is filtered
     * before materialization, so output is change-sized, not corpus-sized.
+    *
+    * PRECONDITION: `idCol` must be unique within EACH snapshot (the
+    * normal contract for a versioned corpus). Duplicate ids fan out
+    * through the full_outer join — m×n status rows per duplicated id,
+    * silently multiplied. Callers with possibly-duped snapshots should
+    * collapse to id grain first (e.g. `dedupMerge`) or assert uniqueness
+    * in a debug path.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    contentCol: String): DataFrame = {

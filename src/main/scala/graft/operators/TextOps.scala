@@ -240,6 +240,46 @@ object TextOps {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** HTML → main-content text extraction — the crawl-ingest step every
+    * real corpus hits before any quality/dedup stage. Three regex
+    * stages (all scan-local codegen projections, zero shuffle):
+    * (1) drop non-content subtrees (script/style) wholesale;
+    * (2) turn block-level closes + <br> into line breaks so the
+    *     document's visual line structure survives the strip;
+    * (3) strip remaining tags, decode the six ubiquitous entities
+    *     (&amp; LAST so double-escaped text can't re-introduce markup).
+    * Main-content selection is the classic LINE-DENSITY heuristic:
+    * boilerplate (nav bars, footers, pagination) lands on short lines
+    * after tag-stripping, body prose on long ones — keep lines of
+    * >= `minLineChars`. Per-doc arrays are line-bounded (HOFs over a
+    * few dozen elements, never corpus-axis), so the whole operator
+    * scales as a projection.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  minLineChars: Int = 25): DataFrame = {
+    val noScript = regexp_replace(regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    // source whitespace (incl. newlines) is NOT structure in HTML —
+    // flatten it first so only the block tags below create line breaks
+    val flat = regexp_replace(noScript, "\\s+", " ")
+    val blocks = regexp_replace(flat,
+      "(?i)</(p|div|li|h[1-6]|tr|td|table|ul|ol|blockquote|section|article|header|footer)>|<br[^>]*>",
+      "\n")
+    val unTagged = regexp_replace(blocks, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(unTagged) { case (e, (from, to)) => replace(e, lit(from), lit(to)) }
+    df.withColumn("_txt", decoded)
+      .withColumn("_lines", expr(
+        "filter(transform(split(_txt, '\\n'), l -> trim(regexp_replace(l, '\\\\s+', ' '))), l -> l != '')"))
+      .withColumn("_kept", expr(s"filter(_lines, l -> length(l) >= $minLineChars)"))
+      .select(col(idCol),
+        array_join(col("_kept"), "\n").as("main_text"),
+        size(col("_kept")).cast("bigint").as("n_kept"),
+        size(col("_lines")).cast("bigint").as("n_lines"))
+  }
+
   /** PII scrub: regex masking of emails and digit runs — the standard
     * pre-training redaction pass. Pure codegen'd projection, zero shuffle.
     */
@@ -626,6 +666,61 @@ object TextOps {
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** BPE ENCODE — the missing half of the tokenizer story: apply a
+    * LEARNED merge table ([[bpeMerges]]'s output — the artifact a
+    * tokenizer ships) to a corpus and report the encoding of every
+    * distinct WORD. Applying merges in rank order as delimited-string
+    * replaces (" x y " → " xy ") is exactly the greedy left-to-right
+    * application the merges were learned under, and is replayable
+    * verbatim in any engine.
+    *
+    * Scale shape: the merge table is k rows — collected as bounded
+    * metadata (same class as k-means centroids) and baked into ONE
+    * whole-stage-codegen projection of k chained literal replaces. The
+    * projection runs at VOCABULARY grain (Heaps'-law bounded: millions
+    * of distinct words at 100 TB, not billions of occurrences) — this is
+    * how a production pipeline runs a frozen tokenizer: encode the
+    * vocabulary once, then map the corpus onto it with a join that AQE
+    * sizes (broadcast at any realistic vocabulary). The symbol count
+    * needs no higher-order function: repr keeps exactly one delimiter
+    * space per boundary, so n_bpe = spaces − 1 — two codegen'd lengths.
+    */
+  def bpeEncodeWords(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val table = merges.orderBy("merge_rank").select("lhs", "rhs").collect()
+    val repr0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val reprK = table.foldLeft(repr0) { (e, m) =>
+      val (x, y) = (m.getString(0), m.getString(1))
+      replace(e, lit(s" $x $y "), lit(s" $x$y "))
+    }
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .withColumn("bpe_repr", reprK)
+      .withColumn("n_bpe",
+        (length(col("bpe_repr")) -
+          length(replace(col("bpe_repr"), lit(" "), lit(""))) - 1).cast("bigint"))
+  }
+
+  /** Corpus-level BPE encode: true tokenizer token counts per document —
+    * the denomination every token budget, packing window and compute
+    * estimate should be in (whitespace counts under-count rare words and
+    * ignore punctuation fusing). One (doc, word)-grain agg, a
+    * vocabulary-grain encode join (AQE-sized), one per-doc agg — three
+    * map-side-combinable shuffles, linear at any scale.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame): DataFrame = {
+    val enc = bpeEncodeWords(df.select(col(textCol)), textCol, merges)
+      .select("w", "n_bpe")
+    val dw = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    dw.join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_bpe")).as("bpe_tokens"))
+  }
+
   /** Vocabulary coverage / out-of-vocabulary rate per document against the
     * corpus's own top-`vocabK` terms — the pre-tokenizer audit that tells
     * you what fraction of a corpus a fixed vocabulary would cover (high
@@ -752,12 +847,12 @@ object TextOps {
     * bigram probabilities on the corpus itself (one pass), then score
     * each document by its average log-probability (a second pass). Low
     * scores flag boilerplate-free gibberish; implausibly high scores
-    * flag templated/repeated text. Scale shape: the unigram margins are
-    * vocabulary-bounded (Heaps' law) and broadcast; the BIGRAM table is
-    * distinct-pair-bounded — corpus-scale in the worst case, far beyond
-    * any broadcast budget — so its join is left UNHINTED and AQE /
-    * autoBroadcastJoinThreshold picks broadcast (small corpora) vs
-    * shuffle (production) from the measured size. The corpus-sized work
+    * flag templated/repeated text. Scale shape: BOTH n-gram margin
+    * joins are left UNHINTED — Heaps'-law bounds are not broadcast
+    * budgets (a multilingual vocabulary is easily 1e8 rows at 100 TB),
+    * so AQE / autoBroadcastJoinThreshold picks broadcast (small
+    * corpora) vs shuffle (production) from the measured size of each
+    * side. Only the 1-row vocab count keeps an explicit broadcast. The corpus-sized work
     * is two token-stream passes ending in one per-doc agg.
     * Portability: each bigram's log-prob is quantized to 1e-4 by
     * FLOOR (unambiguous on any double, unlike round-at-tie), summed as
@@ -777,7 +872,7 @@ object TextOps {
     val li = floor(log((col("c12") + 1).cast("double") /
       (col("c1") + col("v")).cast("double")) * 1e4).cast("long")
     docBi.join(bi, Seq("w1", "w2"))
-      .join(broadcast(uni), col("w1") === col("w"))
+      .join(uni, col("w1") === col("w"))
       .crossJoin(broadcast(vocab))
       .select(col(idCol), li.as("li"))
       .groupBy(col(idCol))
@@ -822,6 +917,28 @@ object TextOps {
     "text_bpe_merges" -> ((s, d) =>
       bpeMerges(Tables.documents(s, d).select("text"), "text", k = bpeMergeK)
         .orderBy("merge_rank")),
+
+    // ENCODE with the learned merges: true tokenizer token counts per
+    // doc. The merge table is a session artifact (trained once, like the
+    // ANN indexes); text_bpe_merges above stays deliberately raw-priced.
+    "text_bpe_encode" -> ((s, d) =>
+      bpeEncode(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", mergesFor(s, d))
+        .orderBy("doc_id")),
+
+    // crawl ingest: a deterministic HTML wrapping of each doc (nav bar,
+    // script, styles, entity-bearing footer) pushed through the
+    // tag-strip + line-density extractor — body prose survives,
+    // boilerplate lines drop
+    "text_html_extract" -> ((s, d) =>
+      htmlExtract(Tables.documents(s, d).select("doc_id", "text")
+          .withColumn("html", concat(
+            lit("<html><head><title>Doc "), col("doc_id"),
+            lit("</title><style>p{margin:0}</style><script>trackPage();</script></head><body><div><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div><p>"),
+            col("text"),
+            lit("</p><div>next &amp; prev</div><footer>&copy; 2026 Corp</footer></body></html>"))),
+        "doc_id", "html")
+        .orderBy("doc_id")),
 
     // OOV rate per doc vs the corpus's own top-1000 terms
     "text_oov_rate" -> ((s, d) =>
@@ -919,6 +1036,20 @@ object TextOps {
       packSequences(t, idCol = "doc_id", shardCol = "shard",
         tokensCol = "ws_tokens", budget = 2048L)
         .select("doc_id", "shard", "ws_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
+    // packing denominated in TRUE tokenizer tokens: the learned-merge
+    // encode feeds the same shard-local prefix-sum packer, so window
+    // budgets mean what the training job thinks they mean
+    "text_pack_bpe" -> ((s, d) => {
+      val perDoc = bpeEncode(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", mergesFor(s, d))
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .select("doc_id", "shard", "bpe_tokens")
+      packSequences(perDoc, idCol = "doc_id", shardCol = "shard",
+        tokensCol = "bpe_tokens", budget = 2048L)
+        .select("doc_id", "shard", "bpe_tokens", "pack_id", "pack_offset")
         .orderBy("doc_id")
     }),
 
@@ -1022,6 +1153,15 @@ object TextOps {
   /** The k merge rounds both engines run for text_bpe_merges. */
   private[operators] val bpeMergeK = 10
 
+  /** Session-lifetime learned merge table — the frozen-tokenizer
+    * artifact every encode-side query shares (trained once per corpus,
+    * the same build-once contract as the ANN index tables).
+    */
+  private[operators] def mergesFor(s: org.apache.spark.sql.SparkSession,
+                                   d: String): DataFrame =
+    graft.IndexCache.of(s"$d|bpemerges|$bpeMergeK")(
+      bpeMerges(Tables.documents(s, d).select("text"), "text", k = bpeMergeK))
+
   /** The merge loop unrolled as SQL: g0 is the character-delimited word
     * vocabulary; round i picks m_i = argmax pair of g_{i-1} (count desc,
     * lhs asc, rhs asc) and g_i applies it by literal replace. If a round
@@ -1039,6 +1179,28 @@ object TextOps {
       .mkString(" UNION ALL ")
     s"WITH $base, ${rounds.mkString(", ")} SELECT * FROM ($sel) ORDER BY merge_rank"
   }
+
+  /** The encode-side replay: the same k unrolled merge rounds as
+    * [[bpeMergesOracle]], but each round's vocabulary rewrite keeps the
+    * ORIGINAL word alongside its evolving repr (LEFT JOIN + CASE so an
+    * early-stopped round leaves the vocabulary intact instead of
+    * emptying it), ending in `enc(w, n_bpe)` — every distinct word's
+    * true token count, symbol count = delimiter spaces − 1, exactly the
+    * Spark projection. Callers append their own corpus-side SELECT.
+    */
+  private[operators] def bpeEncodeCtes(k: Int): String = {
+    val base = raw"""wds AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS w FROM documents), wc AS (SELECT w, count(*) AS wn FROM wds GROUP BY w), e0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS repr, wn FROM wc)"""
+    val rounds = (1 to k).map { i =>
+      val g = s"e${i - 1}"
+      raw"""t$i AS (SELECT list_filter(str_split(repr, ' '), s -> s != '') AS t, wn FROM $g), q$i AS (SELECT t, wn, unnest(range(1, len(t))) AS j FROM t$i WHERE len(t) >= 2), n$i AS (SELECT t[j] AS x, t[j + 1] AS y, sum(wn)::BIGINT AS cnt FROM q$i GROUP BY 1, 2 ORDER BY cnt DESC, x ASC, y ASC LIMIT 1), e$i AS (SELECT g.w, CASE WHEN m.x IS NULL THEN g.repr ELSE replace(g.repr, ' ' || m.x || ' ' || m.y || ' ', ' ' || m.x || m.y || ' ') END AS repr, g.wn FROM $g g LEFT JOIN n$i m ON true)"""
+    }
+    s"$base, ${rounds.mkString(", ")}, enc AS (SELECT w, (length(repr) - length(replace(repr, ' ', '')) - 1)::BIGINT AS n_bpe FROM e$k)"
+  }
+
+  /** Per-doc true-token-count CTE on top of [[bpeEncodeCtes]]:
+    * `bpd(doc_id, n_words, bpe_tokens)`. */
+  private[operators] def bpePerDocCtes(k: Int): String =
+    raw"""${bpeEncodeCtes(k)}, dt AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS w FROM documents), dwc AS (SELECT doc_id, w, count(*) AS c FROM dt GROUP BY doc_id, w), bpd AS (SELECT doc_id, sum(c)::BIGINT AS n_words, sum(c * n_bpe)::BIGINT AS bpe_tokens FROM dwc JOIN enc USING (w) GROUP BY doc_id)"""
 
   /** DuckDB mirror of Md5PrefixLong offset 0: hex-nibble parse of the
     * first 8 md5 hex chars of `inner`. */
@@ -1080,6 +1242,19 @@ object TextOps {
     // argmax (m_i) + greedy delimited-string replace (g_i) — the same
     // " x y " -> " xy " application the Spark loop does
     "text_bpe_merges" -> bpeMergesOracle(bpeMergeK),
+    // the merge rounds replayed with the original word carried through,
+    // then the (doc, word)-grain map onto the encoded vocabulary
+    "text_bpe_encode" ->
+      s"""WITH ${bpePerDocCtes(bpeMergeK)} SELECT doc_id, n_words, bpe_tokens FROM bpd ORDER BY doc_id""",
+    // the bpe per-doc counts through the same shard-local prefix-sum
+    // packer as text_pack_sequences
+    "text_pack_bpe" ->
+      s"""WITH ${bpePerDocCtes(bpeMergeK)}, pt AS (SELECT doc_id, doc_id % 8 AS shard, bpe_tokens FROM bpd), pc AS (SELECT doc_id, shard, bpe_tokens, sum(bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bpe_tokens AS cum FROM pt) SELECT doc_id, shard, bpe_tokens, (cum // 2048)::BIGINT AS pack_id, (cum % 2048)::BIGINT AS pack_offset FROM pc ORDER BY doc_id""",
+    // identical wrap template + the same three regex stages, entity
+    // decode order (&amp; last) and line-density keep in DuckDB
+    "text_html_extract" ->
+      raw"""WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style><script>trackPage();</script></head><body><div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>' || text || '</p><div>next &amp; prev</div><footer>&copy; 2026 Corp</footer></body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h), s1b AS (SELECT doc_id, regexp_replace(t, '\s+', ' ', 'g') AS t FROM s1), s2 AS (SELECT doc_id, regexp_replace(t, '(?i)</(p|div|li|h[1-6]|tr|td|table|ul|ol|blockquote|section|article|header|footer)>|<br[^>]*>', chr(10), 'g') AS t FROM s1b), s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2), s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3), ln AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)), l -> trim(regexp_replace(l, '\s+', ' ', 'g'))), l -> l != '') AS lines FROM s4), k AS (SELECT doc_id, list_filter(lines, l -> length(l) >= 25) AS kept, lines FROM ln) SELECT doc_id, array_to_string(kept, chr(10)) AS main_text, len(kept)::BIGINT AS n_kept, len(lines)::BIGINT AS n_lines FROM k ORDER BY doc_id""",
+
     "text_oov_rate" -> {
       val rate = Stable.sqlRatioRounded(
         "sum(CASE WHEN inv THEN 0 ELSE 1 END)", "count(*)", 4)

@@ -129,13 +129,23 @@ object Io {
     */
   def writeBlobFiles(df: DataFrame, dir: String, nameCol: Column, payloadCol: Column): Unit = {
     val target = new java.io.File(dir)
-    org.apache.commons.io.FileUtils.deleteQuietly(target)
+    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
+    if (target.exists())
+      throw new java.io.IOException(s"writeBlobFiles: could not clear target dir $dir")
     target.mkdirs()
+    val baseStr = target.getAbsolutePath
     df.select(nameCol.cast("string").as("_name"), payloadCol.cast("binary").as("_bytes"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val base = java.nio.file.Paths.get(baseStr).normalize()
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, r.getString(0)), r.getAs[Array[Byte]](1))
+          val name = r.getString(0)
+          // names come from a DATA column — refuse anything that could
+          // escape the target dir (separators, traversal, absolute paths)
+          val out = base.resolve(name).normalize()
+          if (name.contains("/") || name.contains("\\") || !out.startsWith(base))
+            throw new IllegalArgumentException(
+              s"writeBlobFiles: unsafe blob name '$name' (would escape $dir)")
+          java.nio.file.Files.write(out, r.getAs[Array[Byte]](1))
         }
       }
   }

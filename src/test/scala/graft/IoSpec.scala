@@ -65,12 +65,16 @@ class IoSpec extends SparkSpec {
   test("binaryFile pathGlobFilter prunes non-matching files at listing time") {
     run("src_binary_files").collect() // materialize the fixture dir
     val blobDir = s"${graft.sources.Io.scratch}/blob"
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(blobDir, "ignore.bin"),
-      "not a doc".getBytes("UTF-8"))
-    val got = graft.sources.Io.readBinaryFiles(spark, blobDir, "*.txt")
-    assert(!got.select("path").as[String](org.apache.spark.sql.Encoders.STRING)
-      .collect().exists(_.endsWith("ignore.bin")))
+    val planted = java.nio.file.Paths.get(blobDir, "ignore.bin")
+    try {
+      java.nio.file.Files.write(planted, "not a doc".getBytes("UTF-8"))
+      val got = graft.sources.Io.readBinaryFiles(spark, blobDir, "*.txt")
+      assert(!got.select("path").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().exists(_.endsWith("ignore.bin")))
+    } finally {
+      // shared fixture dir: don't leave the foreign file for later tests
+      java.nio.file.Files.deleteIfExists(planted)
+    }
   }
 
   test("atomicParquetArtifact: a crashed half-write is swept and rebuilt") {

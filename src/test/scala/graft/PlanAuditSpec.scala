@@ -137,6 +137,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(fin.contains("Reused"), s"no exchange reuse:\n${fin.take(2000)}")
   }
 
+  test("unpartitioned windows only ride bounded post-aggregation inputs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, LocalRelation, LogicalPlan, Window => LWindow}
+    // A WindowExec with no partition spec serializes the WHOLE input
+    // through one task — fine over a handful of post-aggregation rows
+    // (days, months, a quantized-score histogram), fatal over a corpus.
+    // This guard pins the invariant the bench-tail warnings obscure:
+    // every unpartitioned window in the registry must (a) be on this
+    // whitelist and (b) consume an aggregated (bounded-grain) relation,
+    // with no row-inflating Generate between the window and its agg.
+    val whitelist = Set(
+      "events_cumulative_users", // running sum over day-grain agg
+      "q_trend_monthly",         // lag/moving-avg over month-grain agg
+      "text_quality_band"        // rank over 1e-4-quantized score histogram
+    )
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate     => true
+      case _: LocalRelation => true // literal config tables
+      case _: Generate      => false // explode above the agg re-inflates
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val lp = run(q).queryExecution.optimizedPlan
+      val globals = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (globals.isEmpty) None else Some(q -> globals)
+    }
+    assert(offenders.map(_._1).toSet == whitelist,
+      s"unpartitioned-window queries drifted from the whitelist: " +
+        s"actual=${offenders.map(_._1).toSet.toSeq.sorted.mkString(",")} " +
+        s"whitelist=${whitelist.toSeq.sorted.mkString(",")}")
+    offenders.foreach { case (q, ws) =>
+      ws.foreach { w =>
+        assert(bounded(w.child),
+          s"$q: unpartitioned window consumes a non-aggregated (corpus-sized) input:\n" +
+            w.child.treeString.take(1500))
+      }
+    }
+  }
+
   test("mm_decode_meta is a pure projection: no joins, no shuffles") {
     val p = plan(run("mm_decode_meta"))
     assert(!p.contains("Join"), p.take(1500))

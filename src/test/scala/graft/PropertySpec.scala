@@ -442,4 +442,58 @@ class PropertySpec extends SparkSpec {
     // every log-prob is negative: totals must be too
     assert(got.values.forall(_._1 < 0L))
   }
+
+  test("bpeEncode + packSequences: pack cuts land only on whole-token boundaries") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    // random word soup over a tiny alphabet so merges actually fire
+    val syll = Vector("ab", "ba", "abc", "aab", "bb", "a", "b", "c")
+    val docs = (1 to 80).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(7))).map(_ => syll(rnd.nextInt(syll.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(df, "text", k = 6)
+    val mtab = merges.orderBy("merge_rank").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // brute-force reference encoder: the SAME delimited-string replace
+    // both engines execute, token list = split on the delimiter
+    def enc(word: String): Seq[String] = {
+      val repr0 = " " + word.map(c => s"$c ").mkString
+      val reprK = mtab.foldLeft(repr0) { case (r, (x, y)) =>
+        r.replace(s" $x $y ", s" $x$y ") }
+      reprK.split(" ").toSeq.filter(_.nonEmpty)
+    }
+    // 1) Spark's per-word encoding == brute force (repr and count)
+    val gotWords = TextOps.bpeEncodeWords(df, "text", merges)
+      .select("w", "bpe_repr", "n_bpe").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val vocab = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty).distinct
+    vocab.foreach { w =>
+      val e = enc(w)
+      assert(gotWords(w) == ((s" ${e.mkString(" ")} ", e.size.toLong)), s"word $w")
+    }
+    // 2) pack in TRUE token space: every cut position is a multiple of
+    // the budget in cumulative whole-token counts, so no merge-produced
+    // token is ever split across packs — verify against the laid-out
+    // token stream itself
+    val budget = 7L
+    val perDoc = TextOps.bpeEncode(df, "doc_id", "text", merges)
+      .withColumn("shard", pmod(col("doc_id"), lit(3L)))
+    val packed = TextOps.packSequences(perDoc, "doc_id", "shard", "bpe_tokens", budget)
+      .select("doc_id", "shard", "bpe_tokens", "pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (id, _, n, packId, off) =>
+        val stream = docs.find(_._1 == id).get._2
+          .split("\\s+").toSeq.filter(_.nonEmpty).flatMap(enc)
+        assert(n == stream.size.toLong, s"doc $id token count")
+        // the doc's span starts exactly at the cumulative WHOLE-token
+        // position: cuts at multiples of budget hit token boundaries
+        assert(packId == cum / budget && off == cum % budget, s"doc $id span")
+        cum += n
+      }
+    }
+  }
 }

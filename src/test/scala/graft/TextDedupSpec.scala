@@ -986,26 +986,85 @@ class TextDedupSpec extends SparkSpec {
       (2L, "aa", "a", "aaa", 1L)))
   }
 
-  test("text_lm_score: bigram join is size-decided, not pinned broadcast") {
+  test("text_html_extract: real-page fixture — boilerplate drops, prose survives") {
+    val s = spark
+    import s.implicits._
+    val html =
+      """<html><head><title>My page</title>
+        |<style type="text/css">body { color: red; } .nav { display: none }</style>
+        |<script>if (a < b && c > d) { track("page"); }</script>
+        |</head><body>
+        |<div class="nav"><ul><li><a href="/">Home</a></li><li><a href="/x">Products</a></li></ul></div>
+        |<h1>A headline that is long enough to keep around</h1>
+        |<p>The first paragraph of real body prose, with an &amp; ampersand and a &quot;quoted&quot; phrase, long enough to pass the density gate.</p>
+        |<p>Second paragraph   with   odd
+        |whitespace that should collapse to single spaces and still be kept.</p>
+        |<table><tr><td>a</td><td>b</td></tr></table>
+        |<br><footer>&copy; 2026</footer>
+        |</body></html>""".stripMargin
+    val got = TextOps.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").collect()(0)
+    val lines = got.getString(1).split("\n").toSeq
+    // body prose and the headline survive; script contents (with their
+    // bare < > operators), nav anchors, cell soup and footer all drop
+    assert(lines == Seq(
+      "A headline that is long enough to keep around",
+      "The first paragraph of real body prose, with an & ampersand and a \"quoted\" phrase, long enough to pass the density gate.",
+      "Second paragraph with odd whitespace that should collapse to single spaces and still be kept."))
+    assert(!got.getString(1).contains("track") && !got.getString(1).contains("Home"))
+    assert(got.getLong(2) == 3L)       // n_kept
+    assert(got.getLong(3) > got.getLong(2)) // short boilerplate lines counted, dropped
+  }
+
+  test("text_bpe_encode: encoding matches hand-applied merges") {
+    val s = spark
+    import s.implicits._
+    // vocab: ab(2) abc(2) abd(1) d(1)
+    // r1 pairs: (a,b)=5 (b,c)=2 (b,d)=1 -> merge (a,b)
+    // r2 pairs: (ab,c)=2 (ab,d)=1      -> merge (ab,c); k=2 stops
+    // encodings: ab->[ab] abc->[abc] abd->[ab,d] d->[d]
+    val df = Seq((1L, "ab ab abc"), (2L, "abc abd d")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(df, "text", k = 2)
+    val words = TextOps.bpeEncodeWords(df, "text", merges)
+      .select("w", "bpe_repr", "n_bpe").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(words("ab") == ((" ab ", 1L)))
+    assert(words("abc") == ((" abc ", 1L)))
+    assert(words("abd") == ((" ab d ", 2L)))
+    assert(words("d") == ((" d ", 1L)))
+    val perDoc = TextOps.bpeEncode(df, "doc_id", "text", merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(perDoc(1L) == ((3L, 3L))) // ab ab abc -> 3 words, 3 bpe tokens
+    assert(perDoc(2L) == ((3L, 4L))) // abc abd d -> 3 words, 4 bpe tokens
+  }
+
+  test("text_lm_score: BOTH n-gram joins are size-decided, not pinned broadcast") {
     val s = spark
     import s.implicits._
     val df = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      // -1 models "bigram table over any broadcast budget" (the 100 TB
-      // case): the unhinted bigram join must flip to a shuffle join while
-      // the explicitly-hinted unigram margin stays broadcast
+      // -1 models "n-gram tables over any broadcast budget" (the 100 TB
+      // case — a multilingual vocabulary is easily 1e8 rows): both the
+      // bigram AND the unigram-margin join must flip to shuffle joins;
+      // only the pinned 1-row vocab count may stay broadcast (as a
+      // nested-loop, not a hash join)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val scored = TextOps.lmScore(df, "doc_id", "text")
       val p = plan(scored)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        s"bigram join should shuffle when over-threshold:\n${p.take(1200)}")
-      assert(p.contains("BroadcastHashJoin"),
-        s"hinted unigram margin should still broadcast:\n${p.take(1200)}")
+        s"n-gram joins should shuffle when over-threshold:\n${p.take(1200)}")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"no equi-join may carry a broadcast pin:\n${p.take(1200)}")
       // and the answer is identical under either join strategy
       val got = scored.collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(got(1L) == ((-15327L, 3L)) && got(2L) == ((-5109L, 1L)))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // at the default threshold the same tiny tables broadcast by SIZE
+    // (engine-chosen, no hint) — the small-corpus fast path survives
+    val p2 = plan(TextOps.lmScore(df, "doc_id", "text"))
+    assert(p2.contains("BroadcastHashJoin"),
+      s"size-decided broadcast should kick in for tiny margins:\n${p2.take(1200)}")
   }
 }
