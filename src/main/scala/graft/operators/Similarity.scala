@@ -927,6 +927,37 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL index maintenance — the `dedup_incremental` pattern
+    // for the sim family: the base index is built WITHOUT the new batch
+    // (and cached like any session index artifact); the batch is then
+    // encoded against the FROZEN coarse/PQ quantizers — a pure batch-
+    // sized projection, no corpus rescan, no retraining — and its rows
+    // appended. Because encoding is deterministic under frozen
+    // quantizers, the appended index answers queries identically to a
+    // from-scratch encode of the unioned corpus — which is exactly what
+    // the oracle replays. Batch ids sit above ivfC so the base keeps
+    // every k-means/PQ seed row.
+    "sim_ivfpq_append" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val isBatch = col("vec_id") >= ivfC && col("vec_id") % 10 === 7
+      val nrmBase = normalized(e.filter(!isBatch), "vec_id", "embedding")
+      val coarse = kmeansCache.computeIfAbsent(s"$d|app|$ivfC|$ivfIters",
+        _ => kmeansCentroids(nrmBase, "vec_id", c = ivfC, iters = ivfIters))
+      val cbs = pqCache.computeIfAbsent(s"$d|app|$pqM|$pqKs|$pqIters",
+        _ => pqCodebooks(nrmBase, "vec_id", pqM, pqSubDims, pqKs, pqIters))
+      val baseLists = cachedIndex(s"$d|ivfpq_app_base|$ivfC|$pqM|$pqKs|$pqIters")(
+        ivfPqCodesTable(nrmBase, "vec_id", coarse, cbs, pqSubDims))
+      val batchCodes = ivfPqCodesTable(
+        normalized(e.filter(isBatch), "vec_id", "embedding"),
+        "vec_id", coarse, cbs, pqSubDims)
+      simIvfPqAnn(e, "vec_id", "embedding", coarse, cbs,
+        queryPred = col("vec_id") < 10, nProbe = 2,
+        subDims = pqSubDims, shortlist = pqShort, k = 5,
+        prebuiltLists = Some(baseLists.union(batchCodes)))
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_ivfpq_res_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val nrm = normalized(e, "vec_id", "embedding")
@@ -972,16 +1003,20 @@ object Similarity {
     * mean lists, c_i falls back to the previous centroid for empty
     * clusters. All arithmetic is the identical IEEE op sequence.
     */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesFrom("nrm")
+
+  /** [[kmeansCtes]] over an arbitrary source relation — the append oracle
+    * trains on the base-only subset while assigning the full corpus. */
+  private def kmeansCtesFrom(src: String): String = {
     val iterCtes = (1 to ivfIters).map { i =>
       val prev = s"c${i - 1}"
-      s"""s$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN $prev c), """ +
+      s"""s$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM $src n CROSS JOIN $prev c), """ +
         s"""a$i AS (SELECT vec_id, ne, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS rn FROM s$i) WHERE rn = 1), """ +
         s"""m$i AS (SELECT cid, i AS pos, sum(CAST(floor(ne[i] * 1000000.0 + 0.5) AS BIGINT)) AS s, count(*) AS n FROM a$i CROSS JOIN range(1, ${dims + 1}) t(i) GROUP BY cid, i), """ +
         s"""l$i AS (SELECT cid, list(floor(s / n + 0.5) / 1000000.0 ORDER BY pos) AS ce FROM m$i GROUP BY cid), """ +
         s"""c$i AS (SELECT c.cid, coalesce(l.ce, c.ce) AS ce FROM $prev c LEFT JOIN l$i l USING (cid))"""
     }.mkString(", ")
-    s"""c0 AS (SELECT vec_id AS cid, ne AS ce FROM nrm WHERE vec_id < $ivfC), $iterCtes"""
+    s"""c0 AS (SELECT vec_id AS cid, ne AS ce FROM $src WHERE vec_id < $ivfC), $iterCtes"""
   }
 
   /** Per-subspace PQ training CTEs mirroring [[pqCodebooks]]: nsub$s is
@@ -1082,6 +1117,32 @@ object Similarity {
       s"""sc AS (SELECT p.query_id, l.neighbor_id, round($pqAdcSum, 4) AS approx_sim FROM probes p JOIN lists l USING (cid) JOIN codes x ON l.neighbor_id = x.vec_id JOIN qts q ON p.query_id = q.vec_id WHERE p.query_id != l.neighbor_id), """ +
       pqTail
 
+  /** sim_ivfpq_append oracle: a FROM-SCRATCH encode of the unioned
+    * corpus under quantizers trained on the base subset only (nrmb) —
+    * training CTEs read nrmb, assignment/encoding/probing read the full
+    * nrm. Appending batch rows to the base index must answer exactly
+    * this, because encoding under frozen quantizers is a pure
+    * projection.
+    */
+  private def ivfPqAppendOracle: String = {
+    def lo(s: Int) = s * pqSubDims + 1
+    def hi(s: Int) = lo(s) + pqSubDims - 1
+    s"""WITH $normCte, nrmb AS (SELECT * FROM nrm WHERE NOT (vec_id >= $ivfC AND vec_id % 10 = 7)), """ +
+      s"""${kmeansCtesFrom("nrmb")}, """ +
+      s"""fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), """ +
+      s"""fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), """ +
+      s"""lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), """ +
+      s"""probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), """ +
+      pqSs.map(s => pqKmeansCtes(s, src = "nrmb", tag = "b")).mkString(", ") + ", " +
+      pqSs.map(s => s"""nsubf$s AS (SELECT vec_id, ne[${lo(s)}:${hi(s)}] AS ne FROM nrm)""").mkString(", ") + ", " +
+      pqSs.map(s => s"""cdqf$s AS (SELECT vec_id, j AS code FROM (SELECT n.vec_id, c.j, row_number() OVER (PARTITION BY n.vec_id ORDER BY 2.0 - (${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2) ASC, c.cid ASC) AS rn FROM nsubf$s n CROSS JOIN cbjb$s c) WHERE rn = 1)""").mkString(", ") + ", " +
+      s"""codes AS (SELECT c0.vec_id${pqSs.map(s => s", c$s.code AS k$s").mkString} FROM cdqf0 c0 ${pqSs.drop(1).map(s => s"JOIN cdqf$s c$s USING (vec_id)").mkString(" ")}), """ +
+      pqSs.map(s => s"""qtf$s AS (SELECT n.vec_id, list(${sqlDotRaw("n.ne", "c.ce")} ORDER BY c.j) AS t FROM nsubf$s n CROSS JOIN cbjb$s c WHERE n.vec_id < 10 GROUP BY n.vec_id)""").mkString(", ") + ", " +
+      s"""qts AS (SELECT qtf0.vec_id${pqSs.map(s => s", qtf$s.t AS t$s").mkString} FROM qtf0 ${pqSs.drop(1).map(s => s"JOIN qtf$s USING (vec_id)").mkString(" ")}), """ +
+      s"""sc AS (SELECT p.query_id, l.neighbor_id, round($pqAdcSum, 4) AS approx_sim FROM probes p JOIN lists l USING (cid) JOIN codes x ON l.neighbor_id = x.vec_id JOIN qts q ON p.query_id = q.vec_id WHERE p.query_id != l.neighbor_id), """ +
+      pqTail
+  }
+
   /** bucket per (vec, table): ordered sign concat — mirrors bucketSig. */
   private def bucketsCte(tabs: Seq[Seq[Seq[Double]]]): String =
     s"""pl(tid, pid, w) AS (SELECT * FROM (VALUES ${planesValues(tabs)})), """ +
@@ -1121,6 +1182,7 @@ object Similarity {
     "sim_ivfpq_ann" -> ivfPqOracle,
     // identical results to the in-session index — same oracle
     "sim_ivfpq_persisted" -> ivfPqOracle,
+    "sim_ivfpq_append" -> ivfPqAppendOracle,
     "sim_ivfpq_res_ann" -> resOracle,
     // the sim_ivf_ann chain with the label denormalized into the lists,
     // the predicate applied before scoring, and crank<=4 probes

@@ -282,6 +282,29 @@ class SimilaritySpec extends SparkSpec {
     assert(mem.nonEmpty && mem.sameElements(disk))
   }
 
+  test("sim_ivfpq_append: appended batch rows == from-scratch encode of the union") {
+    import graft.operators.Similarity._
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val isBatch = col("vec_id") >= ivfC && col("vec_id") % 10 === 7
+    val nrmBase = graft.operators.Similarity.normalized(e.filter(!isBatch), "vec_id", "embedding")
+    val coarse = kmeansCentroids(nrmBase, "vec_id", c = ivfC, iters = ivfIters)
+    val cbs = pqCodebooks(nrmBase, "vec_id", pqM, pqSubDims, pqKs, pqIters)
+    // append path: base index + batch-only encode under frozen quantizers
+    val appended = ivfPqCodesTable(nrmBase, "vec_id", coarse, cbs, pqSubDims)
+      .union(ivfPqCodesTable(
+        graft.operators.Similarity.normalized(e.filter(isBatch), "vec_id", "embedding"),
+        "vec_id", coarse, cbs, pqSubDims))
+    // from-scratch path: encode the whole union in one pass
+    val scratch = ivfPqCodesTable(
+      graft.operators.Similarity.normalized(e, "vec_id", "embedding"),
+      "vec_id", coarse, cbs, pqSubDims)
+    val a = appended.collect().map(_.toString).sorted
+    val b = scratch.collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // and the batch actually contributed rows (the append wasn't vacuous)
+    assert(e.filter(isBatch).count() > 0)
+  }
+
   test("mm_vision_tokens: patch grid from decoded dims, zero for undecodable") {
     val rows = run("mm_vision_tokens").collect()
     assert(rows.nonEmpty)
