@@ -668,6 +668,18 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got(5L) == ((1L, 16.0)))
   }
 
+  test("events_rolling_1h: trailing window is growing frames, never a sliding frame") {
+    // Spark re-aggregates a SLIDING frame per row (no retraction):
+    // O(rows × frame) per key, 1.6× slower on the sf10 hot-key smoke and
+    // unbounded as frames densify. The trailing hour must stay decomposed
+    // as cum[-inf, t] − cum[-inf, t−1h−1] — every frame lower bound
+    // UnboundedPreceding, so both processors are add-only incremental.
+    val p = plan(run("events_rolling_1h"))
+    assert(!p.contains("RangeFrame, -"),
+      s"sliding RANGE frame (negative lower bound) reappeared:\n${p.take(1200)}")
+    assert(p.contains("unboundedpreceding"), p.take(1200))
+  }
+
   test("events_stickiness: partial windows at corpus start, exact ratio") {
     val s = spark
     import s.implicits._
