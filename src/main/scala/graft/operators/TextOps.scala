@@ -685,36 +685,50 @@ object TextOps {
     * needs no higher-order function: repr keeps exactly one delimiter
     * space per boundary, so n_bpe = spaces − 1 — two codegen'd lengths.
     */
-  def bpeEncodeWords(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+  /** The k-merge encode projection on a `w` column: k chained literal
+    * replaces over the char-delimited repr (the frozen tokenizer baked
+    * as one codegen expression). Shared by the word- and corpus-grain
+    * entry points.
+    */
+  private def bpeReprCol(merges: DataFrame): Column = {
     val table = merges.orderBy("merge_rank").select("lhs", "rhs").collect()
     val repr0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-    val reprK = table.foldLeft(repr0) { (e, m) =>
+    table.foldLeft(repr0) { (e, m) =>
       val (x, y) = (m.getString(0), m.getString(1))
       replace(e, lit(s" $x $y "), lit(s" $x$y "))
     }
+  }
+
+  /** repr → symbol count: repr keeps exactly one delimiter space per
+    * boundary, so n_bpe = spaces − 1 — two codegen'd lengths, no HOF. */
+  private def bpeCountCol: Column =
+    (length(col("bpe_repr")) -
+      length(replace(col("bpe_repr"), lit(" "), lit(""))) - 1).cast("bigint")
+
+  def bpeEncodeWords(df: DataFrame, textCol: String, merges: DataFrame): DataFrame =
     df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wn"))
-      .withColumn("bpe_repr", reprK)
-      .withColumn("n_bpe",
-        (length(col("bpe_repr")) -
-          length(replace(col("bpe_repr"), lit(" "), lit(""))) - 1).cast("bigint"))
-  }
+      .withColumn("bpe_repr", bpeReprCol(merges))
+      .withColumn("n_bpe", bpeCountCol)
 
   /** Corpus-level BPE encode: true tokenizer token counts per document —
     * the denomination every token budget, packing window and compute
     * estimate should be in (whitespace counts under-count rare words and
-    * ignore punctuation fusing). One (doc, word)-grain agg, a
-    * vocabulary-grain encode join (AQE-sized), one per-doc agg — three
-    * map-side-combinable shuffles, linear at any scale.
+    * ignore punctuation fusing). ONE corpus-axis pass: the (doc, word)
+    * aggregate is computed once and the vocabulary side derives FROM it
+    * (sum of per-doc counts), so the expensive explode never runs twice;
+    * then a vocabulary-grain encode join (AQE-sized) and one per-doc
+    * agg — all map-side-combinable, linear at any scale.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: DataFrame): DataFrame = {
-    val enc = bpeEncodeWords(df.select(col(textCol)), textCol, merges)
-      .select("w", "n_bpe")
     val dw = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val enc = dw.groupBy("w").agg(sum(col("c")).as("wn"))
+      .withColumn("bpe_repr", bpeReprCol(merges))
+      .select(col("w"), bpeCountCol.as("n_bpe"))
     dw.join(enc, Seq("w"))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_words"),

@@ -129,9 +129,12 @@ object Io {
     */
   def writeBlobFiles(df: DataFrame, dir: String, nameCol: Column, payloadCol: Column): Unit = {
     val target = new java.io.File(dir)
-    if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
+    // the target may exist as a stale DIRECTORY or (crashed run, foreign
+    // process) a plain FILE — clear either, and fail loudly if it stuck
+    if (target.isFile) target.delete()
+    else if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
     if (target.exists())
-      throw new java.io.IOException(s"writeBlobFiles: could not clear target dir $dir")
+      throw new java.io.IOException(s"writeBlobFiles: could not clear target $dir")
     target.mkdirs()
     val baseStr = target.getAbsolutePath
     df.select(nameCol.cast("string").as("_name"), payloadCol.cast("binary").as("_bytes"))
@@ -140,9 +143,14 @@ object Io {
         it.foreach { r =>
           val name = r.getString(0)
           // names come from a DATA column — refuse anything that could
-          // escape the target dir (separators, traversal, absolute paths)
-          val out = base.resolve(name).normalize()
-          if (name.contains("/") || name.contains("\\") || !out.startsWith(base))
+          // escape the target dir (separators, traversal, absolute
+          // paths, or chars the filesystem rejects) BEFORE resolving,
+          // so the guard fires instead of an InvalidPathException
+          val out =
+            try base.resolve(name).normalize()
+            catch { case _: java.nio.file.InvalidPathException => null }
+          if (name.contains("/") || name.contains("\\") ||
+              out == null || !out.startsWith(base) || out == base)
             throw new IllegalArgumentException(
               s"writeBlobFiles: unsafe blob name '$name' (would escape $dir)")
           java.nio.file.Files.write(out, r.getAs[Array[Byte]](1))

@@ -6,7 +6,9 @@ Usage: python3 tools/make_hot.py [SRC_SF_DIR] [DST_DIR] [PCT]
 Reassigns PCT% of events (by event_id mod) to a single user_id (0) —
 the "one viral user owns a tenth of the stream" shape that breaks
 per-user window/session operators whose partitioning isn't skew-safe.
-Everything else is symlink-copied verbatim. Driver-side tooling only.
+Every other table is byte-copied verbatim (real copies, not symlinks —
+the reader must not depend on the source dir surviving). Driver-side
+tooling only.
 """
 import sys, os, shutil
 import duckdb
