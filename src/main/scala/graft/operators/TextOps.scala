@@ -735,6 +735,59 @@ object TextOps {
         sum(col("c") * col("n_bpe")).as("bpe_tokens"))
   }
 
+  /** The PRODUCTION shape of the merge loop: [[bpeMerges]] is the
+    * oracle-checkable distributed kernel, but sequencing k merges as k
+    * Spark jobs is not a plan for a real tokenizer's ~50k merges. Every
+    * real trainer does what this does: pull the WORD VOCABULARY — one
+    * corpus pass, Heaps'-law bounded (millions of rows at 100 TB, a few
+    * hundred MB) — to one node ONCE, then run the merge loop locally
+    * where an argmax costs microseconds instead of a job launch. Merge
+    * semantics are byte-identical to [[bpeMerges]] (same delimited-
+    * string greedy replace, same (count desc, lhs, rhs) tie order), so
+    * the two trainers emit the same table — spec-pinned, and the query
+    * registration shares [[bpeMerges]]' oracle verbatim.
+    */
+  def bpeMergesLocal(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .as[(String, Long)].collect()
+    var reprs: Array[(String, Long)] =
+      vocab.map { case (w, n) => (" " + w.flatMap(c => s"$c "), n) }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= k && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      reprs.foreach { case (repr, wn) =>
+        val t = repr.split(" ").filter(_.nonEmpty)
+        var i = 0
+        while (i < t.length - 1) {
+          counts.merge((t(i), t(i + 1)), wn, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // argmax by (count desc, lhs asc, rhs asc) — bpeMerges' order
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (p._1 < best._1._1 ||
+                (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+        }
+        val ((x, y), cnt) = best
+        merges += ((rank.toLong, x, y, x + y, cnt))
+        reprs = reprs.map { case (r, n) => (r.replace(s" $x $y ", s" $x$y "), n) }
+        rank += 1
+      }
+    }
+    spark.createDataset(merges.result())
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Vocabulary coverage / out-of-vocabulary rate per document against the
     * corpus's own top-`vocabK` terms — the pre-tokenizer audit that tells
     * you what fraction of a corpus a fixed vocabulary would cover (high
@@ -932,6 +985,13 @@ object TextOps {
       bpeMerges(Tables.documents(s, d).select("text"), "text", k = bpeMergeK)
         .orderBy("merge_rank")),
 
+    // the PRODUCTION trainer: vocabulary pulled to one node once, the
+    // k merges sequenced locally — same table as text_bpe_merges (same
+    // oracle verbatim), without k sequential Spark jobs
+    "text_bpe_merges_local" -> ((s, d) =>
+      bpeMergesLocal(Tables.documents(s, d).select("text"), "text", k = bpeMergeK)
+        .orderBy("merge_rank")),
+
     // ENCODE with the learned merges: true tokenizer token counts per
     // doc. The merge table is a session artifact (trained once, like the
     // ANN indexes); text_bpe_merges above stays deliberately raw-priced.
@@ -945,14 +1005,27 @@ object TextOps {
     // tag-strip + line-density extractor — body prose survives,
     // boilerplate lines drop
     "text_html_extract" -> ((s, d) =>
-      htmlExtract(Tables.documents(s, d).select("doc_id", "text")
-          .withColumn("html", concat(
-            lit("<html><head><title>Doc "), col("doc_id"),
-            lit("</title><style>p{margin:0}</style><script>trackPage();</script></head><body><div><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div><p>"),
-            col("text"),
-            lit("</p><div>next &amp; prev</div><footer>&copy; 2026 Corp</footer></body></html>"))),
+      htmlExtract(htmlWrapped(Tables.documents(s, d).select("doc_id", "text")),
         "doc_id", "html")
         .orderBy("doc_id")),
+
+    // the crawl-to-corpus story END-TO-END in one plan: wrap → extract →
+    // quality-score the EXTRACTED text → gate → exact-dedup the
+    // survivors (reps carry their copy count) — extraction feeding the
+    // existing quality/dedup chain, not standing beside it
+    "text_html_pipeline" -> ((s, d) => {
+      val ext = htmlExtract(
+        htmlWrapped(Tables.documents(s, d).select("doc_id", "text")),
+        "doc_id", "html")
+      val scored = quality(ext.select(col("doc_id"), col("main_text")), "main_text")
+      scored.filter(col("quality_score") >= 0.9)
+        .groupBy(col("main_text"))
+        .agg(min(struct(col("doc_id"), col("quality_score"))).as("_f"),
+          count(lit(1)).as("n_dupes"))
+        .select(col("_f.doc_id").as("doc_id"),
+          col("_f.quality_score").as("quality_score"), col("n_dupes"))
+        .orderBy("doc_id")
+    }),
 
     // OOV rate per doc vs the corpus's own top-1000 terms
     "text_oov_rate" -> ((s, d) =>
@@ -1164,6 +1237,20 @@ object TextOps {
     raw"""qc AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM $src), qq AS (SELECT doc_id, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM qc), qp AS (SELECT doc_id, quality_score, round(percent_rank() OVER (ORDER BY quality_score), 6) AS pr FROM qq), band AS (SELECT doc_id FROM qp WHERE pr >= $lo AND pr <= $hi)"""
   }
 
+  /** DuckDB image of [[htmlWrapped]] + [[htmlExtract]]: ends in
+    * `k(doc_id, kept, lines)`. Shared by both html oracles. */
+  private val htmlOracleCtes: String =
+    raw"""h AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style><script>trackPage();</script></head><body><div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>' || text || '</p><div>next &amp; prev</div><footer>&copy; 2026 Corp</footer></body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h), s1b AS (SELECT doc_id, regexp_replace(t, '\s+', ' ', 'g') AS t FROM s1), s2 AS (SELECT doc_id, regexp_replace(t, '(?i)</(p|div|li|h[1-6]|tr|td|table|ul|ol|blockquote|section|article|header|footer)>|<br[^>]*>', chr(10), 'g') AS t FROM s1b), s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2), s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3), ln AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)), l -> trim(regexp_replace(l, '\s+', ' ', 'g'))), l -> l != '') AS lines FROM s4), k AS (SELECT doc_id, list_filter(lines, l -> length(l) >= 25) AS kept, lines FROM ln)"""
+
+  /** The deterministic crawl-page wrap both html queries derive (nav bar,
+    * style, script, entity-bearing footer around the document body). */
+  private def htmlWrapped(docs: DataFrame): DataFrame =
+    docs.withColumn("html", concat(
+      lit("<html><head><title>Doc "), col("doc_id"),
+      lit("</title><style>p{margin:0}</style><script>trackPage();</script></head><body><div><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div><p>"),
+      col("text"),
+      lit("</p><div>next &amp; prev</div><footer>&copy; 2026 Corp</footer></body></html>")))
+
   /** The k merge rounds both engines run for text_bpe_merges. */
   private[operators] val bpeMergeK = 10
 
@@ -1256,6 +1343,8 @@ object TextOps {
     // argmax (m_i) + greedy delimited-string replace (g_i) — the same
     // " x y " -> " xy " application the Spark loop does
     "text_bpe_merges" -> bpeMergesOracle(bpeMergeK),
+    // byte-identical trainer semantics — the same oracle verbatim
+    "text_bpe_merges_local" -> bpeMergesOracle(bpeMergeK),
     // the merge rounds replayed with the original word carried through,
     // then the (doc, word)-grain map onto the encoded vocabulary
     "text_bpe_encode" ->
@@ -1267,7 +1356,16 @@ object TextOps {
     // identical wrap template + the same three regex stages, entity
     // decode order (&amp; last) and line-density keep in DuckDB
     "text_html_extract" ->
-      raw"""WITH h AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style><script>trackPage();</script></head><body><div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>' || text || '</p><div>next &amp; prev</div><footer>&copy; 2026 Corp</footer></body></html>' AS html FROM documents), s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'), '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM h), s1b AS (SELECT doc_id, regexp_replace(t, '\s+', ' ', 'g') AS t FROM s1), s2 AS (SELECT doc_id, regexp_replace(t, '(?i)</(p|div|li|h[1-6]|tr|td|table|ul|ol|blockquote|section|article|header|footer)>|<br[^>]*>', chr(10), 'g') AS t FROM s1b), s3 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s2), s4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t FROM s3), ln AS (SELECT doc_id, list_filter(list_transform(string_split(t, chr(10)), l -> trim(regexp_replace(l, '\s+', ' ', 'g'))), l -> l != '') AS lines FROM s4), k AS (SELECT doc_id, list_filter(lines, l -> length(l) >= 25) AS kept, lines FROM ln) SELECT doc_id, array_to_string(kept, chr(10)) AS main_text, len(kept)::BIGINT AS n_kept, len(lines)::BIGINT AS n_lines FROM k ORDER BY doc_id""",
+      s"""WITH $htmlOracleCtes SELECT doc_id, array_to_string(kept, chr(10)) AS main_text, len(kept)::BIGINT AS n_kept, len(lines)::BIGINT AS n_lines FROM k ORDER BY doc_id""",
+    // the extract chain feeding the quality formula (identical Stable
+    // ratio arithmetic over the EXTRACTED text) and an exact-dedup rep
+    // selection of the gate survivors
+    "text_html_pipeline" -> {
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      raw"""WITH $htmlOracleCtes, x AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text FROM k), c AS (SELECT doc_id, text, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM x), q AS (SELECT doc_id, text, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM c), g AS (SELECT doc_id, text, quality_score FROM q WHERE quality_score >= 0.9) SELECT min(doc_id)::BIGINT AS doc_id, min(quality_score) AS quality_score, count(*) AS n_dupes FROM g GROUP BY text ORDER BY doc_id"""
+    },
 
     "text_oov_rate" -> {
       val rate = Stable.sqlRatioRounded(

@@ -443,6 +443,20 @@ class PropertySpec extends SparkSpec {
     assert(got.values.forall(_._1 < 0L))
   }
 
+  test("bpeMergesLocal == bpeMerges on random word soup") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val syll = Vector("ab", "ba", "abc", "aab", "bb", "a", "aaa", "bab")
+    val docs = (1 to 60).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(6))).map(_ => syll(rnd.nextInt(syll.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val dist = TextOps.bpeMerges(df, "text", k = 8).collect().map(_.toString).sorted
+    val local = TextOps.bpeMergesLocal(df, "text", k = 8).collect().map(_.toString).sorted
+    assert(dist.nonEmpty && dist.sameElements(local))
+  }
+
   test("bpeEncode + packSequences: pack cuts land only on whole-token boundaries") {
     val s = spark
     import s.implicits._

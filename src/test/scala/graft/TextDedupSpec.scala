@@ -1016,6 +1016,39 @@ class TextDedupSpec extends SparkSpec {
     assert(got.getLong(3) > got.getLong(2)) // short boilerplate lines counted, dropped
   }
 
+  test("text_html_pipeline: extraction feeds the gate and dedup — copies collapse, low quality drops") {
+    val s = spark
+    import s.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and the small cat with a very long tail today"
+    val bad = ";;;; ---- !!!! @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ===="
+    val docs = Seq((1L, good), (2L, good), (3L, bad)).toDF("doc_id", "text")
+    val got = SparkEntry.queries("text_html_pipeline")(spark, sfDir)
+    assert(got.columns.toSeq == Seq("doc_id", "quality_score", "n_dupes"))
+    // fixture run through the same operators directly
+    val ext = TextOps.htmlExtract(
+      docs.withColumn("html", concat(lit("<html><body><div><a href=\"/\">Home</a></div><p>"),
+        col("text"), lit("</p><footer>&copy; x</footer></body></html>"))),
+      "doc_id", "html")
+    val scored = TextOps.quality(ext.select(col("doc_id"), col("main_text")), "main_text")
+    val kept = scored.filter(col("quality_score") >= 0.9)
+      .groupBy(col("main_text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(kept == Map(1L -> 2L)) // copies collapsed to doc 1; punct soup gated out
+  }
+
+  test("text_bpe_merges_local == distributed trainer on fixtures") {
+    val s = spark
+    import s.implicits._
+    for (corpus <- Seq(Seq((1L, "ab ab abc")), Seq((1L, "aaa")),
+      Seq((1L, "ab ab abc"), (2L, "abc abd d")))) {
+      val df = corpus.toDF("doc_id", "text")
+      val dist = TextOps.bpeMerges(df, "text", k = 5).collect().map(_.toString).sorted
+      val local = TextOps.bpeMergesLocal(df, "text", k = 5).collect().map(_.toString).sorted
+      assert(dist.sameElements(local), s"trainers diverge on $corpus")
+    }
+  }
+
   test("text_bpe_encode: encoding matches hand-applied merges") {
     val s = spark
     import s.implicits._
