@@ -702,6 +702,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Representative-grain k-NN join — the COPY-HEAVY corpus scale path for
+    * [[simKnnJoin]]. Real 100 TB embedding corpora are duplicate-dense
+    * (re-crawls, mirrors, template pages embed identically); running the
+    * kNN self-join at raw grain makes every copy a query AND a candidate,
+    * so m copies of one vector cost O(m·cap) candidate rows and the
+    * LSH/dedup exchanges carry the copy multiplicity end-to-end. The sf10
+    * smoke measured exactly this: 102.7 s raw vs 8.4 s rep-grain, same
+    * JVM (BASELINE.md r7). This operator makes the mitigation a library
+    * contract instead of a caller recipe:
+    *
+    *   1. COLLAPSE — one hash agg groups by the exact vector value
+    *      (bit-identical floats; the one corpus-grain shuffle, carrying
+    *      each vector once) and keeps the min-id member as representative.
+    *   2. kNN AT REP GRAIN — [[simKnnJoin]] unchanged, over distinct
+    *      vectors only: candidate generation, caps and ranking all pay
+    *      |distinct|, not |corpus|.
+    *   3. FAN BACK — each copy inherits its representative's neighbor
+    *      list through an id-grain join (narrow rows, linear in output).
+    *
+    * Output contract: `(query_id, rep_id, neighbor_id, cos_sim, rank)` —
+    * neighbors are DISTINCT VECTORS (representative ids), so a copy's
+    * exact-duplicate siblings are reachable through the shared `rep_id`,
+    * not re-listed as k identical cos=1.0 rows; ranks therefore spend the
+    * k budget on genuinely distinct neighbors. Recall semantics and the
+    * per-(table,bucket) neighbor cap are [[simKnnJoin]]'s, applied at rep
+    * grain.
+    */
+  def simKnnJoinRep(df: DataFrame, id: String, emb: String,
+                    tabs: Seq[Seq[Seq[Double]]], k: Int,
+                    bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val repMap = df.groupBy(col(emb)).agg(min(col(id)).as("rep_id"))
+    val copies = df.join(repMap, Seq(emb)).select(col(id).as("query_id"), col("rep_id"))
+    val reps = repMap.select(col("rep_id").as(id), col(emb))
+    val nn = simKnnJoin(reps, id, emb, tabs, k, bucketCap)
+      .withColumnRenamed("query_id", "rep_id")
+    copies.join(nn, Seq("rep_id"))
+      .select(col("query_id"), col("rep_id"), col("neighbor_id"),
+        col("cos_sim"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   private val dims = 64
@@ -869,6 +909,18 @@ object Similarity {
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")),
 
+    // the copy-heavy scale path: the testdata vectors are all distinct, so
+    // the registered corpus UNIONs an id-shifted exact copy of every vector
+    // — the collapse and fan-back stages then do real work at oracle scale
+    // (each rep fans back to two query ids), not just pass-through
+    "sim_knn_join_rep" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = e.union(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      simKnnJoinRep(corpus, "vec_id", "embedding", dupTabs, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_pq_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       // codebook training is index construction: once per corpus, cached
@@ -985,8 +1037,9 @@ object Similarity {
   private def sqlDotRaw(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]), (x, y) -> x + y)"
   /** mirrors `normalized`: norm once per vector, then elementwise divide. */
-  private val normCte =
-    s"""nrm AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nr) AS ne FROM (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr FROM embeddings))"""
+  private def normCteFor(rel: String): String =
+    s"""nrm AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nr) AS ne FROM (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr FROM $rel))"""
+  private val normCte = normCteFor("embeddings")
 
   private def planesValues(tabs: Seq[Seq[Seq[Double]]]): String =
     tabs.zipWithIndex.flatMap { case (tab, t) =>
@@ -1144,9 +1197,9 @@ object Similarity {
   }
 
   /** bucket per (vec, table): ordered sign concat — mirrors bucketSig. */
-  private def bucketsCte(tabs: Seq[Seq[Seq[Double]]]): String =
+  private def bucketsCte(tabs: Seq[Seq[Seq[Double]]], rel: String = "embeddings"): String =
     s"""pl(tid, pid, w) AS (SELECT * FROM (VALUES ${planesValues(tabs)})), """ +
-      s"""bkt AS (SELECT vec_id, tid, string_agg(CASE WHEN ${sqlDot("embedding", "w")} >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket FROM embeddings CROSS JOIN pl GROUP BY vec_id, tid)"""
+      s"""bkt AS (SELECT vec_id, tid, string_agg(CASE WHEN ${sqlDot("embedding", "w")} >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket FROM $rel CROSS JOIN pl GROUP BY vec_id, tid)"""
 
   val oracles: Map[String, String] = Map(
     "emb_profile" ->
@@ -1176,6 +1229,13 @@ object Similarity {
       s"""WITH RECURSIVE ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id), prs AS (SELECT id_a, id_b FROM p WHERE cos_sim >= 0.4), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT vec_id, vec_id FROM embeddings UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), sizes AS (SELECT cluster, count(*) AS cluster_n FROM comp GROUP BY cluster) SELECT c.id AS vec_id, s.cluster_n FROM comp c JOIN sizes s ON c.cluster = s.cluster WHERE c.id = c.cluster ORDER BY vec_id""",
     "sim_knn_join" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3 ORDER BY query_id, rank""",
+    // the sim_knn_join chain replayed at REP grain: corpus = embeddings ∪
+    // id-shifted copy; reps = GROUP BY embedding min(vec_id); buckets/norm
+    // CTEs run over the rep relation; fan-back joins copies on exact
+    // vector equality — the same copy identity the Spark collapse uses
+    "sim_knn_join_rep" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings), reps AS (SELECT min(vec_id) AS vec_id, embedding FROM corpus GROUP BY embedding), ${bucketsCte(dupTabs, "reps")}, ${normCteFor("reps")}, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS rep_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT rep_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON rep_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT rep_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY rep_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p), base AS (SELECT rep_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3), copies AS (SELECT c.vec_id AS query_id, rp.vec_id AS rep_id FROM corpus c JOIN reps rp ON c.embedding = rp.embedding) SELECT cp.query_id, cp.rep_id, b.neighbor_id, b.cos_sim, b.rank FROM copies cp JOIN base b USING (rep_id) ORDER BY query_id, rank""",
+
     "cluster_kmeans" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id, cid FROM fr WHERE crank = 1) SELECT l.vec_id, l.cid, s.cluster_n FROM lists l JOIN (SELECT cid, count(*) AS cluster_n FROM lists GROUP BY cid) s USING (cid) ORDER BY l.vec_id""",
     "sim_pq_ann" -> pqOracle,

@@ -276,6 +276,49 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.groupBy(_._1).size == 200)
   }
 
+  test("sim_knn_join_rep: copies inherit their rep's list; rep grain == raw knn on distinct vectors") {
+    val df = run("sim_knn_join_rep")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // the registered corpus is embeddings ∪ (ids+10000) with identical
+    // vectors: reps must be the original ids, and each pair of copies
+    // must carry byte-identical neighbor lists
+    assert(rows.forall { case (_, rep, _, _, _) => rep < 10000L })
+    val byQuery = rows.groupBy(_._1)
+    byQuery.keys.filter(_ < 10000L).foreach { q =>
+      val a = byQuery(q).map(t => (t._2, t._3, t._4, t._5)).sortBy(_._4)
+      val b = byQuery.getOrElse(q + 10000L, Array.empty[(Long, Long, Long, Double, Long)])
+        .map(t => (t._2, t._3, t._4, t._5)).sortBy(_._4)
+      assert(a.toSeq == b.toSeq, s"copies of rep $q must share one neighbor list")
+    }
+    // rep-grain results == the raw sim_knn_join over the distinct vectors
+    val repRows = rows.filter(_._1 < 10000L)
+      .map { case (q, _, n, c, r) => (q, n, c, r) }.sorted.toSeq
+    val raw = run("sim_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).sorted.toSeq
+    assert(repRows == raw)
+  }
+
+  test("sim_knn_join_rep: duplicate flood collapses before candidate generation") {
+    val s = spark
+    import s.implicits._
+    // 200 copies of one vector + 4 distinct others: raw grain would pay
+    // O(200·cap) candidates; rep grain must see only 5 distinct vectors
+    val base = Seq.tabulate(4)(j => (1000L + j, Seq.tabulate(8)(i => (i + j + 1) * 0.1)))
+    val flood = (0L until 200L).map(i => (i, Seq.fill(8)(0.5))) ++ base
+    val out = graft.operators.Similarity.simKnnJoinRep(
+      flood.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      graft.operators.Similarity.dupTabs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // every flood member fans back from rep 0; no flood sibling appears
+    // as a neighbor (neighbors are distinct vectors = reps)
+    val floodRows = out.filter(_._1 < 200L)
+    assert(floodRows.nonEmpty && floodRows.forall(_._2 == 0L))
+    assert(out.forall { case (_, _, n) => n == 0L || n >= 1000L })
+  }
+
   test("persisted IVF-PQ index answers identically to the in-session index") {
     val mem = run("sim_ivfpq_ann").collect().map(_.toString).sorted
     val disk = run("sim_ivfpq_persisted").collect().map(_.toString).sorted
