@@ -238,6 +238,51 @@ object Events {
         rankOk(col("n") * lit(0.95), err, col("lt95"), col("le95")).as("p95_ok"))
   }
 
+  /** MERGEABLE PRE-AGGREGATION (sketch rollup) — the 100 TB answer to
+    * "distinct members over an arbitrary date range": distinct counts
+    * don't add, so a plain daily cube can't serve range queries, and
+    * rescanning the raw log per dashboard query is exactly what doesn't
+    * scale. The fix is the standard lakehouse pattern: keep ONE
+    * day×key-grain table of DataSketches HLL sketches (built once, in
+    * production persisted and appended per day — see the maintain query),
+    * then answer any range by UNIONING sketches — register-wise max is
+    * associative/commutative/idempotent, so merge order, re-merges and
+    * overlapping rebuilds all yield the identical estimate. Additive
+    * metrics (row counts) ride the same table. A 100 TB log becomes a
+    * |days|×|keys| sketch table; every range query thereafter is
+    * O(days·keys), zero raw-log IO.
+    */
+  def sketchDaily(df: DataFrame, ts: String, key: String, member: String): DataFrame =
+    df.groupBy(to_date(col(ts)).as("day"), col(key))
+      .agg(hll_sketch_agg(col(member)).as("sk"), count(lit(1)).as("n"))
+
+  /** Range rollup served PURELY from the daily sketch table: week-grain
+    * distinct estimates via sketch union + additive event counts. The
+    * raw log is not an input. */
+  def sketchRollup(daily: DataFrame, key: String): DataFrame =
+    daily.groupBy(date_trunc("week", col("day")).cast("date").as("week"), col(key))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        sum(col("n")).as("n_events"))
+
+  /** The ORACLE-CHECKABLE form of [[sketchRollup]] — same grading scheme
+    * as [[approxStatsChecked]]: the engine-specific estimate never leaves
+    * the query; the output carries the exact distinct count (recomputed
+    * raw-side, the audit's cost, not the production path's) plus a bound
+    * flag the oracle asserts TRUE. HLL_4 at the default lgK=12 stays in
+    * sparse (near-exact) mode far beyond this corpus's cardinalities;
+    * ±5% with an absolute floor of 5 is a loose 3-sd band.
+    */
+  def sketchRollupChecked(daily: DataFrame, raw: DataFrame, ts: String,
+                          key: String, member: String): DataFrame = {
+    val roll = sketchRollup(daily, key)
+    val ex = raw.groupBy(date_trunc("week", col(ts)).cast("date").as("week"), col(key))
+      .agg(countDistinct(col(member)).as("exact_users"))
+    roll.join(ex, Seq("week", key))
+      .select(col("week"), col(key), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * lit(0.05), lit(5.0))).as("users_ok"))
+  }
+
   /** Fixed-bin value histogram per key — the monitoring-dashboard shape
     * (and the right exact primitive at 100 TB: one map-side-combinable
     * hash agg over |keys|×bins cells, counts are exact ints so there is
@@ -643,6 +688,32 @@ object Events {
       approxStatsChecked(Tables.events(s, d), "event_type", "user_id", "value")
         .orderBy("event_type")),
 
+    // week-range distinct users served from the day-grain sketch table
+    // (the raw log appears only in the grading pass)
+    "events_sketch_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      sketchRollupChecked(sketchDaily(ev, "ts", "event_type", "user_id"),
+        ev, "ts", "event_type", "user_id")
+        .orderBy("week", "event_type")
+    }),
+
+    // INCREMENTAL maintenance of the sketch table (the dedup_incremental /
+    // sim_ivfpq_append pattern for pre-aggregations): days before the cut
+    // are the standing table; the new day-batch is sketched ALONE and
+    // unioned in — register-wise max is associative + idempotent, so the
+    // merged rollup is row-identical to a from-scratch build (same oracle)
+    "events_sketch_maintain" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cut = lit("2024-01-24").cast("date")
+      val standing = sketchDaily(ev.filter(to_date(col("ts")) < cut),
+        "ts", "event_type", "user_id")
+      val batch = sketchDaily(ev.filter(to_date(col("ts")) >= cut),
+        "ts", "event_type", "user_id")
+      sketchRollupChecked(standing.unionByName(batch),
+        ev, "ts", "event_type", "user_id")
+        .orderBy("week", "event_type")
+    }),
+
     // the EXACT half of the monitoring stats (count / extrema per type) —
     // oracle-checked, so only approxStats' sketch columns stay spec-bounded.
     // min/max/count are order-free (no summation portability hazards) and
@@ -805,6 +876,13 @@ object Events {
     // sketch drift flips a flag and fails the hash
     "events_approx_stats" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users, count(*)::BIGINT AS n_events, TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok FROM events GROUP BY event_type ORDER BY event_type""",
+    // exact values recomputed in SQL; users_ok asserts the sketch-union
+    // estimate sat inside its bound (any drift flips the flag → hash fail)
+    "events_sketch_rollup" ->
+      """SELECT date_trunc('week', ts)::DATE AS week, event_type, count(DISTINCT user_id)::BIGINT AS exact_users, count(*)::BIGINT AS n_events, TRUE AS users_ok FROM events GROUP BY 1, 2 ORDER BY week, event_type""",
+    // incremental merge must be row-identical to the from-scratch build
+    "events_sketch_maintain" ->
+      """SELECT date_trunc('week', ts)::DATE AS week, event_type, count(DISTINCT user_id)::BIGINT AS exact_users, count(*)::BIGINT AS n_events, TRUE AS users_ok FROM events GROUP BY 1, 2 ORDER BY week, event_type""",
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type ORDER BY event_type""",
     "events_recent" ->

@@ -349,6 +349,23 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("events_sketch_rollup: flags green; incremental merge row-identical to rebuild; rollup reads only the sketch table") {
+    val roll = run("events_sketch_rollup").collect()
+    assert(roll.nonEmpty)
+    roll.foreach(r => assert(r.getBoolean(4),
+      s"week ${r.get(0)}/${r.getString(1)}: sketch-union estimate outside bound"))
+    // register-wise max is associative + idempotent: the standing-table +
+    // day-batch union must reproduce the from-scratch build row-for-row
+    val maint = run("events_sketch_maintain").collect().map(_.toString).sorted.toSeq
+    assert(maint == roll.map(_.toString).sorted.toSeq)
+    // the production rollup path consumes ONLY the day-grain sketch table:
+    // one raw-log scan total (the daily build), none added by the rollup
+    val ev = Tables.events(spark, sfDir)
+    val daily = graft.operators.Events.sketchDaily(ev, "ts", "event_type", "user_id")
+    val p = plan(graft.operators.Events.sketchRollup(daily, "event_type"))
+    assert(p.split("Scan parquet").length - 1 == 1, "rollup must not rescan the raw log")
+  }
+
   test("events_approx_stats: sketches graded in-query, every flag green") {
     // the registered query outputs exact values + bound flags; the raw
     // sketches must sit inside their documented error bounds
