@@ -69,6 +69,53 @@ object TextOps {
         round(alphaR - punctR + least(stopR * 2, lit(0.5)), 4))
   }
 
+  /** QUALITY-ANNEALED epoch mixing — the "midtraining anneal" schedule
+    * every modern LLM run ends on: early epochs see the whole corpus,
+    * late epochs progressively drop low-quality bands so the final
+    * tokens skew high-quality (the data-side cousin of LR annealing).
+    * Mechanics: the [[classifierFilter]] logit (one codegen projection,
+    * bitwise-portable fold) banded by FIXED thresholds (corpus-
+    * independent, so banding is a map — no quantile pass, no shuffle);
+    * the epoch schedule is a literal table exploded per doc; inclusion
+    * is a stateless md5 draw on (doc, epoch) — the [[Dedup]] mix-family
+    * contract: deterministic, rerun-stable, zero corpus shuffle, linear
+    * in corpus × epochs. At 100 TB this whole operator is one filtered
+    * projection pass per epoch.
+    *
+    * `schedule`: (epoch, keepLow, keepMid, keepHigh) rows.
+    */
+  def mixAnneal(df: DataFrame, id: String, textCol: String,
+                wAlpha: Double, wPunct: Double, wStop: Double,
+                wLen: Double, intercept: Double,
+                bandLo: Double, bandHi: Double,
+                schedule: Seq[(Long, Double, Double, Double)]): DataFrame = {
+    val feats = quality(df.select(col(id), col(textCol)), textCol)
+    val logit = lit(intercept) +
+      lit(wAlpha) * col("alpha_ratio") +
+      lit(wPunct) * col("punct_ratio") +
+      lit(wStop) * col("stop_ratio") +
+      lit(wLen) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+    val banded = feats.withColumn("logit", logit)
+      .withColumn("band",
+        when(col("logit") >= bandHi, lit("high"))
+          .when(col("logit") >= bandLo, lit("mid"))
+          .otherwise(lit("low")))
+    val sched = explode(array(schedule.map { case (e, l, m, h) =>
+      struct(lit(e).as("epoch"), lit(l).as("r_low"), lit(m).as("r_mid"),
+        lit(h).as("r_high"))
+    }: _*)).as("_ep")
+    val draw = conv(substring(md5(concat(col(id).cast("string"), lit(":"),
+      col("epoch").cast("string")).cast("binary")), 1, 4), 16, 10).cast("long")
+    banded.select(col(id), col("band"), col("logit"), sched)
+      .select(col(id), col("band"), col("logit"),
+        col("_ep.epoch").as("epoch"),
+        when(col("band") === "high", col("_ep.r_high"))
+          .when(col("band") === "mid", col("_ep.r_mid"))
+          .otherwise(col("_ep.r_low")).as("_rate"))
+      .filter(draw < col("_rate") * 65536)
+      .select(col(id), col("epoch"), col("band"), col("logit"))
+  }
+
   /** n-gram-free language ID: stopword hit votes per language, argmax with
     * deterministic tie order (en > es > fr), 'und' when no list hits.
     */
@@ -971,6 +1018,18 @@ object TextOps {
         intercept = -0.5, theta = 1.7)
         .orderBy("doc_id")),
 
+    // 3-epoch anneal: epoch 1 sees everything, epoch 3 keeps 10% low /
+    // 50% mid / all high — band thresholds fixed at the corpus logit
+    // terciles (1.55 / 1.8), corpus-independent by contract
+    "mix_anneal" -> ((s, d) =>
+      mixAnneal(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text",
+        wAlpha = 2.0, wPunct = -3.0, wStop = 1.5, wLen = 0.8,
+        intercept = -0.5, bandLo = 1.55, bandHi = 1.8,
+        schedule = Seq((1L, 1.0, 1.0, 1.0), (2L, 0.5, 1.0, 1.0),
+          (3L, 0.1, 0.5, 1.0)))
+        .orderBy("doc_id", "epoch")),
+
     "text_repetition" -> ((s, d) =>
       repetition(Tables.documents(s, d).select("doc_id", "text"), "text")
         .select("doc_id", "n_tokens", "dup_2gram_frac", "dup_3gram_frac")
@@ -1327,6 +1386,17 @@ object TextOps {
       val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
       val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
       raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents), lg AS (SELECT doc_id, (-0.5) + 2.0 * $alphaR + (-3.0) * $punctR + 1.5 * $stopR + 0.8 * least(ntok / 100.0, 1.0) AS logit FROM c) SELECT doc_id, logit FROM lg WHERE logit >= 1.7 ORDER BY doc_id"""
+    },
+    // the gate's logit CTEs + fixed-threshold bands + a literal epoch
+    // schedule; inclusion replays the (doc_id:epoch) md5 draw
+    "mix_anneal" -> {
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      val draw = (1 to 4).map(j =>
+        s"((strpos('0123456789abcdef', substr(md5(b.doc_id::VARCHAR || ':' || ep.epoch::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+        .mkString("(", " + ", ")")
+      raw"""WITH c AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents), lg AS (SELECT doc_id, (-0.5) + 2.0 * $alphaR + (-3.0) * $punctR + 1.5 * $stopR + 0.8 * least(ntok / 100.0, 1.0) AS logit FROM c), b AS (SELECT doc_id, logit, CASE WHEN logit >= 1.8 THEN 'high' WHEN logit >= 1.55 THEN 'mid' ELSE 'low' END AS band FROM lg), ep(epoch, r_low, r_mid, r_high) AS (VALUES (1, 1.0, 1.0, 1.0), (2, 0.5, 1.0, 1.0), (3, 0.1, 0.5, 1.0)) SELECT b.doc_id, ep.epoch::BIGINT AS epoch, b.band, b.logit FROM b CROSS JOIN ep WHERE $draw < (CASE WHEN b.band = 'high' THEN ep.r_high WHEN b.band = 'mid' THEN ep.r_mid ELSE ep.r_low END) * 65536 ORDER BY doc_id, epoch"""
     },
     // tokens via the nonempty-runs contract (list_filter) to match
     // WordNgrams; range(1, len(t)) builds the 2-gram list, range(1,

@@ -1100,4 +1100,26 @@ class TextDedupSpec extends SparkSpec {
     assert(p2.contains("BroadcastHashJoin"),
       s"size-decided broadcast should kick in for tiny margins:\n${p2.take(1200)}")
   }
+
+  test("mix_anneal: epoch 1 keeps all; per-band survival anneals; zero-shuffle plan") {
+    val rows = run("mix_anneal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // epoch 1 rates are all 1.0 — the draw (< 65536) can never fail
+    assert(rows.count(_._2 == 1L).toLong == nDocs)
+    // high band survives every epoch in full; low band thins monotonically
+    val byEpochBand = rows.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    val high1 = byEpochBand.getOrElse((1L, "high"), 0)
+    assert(Seq(2L, 3L).forall(e => byEpochBand.getOrElse((e, "high"), 0) == high1))
+    val lows = Seq(1L, 2L, 3L).map(e => byEpochBand.getOrElse((e, "low"), 0))
+    assert(lows(0) > lows(1) && lows(1) > lows(2),
+      s"low band must thin across epochs, got $lows")
+    // the operator is a filtered projection: no Exchange anywhere
+    val p = plan(graft.operators.TextOps.mixAnneal(
+      Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id", "text",
+      2.0, -3.0, 1.5, 0.8, -0.5, 1.55, 1.8,
+      Seq((1L, 1.0, 1.0, 1.0), (2L, 0.5, 1.0, 1.0), (3L, 0.1, 0.5, 1.0))))
+    assert(!p.contains("Exchange"), s"anneal must not shuffle:\n${p.take(800)}")
+  }
 }
