@@ -464,6 +464,69 @@ object Similarity {
     rerankExact(sl, nrm, id, k)
   }
 
+  /** SQ8 (scalar 8-bit) quantization — the THIRD FAISS compression shape
+    * next to PQ and IVF-PQ: each dimension is linearly quantized to one
+    * byte against per-dim [min, max] trained over the corpus, so storage
+    * is dims bytes/vector (4× under float32, no codebook training loop)
+    * and reconstruction error is per-dim bounded — the accuracy/simplicity
+    * point between raw floats and PQ's m-byte codes. Training is ONE
+    * narrow agg (per-dim min/max = 2×dims doubles — metadata, same
+    * collect contract as the k-means centroids); encoding and
+    * reconstruction are zero-shuffle projections over literal arrays.
+    * Scoring is asymmetric (query floats × reconstructed corpus dims),
+    * reconstructed ONCE per corpus row (before the query crossJoin), then
+    * the PQ chain's shortlist window + exact re-rank. Every float op is
+    * a fixed-order IEEE fold, so the oracle replays training, encoding
+    * and scoring bit-for-bit.
+    */
+  def sq8Train(nrm: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = nrm.select(posexplode(col("ne")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (rows.map(_._2).toSeq, rows.map(t => t._3 - t._2).toSeq)
+  }
+
+  /** SQ8 code table (id, codes: array<long> of 0..255) — index artifact. */
+  def sq8CodesTable(nrm: DataFrame, id: String,
+                    mn: Seq[Double], sc: Seq[Double]): DataFrame = {
+    val mnl = array(mn.map(lit): _*)
+    val scl = array(sc.map(lit): _*)
+    // half-up via floor(x + 0.5): unambiguous on any double (engines
+    // disagree on round-at-tie); a zero-range dim encodes as 0
+    val codes = transform(col("ne"), (x, i) => {
+      val m = element_at(mnl, i + 1)
+      val s = element_at(scl, i + 1)
+      when(s === 0.0, lit(0L)).otherwise(
+        least(greatest(floor((x - m) / s * 255 + lit(0.5)), lit(0.0)),
+          lit(255.0)).cast("long"))
+    })
+    nrm.select(col(id).as("neighbor_id"), codes.as("codes"))
+  }
+
+  def simSq8Ann(df: DataFrame, id: String, emb: String, queryPred: Column,
+                mn: Seq[Double], sc: Seq[Double], shortlist: Int, k: Int,
+                prebuiltCodes: Option[DataFrame] = None): DataFrame = {
+    val nrm = normalized(df, id, emb)
+    val codes = prebuiltCodes.getOrElse(sq8CodesTable(nrm, id, mn, sc))
+    val mnl = array(mn.map(lit): _*)
+    val scl = array(sc.map(lit): _*)
+    val re = transform(col("codes"), (c, i) =>
+      element_at(mnl, i + 1) + (c * element_at(scl, i + 1)) / lit(255.0))
+    val q = broadcast(nrm.filter(queryPred)
+      .select(col(id).as("query_id"), col("ne").as("qe")))
+    val scanned = codes.withColumn("re", re).crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotD(col("qe"), col("re")), 4).as("approx_sim"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_sim").desc, col("neighbor_id").asc)
+    val sl = scanned.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    rerankExact(sl, nrm, id, k)
+  }
+
   /** IVF-PQ — the composed scale-path index (the FAISS IVFPQ shape, sans
     * residual encoding — PQ codes are built on the raw vectors, documented
     * divergence): the coarse quantizer restricts candidates to the query's
@@ -777,6 +840,8 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Any, Seq[Double])]]]()
   private val pqResCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Any, Seq[Double])]]]()
+  private val sq8Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Double], Seq[Double])]()
 
   /** Session-lifetime INDEX TABLES (inverted lists, PQ codes): the FAISS
     * contract is that an index is built once per corpus and amortized over
@@ -918,6 +983,19 @@ object Similarity {
       val corpus = e.union(
         e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       simKnnJoinRep(corpus, "vec_id", "embedding", dupTabs, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_sq8_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val nrm = normalized(e, "vec_id", "embedding")
+      // training is index construction: once per corpus (2×dims doubles)
+      val (mn, sc) = sq8Cache.computeIfAbsent(d, _ => sq8Train(nrm))
+      val codes = cachedIndex(s"$d|sq8_codes")(
+        sq8CodesTable(nrm, "vec_id", mn, sc))
+      simSq8Ann(e, "vec_id", "embedding", col("vec_id") < 10, mn, sc,
+        shortlist = pqShort, k = 5, prebuiltCodes = Some(codes))
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     }),
 
@@ -1239,6 +1317,17 @@ object Similarity {
     "cluster_kmeans" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id, cid FROM fr WHERE crank = 1) SELECT l.vec_id, l.cid, s.cluster_n FROM lists l JOIN (SELECT cid, count(*) AS cluster_n FROM lists GROUP BY cid) s USING (cid) ORDER BY l.vec_id""",
     "sim_pq_ann" -> pqOracle,
+    // SQ8: per-dim min/max training, byte encoding, reconstruction and
+    // asymmetric scoring replayed stage-for-stage; shares the PQ chain's
+    // shortlist/re-rank tail (same shortlist size, k = 5)
+    "sim_sq8_ann" ->
+      (s"""WITH $normCte, """ +
+        s"""mm AS (SELECT pos, min(x) AS mn, max(x) - min(x) AS sc FROM (SELECT unnest(ne) AS x, unnest(range(1, len(ne) + 1)) AS pos FROM nrm) GROUP BY pos), """ +
+        s"""qv AS (SELECT list(mn ORDER BY pos) AS mnl, list(sc ORDER BY pos) AS scl FROM mm), """ +
+        s"""codes AS (SELECT vec_id, list_transform(range(1, len(ne) + 1), i -> CASE WHEN v.scl[i] = 0 THEN 0.0 ELSE least(greatest(floor((ne[i] - v.mnl[i]) / v.scl[i] * 255 + 0.5), 0.0), 255.0) END) AS cs FROM nrm CROSS JOIN qv v), """ +
+        s"""rec AS (SELECT c.vec_id, list_transform(range(1, len(cs) + 1), i -> v.mnl[i] + (cs[i] * v.scl[i]) / 255.0) AS re FROM codes c CROSS JOIN qv v), """ +
+        s"""sc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, round(${sqlDotRaw("q.ne", "x.re")}, 4) AS approx_sim FROM rec x CROSS JOIN (SELECT vec_id, ne FROM nrm WHERE vec_id < 10) q WHERE q.vec_id != x.vec_id), """ +
+        pqTail),
     "sim_ivfpq_ann" -> ivfPqOracle,
     // identical results to the in-session index — same oracle
     "sim_ivfpq_persisted" -> ivfPqOracle,

@@ -85,7 +85,13 @@ class SimilaritySpec extends SparkSpec {
     val pqRecall = pairs("sim_pq_ann").intersect(truth).size.toDouble / truth.size
     val ivfpqRecall = pairs("sim_ivfpq_ann").intersect(truth).size.toDouble / truth.size
     val resRecall = pairs("sim_ivfpq_res_ann").intersect(truth).size.toDouble / truth.size
-    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f pq=$pqRecall%.3f ivfpq=$ivfpqRecall%.3f ivfpq_res=$resRecall%.3f over ${truth.size} truth pairs")
+    val sq8Recall = pairs("sim_sq8_ann").intersect(truth).size.toDouble / truth.size
+    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f pq=$pqRecall%.3f ivfpq=$ivfpqRecall%.3f ivfpq_res=$resRecall%.3f sq8=$sq8Recall%.3f over ${truth.size} truth pairs")
+    // 8 bits/dim reconstructs far tighter than PQ's m-byte codes: SQ8
+    // must beat the PQ recall at the same shortlist budget
+    assert(sq8Recall >= pqRecall - 1e-9,
+      f"sq8 recall $sq8Recall%.3f fell below pq $pqRecall%.3f at equal shortlist")
+    assert(sq8Recall >= 0.9, f"sq8 recall@5 $sq8Recall%.3f below 0.9 floor")
     // lsh floor raised after the multi-probe lift (0.78 -> 1.00 measured)
     assert(lshRecall >= 0.9, f"lsh recall@5 $lshRecall%.3f below 0.9 floor")
     assert(ivfRecall >= 0.6, f"ivf recall@5 $ivfRecall%.3f below 0.6 floor")
