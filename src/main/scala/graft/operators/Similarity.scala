@@ -206,6 +206,35 @@ object Similarity {
     nrm.withColumn("_nn", slice(array_sort(array(scored: _*)), 1, nProbe))
   }
 
+  /** Embedding OUTLIER screen — the index-hygiene pass run between
+    * [[embProfile]] and any ANN build: vectors far from every cluster
+    * centroid are encoder failures, wrong-modality rows or garbage
+    * inputs, and they poison both recall measurements and k-means
+    * updates. Score = cosine to the assigned (nearest-by-L2) centroid's
+    * DIRECTION; flag when below `tau`. Zero-shuffle: assignment and
+    * scoring are one projection over broadcast literal centroids —
+    * outlier screening at 100 TB is a map. Portability: the centroid
+    * squared-norm is folded left-to-right in Scala (same order as the
+    * oracle's list_reduce), sqrt/divide are IEEE-correctly-rounded, so
+    * the rounded score replays exactly.
+    */
+  def embOutliers(df: DataFrame, id: String, emb: String,
+                  cents: Seq[(Any, Seq[Double])], tau: Double): DataFrame = {
+    val nrm = normalized(df, id, emb)
+    val a = ivfAssign(nrm, cents, nProbe = 1, euclid = true)
+      .select(col(id), col("ne"), col("_nn")(0)("cid").as("cid"))
+    val cosByCid = cents.map { case (cid, ce) =>
+      val sumsq = ce.map(x => x * x).sum
+      (cid, round(dotD(col("ne"), array(ce.map(lit): _*)) / lit(math.sqrt(sumsq)), 4))
+    }
+    val cosExpr = cosByCid.tail.foldLeft(
+      when(col("cid") === lit(cosByCid.head._1), cosByCid.head._2)) {
+      case (acc, (cid, e)) => acc.when(col("cid") === lit(cid), e)
+    }
+    a.select(col(id), col("cid"), cosExpr.as("cos_c"))
+      .withColumn("is_outlier", col("cos_c") < tau)
+  }
+
   /** Trivial centroid choice: the vectors matching `centPred` (a
     * deterministic subset — the structural baseline [[kmeansCentroids]]
     * refines). The sort is lexicographic on the id's string form: it only
@@ -812,6 +841,10 @@ object Similarity {
     * query and the generated oracle so they cannot drift). */
   val ivfC = 16
   val ivfIters = 2
+  /** emb_outliers threshold: cos-to-centroid below this flags the vector
+    * (this corpus's cos_c runs 0.12–0.85, median 0.31 — 0.15 flags only
+    * the far tail, the "nothing explains this vector" shape). */
+  val outlierTau = 0.15
   private val kmeansCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Any, Seq[Double])]]()
   // ANN config chosen against the tested recall contract (SimilaritySpec
@@ -941,6 +974,16 @@ object Similarity {
         "vec_id", "embedding", dupTabs, threshold = 0.4)
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")),
+
+    // centroid-distance outlier screen over the shared k-means centroids
+    "emb_outliers" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
+        _ => kmeansCentroids(normalized(e, "vec_id", "embedding"),
+          "vec_id", c = ivfC, iters = ivfIters))
+      embOutliers(e, "vec_id", "embedding", cents, tau = outlierTau)
+        .orderBy("vec_id")
+    }),
 
     // data-dependent answer size: everything with cos >= 0.25 per query
     "sim_range_search" -> ((s, d) =>
@@ -1316,6 +1359,11 @@ object Similarity {
 
     "cluster_kmeans" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id, cid FROM fr WHERE crank = 1) SELECT l.vec_id, l.cid, s.cluster_n FROM lists l JOIN (SELECT cid, count(*) AS cluster_n FROM lists GROUP BY cid) s USING (cid) ORDER BY l.vec_id""",
+    // the cluster_kmeans assignment CTEs + cosine-to-centroid-direction
+    // scoring; the fold, sqrt and divide replay Spark's literal order
+    "emb_outliers" ->
+      s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id, cid FROM fr WHERE crank = 1), cc AS (SELECT l.vec_id, l.cid, round(${sqlDotRaw("n.ne", "c.ce")} / sqrt(${sqlDotRaw("c.ce", "c.ce")}), 4) AS cos_c FROM lists l JOIN nrm n ON l.vec_id = n.vec_id JOIN c$ivfIters c ON l.cid = c.cid) SELECT vec_id, cid, cos_c, cos_c < $outlierTau AS is_outlier FROM cc ORDER BY vec_id""",
+
     "sim_pq_ann" -> pqOracle,
     // SQ8: per-dim min/max training, byte encoding, reconstruction and
     // asymmetric scoring replayed stage-for-stage; shares the PQ chain's

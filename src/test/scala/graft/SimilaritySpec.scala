@@ -224,6 +224,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("emb_outliers: cid agrees with kmeans assignment; flag == threshold; zero-shuffle scoring") {
+    val rows = run("emb_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, c, o) =>
+      assert(c >= -1.0001 && c <= 1.0001)
+      assert(o == (c < graft.operators.Similarity.outlierTau))
+    }
+    // a small far tail, not a massacre: the screen flags <5% here
+    assert(rows.count(_._4) > 0 && rows.count(_._4) < rows.length / 20)
+    // same assignment as the cluster op (shared centroids)
+    val km = run("cluster_kmeans").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (v, cid, _, _) => assert(km(v) == cid) }
+    // assignment + scoring is one projection over literal centroids
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val nrm = graft.operators.Similarity.normalized(e, "vec_id", "embedding")
+    val cents = graft.operators.Similarity.kmeansCentroids(nrm, "vec_id", 4, 1)
+    val p = plan(graft.operators.Similarity.embOutliers(
+      e, "vec_id", "embedding", cents, 0.15))
+    assert(!p.contains("Exchange"), s"outlier screen must not shuffle:\n${p.take(800)}")
+  }
+
   test("cluster_kmeans: a partition of the corpus with consistent sizes") {
     val rows = run("cluster_kmeans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
