@@ -59,6 +59,24 @@ object StreamOps {
       .select(col(key), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming maintenance of the day×key HLL sketch table — the
+    * Structured Streaming twin of `Events.sketchDaily` and the live half
+    * of the `events_sketch_maintain` contract: each micro-batch folds its
+    * members into the day-window sketch state (DataSketches HLL updates
+    * are associative + idempotent, so replays and out-of-order arrivals
+    * within the watermark cannot change the merged registers); the
+    * watermark bounds state to open days × keys. The emitted rows ARE the
+    * standing sketch table — downstream range rollups
+    * (`Events.sketchRollup`) consume them with zero raw-log IO.
+    */
+  def sketchMaintainStream(events: DataFrame, ts: String, delay: String,
+                           key: String, member: String): DataFrame =
+    events.withWatermark(ts, delay)
+      .groupBy(window(col(ts), "1 day"), col(key))
+      .agg(hll_sketch_agg(col(member)).as("sk"), count(lit(1)).as("n"))
+      .select(col("window.start").cast("date").as("day"), col(key),
+        col("sk"), col("n"))
+
   /** Streaming exact dedup (twin of TextOps.dedupExact): keep the first
     * record per key across micro-batches. State holds one entry per key
     * and is evicted once the watermark passes — the standard

@@ -54,6 +54,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sketch maintenance: rollup over streamed sketch table == batch rollup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Reading]
+    val daily = StreamOps.sketchMaintainStream(
+      input.toDF().withColumnRenamed("user_id", "event_type"),
+      ts = "ts", delay = "1 hour", key = "event_type", member = "event_id")
+    val q = daily.writeStream.format("memory").queryName("sketch_daily")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches: day-window sketch state must merge across them
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      def rollRows(df: org.apache.spark.sql.DataFrame) =
+        Events.sketchRollup(df, "event_type")
+          .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val streamed = rollRows(s.table("sketch_daily"))
+      val batch = rollRows(Events.sketchDaily(
+        eventRows.toDF().withColumnRenamed("user_id", "event_type"),
+        "ts", "event_type", "event_id"))
+      assert(streamed.nonEmpty)
+      // register-wise max is associative + idempotent: the cross-batch
+      // streamed sketches must union to the identical estimates
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming SLIDING windowedAgg matches batch slidingWindowAgg") {
     val s = spark
     import s.implicits._
