@@ -705,6 +705,45 @@ object Dedup {
       .select(col(id), col("bench_id"))
   }
 
+  /** Bloom-screen decontamination — the SCALE path for "does any training
+    * doc share an n-gram with the benchmark set": the bench side's
+    * shingles are folded into a few-KB bit array ([[Relational.bloomOf]],
+    * md5-derived positions so the sketch is engine-portable) that ships
+    * to every scan task; each corpus shingle is then k codegen'd bit
+    * tests — ZERO shuffle of the corpus for the screen itself. At 100 TB
+    * this replaces the shingle equi-join of [[contaminationPairs]] with
+    * a filtered pass (the same reduction Spark's runtime bloom join
+    * pushdown makes, here explicit and benchmark-owned).
+    *
+    * A Bloom filter can flag a clean shingle (false positive, rate set
+    * by numBits/numHashes) but never miss a contaminated one. This
+    * operator GRADES the screen in-query (the events_approx_stats
+    * recipe): alongside `bloom_hits` it computes the exact join answer
+    * (`exact_hits`) and the per-doc false-positive surplus `bloom_fp =
+    * bloom_hits - exact_hits >= 0` — so the oracle checks the screen's
+    * soundness end-to-end. Production callers drop the exact join and
+    * keep only the screen (then verify flagged docs with
+    * [[exactContamination]] — two-phase, like every LSH family here).
+    */
+  def bloomContamination(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int, numBits: Int,
+                         numHashes: Int): DataFrame = {
+    val bsh = explodeShingles(bench, idCol, textCol, n)
+      .select(col("sh").as("s")).distinct()
+    val words = Relational.bloomOf(bsh, "s", numBits, numHashes)
+    val probed = explodeShingles(train, idCol, textCol, n)
+      .withColumn("_bloom",
+        Relational.bloomMightContain(col("sh"), words, numHashes))
+    probed.join(bsh.withColumn("_inb", lit(1L)), probed("sh") === col("s"),
+        "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_bloom"), 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when(col("_inb").isNotNull, 1L).otherwise(0L)).as("exact_hits"))
+      .withColumn("bloom_fp", col("bloom_hits") - col("exact_hits"))
+      .withColumn("flagged", col("bloom_hits") > 0)
+  }
+
   /** Fractional-epoch UPSAMPLING — the other half of the mixing family
     * ([[sampleWeighted]] can only thin): a weight of 2.3 replicates
     * every row twice and keeps a third copy with probability 0.3, so a
@@ -889,6 +928,33 @@ object Dedup {
       repClusterSizes(reps, comps, "doc_id", "text"))
   }
 
+  /** Quality-aware cluster collapse: instead of the min-id keeper every
+    * other dedup path uses, keep each near-dup cluster's HIGHEST-quality
+    * member (ties → min id) — the policy real corpus curation wants,
+    * since the surviving copy is the one that trains. Inputs are the
+    * rep-grain component labelling and any per-doc score table; output
+    * is per-rep (doc_id, cluster, quality_score, keep_id, kept).
+    *
+    * Scale shape: everything is REP-grain (never corpus-sized — the
+    * exact-dedup pre-pass already collapsed copies). The argmax is a
+    * cluster-partitioned row_number window (clusters are candidate-cap
+    * bounded, see §5 skew rules), and the keeper fans back with one join
+    * on the cluster key. Two shuffles past the shared component index.
+    */
+  def keepBest(comp: DataFrame, scores: DataFrame, idCol: String,
+               scoreCol: String): DataFrame = {
+    val joined = comp.join(scores, idCol)
+    val w = Window.partitionBy("cluster")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val best = joined
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster"), col(idCol).as("keep_id"))
+    joined.join(best, "cluster")
+      .select(col(idCol), col("cluster"), col(scoreCol), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("kept"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -953,6 +1019,16 @@ object Dedup {
       val path = "/tmp/graft_io/dedup_components/" +
         s"$d|3|8|2".replaceAll("[^A-Za-z0-9.]", "_")
       graft.sources.Io.atomicParquetArtifact(s, path)(componentsOf(s, d))
+        .orderBy("doc_id")
+    }),
+
+    // quality-aware keeper policy: each near-dup cluster keeps its
+    // highest-quality member instead of the min id
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      keepBest(componentsOf(s, d),
+        TextOps.quality(docs, "text").select("doc_id", "quality_score"),
+        "doc_id", "quality_score")
         .orderBy("doc_id")
     }),
 
@@ -1077,6 +1153,17 @@ object Dedup {
         prebuiltSigs = Some(sigsByTextOf(s, d)))
         .select(col("batch_id").as("bench_id"), col("corpus_id"), col("est_sim"))
         .orderBy("bench_id", "corpus_id")
+    }),
+
+    // broadcast-sketch contamination screen, graded in-query against the
+    // exact join (bloom_fp = the screen's measured false-positive surplus)
+    "decon_bloom_screen" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      bloomContamination(
+        train = docs.filter(col("doc_id") >= 20),
+        bench = docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3, numBits = 1 << 16, numHashes = 4)
+        .orderBy("doc_id")
     })
   )
 
@@ -1140,6 +1227,14 @@ object Dedup {
   private[operators] def sqlDedupKeepChain(src: String): String =
     s"""reps AS (SELECT min(doc_id) AS doc_id, text FROM $src GROUP BY text), $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id), keep AS (SELECT r.doc_id FROM reps r JOIN comp cpx ON r.doc_id = cpx.id WHERE cpx.cluster = r.doc_id)"""
 
+  /** Oracle image of [[Relational.bloomOf]]'s position `i`: hex digits
+    * [8i+1, 8i+8] of md5 (byte offset 4i of Md5PrefixLong) parsed as an
+    * unsigned 32-bit value, mod numBits. */
+  private def sqlBloomPos(inner: String, i: Int, numBits: Int): String =
+    "(" + (1 to 8).map(j =>
+      s"((strpos('0123456789abcdef', substr(md5($inner), ${8 * i + j}, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))})")
+      .mkString("(", " + ", ")") + s" % $numBits)"
+
   /** 4-nibble md5 draw on [0, 65536) of an id expression — the oracle
     * image of mixSources/hashSplit's deterministic RNG-free draw.
     */
@@ -1167,8 +1262,18 @@ object Dedup {
     s"((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
     .mkString("(", " + ", ")")
 
+  /** reps → pairs → fixpoint chain ending in `comp(id, cluster)` — the
+    * shared tail of every component-consuming oracle below. */
+  private lazy val compChainCtes: String =
+    s"""$repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src), comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)"""
+
   private lazy val componentsOracle: String =
-    s"""WITH RECURSIVE $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), e AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b AS src, id_a AS dst FROM prs), reach(id, label) AS (SELECT doc_id, doc_id FROM reps UNION SELECT e.dst, r.label FROM reach r JOIN e ON r.id = e.src) SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id ORDER BY doc_id"""
+    s"""WITH RECURSIVE $compChainCtes SELECT id AS doc_id, cluster FROM comp ORDER BY doc_id"""
+
+  // same component chain + the text_quality score arithmetic; argmax by
+  // (quality DESC, id ASC) per cluster, keeper fanned back over cluster
+  private lazy val keepBestOracle: String =
+    s"""WITH RECURSIVE $compChainCtes, ${TextOps.sqlQualityCtes("documents")}, sc AS (SELECT comp.id AS doc_id, comp.cluster, qq.quality_score FROM comp JOIN qq ON qq.doc_id = comp.id), best AS (SELECT cluster, doc_id AS keep_id FROM (SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY quality_score DESC, doc_id ASC) AS rn FROM sc) WHERE rn = 1) SELECT sc.doc_id, sc.cluster, sc.quality_score, b.keep_id, sc.doc_id = b.keep_id AS kept FROM sc JOIN best b USING (cluster) ORDER BY sc.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
@@ -1192,6 +1297,13 @@ object Dedup {
     // the incremental chain with benchmark/corpus predicates
     "decon_minhash" ->
       s"""WITH bsrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id < 20 GROUP BY text), csrc AS (SELECT min(doc_id) AS doc_id, text FROM documents WHERE doc_id >= 20 GROUP BY text), ${sqlSigChain("b", "bsrc")}, ${sqlSigChain("c", "csrc")}, bbkc AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS _rn FROM bbk) WHERE _rn <= $defaultBucketCap) SELECT DISTINCT a.doc_id AS bench_id, b.doc_id AS corpus_id, $estExpr AS est_sim FROM bbkc a JOIN cbk b ON a.band_key = b.band_key ORDER BY bench_id, corpus_id""",
+    // recompute each shingle's 4 bit positions and test membership in the
+    // bench side's position SET — sparse-set semantics of the same bitmap,
+    // so bloom_hit matches the Scala bit tests bit-for-bit
+    "decon_bloom_screen" -> {
+      val bp = (0 until 4).map(i => sqlBloomPos("s", i, 1 << 16))
+      s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), pos AS (SELECT DISTINCT unnest([${bp.mkString(", ")}]) AS p FROM bsh), tsh AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20), tp AS (SELECT doc_id, s, unnest([${bp.mkString(", ")}]) AS p FROM tsh), tm AS (SELECT tp.doc_id, tp.s, count(pos.p)::BIGINT AS nm FROM tp LEFT JOIN pos ON tp.p = pos.p GROUP BY tp.doc_id, tp.s), g AS (SELECT tm.doc_id, (tm.nm = 4) AS bloom_hit, (b.s IS NOT NULL) AS exact_hit FROM tm LEFT JOIN bsh b ON tm.s = b.s) SELECT doc_id, count(*)::BIGINT AS n_shingles, sum(bloom_hit::INT)::BIGINT AS bloom_hits, sum(exact_hit::INT)::BIGINT AS exact_hits, (sum(bloom_hit::INT) - sum(exact_hit::INT))::BIGINT AS bloom_fp, sum(bloom_hit::INT)::BIGINT > 0 AS flagged FROM g GROUP BY doc_id ORDER BY doc_id"""
+    },
     // scope rides the band key: reps per (source, text), buckets and cap
     // per source-prefixed band key — pairs cannot cross sources
     "dedup_scoped" ->
@@ -1256,6 +1368,7 @@ object Dedup {
     // the recursive CTE reaches the same unique min-label fixpoint the
     // Spark propagation loop converges to
     "dedup_components" -> componentsOracle,
+    "dedup_keep_best" -> keepBestOracle,
     // the persisted artifact must answer identically — same oracle
     "dedup_components_persisted" -> componentsOracle,
     "dedup_simhash" ->

@@ -287,6 +287,53 @@ object TextOps {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** BM25 ranked retrieval over the corpus for a fixed bag of query
+    * terms — the search half of corpus curation (tf-idf above ranks
+    * terms within a doc; this ranks DOCS for a query, the primitive
+    * behind "pull every doc about X out of the corpus"). Okapi BM25:
+    *
+    *   score(D) = Σ_t ln(1 + (N - df + ½)/(df + ½)) ·
+    *              tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: one corpus pass carries (doc, dl) through the term
+    * explode and FILTERS to the query terms before the (doc, term)
+    * hash-agg — everything after the scan is query-hit-sized, not
+    * corpus-sized. df (≤ |terms| rows) and the 1-row corpus stats are
+    * broadcast; the only other shuffle is the per-doc score agg; top-k
+    * plans as TakeOrderedAndProject. Portability: per-term scores are
+    * floor-quantized to 1e-4 (the lmScore recipe) and summed as exact
+    * longs, so per-doc totals are summation-order-free; dl·N stays an
+    * exact long product (< 2^53) before the one double divide, and the
+    * constants (k1=1.2, b=0.75 ⇒ k1+1=2.2, 1−b=0.25) are written as
+    * the same literals in both engines.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], topK: Int): DataFrame = {
+    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("t"))
+    val dl = toks.select(col(idCol), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total_dl"))
+    val tf = toks
+      .select(col(idCol), size(col("t")).cast("long").as("dl"),
+        explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl") * col("n")).cast("double") / col("total_dl"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        floor(lit(1e4) * idf * (col("tf") * lit(2.2)) / denom).cast("long").as("_cq4"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"), sum("_cq4").as("bm25_q4"))
+      .withColumn("bm25", col("bm25_q4") / lit(1e4))
+      .orderBy(col("bm25_q4").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** HTML → main-content text extraction — the crawl-ingest step every
     * real corpus hits before any quality/dedup stage. Three regex
     * stages (all scan-local codegen projections, zero shuffle):
@@ -1173,6 +1220,11 @@ object TextOps {
       tfIdfTop(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 
+    // ranked retrieval: top-20 docs for a 3-term query, Okapi BM25
+    "text_bm25_search" -> ((s, d) =>
+      bm25Search(Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        queryTerms = Seq("spark", "merge", "window"), topK = 20)),
+
     // context-window packing: docs laid end-to-end per shard (doc_id % 8),
     // 2048-token windows; each doc reports its pack and offset
     "text_pack_sequences" -> ((s, d) => {
@@ -1289,11 +1341,18 @@ object TextOps {
     * oracle image of quality() + qualityBand() for composed pipelines.
     * Same arithmetic as the standalone text_quality_band oracle.
     */
-  private[operators] def sqlQualityBandCtes(src: String, lo: Double, hi: Double): String = {
+  private[operators] def sqlQualityBandCtes(src: String, lo: Double, hi: Double): String =
+    raw"""${sqlQualityCtes(src)}, qp AS (SELECT doc_id, quality_score, round(percent_rank() OVER (ORDER BY quality_score), 6) AS pr FROM qq), band AS (SELECT doc_id FROM qp WHERE pr >= $lo AND pr <= $hi)"""
+
+  /** Just the quality-score half of [[sqlQualityBandCtes]], ending in
+    * `qq(doc_id, quality_score)` — for consumers that score without
+    * banding (dedup_keep_best's per-cluster argmax).
+    */
+  private[operators] def sqlQualityCtes(src: String): String = {
     val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
     val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
     val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
-    raw"""qc AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM $src), qq AS (SELECT doc_id, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM qc), qp AS (SELECT doc_id, quality_score, round(percent_rank() OVER (ORDER BY quality_score), 6) AS pr FROM qq), band AS (SELECT doc_id FROM qp WHERE pr >= $lo AND pr <= $hi)"""
+    raw"""qc AS (SELECT doc_id, length(text) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, len(string_split_regex(trim(text), '\s+')) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM $src), qq AS (SELECT doc_id, round($alphaR - $punctR + least($stopR * 2, 0.5), 4) AS quality_score FROM qc)"""
   }
 
   /** DuckDB image of [[htmlWrapped]] + [[htmlExtract]]: ends in
@@ -1481,6 +1540,11 @@ object TextOps {
       raw"""SELECT event_id, regexp_replace(regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS masked FROM events ORDER BY event_id""",
     "text_tfidf_top" ->
       raw"""WITH p AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY doc_id, term), dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), nn AS (SELECT count(*) AS n FROM documents), s AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(1.0 + nn.n / dfq.df), 4) AS tfidf FROM tf JOIN dfq USING (term) CROSS JOIN nn), r AS (SELECT doc_id, term, tfidf, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s) SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // identical floor-quantized arithmetic; same literal constants
+    // (2.2 = k1+1, 0.25 = 1-b) and the same association order
+    "text_bm25_search" ->
+      raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents), dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM tk), st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS total_dl FROM dl), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM (SELECT doc_id, unnest(t) AS term FROM tk) WHERE term IN ('spark', 'merge', 'window') GROUP BY doc_id, term), dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), sc AS (SELECT tf.doc_id, floor(10000.0 * ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * st.n)::DOUBLE / st.total_dl)))::BIGINT AS cq4 FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st) SELECT doc_id, count(*)::BIGINT AS n_terms_hit, sum(cq4)::BIGINT AS bm25_q4, sum(cq4) / 10000.0 AS bm25 FROM sc GROUP BY doc_id ORDER BY bm25_q4 DESC, doc_id ASC LIMIT 20""",
     "text_winnow_fingerprint" ->
       s"""WITH hs AS (SELECT doc_id, CASE WHEN length(text) >= 8 THEN list_transform(range(1, length(text) - 6), i -> ${sqlHex32("substr(text, i, 8)")}) ELSE []::BIGINT[] END AS hl FROM documents), wn AS (SELECT doc_id, CASE WHEN len(hl) >= 4 THEN list_distinct(list_transform(range(1, len(hl) - 2), j -> list_min(hl[j:j+3]))) ELSE []::BIGINT[] END AS fps FROM hs) SELECT doc_id, md5(array_to_string(list_sort(fps), ',')) AS doc_fp, len(fps)::BIGINT AS n_fps FROM wn ORDER BY doc_id""",
     "text_pack_sequences" ->

@@ -1122,4 +1122,64 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, 1.0, 1.0, 1.0), (2L, 0.5, 1.0, 1.0), (3L, 0.1, 0.5, 1.0))))
     assert(!p.contains("Exchange"), s"anneal must not shuffle:\n${p.take(800)}")
   }
+
+  test("text_bm25_search: ranked desc, and a term-bearing doc beats a term-free one") {
+    val s = spark
+    import s.implicits._
+    val rows = run("text_bm25_search").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sorted.reverse), "must rank by bm25_q4 desc")
+    // direct semantics on a 3-doc corpus: only docs containing a query
+    // term appear, and the doc with more hits outranks the one with fewer
+    val tiny = Seq(
+      (1L, "spark merge window extra pad pad"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val r = TextOps.bm25Search(tiny, "doc_id", "text",
+      Seq("spark", "merge", "window"), topK = 10)
+      .select("doc_id", "bm25_q4").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.map(_._1).toSet == Set(1L, 2L), "term-free doc must not appear")
+    assert(r.head._1 == 1L && r.head._2 > r(1)._2, "3-hit doc must outrank 1-hit doc")
+  }
+
+  test("dedup_keep_best: exactly one keeper per cluster, argmax by (quality, -id)") {
+    val s = spark
+    import s.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 9L), (10L, 9L))
+      .toDF("doc_id", "cluster")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.1), (9L, 0.4), (10L, 0.4))
+      .toDF("doc_id", "quality_score")
+    val got = Dedup.keepBest(comp, scores, "doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 == 2L && !got(1L)._2)  // 0.9 beats 0.5; tie 2<3
+    assert(got(2L) == ((2L, true)) && got(3L) == ((2L, false)))
+    assert(got(7L) == ((7L, true)))          // singleton keeps itself
+    assert(got(9L) == ((9L, true)) && got(10L)._1 == 9L) // tie -> min id
+    // the registered query: one kept doc per cluster, keeper in-cluster
+    val rows = run("dedup_keep_best").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._4) == 1, s"cluster $c must keep exactly one")
+      val keep = ms.map(_._3).distinct
+      assert(keep.length == 1 && ms.exists(_._1 == keep.head),
+        s"cluster $c keeper must be a member")
+    }
+  }
+
+  test("decon_bloom_screen: sound (never misses), contaminated docs flagged") {
+    val rows = run("decon_bloom_screen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nSh, bloom, exact, fp, flagged) =>
+      assert(bloom >= exact, s"doc $id: bloom screen missed a true hit")
+      assert(fp == bloom - exact && fp >= 0)
+      assert(bloom <= nSh)
+      assert(flagged == (bloom > 0))
+    }
+    // every doc with a true shared shingle must be flagged (no misses)
+    assert(rows.filter(_._4 > 0).forall(_._6))
+  }
 }
