@@ -299,6 +299,86 @@ object Etl {
       .select(col(idCol), col("status"), col("old_hash"), col("new_hash"))
   }
 
+  /** Morton (Z-order) interleave of two bucket ids: bit i of `ba` lands
+    * at position 2i+1 and bit i of `bb` at 2i, so sorting by the key
+    * clusters rows that are close in BOTH dimensions — the multi-column
+    * locality a lake layout needs for min/max file skipping when queries
+    * filter on either (or both) of two columns. Pure long bit arithmetic
+    * (shift/and/add), codegen-friendly, bit-identical in any engine.
+    */
+  def zorderKey(ba: Column, bb: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftright(ba, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(bb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  /** Z-ORDER LAYOUT report: bucket two long dimensions into 2^bits
+    * fixed-width ranks (min/max from one 1-row broadcast agg — no
+    * quantile pass, no global sort), interleave into the Morton key,
+    * split the z-space into 2^fileBits files by the key's top bits, and
+    * report each file's row count + per-dimension bounding box, with
+    * `bbox_frac` = the file's bbox area as a fraction of the global
+    * area. Low fractions are the point: a predicate on EITHER dimension
+    * prunes most files by min/max stats alone (the Delta/Iceberg OPTIMIZE
+    * ZORDER effect, computed as a plain query so it is oracle-checkable).
+    *
+    * Scale shape: one corpus pass for min/max, one projection pass for
+    * bucket+interleave (all long arithmetic inside codegen), one hash-agg
+    * on file_id (2^fileBits groups). The actual WRITE at scale is
+    * `repartitionByRange(2^fileBits, $"zkey")` + sortWithinPartitions on
+    * the same key — identical math, file boundaries chosen by range
+    * sampling instead of the fixed top-bit split used here for
+    * determinism. Integer div (`div` / `//`) on non-negative operands is
+    * identical in both engines; products stay < 2^62 (span × 2^bits).
+    */
+  def zorderLayout(df: DataFrame, aCol: Column, bCol: Column,
+                   bits: Int, fileBits: Int): DataFrame = {
+    require(bits <= 16 && fileBits <= 2 * bits, "z-space must cover the file split")
+    val nb = 1L << bits
+    val src = df.select(aCol.cast("long").as("_a"), bCol.cast("long").as("_b"))
+    val mm = src.agg(min("_a").as("_amin"), max("_a").as("_amax"),
+      min("_b").as("_bmin"), max("_b").as("_bmax"))
+    val z = src.crossJoin(broadcast(mm))
+      .withColumn("_ba", expr(s"((_a - _amin) * $nb) div (_amax - _amin + 1)"))
+      .withColumn("_bb", expr(s"((_b - _bmin) * $nb) div (_bmax - _bmin + 1)"))
+      .withColumn("_z", zorderKey(col("_ba"), col("_bb"), bits))
+      .withColumn("file_id", expr(s"_z div ${1L << (2 * bits - fileBits)}"))
+    // bbox on the BUCKET grain (spans ≤ 2^bits, so the ratio quantizer
+    // stays in exact-long range — raw µs spans × the 2e6 scale overflow;
+    // and fraction-of-z-space is the metric file skipping actually sees)
+    z.groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("_a").as("a_min"), max("_a").as("a_max"),
+        min("_b").as("b_min"), max("_b").as("b_max"),
+        min("_ba").as("_bamin"), max("_ba").as("_bamax"),
+        min("_bb").as("_bbmin"), max("_bb").as("_bbmax"))
+      .select(col("file_id"), col("n_rows"),
+        col("a_min"), col("a_max"), col("b_min"), col("b_max"),
+        Stable.ratioRounded(
+          (col("_bamax") - col("_bamin") + 1) * (col("_bbmax") - col("_bbmin") + 1),
+          lit(nb * nb), 6).as("bbox_frac"))
+  }
+
+  /** JOIN-KEY SKEW report — the operational pre-check behind every
+    * salting/broadcast decision (q_join_salted's "should we?" input):
+    * per-key row counts, each heavy hitter's share of the table and its
+    * multiple of the mean key size (`x_avg`). One map-side-combined
+    * hash-agg over the key column plus a 1-row broadcast of the totals;
+    * top-k plans as TakeOrderedAndProject — nothing here is ever wider
+    * than the key-count table. Ratios via [[Stable.ratioRounded]] (exact
+    * int ratios, half-up at the quantum) so the report is bit-portable.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("_total"), count(lit(1)).as("_n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("cnt"),
+        Stable.ratioRounded(col("cnt"), col("_total"), 4).as("share"),
+        Stable.ratioRounded(col("cnt") * col("_n_keys"), col("_total"), 2).as("x_avg"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -357,6 +437,17 @@ object Etl {
     "data_profile" -> ((s, d) =>
       profileTable(Tables.orders(s, d))
         .orderBy("col_name")),
+
+    // z-order layout report over events (user_id × event time): 64
+    // z-files, per-file bbox vs the global area
+    "data_zorder_layout" -> ((s, d) =>
+      zorderLayout(Tables.events(s, d),
+        col("user_id"), unix_micros(col("ts")), bits = 8, fileBits = 6)
+        .orderBy("file_id")),
+
+    // heavy-hitter report on the events join key
+    "data_skew_report" -> ((s, d) =>
+      skewReport(Tables.events(s, d), "user_id", topK = 20)),
 
     "etl_rename_normalize" -> ((s, d) =>
       renameNormalize(
@@ -489,6 +580,24 @@ object Etl {
         branch("o_orderstatus", vch), branch("o_totalprice", dec),
         branch("o_orderdate", tsf), branch("o_orderpriority", vch)
       ).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    // same fixed-width bucket + Morton interleave in integer arithmetic
+    // (// on non-negative operands == Spark's div); bbox ratio via the
+    // shared half-up int-ratio quantizer
+    "data_zorder_layout" -> {
+      val zkey = (0 until 8).map(i =>
+        s"((ba // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + ((bb // ${1L << i}) % 2) * ${1L << (2 * i)}")
+        .mkString(" + ")
+      val frac = Stable.sqlRatioRounded(
+        "(bamax - bamin + 1) * (bbmax - bbmin + 1)", s"${256L * 256L}", 6)
+      s"""WITH src AS (SELECT user_id AS a, epoch_us(ts) AS b FROM events), mm AS (SELECT min(a) AS amin, max(a) AS amax, min(b) AS bmin, max(b) AS bmax FROM src), bk AS (SELECT a, b, ((a - amin) * 256) // (amax - amin + 1) AS ba, ((b - bmin) * 256) // (bmax - bmin + 1) AS bb FROM src CROSS JOIN mm), z AS (SELECT a, b, ba, bb, ($zkey) // ${1L << 10} AS file_id FROM bk), g AS (SELECT file_id, count(*)::BIGINT AS n_rows, min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max, min(ba) AS bamin, max(ba) AS bamax, min(bb) AS bbmin, max(bb) AS bbmax FROM z GROUP BY file_id) SELECT file_id, n_rows, a_min, a_max, b_min, b_max, $frac AS bbox_frac FROM g ORDER BY file_id"""
+    },
+
+    "data_skew_report" -> {
+      val share = Stable.sqlRatioRounded("cnt", "total", 4)
+      val xavg = Stable.sqlRatioRounded("cnt * n_keys", "total", 2)
+      s"""WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id), t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c) SELECT user_id, cnt, $share AS share, $xavg AS x_avg FROM c CROSS JOIN t ORDER BY cnt DESC, user_id ASC LIMIT 20"""
     },
 
     // row_number window mirrors Spark's min(struct(...)) composite order

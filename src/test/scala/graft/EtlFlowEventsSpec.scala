@@ -787,4 +787,41 @@ class EtlFlowEventsSpec extends SparkSpec {
     assert(got == Map((1L, 9L) -> ((2L, 3.75)), (1L, 17L) -> ((1L, 1.0)),
       (0L, 9L) -> ((1L, 4.0))))
   }
+
+  test("zorderKey interleaves bits; layout report is lossless and local") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Etl
+    // 0b1111 ⨯ 0b0000 -> odd bit positions only = 0b10101010 = 170
+    val k = Seq((15L, 0L)).toDF("a", "b")
+      .select(Etl.zorderKey(col("a"), col("b"), 4).as("z"))
+      .collect().head.getLong(0)
+    assert(k == 170L)
+    // and the mirror case lands on the even positions
+    val k2 = Seq((0L, 15L)).toDF("a", "b")
+      .select(Etl.zorderKey(col("a"), col("b"), 4).as("z"))
+      .collect().head.getLong(0)
+    assert(k2 == 85L)
+    val rows = run("data_zorder_layout").collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "every row lands in exactly one file")
+    // locality: the average file bounding box must cover a small fraction
+    // of the z-space (uniform data splits into ~1/2^fileBits boxes)
+    val fracs = rows.map(_.getDouble(6))
+    assert(fracs.forall(f => f > 0 && f <= 1))
+    assert(fracs.sum / fracs.length < 0.1,
+      s"z-order files must be local, mean bbox ${fracs.sum / fracs.length}")
+  }
+
+  test("data_skew_report: desc heavy hitters with consistent ratios") {
+    val rows = run("data_skew_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val cnts = rows.map(_._2)
+    assert(cnts.sameElements(cnts.sorted.reverse))
+    rows.foreach { case (_, cnt, share, xavg) =>
+      assert(cnt > 0 && share > 0 && share <= 1)
+      assert(xavg > 0, "heavy hitters sit above zero of the mean")
+    }
+  }
 }
