@@ -101,6 +101,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(lm.contains("BroadcastHashJoin"), lm.take(800))
   }
 
+  test("seventh-session ops keep their scale shapes") {
+    // BM25: df + corpus stats broadcast (both bounded); top-k is a
+    // TakeOrdered; nothing corpus-scale ever shuffle-joins
+    val bm = plan(run("text_bm25_search"))
+    assert(bm.contains("TakeOrderedAndProject") && !bm.contains("SortMergeJoin"),
+      bm.take(1200))
+    // z-order layout: min/max and the layout are pure broadcast + aggs —
+    // a shuffle JOIN anywhere means the 1-row stats stopped broadcasting
+    val zo = plan(run("data_zorder_layout"))
+    assert(!zo.contains("SortMergeJoin") && !zo.contains("CartesianProduct"),
+      zo.take(1200))
+    // skew report: key-count agg + broadcast totals + TakeOrdered
+    val sk = plan(run("data_skew_report"))
+    assert(sk.contains("TakeOrderedAndProject") && !sk.contains("SortMergeJoin"),
+      sk.take(1200))
+    // bloom screen: the probe is a scan-side filter expression — the only
+    // join is the grading equi-join; never a cartesian
+    val bl = plan(run("decon_bloom_screen"))
+    assert(!bl.contains("CartesianProduct"), bl.take(1200))
+  }
+
   test("NO query plans a range sort: answer sorts are single-partition local") {
     // the trailing presentation orderBy must not cost a range-sampling
     // job anywhere: SparkEntry rewrites every root Sort to repartition(1)
