@@ -727,10 +727,13 @@ object Dedup {
     */
   def bloomContamination(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int, numBits: Int,
-                         numHashes: Int): DataFrame = {
+                         numHashes: Int,
+                         prebuiltWords: Option[Array[Long]] = None): DataFrame = {
     val bsh = explodeShingles(bench, idCol, textCol, n)
       .select(col("sh").as("s")).distinct()
-    val words = Relational.bloomOf(bsh, "s", numBits, numHashes)
+    val words = prebuiltWords.getOrElse(
+      Relational.bloomOf(bsh, "s", numBits, numHashes))
+    require(words.length * 64 == numBits, "prebuilt sketch width != numBits")
     val probed = explodeShingles(train, idCol, textCol, n)
       .withColumn("_bloom",
         Relational.bloomMightContain(col("sh"), words, numHashes))
@@ -1164,6 +1167,29 @@ object Dedup {
         bench = docs.filter(col("doc_id") < 20),
         "doc_id", "text", n = 3, numBits = 1 << 16, numHashes = 4)
         .orderBy("doc_id")
+    }),
+
+    // the bloom sketch's PERSISTENCE lifecycle (benchmarks change rarely;
+    // the screen reruns per ingest batch): the word table committed once
+    // as an atomic parquet artifact and probed from the read-back —
+    // identical answers, so the SAME oracle as the in-session build
+    "decon_bloom_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") < 20)
+      val path = "/tmp/graft_io/decon_bloom/" +
+        s"$d|3|65536|4".replaceAll("[^A-Za-z0-9.]", "_")
+      val words = Relational.collectBloomWords(
+        graft.sources.Io.atomicParquetArtifact(s, path)(
+          Relational.bloomWordsDf(
+            explodeShingles(bench, "doc_id", "text", 3)
+              .select(col("sh").as("s")).distinct(),
+            "s", 1 << 16, 4)),
+        1 << 16)
+      bloomContamination(
+        train = docs.filter(col("doc_id") >= 20), bench = bench,
+        "doc_id", "text", n = 3, numBits = 1 << 16, numHashes = 4,
+        prebuiltWords = Some(words))
+        .orderBy("doc_id")
     })
   )
 
@@ -1270,6 +1296,11 @@ object Dedup {
   private lazy val componentsOracle: String =
     s"""WITH RECURSIVE $compChainCtes SELECT id AS doc_id, cluster FROM comp ORDER BY doc_id"""
 
+  private lazy val bloomScreenOracle: String = {
+    val bp = (0 until 4).map(i => sqlBloomPos("s", i, 1 << 16))
+    s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), pos AS (SELECT DISTINCT unnest([${bp.mkString(", ")}]) AS p FROM bsh), tsh AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20), tp AS (SELECT doc_id, s, unnest([${bp.mkString(", ")}]) AS p FROM tsh), tm AS (SELECT tp.doc_id, tp.s, count(pos.p)::BIGINT AS nm FROM tp LEFT JOIN pos ON tp.p = pos.p GROUP BY tp.doc_id, tp.s), g AS (SELECT tm.doc_id, (tm.nm = 4) AS bloom_hit, (b.s IS NOT NULL) AS exact_hit FROM tm LEFT JOIN bsh b ON tm.s = b.s) SELECT doc_id, count(*)::BIGINT AS n_shingles, sum(bloom_hit::INT)::BIGINT AS bloom_hits, sum(exact_hit::INT)::BIGINT AS exact_hits, (sum(bloom_hit::INT) - sum(exact_hit::INT))::BIGINT AS bloom_fp, sum(bloom_hit::INT)::BIGINT > 0 AS flagged FROM g GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   // same component chain + the text_quality score arithmetic; argmax by
   // (quality DESC, id ASC) per cluster, keeper fanned back over cluster
   private lazy val keepBestOracle: String =
@@ -1300,10 +1331,9 @@ object Dedup {
     // recompute each shingle's 4 bit positions and test membership in the
     // bench side's position SET — sparse-set semantics of the same bitmap,
     // so bloom_hit matches the Scala bit tests bit-for-bit
-    "decon_bloom_screen" -> {
-      val bp = (0 until 4).map(i => sqlBloomPos("s", i, 1 << 16))
-      s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), pos AS (SELECT DISTINCT unnest([${bp.mkString(", ")}]) AS p FROM bsh), tsh AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20), tp AS (SELECT doc_id, s, unnest([${bp.mkString(", ")}]) AS p FROM tsh), tm AS (SELECT tp.doc_id, tp.s, count(pos.p)::BIGINT AS nm FROM tp LEFT JOIN pos ON tp.p = pos.p GROUP BY tp.doc_id, tp.s), g AS (SELECT tm.doc_id, (tm.nm = 4) AS bloom_hit, (b.s IS NOT NULL) AS exact_hit FROM tm LEFT JOIN bsh b ON tm.s = b.s) SELECT doc_id, count(*)::BIGINT AS n_shingles, sum(bloom_hit::INT)::BIGINT AS bloom_hits, sum(exact_hit::INT)::BIGINT AS exact_hits, (sum(bloom_hit::INT) - sum(exact_hit::INT))::BIGINT AS bloom_fp, sum(bloom_hit::INT)::BIGINT > 0 AS flagged FROM g GROUP BY doc_id ORDER BY doc_id"""
-    },
+    "decon_bloom_screen" -> bloomScreenOracle,
+    // the read-back artifact must answer identically — same oracle
+    "decon_bloom_persisted" -> bloomScreenOracle,
     // scope rides the band key: reps per (source, text), buckets and cap
     // per source-prefixed band key — pairs cannot cross sources
     "dedup_scoped" ->

@@ -384,18 +384,29 @@ object Relational {
   /** Build the sketch: k bit positions per key, bit_or'd into 64-bit words
     * (one narrow job over the key column), returned as the word array.
     */
-  def bloomOf(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] = {
+  def bloomOf(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] =
+    collectBloomWords(bloomWordsDf(keys, keyCol, numBits, numHashes), numBits)
+
+  /** The sketch as a (word index, 64-bit word) DataFrame — the
+    * PERSISTABLE form ([[graft.sources.Io.atomicParquetArtifact]] can
+    * commit it like any index artifact); [[collectBloomWords]] turns it
+    * back into the probe array. Bounded at numBits/64 rows by
+    * construction.
+    */
+  def bloomWordsDf(keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): DataFrame = {
     require(Integer.bitCount(numBits) == 1 && numBits >= 64,
       "numBits must be a power of two >= 64")
     require(numHashes >= 1 && numHashes <= 4,
       "up to 4 independent 32-bit hashes fit one md5 digest")
-    val arr = new Array[Long](numBits / 64)
     keys
       .select(explode(array(bloomPositions(col(keyCol), numBits, numHashes): _*)).as("p"))
       .selectExpr("cast(p / 64 as int) as w", "shiftleft(1L, cast(p % 64 as int)) as bit")
       .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
-      .collect()
-      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+  }
+
+  def collectBloomWords(words: DataFrame, numBits: Int): Array[Long] = {
+    val arr = new Array[Long](numBits / 64)
+    words.collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
     arr
   }
 

@@ -1182,4 +1182,18 @@ class TextDedupSpec extends SparkSpec {
     // every doc with a true shared shingle must be flagged (no misses)
     assert(rows.filter(_._4 > 0).forall(_._6))
   }
+
+  test("decon_bloom_persisted: read-back artifact answers like the in-session build") {
+    val dir = new java.io.File("/tmp/graft_io/decon_bloom")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val fresh = run("decon_bloom_persisted").collect().map(_.toSeq)
+    // the artifact committed atomically (behind a _SUCCESS marker)...
+    val committed = dir.listFiles()
+    assert(committed != null && committed.nonEmpty)
+    assert(new java.io.File(committed.head, "_SUCCESS").exists())
+    // ...and a second run served FROM it matches both the first run and
+    // the in-session screen exactly
+    assert(run("decon_bloom_persisted").collect().map(_.toSeq).toSeq == fresh.toSeq)
+    assert(run("decon_bloom_screen").collect().map(_.toSeq).toSeq == fresh.toSeq)
+  }
 }
