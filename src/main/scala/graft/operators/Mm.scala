@@ -338,7 +338,30 @@ object Mm {
 
   // ---------------------------------------------------------------- queries
 
+  /** Exact dedup of opaque binary payloads — the md5-grain collapse every
+    * multimodal corpus runs FIRST (byte-identical images/audio are the
+    * overwhelming duplicate mass, and catching them needs zero decode
+    * beyond the hash). One hash-agg on the uniform digest key (map-side
+    * partial min/count, skew-free, the `representatives` shape applied
+    * to bytes); `phash_bucket` carries the decoded-dimension bucket the
+    * NEAR-dup candidate pass would group on (same (w,h) → candidate
+    * pair), so the output is also the near-dup front-end. Dims ride the
+    * [[decodeMeta]] stream — stub decode (see [[FakeDecoder]]), real
+    * plumbing; a real perceptual hash drops into the same column.
+    */
+  def dedupBinary(blobs: DataFrame, chunkBytes: Int): DataFrame =
+    decodeMeta(blobs, chunkBytes).toDF()
+      .groupBy("blob_md5")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min("blob_bytes").as("blob_bytes"),
+        min(col("decoded_w") * 1024 + col("decoded_h")).as("phash_bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact payload dedup + the perceptual-bucket near-dup front-end
+    "mm_dedup_binary" -> ((s, d) =>
+      dedupBinary(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 256)
+        .orderBy("blob_md5")),
+
     // the registered query takes the codegen path; the mapPartitions
     // typed-decode path is spec-verified equal (SimilaritySpec)
     "mm_meta" -> ((s, d) =>
@@ -400,6 +423,9 @@ object Mm {
   )
 
   val oracles: Map[String, String] = Map(
+    // md5-grain collapse + the FakeDecoder dim-bucket arithmetic
+    "mm_dedup_binary" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_bytes, md5(text) AS blob_md5 FROM documents) SELECT blob_md5, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies, min(blob_bytes) AS blob_bytes, min((64 + blob_bytes % 512) * 1024 + (64 + (blob_bytes * 7) % 512)) AS phash_bucket FROM m GROUP BY blob_md5 ORDER BY blob_md5""",
     // mirrors FakeDecoder: the fake decode is integer arithmetic on the
     // payload size, so the oracle can recompute it
     "mm_meta" ->

@@ -479,4 +479,24 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(6) == 1 + bytes % 8)
     }
   }
+
+  test("mm_dedup_binary: byte-identical payloads collapse to one keeper") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Mm
+    val blobs = Seq(
+      (1L, "same payload"), (2L, "same payload"), (7L, "same payload"),
+      (3L, "other")).toDF("doc_id", "text")
+    val got = Mm.dedupBinary(Mm.withBlob(blobs, "doc_id", "text"), 256)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 3L, 3L -> 1L), s"got $got")
+    // registered query: lossless (copy counts sum to the corpus size),
+    // and the phash bucket matches the stub decode of the kept payload
+    val rows = run("mm_dedup_binary").collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val bytes = r.getLong(3)
+      assert(r.getLong(4) == (64 + bytes % 512) * 1024 + (64 + (bytes * 7) % 512))
+    }
+  }
 }
