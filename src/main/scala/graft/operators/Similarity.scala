@@ -533,6 +533,35 @@ object Similarity {
     nrm.select(col(id).as("neighbor_id"), codes.as("codes"))
   }
 
+  /** SQ8 reconstruction-error AUDIT — grades the quantizer the way
+    * events_approx_stats grades its sketches: decode every vector's codes
+    * back through the same affine map and report the per-vector max
+    * absolute error and summed squared error against the exact
+    * normalized embedding. The acceptance gate an index build runs
+    * before swapping quantized search into production. Portability: each
+    * per-dim |error| is floor-quantized to 1e-6 and the per-vector folds
+    * run on exact longs (order-free in both engines); the decode
+    * arithmetic mirrors the oracle token-for-token. One broadcast-joined
+    * projection over the codes index — zero extra corpus passes.
+    */
+  def sq8QuantizeError(nrm: DataFrame, id: String, mn: Seq[Double],
+                       sc: Seq[Double], codes: DataFrame): DataFrame = {
+    val mnl = array(mn.map(lit): _*)
+    val scl = array(sc.map(lit): _*)
+    val errs = transform(col("ne"), (x, i) => {
+      val m = element_at(mnl, i + 1)
+      val s = element_at(scl, i + 1)
+      val c = element_at(col("codes"), i + 1)
+      floor(abs(x - (m + (c * s) / lit(255.0))) * lit(1e6)).cast("long")
+    })
+    nrm.join(codes, nrm(id) === codes("neighbor_id"))
+      .select(col(id), errs.as("_e"))
+      .select(col(id),
+        array_max(col("_e")).as("max_abs_q6"),
+        aggregate(col("_e"), lit(0L), (a, e) => a + e * e).as("sse_q12"))
+      .withColumn("max_abs_err", col("max_abs_q6") / lit(1e6))
+  }
+
   def simSq8Ann(df: DataFrame, id: String, emb: String, queryPred: Column,
                 mn: Seq[Double], sc: Seq[Double], shortlist: Int, k: Int,
                 prebuiltCodes: Option[DataFrame] = None): DataFrame = {
@@ -1042,6 +1071,18 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // the quantizer's acceptance gate: decode the shared codes index and
+    // report per-vector reconstruction error vs the exact embedding
+    "emb_quantize_error" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val nrm = normalized(e, "vec_id", "embedding")
+      val (mn, sc) = sq8Cache.computeIfAbsent(d, _ => sq8Train(nrm))
+      val codes = cachedIndex(s"$d|sq8_codes")(
+        sq8CodesTable(nrm, "vec_id", mn, sc))
+      sq8QuantizeError(nrm, "vec_id", mn, sc, codes)
+        .orderBy("vec_id")
+    }),
+
     "sim_pq_ann" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       // codebook training is index construction: once per corpus, cached
@@ -1161,6 +1202,15 @@ object Similarity {
   private def normCteFor(rel: String): String =
     s"""nrm AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE / nr) AS ne FROM (SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nr FROM $rel))"""
   private val normCte = normCteFor("embeddings")
+
+  /** Shared SQ8 train+encode chain (nrm → per-dim min/span → code lists),
+    * ending in `codes(vec_id, cs)` — the single SQL source for the ANN
+    * oracle and the quantize-error audit. */
+  private lazy val sq8CtesSql: String =
+    s"""$normCte, """ +
+      s"""mm AS (SELECT pos, min(x) AS mn, max(x) - min(x) AS sc FROM (SELECT unnest(ne) AS x, unnest(range(1, len(ne) + 1)) AS pos FROM nrm) GROUP BY pos), """ +
+      s"""qv AS (SELECT list(mn ORDER BY pos) AS mnl, list(sc ORDER BY pos) AS scl FROM mm), """ +
+      s"""codes AS (SELECT vec_id, list_transform(range(1, len(ne) + 1), i -> CASE WHEN v.scl[i] = 0 THEN 0.0 ELSE least(greatest(floor((ne[i] - v.mnl[i]) / v.scl[i] * 255 + 0.5), 0.0), 255.0) END) AS cs FROM nrm CROSS JOIN qv v)"""
 
   private def planesValues(tabs: Seq[Seq[Seq[Double]]]): String =
     tabs.zipWithIndex.flatMap { case (tab, t) =>
@@ -1369,13 +1419,16 @@ object Similarity {
     // asymmetric scoring replayed stage-for-stage; shares the PQ chain's
     // shortlist/re-rank tail (same shortlist size, k = 5)
     "sim_sq8_ann" ->
-      (s"""WITH $normCte, """ +
-        s"""mm AS (SELECT pos, min(x) AS mn, max(x) - min(x) AS sc FROM (SELECT unnest(ne) AS x, unnest(range(1, len(ne) + 1)) AS pos FROM nrm) GROUP BY pos), """ +
-        s"""qv AS (SELECT list(mn ORDER BY pos) AS mnl, list(sc ORDER BY pos) AS scl FROM mm), """ +
-        s"""codes AS (SELECT vec_id, list_transform(range(1, len(ne) + 1), i -> CASE WHEN v.scl[i] = 0 THEN 0.0 ELSE least(greatest(floor((ne[i] - v.mnl[i]) / v.scl[i] * 255 + 0.5), 0.0), 255.0) END) AS cs FROM nrm CROSS JOIN qv v), """ +
+      (s"""WITH $sq8CtesSql, """ +
         s"""rec AS (SELECT c.vec_id, list_transform(range(1, len(cs) + 1), i -> v.mnl[i] + (cs[i] * v.scl[i]) / 255.0) AS re FROM codes c CROSS JOIN qv v), """ +
         s"""sc AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, round(${sqlDotRaw("q.ne", "x.re")}, 4) AS approx_sim FROM rec x CROSS JOIN (SELECT vec_id, ne FROM nrm WHERE vec_id < 10) q WHERE q.vec_id != x.vec_id), """ +
         pqTail),
+    // same train + encode chain; per-dim |error| floor-quantized to 1e-6
+    // and folded as exact integers (order-free both engines)
+    "emb_quantize_error" ->
+      (s"""WITH $sq8CtesSql, """ +
+        s"""er AS (SELECT n.vec_id, list_transform(range(1, len(n.ne) + 1), i -> floor(abs(n.ne[i] - (v.mnl[i] + (c.cs[i] * v.scl[i]) / 255.0)) * 1000000.0)::BIGINT) AS e FROM nrm n JOIN codes c USING (vec_id) CROSS JOIN qv v) """ +
+        s"""SELECT vec_id, list_max(e)::BIGINT AS max_abs_q6, list_sum(list_transform(e, x -> x * x))::BIGINT AS sse_q12, list_max(e) / 1000000.0 AS max_abs_err FROM er ORDER BY vec_id"""),
     "sim_ivfpq_ann" -> ivfPqOracle,
     // identical results to the in-session index — same oracle
     "sim_ivfpq_persisted" -> ivfPqOracle,

@@ -480,6 +480,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("emb_quantize_error: errors bounded by the quantizer half-step") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val nrm = Similarity.normalized(e, "vec_id", "embedding")
+    val (_, sc) = Similarity.sq8Train(nrm)
+    // half-up rounding bounds each dim's |error| by span/(2*255); the
+    // 1e-6 floor quantization adds at most one quantum
+    val bound = sc.max / 510.0 + 1e-6
+    val rows = run("emb_quantize_error").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (maxQ6, sse, maxErr) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(maxErr <= bound, s"vec ${r.getLong(0)}: $maxErr > $bound")
+      assert(maxErr == maxQ6 / 1e6)
+      assert(sse >= maxQ6 * maxQ6, "sum of squares must dominate the max term")
+    }
+  }
+
   test("mm_dedup_binary: byte-identical payloads collapse to one keeper") {
     val s = spark
     import s.implicits._
