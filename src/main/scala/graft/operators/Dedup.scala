@@ -1165,7 +1165,7 @@ object Dedup {
       bloomContamination(
         train = docs.filter(col("doc_id") >= 20),
         bench = docs.filter(col("doc_id") < 20),
-        "doc_id", "text", n = 3, numBits = 1 << 16, numHashes = 4)
+        "doc_id", "text", n = bloomN, numBits = bloomBits, numHashes = bloomHashes)
         .orderBy("doc_id")
     }),
 
@@ -1176,22 +1176,30 @@ object Dedup {
     "decon_bloom_persisted" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val bench = docs.filter(col("doc_id") < 20)
+      // path keyed by the SAME constants the probe uses: a parameter
+      // edit re-keys the artifact instead of serving a stale sketch
       val path = "/tmp/graft_io/decon_bloom/" +
-        s"$d|3|65536|4".replaceAll("[^A-Za-z0-9.]", "_")
+        s"$d|$bloomN|$bloomBits|$bloomHashes".replaceAll("[^A-Za-z0-9.]", "_")
       val words = Relational.collectBloomWords(
         graft.sources.Io.atomicParquetArtifact(s, path)(
           Relational.bloomWordsDf(
-            explodeShingles(bench, "doc_id", "text", 3)
+            explodeShingles(bench, "doc_id", "text", bloomN)
               .select(col("sh").as("s")).distinct(),
-            "s", 1 << 16, 4)),
-        1 << 16)
+            "s", bloomBits, bloomHashes)),
+        bloomBits)
       bloomContamination(
         train = docs.filter(col("doc_id") >= 20), bench = bench,
-        "doc_id", "text", n = 3, numBits = 1 << 16, numHashes = 4,
-        prebuiltWords = Some(words))
+        "doc_id", "text", n = bloomN, numBits = bloomBits,
+        numHashes = bloomHashes, prebuiltWords = Some(words))
         .orderBy("doc_id")
     })
   )
+
+  /** Bloom-screen parameters, pinned once for BOTH decon_bloom queries,
+    * the persisted artifact's path key, and the generated oracle. */
+  private val bloomN = 3
+  private val bloomBits = 1 << 16
+  private val bloomHashes = 4
 
   /** Bucket cap shared by the dedup queries and their generated oracles. */
   val defaultBucketCap = 64
@@ -1297,8 +1305,11 @@ object Dedup {
     s"""WITH RECURSIVE $compChainCtes SELECT id AS doc_id, cluster FROM comp ORDER BY doc_id"""
 
   private lazy val bloomScreenOracle: String = {
-    val bp = (0 until 4).map(i => sqlBloomPos("s", i, 1 << 16))
-    s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), pos AS (SELECT DISTINCT unnest([${bp.mkString(", ")}]) AS p FROM bsh), tsh AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20), tp AS (SELECT doc_id, s, unnest([${bp.mkString(", ")}]) AS p FROM tsh), tm AS (SELECT tp.doc_id, tp.s, count(pos.p)::BIGINT AS nm FROM tp LEFT JOIN pos ON tp.p = pos.p GROUP BY tp.doc_id, tp.s), g AS (SELECT tm.doc_id, (tm.nm = 4) AS bloom_hit, (b.s IS NOT NULL) AS exact_hit FROM tm LEFT JOIN bsh b ON tm.s = b.s) SELECT doc_id, count(*)::BIGINT AS n_shingles, sum(bloom_hit::INT)::BIGINT AS bloom_hits, sum(exact_hit::INT)::BIGINT AS exact_hits, (sum(bloom_hit::INT) - sum(exact_hit::INT))::BIGINT AS bloom_fp, sum(bloom_hit::INT)::BIGINT > 0 AS flagged FROM g GROUP BY doc_id ORDER BY doc_id"""
+    // the 3-gram shingle grain is pinned by the shared fixed chain
+    // (tk/shs/sh); positions and the all-hashes test ride the same
+    // constants as the Scala queries
+    val bp = (0 until bloomHashes).map(i => sqlBloomPos("s", i, bloomBits))
+    s"""WITH ${tkCteFrom("documents")}, $shListCte, $shCte, bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), pos AS (SELECT DISTINCT unnest([${bp.mkString(", ")}]) AS p FROM bsh), tsh AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20), tp AS (SELECT doc_id, s, unnest([${bp.mkString(", ")}]) AS p FROM tsh), tm AS (SELECT tp.doc_id, tp.s, count(pos.p)::BIGINT AS nm FROM tp LEFT JOIN pos ON tp.p = pos.p GROUP BY tp.doc_id, tp.s), g AS (SELECT tm.doc_id, (tm.nm = $bloomHashes) AS bloom_hit, (b.s IS NOT NULL) AS exact_hit FROM tm LEFT JOIN bsh b ON tm.s = b.s) SELECT doc_id, count(*)::BIGINT AS n_shingles, sum(bloom_hit::INT)::BIGINT AS bloom_hits, sum(exact_hit::INT)::BIGINT AS exact_hits, (sum(bloom_hit::INT) - sum(exact_hit::INT))::BIGINT AS bloom_fp, sum(bloom_hit::INT)::BIGINT > 0 AS flagged FROM g GROUP BY doc_id ORDER BY doc_id"""
   }
 
   // same component chain + the text_quality score arithmetic; argmax by

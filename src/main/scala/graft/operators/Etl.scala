@@ -597,7 +597,10 @@ object Etl {
     "data_skew_report" -> {
       val share = Stable.sqlRatioRounded("cnt", "total", 4)
       val xavg = Stable.sqlRatioRounded("cnt * n_keys", "total", 2)
-      s"""WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id), t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c) SELECT user_id, cnt, $share AS share, $xavg AS x_avg FROM c CROSS JOIN t ORDER BY cnt DESC, user_id ASC LIMIT 20"""
+      // NULLS FIRST on the key tiebreak: Spark's asc is nulls-first where
+      // DuckDB defaults nulls-last, and a NULL join key is exactly the
+      // skew pathology this report exists to surface
+      s"""WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id), t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c) SELECT user_id, cnt, $share AS share, $xavg AS x_avg FROM c CROSS JOIN t ORDER BY cnt DESC, user_id ASC NULLS FIRST LIMIT 20"""
     },
 
     // row_number window mirrors Spark's min(struct(...)) composite order

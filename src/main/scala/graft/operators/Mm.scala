@@ -346,11 +346,13 @@ object Mm {
     * to bytes); `phash_bucket` carries the decoded-dimension bucket the
     * NEAR-dup candidate pass would group on (same (w,h) → candidate
     * pair), so the output is also the near-dup front-end. Dims ride the
-    * [[decodeMeta]] stream — stub decode (see [[FakeDecoder]]), real
-    * plumbing; a real perceptual hash drops into the same column.
+    * codegen [[metaExpr]] path (spec-verified equal to the typed
+    * [[decodeMeta]] decode — registered queries take the codegen route,
+    * per the mm_meta precedent); stub decode, real plumbing — a real
+    * perceptual hash drops into the same column.
     */
-  def dedupBinary(blobs: DataFrame, chunkBytes: Int): DataFrame =
-    decodeMeta(blobs, chunkBytes).toDF()
+  def dedupBinary(blobs: DataFrame): DataFrame =
+    metaExpr(blobs, chunkBytes = 256)
       .groupBy("blob_md5")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
         min("blob_bytes").as("blob_bytes"),
@@ -359,7 +361,7 @@ object Mm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact payload dedup + the perceptual-bucket near-dup front-end
     "mm_dedup_binary" -> ((s, d) =>
-      dedupBinary(withBlob(Tables.documents(s, d), "doc_id", "text"), chunkBytes = 256)
+      dedupBinary(withBlob(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("blob_md5")),
 
     // the registered query takes the codegen path; the mapPartitions

@@ -521,41 +521,47 @@ object Similarity {
                     mn: Seq[Double], sc: Seq[Double]): DataFrame = {
     val mnl = array(mn.map(lit): _*)
     val scl = array(sc.map(lit): _*)
-    // half-up via floor(x + 0.5): unambiguous on any double (engines
-    // disagree on round-at-tie); a zero-range dim encodes as 0
-    val codes = transform(col("ne"), (x, i) => {
-      val m = element_at(mnl, i + 1)
-      val s = element_at(scl, i + 1)
-      when(s === 0.0, lit(0L)).otherwise(
-        least(greatest(floor((x - m) / s * 255 + lit(0.5)), lit(0.0)),
-          lit(255.0)).cast("long"))
-    })
+    val codes = transform(col("ne"), (x, i) =>
+      sq8CodeExpr(x, element_at(mnl, i + 1), element_at(scl, i + 1)))
     nrm.select(col(id).as("neighbor_id"), codes.as("codes"))
   }
 
+  /** The per-dim SQ8 encode — the SINGLE source for the codes table and
+    * the quantize-error audit (they must round identically or the audit
+    * grades a different map than the index stores). Half-up via
+    * floor(x + 0.5): unambiguous on any double (engines disagree on
+    * round-at-tie); a zero-range dim encodes as 0.
+    */
+  private[operators] def sq8CodeExpr(x: Column, m: Column, s: Column): Column =
+    when(s === 0.0, lit(0L)).otherwise(
+      least(greatest(floor((x - m) / s * 255 + lit(0.5)), lit(0.0)),
+        lit(255.0)).cast("long"))
+
   /** SQ8 reconstruction-error AUDIT — grades the quantizer the way
-    * events_approx_stats grades its sketches: decode every vector's codes
-    * back through the same affine map and report the per-vector max
-    * absolute error and summed squared error against the exact
-    * normalized embedding. The acceptance gate an index build runs
+    * events_approx_stats grades its sketches: re-encode each vector
+    * through the trained affine map (bit-identical to what
+    * [[sq8CodesTable]] stores — the encode is a deterministic function
+    * of (ne, mn, sc), shared via [[sq8CodeExpr]]), decode it back, and
+    * report the per-vector max absolute and summed squared error vs the
+    * exact normalized embedding. The acceptance gate an index build runs
     * before swapping quantized search into production. Portability: each
     * per-dim |error| is floor-quantized to 1e-6 and the per-vector folds
-    * run on exact longs (order-free in both engines); the decode
-    * arithmetic mirrors the oracle token-for-token. One broadcast-joined
-    * projection over the codes index — zero extra corpus passes.
+    * run on exact longs (order-free in both engines); the arithmetic
+    * mirrors the oracle token-for-token. Encode-inline means the whole
+    * audit is ONE zero-shuffle, zero-join projection over the corpus
+    * (plan-audited) — no index join, no extra pass.
     */
   def sq8QuantizeError(nrm: DataFrame, id: String, mn: Seq[Double],
-                       sc: Seq[Double], codes: DataFrame): DataFrame = {
+                       sc: Seq[Double]): DataFrame = {
     val mnl = array(mn.map(lit): _*)
     val scl = array(sc.map(lit): _*)
     val errs = transform(col("ne"), (x, i) => {
       val m = element_at(mnl, i + 1)
       val s = element_at(scl, i + 1)
-      val c = element_at(col("codes"), i + 1)
+      val c = sq8CodeExpr(x, m, s)
       floor(abs(x - (m + (c * s) / lit(255.0))) * lit(1e6)).cast("long")
     })
-    nrm.join(codes, nrm(id) === codes("neighbor_id"))
-      .select(col(id), errs.as("_e"))
+    nrm.select(col(id), errs.as("_e"))
       .select(col(id),
         array_max(col("_e")).as("max_abs_q6"),
         aggregate(col("_e"), lit(0L), (a, e) => a + e * e).as("sse_q12"))
@@ -1071,15 +1077,13 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
-    // the quantizer's acceptance gate: decode the shared codes index and
-    // report per-vector reconstruction error vs the exact embedding
+    // the quantizer's acceptance gate: re-encode + decode through the
+    // trained map and report per-vector error vs the exact embedding
     "emb_quantize_error" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val nrm = normalized(e, "vec_id", "embedding")
       val (mn, sc) = sq8Cache.computeIfAbsent(d, _ => sq8Train(nrm))
-      val codes = cachedIndex(s"$d|sq8_codes")(
-        sq8CodesTable(nrm, "vec_id", mn, sc))
-      sq8QuantizeError(nrm, "vec_id", mn, sc, codes)
+      sq8QuantizeError(nrm, "vec_id", mn, sc)
         .orderBy("vec_id")
     }),
 

@@ -117,9 +117,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(sk.contains("TakeOrderedAndProject") && !sk.contains("SortMergeJoin"),
       sk.take(1200))
     // bloom screen: the probe is a scan-side filter expression — the only
-    // join is the grading equi-join; never a cartesian
-    val bl = plan(run("decon_bloom_screen"))
-    assert(!bl.contains("CartesianProduct"), bl.take(1200))
+    // join is the grading equi-join; never a cartesian (persisted variant
+    // shares the identical probe plan)
+    Seq("decon_bloom_screen", "decon_bloom_persisted").foreach { q =>
+      val bl = plan(run(q))
+      assert(!bl.contains("CartesianProduct"), s"$q:\n${bl.take(1200)}")
+    }
+    // keep-best: rep-grain argmax + fan-back — never a cartesian, and the
+    // argmax window is cluster-partitioned (the global-window sweep below
+    // would flag an unpartitioned one)
+    val kb = plan(run("dedup_keep_best"))
+    assert(!kb.contains("CartesianProduct"), kb.take(1200))
+    // binary dedup: one codegen projection + one hash agg — no join at all
+    val mb = plan(run("mm_dedup_binary"))
+    assert(!mb.contains("Join"), mb.take(1200))
+    // quantize-error audit: encode-inline means zero joins AND zero
+    // shuffles beyond the answer sort's single exchange
+    val qe = plan(run("emb_quantize_error"))
+    assert(!qe.contains("Join"), qe.take(1200))
+    assert("Exchange".r.findAllIn(qe).size <= 1,
+      s"quantize-error audit must be a single projection:\n${qe.take(1200)}")
   }
 
   test("NO query plans a range sort: answer sorts are single-partition local") {

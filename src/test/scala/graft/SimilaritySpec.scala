@@ -505,7 +505,7 @@ class SimilaritySpec extends SparkSpec {
     val blobs = Seq(
       (1L, "same payload"), (2L, "same payload"), (7L, "same payload"),
       (3L, "other")).toDF("doc_id", "text")
-    val got = Mm.dedupBinary(Mm.withBlob(blobs, "doc_id", "text"), 256)
+    val got = Mm.dedupBinary(Mm.withBlob(blobs, "doc_id", "text"))
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(got == Map(1L -> 3L, 3L -> 1L), s"got $got")
     // registered query: lossless (copy counts sum to the corpus size),
