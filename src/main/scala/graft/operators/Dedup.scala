@@ -747,6 +747,29 @@ object Dedup {
       .withColumn("flagged", col("bloom_hits") > 0)
   }
 
+  /** TWO-PHASE contaminated-id extraction — the production composition of
+    * the bloom screen: phase 1 drops every corpus shingle the broadcast
+    * sketch rejects (zero shuffle, the overwhelming majority at any real
+    * benchmark/corpus ratio); phase 2 exact-verifies only the flagged
+    * remainder against the bench shingle set, so the equi-join's probe
+    * side is candidate-sized, not corpus-sized. The result is EXACT
+    * (bloom never misses; false positives die in the verify join) — the
+    * oracle can state plain shared-shingle semantics with no sketch
+    * arithmetic. Returns the distinct contaminated ids (the anti-join
+    * input for a removal stage).
+    */
+  def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, n: Int, numBits: Int,
+                      numHashes: Int): DataFrame = {
+    val bsh = explodeShingles(bench, idCol, textCol, n)
+      .select(col("sh").as("s")).distinct()
+    val words = Relational.bloomOf(bsh, "s", numBits, numHashes)
+    explodeShingles(train, idCol, textCol, n)
+      .filter(Relational.bloomMightContain(col("sh"), words, numHashes))
+      .join(bsh, col("sh") === col("s"))
+      .select(col(idCol)).distinct()
+  }
+
   /** Fractional-epoch UPSAMPLING — the other half of the mixing family
     * ([[sampleWeighted]] can only thin): a weight of 2.3 replicates
     * every row twice and keeps a third copy with probability 0.3, so a
@@ -1251,6 +1274,14 @@ object Dedup {
 
   private def sqlSigChain(p: String, srcRel: String): String =
     sigChainParts(p, srcRel).mkString(", ")
+
+  /** Tokenize→shingle CTEs for an arbitrary n-gram width (`{p}tk/{p}shs/
+    * {p}sh`, ending in `{p}sh(doc_id, s)`) — for oracles that need plain
+    * word shingles of a relation without the signature tail (decon
+    * stages, which run WIDER grams than the LSH chain's 3).
+    */
+  private[operators] def sqlShingleChain(p: String, srcRel: String, n: Int): String =
+    raw"""${p}tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM $srcRel), ${p}shs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - ${n - 2}), i -> ${(0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")})) AS sh FROM ${p}tk WHERE len(t) >= $n), ${p}sh AS (SELECT doc_id, unnest(sh) AS s FROM ${p}shs)"""
 
   /** The full exact-dedup → minhash-pairs → components → keep-minima CTE
     * chain over an arbitrary (doc_id, text) source relation, ending in a

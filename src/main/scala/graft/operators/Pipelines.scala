@@ -24,7 +24,11 @@ import graft.Tables
   */
 object Pipelines {
 
-  def trainingData(docs: DataFrame): DataFrame = {
+  /** `preMix` hooks an extra stage between the dedup keep and the mix —
+    * identity for the base flagship; the decon variant anti-joins the
+    * contaminated ids there. */
+  def trainingData(docs: DataFrame,
+                   preMix: DataFrame => DataFrame = identity): DataFrame = {
     // 1. quality trim: keep the p5-p95 band of quality_score (scores ride
     //    the band pass alone; text joins back after)
     val band = TextOps.qualityBand(
@@ -46,8 +50,8 @@ object Pipelines {
         pairs, "id_a", "id_b")
       .filter(col("doc_id") === col("cluster"))
       .select("doc_id")
-    // 3. compose the corpus: mix → split → pack per (split, shard)
-    val mixed = Dedup.mixSources(bd.join(keep, "doc_id"),
+    // 3. compose the corpus: [preMix stage] → mix → split → pack
+    val mixed = Dedup.mixSources(preMix(bd.join(keep, "doc_id")),
       sourceCol = "source", idCol = "doc_id",
       rates = Map("src0" -> 0.9, "src1" -> 0.1), defaultRate = 0.5)
     val split = TextOps.hashSplit(mixed, "doc_id",
@@ -65,7 +69,26 @@ object Pipelines {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "training_data_e2e" -> ((s, d) =>
       trainingData(Tables.documents(s, d).select("doc_id", "text", "source"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the flagship WITH the decontamination stage a production run needs:
+    // after dedup, drop the eval docs themselves (doc_id < 20) and every
+    // kept doc sharing a 5-gram shingle with them — executed as the
+    // two-phase bloom-screen → exact-verify anti-join (the corpus never
+    // shuffles for the screen; only bloom-flagged candidates reach the
+    // verify join), while the oracle states plain shared-shingle
+    // semantics (the screen is exact by construction)
+    "training_data_decon_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      val bench = docs.filter(col("doc_id") < 20).select("doc_id", "text")
+      trainingData(docs, preMix = { kept =>
+        val train = kept.filter(col("doc_id") >= 20)
+        train.join(
+          Dedup.contaminatedIds(train.select("doc_id", "text"), bench,
+            "doc_id", "text", n = 5, numBits = 1 << 16, numHashes = 4),
+          Seq("doc_id"), "left_anti")
+      }).orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -75,6 +98,26 @@ object Pipelines {
         s"""bd AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN band USING (doc_id)), """ +
         Dedup.sqlDedupKeepChain("bd") + ", " +
         s"""mixed AS (SELECT b.doc_id, b.text, b.source FROM bd b JOIN keep USING (doc_id) WHERE $draw < (CASE WHEN b.source = 'src0' THEN 0.9 WHEN b.source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536), """ +
+        s"""spl AS (SELECT doc_id, source, CASE WHEN $draw < 0.8 * 65536 THEN 'train' WHEN $draw < 0.9 * 65536 THEN 'val' ELSE 'test' END AS split, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS ws_tokens, doc_id % 8 AS shard FROM mixed), """ +
+        s"""cum AS (SELECT *, sum(ws_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens AS c FROM spl) """ +
+        s"""SELECT doc_id, source, split, shard::BIGINT AS shard, ws_tokens, (c // 2048)::BIGINT AS pack_id, (c % 2048)::BIGINT AS pack_offset FROM cum ORDER BY doc_id"""
+    },
+
+    // the decon stage states PLAIN shared-shingle semantics (drop eval
+    // docs + any kept doc sharing a 5-gram with them) — the Spark side's
+    // bloom screen + exact verify must land on exactly this set
+    "training_data_decon_e2e" -> {
+      val draw = Dedup.sqlDraw("doc_id")
+      s"""WITH RECURSIVE ${TextOps.sqlQualityBandCtes("documents", 0.05, 0.95)}, """ +
+        s"""bd AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN band USING (doc_id)), """ +
+        Dedup.sqlDedupKeepChain("bd") + ", " +
+        s"""kd AS (SELECT b.doc_id, b.text, b.source FROM bd b JOIN keep USING (doc_id) WHERE b.doc_id >= 20), """ +
+        s"""bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20), """ +
+        Dedup.sqlShingleChain("q", "bench", 5) + ", " +
+        Dedup.sqlShingleChain("k", "kd", 5) + ", " +
+        s"""bad AS (SELECT DISTINCT k.doc_id FROM ksh k JOIN qsh q ON k.s = q.s), """ +
+        s"""decon AS (SELECT doc_id, text, source FROM kd WHERE doc_id NOT IN (SELECT doc_id FROM bad)), """ +
+        s"""mixed AS (SELECT b.doc_id, b.text, b.source FROM decon b WHERE $draw < (CASE WHEN b.source = 'src0' THEN 0.9 WHEN b.source = 'src1' THEN 0.1 ELSE 0.5 END) * 65536), """ +
         s"""spl AS (SELECT doc_id, source, CASE WHEN $draw < 0.8 * 65536 THEN 'train' WHEN $draw < 0.9 * 65536 THEN 'val' ELSE 'test' END AS split, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS ws_tokens, doc_id % 8 AS shard FROM mixed), """ +
         s"""cum AS (SELECT *, sum(ws_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens AS c FROM spl) """ +
         s"""SELECT doc_id, source, split, shard::BIGINT AS shard, ws_tokens, (c // 2048)::BIGINT AS pack_id, (c % 2048)::BIGINT AS pack_offset FROM cum ORDER BY doc_id"""

@@ -319,6 +319,29 @@ class TextDedupSpec extends SparkSpec {
     assert(cleanCorpus.nonEmpty) // the cross-referenced query stays alive
   }
 
+  test("training_data_decon_e2e: eval docs and 5-gram overlaps are gone") {
+    val base = run("training_data_e2e").collect().map(_.getLong(0)).toSet
+    val rows = run("training_data_decon_e2e").collect().map(_.getLong(0))
+    assert(rows.nonEmpty)
+    val got = rows.toSet
+    // the decon variant only REMOVES: survivors are a subset of the base
+    // flagship, and no eval doc (doc_id < 20) survives
+    assert(got.subsetOf(base), s"decon added docs: ${(got -- base).take(5)}")
+    assert(got.forall(_ >= 20L))
+    // ground truth: no surviving doc shares a 5-gram shingle with bench
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val benchSh = docs.filter(col("doc_id") < 20)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("s"))
+      .collect().map(_.getString(0)).toSet
+    val survivors = docs.filter(col("doc_id").isInCollection(got.toSeq))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    survivors.foreach { case (id, text) =>
+      val sh = text.trim.split("\\s+").filter(_.nonEmpty).sliding(5)
+        .filter(_.length == 5).map(_.mkString(" ")).toSet
+      assert((sh & benchSh).isEmpty, s"doc $id still shares a 5-gram with bench")
+    }
+  }
+
   test("CacheScope bounds checkpoint-block growth across invocations") {
     // Regression guard for the r4 bench pass-5 spikes: operators that
     // localCheckpoint intermediates their returned plan references
