@@ -41,6 +41,30 @@ object Events {
         Stable.sumRounded(col("value"), 2).as("sum_value"),
         Stable.avgRounded(col("value"), count(lit(1)), 4).as("avg_value"))
 
+  /** OHLC time-bucket downsampling — the candle compaction that turns a
+    * raw event log into a dashboard-grain series: per (bucket, key) the
+    * opening value (earliest event), closing value (latest), high, low,
+    * count and exact sum. open/close ride min/max over a
+    * (ts, id, value) STRUCT — (ts, id) is unique, so the struct order IS
+    * the deterministic event order and the whole candle is ONE
+    * map-side-combinable hash agg (min/max/count/decimal-sum all have
+    * partial merges): a single shuffle at (bucket, key) grain, no
+    * window functions, no second pass — the shape that compacts 100 TB
+    * of raw events into a serving table in one linear job.
+    */
+  def ohlc(df: DataFrame, ts: String, idCol: String, valCol: String,
+           granularity: String, keys: Seq[String]): DataFrame =
+    df.groupBy((date_trunc(granularity, col(ts)).as("bucket") +: keys.map(col)): _*)
+      .agg(
+        min(struct(col(ts), col(idCol), col(valCol).as("v"))).as("_o"),
+        max(struct(col(ts), col(idCol), col(valCol).as("v"))).as("_c"),
+        max(col(valCol)).as("high"), min(col(valCol)).as("low"),
+        count(lit(1)).as("n_events"),
+        Stable.sumRounded(col(valCol), 2).as("sum_value"))
+      .select((col("bucket") +: keys.map(col)) ++ Seq(
+        col("_o.v").as("open"), col("high"), col("low"), col("_c.v").as("close"),
+        col("n_events"), col("sum_value")): _*)
+
   /** SLIDING-window aggregation: overlapping windows of `durMin` minutes
     * advancing every `slideMin` (each event lands in durMin/slideMin
     * windows) — the rate/trend view a monitoring dashboard reads, where a
@@ -740,6 +764,12 @@ object Events {
       windowAgg(Tables.events(s, d), "ts", "hour", Seq("event_type"))
         .orderBy("window_start", "event_type")),
 
+    // hourly candles per event type: open/high/low/close/volume
+    "events_ohlc" -> ((s, d) =>
+      ohlc(Tables.events(s, d), "ts", "event_id", "value", "hour",
+        Seq("event_type"))
+        .orderBy("bucket", "event_type")),
+
     // 10-minute windows every 5 minutes: each event lands in 2 windows
     "events_sliding_window" -> ((s, d) =>
       slidingWindowAgg(Tables.events(s, d), "ts", durMin = 10, slideMin = 5)
@@ -889,6 +919,10 @@ object Events {
       """SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_type = 'error' AND user_id < 50 ORDER BY ts DESC, event_id ASC LIMIT 100""",
     "events_window_agg" ->
       s"""SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value, ${Stable.sqlAvgRounded("value", 4)} AS avg_value FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // open/close via row_number over the same (ts, event_id) order the
+    // Spark struct-min/max encodes; (ts, event_id) unique → deterministic
+    "events_ohlc" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS bucket, event_type, ts, event_id, value FROM events), o AS (SELECT bucket, event_type, value AS open FROM (SELECT *, row_number() OVER (PARTITION BY bucket, event_type ORDER BY ts, event_id) AS rn FROM b) WHERE rn = 1), c AS (SELECT bucket, event_type, value AS close FROM (SELECT *, row_number() OVER (PARTITION BY bucket, event_type ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1), g AS (SELECT bucket, event_type, max(value) AS high, min(value) AS low, count(*)::BIGINT AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM b GROUP BY bucket, event_type) SELECT g.bucket, g.event_type, o.open, g.high, g.low, c.close, g.n_events, g.sum_value FROM g JOIN o USING (bucket, event_type) JOIN c USING (bucket, event_type) ORDER BY bucket, event_type""",
     // each event expands to its two covering window starts, then a plain agg
     "events_sliding_window" ->
       """WITH x AS (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts), time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS w_start, value FROM events) SELECT w_start, w_start + INTERVAL '10 minutes' AS w_end, count(*) AS n_events, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM x GROUP BY w_start ORDER BY w_start""",

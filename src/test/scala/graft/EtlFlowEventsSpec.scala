@@ -788,6 +788,27 @@ class EtlFlowEventsSpec extends SparkSpec {
       (0L, 9L) -> ((1L, 4.0))))
   }
 
+  test("events_ohlc: open/close follow (ts, id) order; single-agg plan") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    val ev = Seq(
+      (1L, "2024-01-01 09:05:00", 5.0), (2L, "2024-01-01 09:10:00", 1.0),
+      (4L, "2024-01-01 09:55:00", 3.0), (3L, "2024-01-01 09:55:00", 9.0)
+    ).toDF("event_id", "s", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+      .withColumn("event_type", lit("x"))
+    val r = Events.ohlc(ev, "ts", "event_id", "value", "hour", Seq("event_type"))
+      .collect().head
+    // open = earliest; close = ts-tie broken by event_id (4 > 3 -> 3.0)
+    assert(r.getDouble(2) == 5.0 && r.getDouble(5) == 3.0)
+    assert(r.getDouble(3) == 9.0 && r.getDouble(4) == 1.0)
+    assert(r.getLong(6) == 4L)
+    // one map-side-combinable hash agg: no window functions anywhere
+    val p = plan(run("events_ohlc"))
+    assert(!p.contains("Window"), s"candle must not plan a window:\n${p.take(800)}")
+  }
+
   test("zorderKey interleaves bits; layout report is lossless and local") {
     val s = spark
     import s.implicits._
