@@ -139,14 +139,31 @@ class PlanAuditSpec extends SparkSpec {
       s"quantize-error audit must be a single projection:\n${qe.take(1200)}")
   }
 
-  test("NO query plans a range sort: answer sorts are single-partition local") {
-    // the trailing presentation orderBy must not cost a range-sampling
-    // job anywhere: SparkEntry rewrites every root Sort to repartition(1)
-    // + local sort, and nothing below a root should range-partition either
+  test("presentation sorts follow output grain: range for corpus-grain, one-task local otherwise") {
+    // Two-sided pin of SparkEntry.answerSort's policy. ANSWER-SIZED
+    // queries must not pay a range-sampling job anywhere in the plan;
+    // CORPUS-GRAIN queries must never funnel their whole output through a
+    // one-task sort (the sf100 smoke measured that funnel at 16× on 10×
+    // data for etl_dedup_merge's 147M-row output, with a 7 GB single
+    // task). The logical root tells which shape answerSort produced:
+    // Sort(global=true) = distributed range sort, Sort(global=false) over
+    // Repartition(1) = the local answer sort.
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
     SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
-      val p = plan(run(q))
-      assert(!p.contains("rangepartitioning"),
-        s"$q plans a range sort:\n${p.take(1500)}")
+      val df = run(q)
+      df.queryExecution.optimizedPlan match {
+        case Sort(_, global, _, _) =>
+          if (SparkEntry.corpusGrainQueries(q))
+            assert(global,
+              s"$q: corpus-grain output funnels through a one-task local sort")
+          else
+            assert(!global,
+              s"$q: answer-sized output pays a range-sampling pass")
+        case _ => // no trailing sort at the root (TakeOrdered pagination etc.)
+      }
+      if (!SparkEntry.corpusGrainQueries(q))
+        assert(!plan(df).contains("rangepartitioning"),
+          s"$q plans a range sort:\n${plan(df).take(1500)}")
     }
     // pagination keeps its real global-order semantics (TakeOrdered —
     // per-partition heaps, not a full sort either)
@@ -216,8 +233,9 @@ class PlanAuditSpec extends SparkSpec {
   test("mm_decode_meta is a pure projection: no joins, no shuffles") {
     val p = plan(run("mm_decode_meta"))
     assert(!p.contains("Join"), p.take(1500))
-    // the only exchange allowed is the answer-sort's single partition
-    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
-      p.take(1500))
+    // the only exchange allowed is the presentation sort's (range —
+    // mm_decode_meta is document-grain, so its answer sort distributes)
+    assert(!p.contains("hashpartitioning"), p.take(1500))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
   }
 }
