@@ -1199,10 +1199,21 @@ object Dedup {
     "decon_bloom_persisted" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val bench = docs.filter(col("doc_id") < 20)
-      // path keyed by the SAME constants the probe uses: a parameter
-      // edit re-keys the artifact instead of serving a stale sketch
+      // path keyed by the SAME constants the probe uses PLUS a content
+      // fingerprint of the bench side (order-free bit_xor of per-row
+      // crc32 + row count): a parameter edit OR a regenerated benchmark
+      // at the same path re-keys the artifact instead of serving a stale
+      // sketch — stale here would silently break the screen's one-sided
+      // -error contract (bloom_hits >= exact_hits), not just return old
+      // answers. The fingerprint pass is bench-sized, not corpus-sized.
+      val fpRow = bench.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr(
+          "bit_xor(crc32(cast(concat_ws('', cast(doc_id as string), text) as binary)))"),
+          lit(0L)).as("x")).head()
       val path = "/tmp/graft_io/decon_bloom/" +
-        s"$d|$bloomN|$bloomBits|$bloomHashes".replaceAll("[^A-Za-z0-9.]", "_")
+        s"$d|$bloomN|$bloomBits|$bloomHashes|${fpRow.getLong(0)}x${fpRow.getLong(1)}"
+          .replaceAll("[^A-Za-z0-9.]", "_")
       val words = Relational.collectBloomWords(
         graft.sources.Io.atomicParquetArtifact(s, path)(
           Relational.bloomWordsDf(

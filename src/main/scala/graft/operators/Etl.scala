@@ -591,7 +591,7 @@ object Etl {
         .mkString(" + ")
       val frac = Stable.sqlRatioRounded(
         "(bamax - bamin + 1) * (bbmax - bbmin + 1)", s"${256L * 256L}", 6)
-      s"""WITH src AS (SELECT user_id AS a, epoch_us(ts) AS b FROM events), mm AS (SELECT min(a) AS amin, max(a) AS amax, min(b) AS bmin, max(b) AS bmax FROM src), bk AS (SELECT a, b, ((a - amin) * 256) // (amax - amin + 1) AS ba, ((b - bmin) * 256) // (bmax - bmin + 1) AS bb FROM src CROSS JOIN mm), z AS (SELECT a, b, ba, bb, ($zkey) // ${1L << 10} AS file_id FROM bk), g AS (SELECT file_id, count(*)::BIGINT AS n_rows, min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max, min(ba) AS bamin, max(ba) AS bamax, min(bb) AS bbmin, max(bb) AS bbmax FROM z GROUP BY file_id) SELECT file_id, n_rows, a_min, a_max, b_min, b_max, $frac AS bbox_frac FROM g ORDER BY file_id"""
+      s"""WITH src AS (SELECT user_id AS a, epoch_us(ts) AS b FROM events), mm AS (SELECT min(a) AS amin, max(a) AS amax, min(b) AS bmin, max(b) AS bmax FROM src), bk AS (SELECT a, b, ((a - amin) * 256) // (amax - amin + 1) AS ba, ((b - bmin) * 256) // (bmax - bmin + 1) AS bb FROM src CROSS JOIN mm), z AS (SELECT a, b, ba, bb, ($zkey) // ${1L << 10} AS file_id FROM bk), g AS (SELECT file_id, count(*)::BIGINT AS n_rows, min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max, min(ba) AS bamin, max(ba) AS bamax, min(bb) AS bbmin, max(bb) AS bbmax FROM z GROUP BY file_id) SELECT file_id, n_rows, a_min, a_max, b_min, b_max, $frac AS bbox_frac FROM g ORDER BY file_id NULLS FIRST"""
     },
 
     "data_skew_report" -> {

@@ -647,10 +647,13 @@ object TextOps {
     * same). Scale shape: bigram and unigram counting are the only
     * corpus-sized passes (map-side-combined hash aggs); the min-count
     * floor then shrinks the bigram table BEFORE the two margin joins,
-    * which run vocabulary-vs-vocabulary — the unigram side is BROADCAST
-    * (vocabulary grows ~log with the corpus, Heaps' law; for an extreme
-    * vocab a shuffle join on the word key is still vocabulary-scale, not
-    * corpus-scale). Top-K plans as TakeOrderedAndProject.
+    * which run vocabulary-vs-vocabulary. The unigram side is NOT pinned
+    * broadcast — Heaps' law is not a broadcast budget: a multilingual
+    * 100 TB vocabulary is ~1e8 rows and a pinned hint OOMs the driver
+    * (the same reasoning that sizes lmScore's margin joins). AQE decides
+    * from measured sizes: at moderate vocab it broadcasts, at extreme
+    * vocab the fallback is a vocabulary-scale (not corpus-scale) shuffle
+    * join on the word key. Top-K plans as TakeOrderedAndProject.
     */
   def collocations(df: DataFrame, textCol: String, minCount: Long,
                    topK: Int): DataFrame = {
@@ -663,8 +666,8 @@ object TextOps {
       .select(col("b.x").as("w1"), col("b.y").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minCount)
-    bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), Seq("w1"))
-      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), Seq("w2"))
+    bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), Seq("w2"))
       .select(col("w1"), col("w2"), col("pair_count"),
         Stable.ratioRounded(col("pair_count") * 2, col("c1") + col("c2"), 4).as("dice"))
       .orderBy(col("dice").desc, col("w1").asc, col("w2").asc)

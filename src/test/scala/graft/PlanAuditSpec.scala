@@ -91,9 +91,14 @@ class PlanAuditSpec extends SparkSpec {
     // itself is a projection — no extra wide exchange beyond the mapping
     val ls = plan(run("sample_leakage_split"))
     assert(ls.contains("BroadcastHashJoin") || ls.contains("SortMergeJoin"), ls.take(800))
-    // collocations: margin joins broadcast; top-k is a TakeOrdered
-    val co = plan(run("text_collocations"))
+    // collocations: margin joins are NOT pinned broadcast (vocabulary is
+    // not a broadcast budget at 100 TB) — AQE/stats must still CHOOSE
+    // broadcast at test scale, and top-k is a TakeOrdered
+    val coDf = run("text_collocations")
+    val co = plan(coDf)
     assert(co.contains("BroadcastHashJoin") && co.contains("TakeOrderedAndProject"), co.take(800))
+    assert(!coDf.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "collocations re-pinned its vocabulary broadcast")
     // LM score: the vocab-bounded unigram margin broadcasts; the bigram
     // table must NOT be pinned broadcast (corpus-scale at 100 TB) — its
     // join is size-decided, so the static plan may legally shuffle
@@ -228,6 +233,38 @@ class PlanAuditSpec extends SparkSpec {
             w.child.treeString.take(1500))
       }
     }
+  }
+
+  test("corpusGrainQueries: no dead entries, and measured grain implies membership") {
+    // The presentation-sort audit above derives its expected shape from
+    // corpusGrainQueries itself, so on its own it is circular: a future
+    // corpus-grain registration omitted from the set would pass while
+    // funnelling its output through one task, and a typo'd entry is
+    // silently inert. Two independent checks close that:
+    // (1) every set entry names a registered query;
+    val dead = SparkEntry.corpusGrainQueries -- SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"corpusGrainQueries entries match no registered query: $dead")
+    // (2) the membership criterion is re-MEASURED, not trusted: count
+    // every query's output at sf0.001 and sf0.01 and apply the documented
+    // criterion at test scale — >= 200 rows at sf0.01 (the 2000-at-sf0.1
+    // threshold, linear grain) AND >= 3x growth across the decade (which
+    // exonerates fixed-size samples/top-k that happen to be large).
+    // One-sided by design: small pair-list members keep their membership
+    // on the documented sf0.01->sf0.1 growth evidence instead.
+    val sf001 = "/root/testdata/sf0.001"
+    val sf01 = "/root/testdata/sf0.01"
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val n01 = SparkEntry.queries(q)(spark, sf01).count()
+      if (n01 < 200) None
+      else {
+        val n001 = SparkEntry.queries(q)(spark, sf001).count()
+        if (n01 >= 3 * n001) Some(q) else None
+      }
+    }
+    val missing = flagged.filterNot(SparkEntry.corpusGrainQueries)
+    assert(missing.isEmpty,
+      s"measured corpus-grain queries missing from corpusGrainQueries " +
+        s"(their presentation sort funnels through one task): $missing")
   }
 
   test("mm_decode_meta is a pure projection: no joins, no shuffles") {
