@@ -10,9 +10,42 @@ import org.apache.spark.sql.SparkSession
   * timestamp semantics match the DuckDB oracle.
   */
 object GraftSession {
-  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
+
+  /** GRAFT_MASTER env overrides the caller's master so the IDENTICAL
+    * suite/bench/verify surface can run through a real serialized
+    * exchange path (`local-cluster[2,16,4096]`: in-JVM standalone
+    * master + 2 workers, executors as SEPARATE processes — closures,
+    * custom expressions, broadcasts and shuffle blocks all cross a real
+    * serializer, which plain local[*] never exercises). */
+  def effectiveMaster(default: String): String =
+    sys.env.getOrElse("GRAFT_MASTER", default)
+
+  /** Executor-process config for local-cluster mode. The forked driver
+    * JVM already holds the full application classpath (graft classes +
+    * test classes + scalatest), so the executor JVMs — launched by the
+    * in-process Worker via $SPARK_HOME/bin/spark-class — inherit exactly
+    * that via extraClassPath; the JDK17 --add-opens set matches
+    * build.sbt's driver-side list (Spark needs them wherever rows are
+    * manipulated off-heap, i.e. on executors too). */
+  def clusterConfigs(b: SparkSession.Builder): SparkSession.Builder = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    b.config("spark.executor.memory", sys.env.getOrElse("GRAFT_EXECUTOR_MEM", "3g"))
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+  }
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder = {
+    val m = effectiveMaster(master)
+    val base = SparkSession.builder()
+      .master(m)
       .appName("graft")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -41,6 +74,8 @@ object GraftSession {
       // locality and GC. The conservative default stays; if anything, the
       // sort fallback IS the scale path here.
       .config("spark.ui.enabled", "false")
+    if (m.startsWith("local-cluster")) clusterConfigs(base) else base
+  }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()

@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: apply a frozen BPE merge table to a word,
+  * emitting the delimited symbol representation (" sym1 sym2 ... ").
+  *
+  * Why: the previous encode shape baked the k-merge table into k CHAINED
+  * literal `replace`s in one projection. That is exactly right at small k
+  * (whole-stage codegen, zero state), but a real tokenizer ships ~50k
+  * merges — a 50k-deep expression tree exceeds Janino's 64 KB method
+  * limit (CodegenFallback → interpreted per-word k·len scanning) if
+  * planning survives at all. This expression is the k-INDEPENDENT encode:
+  * the merge table is carried once as reference data (a pair→rank hash
+  * map + rank→pair arrays, built per JVM), and each word is encoded
+  * event-driven — a doubly-linked symbol list plus a min-heap of the
+  * ranks PRESENT in the word; each popped rank runs one left-to-right
+  * merge pass. Work per word is O(len) per distinct rank present
+  * (≤ len ranks), regardless of table size k.
+  *
+  * Semantics are BYTE-IDENTICAL to the chained-replace form — including
+  * its one subtlety: a delimited-string replace consumes the space
+  * BEFORE the following symbol, so in a run like " a a a a " the second
+  * occurrence (whose leading space was consumed) is skipped by that
+  * rank's single pass and never revisited (→ " aa a a ", then later
+  * ranks may pick it up). The trainer ([[graft.operators.TextOps]]
+  * bpeMerges/bpeMergesLocal) applies merges with exactly the same
+  * string-replace pass, so table and encode stay mutually consistent,
+  * and the DuckDB oracle replays the identical replace chain. The
+  * per-rank pass reproduces it with a resume-after-match block flag;
+  * ranks pop in increasing order, and a pair adjacency formed after its
+  * own rank's pass is never merged (only ranks > current are pushed) —
+  * just as the chain never re-runs an earlier replace. BpeApplySpec pins
+  * byte-equality against the literal chain at k >= 2000 on a trained
+  * table.
+  *
+  * Scale shape: the table is bounded tokenizer metadata (~50k rows, ~1 MB)
+  * — the same class as k-means centroids — shipped to executors inside
+  * the serialized plan, NOT a per-row join side. The projection stays
+  * whole-stage-codegen (one static call), so the vocabulary-grain encode
+  * remains a pure scan-fused map at any corpus size.
+  */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply needs a string child, got ${child.dataType}")
+
+  @transient private lazy val table: BpeApply.Table = BpeApply.buildTable(merges)
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeApply.encode(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeApply.Table].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeApply.encode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+object BpeApply {
+
+  /** pair→rank lookup (keyed "lhs rhs" — unambiguous: symbols come from
+    * tokenized words, which never contain spaces) plus the rank→pair
+    * reverse arrays the per-rank scan needs. Built once per JVM from the
+    * rank-ordered merge list and shipped to executors via the codegen
+    * reference array. */
+  final class Table(val rank: java.util.HashMap[String, Integer],
+                    val lhs: Array[String], val rhs: Array[String])
+    extends Serializable
+
+  def buildTable(merges: Seq[(String, String)]): Table = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    val lhs = new Array[String](merges.size)
+    val rhs = new Array[String](merges.size)
+    var r = 0
+    merges.foreach { case (x, y) =>
+      // first occurrence wins: rank order is the Seq order
+      m.putIfAbsent(x + " " + y, Integer.valueOf(r))
+      lhs(r) = x
+      rhs(r) = y
+      r += 1
+    }
+    new Table(m, lhs, rhs)
+  }
+
+  private def rankOf(t: Table, x: String, y: String): Int = {
+    val r = t.rank.get(x + " " + y)
+    if (r == null) -1 else r.intValue()
+  }
+
+  /** Encode one word: rank-priority merging over a linked symbol list.
+    * Called from generated code. Output byte-matches the chained-replace
+    * repr: leading space, one space after every symbol. */
+  def encode(w: UTF8String, t: Table): UTF8String = {
+    val s = w.toString
+    // initial symbols: one per code point (the "(.)" split of the chain)
+    var n = 0
+    var ci = 0
+    while (ci < s.length) { ci += Character.charCount(s.codePointAt(ci)); n += 1 }
+    if (n == 0) return UTF8String.fromString(" ")
+    val sym = new Array[String](n)
+    ci = 0
+    var k = 0
+    while (ci < s.length) {
+      val cc = Character.charCount(s.codePointAt(ci))
+      sym(k) = s.substring(ci, ci + cc)
+      ci += cc
+      k += 1
+    }
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    var i = 0
+    while (i < n) { next(i) = i + 1; prev(i) = i - 1; alive(i) = true; i += 1 }
+
+    // Min-heap of CANDIDATE RANKS present in the word (duplicates fine;
+    // stale entries skipped via lastRank). Popping a rank runs one full
+    // left-to-right pass for that pair over the current symbol list —
+    // exactly one string-replace pass of the chain, including its
+    // resume-after-match semantics: a match consumes the delimiter space
+    // BEFORE the following symbol, so that symbol cannot START a match
+    // in the same pass (" a a a a " merges at 0 but skips the occurrence
+    // at 2 → " aa a a ", as replace does). Ranks pop in increasing
+    // order, so passes sequence identically to the chain; a pair formed
+    // AFTER its own rank's pass is never merged (the chain's replace for
+    // that rank already ran) — enforced by pushing only ranks > current
+    // and skipping pops <= lastRank. Work per word: O(len) per DISTINCT
+    // rank present (<= len ranks), independent of table size k.
+    var heap = new Array[Int](math.max(16, n))
+    var hs = 0
+    def push(v: Int): Unit = {
+      if (hs == heap.length) heap = java.util.Arrays.copyOf(heap, hs * 2)
+      heap(hs) = v
+      var c = hs
+      hs += 1
+      while (c > 0 && heap((c - 1) / 2) > heap(c)) {
+        val p = (c - 1) / 2
+        val tmp = heap(p); heap(p) = heap(c); heap(c) = tmp
+        c = p
+      }
+    }
+    def pop(): Int = {
+      val top = heap(0)
+      hs -= 1
+      heap(0) = heap(hs)
+      var c = 0
+      var go = true
+      while (go) {
+        val l = 2 * c + 1
+        val r = l + 1
+        var m = c
+        if (l < hs && heap(l) < heap(m)) m = l
+        if (r < hs && heap(r) < heap(m)) m = r
+        if (m == c) go = false
+        else { val tmp = heap(m); heap(m) = heap(c); heap(c) = tmp; c = m }
+      }
+      top
+    }
+
+    i = 0
+    while (i < n - 1) {
+      val r = rankOf(t, sym(i), sym(i + 1))
+      if (r >= 0) push(r)
+      i += 1
+    }
+
+    var lastRank = -1
+    while (hs > 0) {
+      val r = pop()
+      if (r > lastRank) {
+        lastRank = r
+        val x = t.lhs(r)
+        val y = t.rhs(r)
+        // one replace pass: slot 0 never dies (merges absorb rightward)
+        var li = 0
+        var blocked = false
+        while (li < n) {
+          val ri = next(li)
+          if (!blocked && ri < n && sym(li) == x && sym(ri) == y) {
+            sym(li) = sym(li) + sym(ri)
+            alive(ri) = false
+            next(li) = next(ri)
+            if (next(ri) < n) prev(next(ri)) = li
+            val p = prev(li)
+            if (p >= 0) {
+              val rp = rankOf(t, sym(p), sym(li))
+              if (rp > r) push(rp)
+            }
+            val q = next(li)
+            if (q < n) {
+              val rq = rankOf(t, sym(li), sym(q))
+              if (rq > r) push(rq)
+            }
+            blocked = true
+            li = next(li)
+          } else {
+            blocked = false
+            li = if (ri < n) ri else n
+          }
+        }
+      }
+    }
+
+    val sb = new java.lang.StringBuilder(s.length * 2 + 2)
+    sb.append(' ')
+    i = 0
+    while (i < n) {
+      if (alive(i)) { sb.append(sym(i)); sb.append(' ') }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt("winnow_fingerprints", children, 1, "k"),
           litInt("winnow_fingerprints", children, 2, "w"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("png_dhash"),
+      new ExpressionInfo(classOf[PngDhash].getName, "png_dhash"),
+      (children: Seq[Expression]) => {
+        requireArity("png_dhash", children, 1)
+        PngDhash(children.head)
+      }))
   }
 }
 
@@ -109,6 +116,18 @@ object GraftFunctions {
   /** Per-document winnowing fingerprint set — see [[WinnowFingerprints]]. */
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
+
+  /** Frozen-tokenizer BPE encode of a word column under a rank-ordered
+    * merge table — see [[BpeApply]]. Not SQL-registered: the table is a
+    * Seq parameter (tokenizer metadata), not a literal argument.
+    */
+  def bpeApply(c: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeApply(GraftBridge.expression(c), merges))
+
+  /** PNG payload → 64-bit perceptual dHash (null if undecodable) —
+    * see [[PngDhash]]. */
+  def pngDhash(c: Column): Column =
+    GraftBridge.column(PngDhash(GraftBridge.expression(c)))
 
   /** Exact order-free decimal sum of a <=6dp double measure via 128-bit
     * long carry arithmetic — see [[SumDec6]]. Drop-in for

@@ -336,6 +336,89 @@ object Mm {
       coalesce(px * py, lit(0L)).as("vision_tokens"))
   }
 
+  /** Deterministic synthetic PIXEL-BEARING PNGs: real container (IHDR,
+    * IDAT, IEND chunk walk), real zlib stream (stored-deflate blocks —
+    * `java.util.zip.Inflater` decompresses them through its normal path),
+    * real scanline structure (filter byte 0 + 16 grayscale bytes × 12
+    * rows), all assembled from pure codegen hex expressions — no UDF.
+    * Pixel ground truth is a FORMULA the oracle can restate:
+    * px(y,x) = ((pat·31 + y·7 + x·13) mod 17)·13 + shift with
+    * pat = doc_id mod 167 and shift = ((doc_id div 167) mod 4)·7 — the
+    * mod 4 keeps every pixel a byte (max 208+21=229) at ANY doc_id
+    * scale — so the corpus contains brightness-shifted near-duplicate
+    * groups ({p, p+167, p+334, …} share pat, differ only by a constant
+    * offset; same-shift members are additionally byte-identical), the
+    * class byte-exact dedup cannot see and gradient dHash is invariant
+    * to. CRC/adler fields are dummies: [[graft.functions.PngDhash]]
+    * deliberately skips checksum verification (MmSpec anchors it against
+    * REAL compressed+filtered PNGs from the JDK encoder instead).
+    */
+  def synthesizePixelPngs(df: DataFrame, idCol: String): DataFrame = {
+    val rawHex = expr(
+      """array_join(transform(sequence(0, 11), y ->
+        |  concat('00', array_join(transform(sequence(0, 15), x ->
+        |    lpad(hex((((_pat * 31 + y * 7 + x * 13) % 17) * 13 + _shift)), 2, '0')), ''))), '')""".stripMargin)
+    // raw = 12·(1+16) = 204 bytes; stored block LEN/NLEN little-endian;
+    // IDAT payload = 2 (zlib hdr) + 5 (block hdr) + 204 + 4 (adler) = 215
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" +       // signature
+        "0000000D" + "49484452" +    // IHDR len + type
+        "00000010" + "0000000C" +    // 16 × 12
+        "0800000000" +               // depth 8, gray, std flags
+        "00000000" +                 // IHDR crc (unverified)
+        "000000D7" + "49444154" +    // IDAT len + type
+        "7801" +                     // zlib CMF/FLG
+        "01" + "CC00" + "33FF"),     // stored block: final, LEN=204 LE, NLEN
+      col("_rawhex"),
+      lit("00000000" +               // adler (unverified)
+        "00000000" +                 // IDAT crc (unverified)
+        "0000000049454E44AE426082")) // IEND
+    df.select(col(idCol).cast("bigint").as("doc_id"))
+      .withColumn("_pat", col("doc_id") % 167)
+      .withColumn("_shift", (expr("doc_id DIV 167") % 4) * 7)
+      .withColumn("_rawhex", rawHex)
+      .select(col("doc_id"), unhex(pngHex).as("blob"))
+  }
+
+  /** Perceptual near-dup pairs over PNG payloads: REAL pixel decode
+    * ([[graft.functions.PngDhash]]: chunk walk → Inflater → unfilter →
+    * gray → 9×8 grid → 64-bit dHash), then the simhash hamming-block
+    * machinery reused at 64 bits — 4 blocks of 16 bits pigeonhole-
+    * guarantee completeness up to hamming 3, deterministic lowest-id
+    * bucket caps keep a viral payload from going quadratic. Catches the
+    * re-encoded / brightness-shifted / resized duplicates
+    * [[dedupBinary]]'s byte-md5 structurally cannot.
+    *
+    * 100 TB shape: the decode is a scan-fused projection (per-row CPU,
+    * zero shuffle); the only exchanges are the 4-row-per-doc block
+    * explode's hash agg and the capped band join — identical profile to
+    * `dedup_simhash`, which the sf10 smoke measured sublinear.
+    */
+  def dedupPercept(blobs: DataFrame, maxHamming: Int = 3,
+                   bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block/16-bit buckets are complete only for maxHamming <= 3, got $maxHamming")
+    val sig = blobs
+      .select(col("doc_id"), graft.functions.GraftFunctions.pngDhash(col("blob")).as("dhash"))
+      .filter(col("dhash").isNotNull)
+    val blockCols = (0 until 4).map(b => struct(lit(b).as("b"),
+      shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L)).as("blk")))
+    val blocks = Dedup.capBuckets(
+      sig.select(col("doc_id"), col("dhash"), explode(array(blockCols: _*)).as("bb"))
+        .select(col("doc_id"), col("dhash"), col("bb.b").as("b"), col("bb.blk").as("blk")),
+      Seq("b", "blk"), "doc_id", bucketCap)
+    val a = blocks.select(col("doc_id").as("id_a"), col("dhash").as("h_a"),
+      col("b"), col("blk"))
+    val bd = blocks.select(col("doc_id").as("id_b"), col("dhash").as("h_b"),
+      col("b").as("b2"), col("blk").as("blk2"))
+    val hamming = bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("bigint")
+    a.join(bd, col("b") === col("b2") && col("blk") === col("blk2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Exact dedup of opaque binary payloads — the md5-grain collapse every
@@ -363,6 +446,15 @@ object Mm {
     "mm_dedup_binary" -> ((s, d) =>
       dedupBinary(withBlob(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("blob_md5")),
+
+    // perceptual near-dup pairs: real PNG pixel decode (Inflater +
+    // unfilter) → dHash → hamming-block bucketing; the oracle replays
+    // the hash positions from the fixture pixel FORMULA, so the codec
+    // path must reproduce the formula through a real compression
+    // container to match
+    "mm_dedup_percept" -> ((s, d) =>
+      dedupPercept(synthesizePixelPngs(Tables.documents(s, d), "doc_id"))
+        .orderBy("id_a", "id_b")),
 
     // the registered query takes the codegen path; the mapPartitions
     // typed-decode path is spec-verified equal (SimilaritySpec)
@@ -448,6 +540,16 @@ object Mm {
     "mm_vision_tokens" ->
       """WITH m AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents) SELECT doc_id, format, width, height, coalesce(CAST(ceil(width / 16.0) AS BIGINT), 0) AS patches_x, coalesce(CAST(ceil(height / 16.0) AS BIGINT), 0) AS patches_y, coalesce(CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS vision_tokens FROM m ORDER BY doc_id""",
     "mm_pack_multimodal" ->
-      raw"""WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens FROM documents), v AS (SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 0 ELSE CAST(ceil((doc_id % 900 + 100) / 16.0) AS BIGINT) * CAST(ceil(((doc_id * 3) % 900 + 100) / 16.0) AS BIGINT) END AS vision_tokens FROM documents), u AS (SELECT doc_id, ws_tokens, vision_tokens, ws_tokens + vision_tokens AS total_tokens, doc_id % 8 AS shard FROM t JOIN v USING (doc_id)), c AS (SELECT *, sum(total_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total_tokens AS cum FROM u) SELECT doc_id, shard, ws_tokens, vision_tokens, total_tokens, (cum // 4096)::BIGINT AS pack_id, (cum % 4096)::BIGINT AS pack_offset FROM c ORDER BY doc_id"""
+      raw"""WITH t AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens FROM documents), v AS (SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 0 ELSE CAST(ceil((doc_id % 900 + 100) / 16.0) AS BIGINT) * CAST(ceil(((doc_id * 3) % 900 + 100) / 16.0) AS BIGINT) END AS vision_tokens FROM documents), u AS (SELECT doc_id, ws_tokens, vision_tokens, ws_tokens + vision_tokens AS total_tokens, doc_id % 8 AS shard FROM t JOIN v USING (doc_id)), c AS (SELECT *, sum(total_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total_tokens AS cum FROM u) SELECT doc_id, shard, ws_tokens, vision_tokens, total_tokens, (cum // 4096)::BIGINT AS pack_id, (cum % 4096)::BIGINT AS pack_offset FROM c ORDER BY doc_id""",
+
+    // replays the dHash BIT POSITIONS from the fixture pixel formula
+    // (16×12 grayscale, 9×8 floor-boundary box averages, bit = right
+    // cell > left cell) and the 16-bit-block candidate pigeonhole with
+    // the same lowest-id bucket cap — the Spark side must reproduce all
+    // of it THROUGH the real container decode (Inflater + unfilter) to
+    // hash-match. Cell assignment inverts the floor boundaries:
+    // cx = ceil(9(x+1)/16)-1, cy = ceil(8(y+1)/12)-1.
+    "mm_dedup_percept" ->
+      s"""WITH px AS (SELECT doc_id, y, x, ((((doc_id % 167) * 31 + y * 7 + x * 13) % 17) * 13 + ((doc_id // 167) % 4) * 7)::BIGINT AS v FROM documents, generate_series(0, 11) g1(y), generate_series(0, 15) g2(x)), cells AS (SELECT doc_id, (8 * y + 19) // 12 - 1 AS cy, (9 * x + 24) // 16 - 1 AS cx, sum(v) // count(*) AS gv FROM px GROUP BY doc_id, (8 * y + 19) // 12 - 1, (9 * x + 24) // 16 - 1), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""
   )
 }

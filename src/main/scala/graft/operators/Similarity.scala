@@ -258,19 +258,29 @@ object Similarity {
     *    at 1e-6 is far below any clustering-relevant signal.
     *  - empty clusters keep their previous centroid.
     *
-    * Each iteration is one projection + one (cid, pos) hash-agg over
-    * N×dims rows collected to C×dims values — centroids are metadata.
-    * (At real 100 TB scale you'd train on a sample; full passes here keep
-    * the oracle, which unrolls these exact iterations in SQL, replayable.)
+    * TRAINING RUNS ON A SAMPLE — the production shape, coded not prose:
+    * Lloyd iterations see only the deterministic md5-draw subset (the
+    * sample_hash_split 16-bit draw on the id, rate
+    * [[Similarity.kmeansSampleRate]], init vectors always included so
+    * c0 is sample-independent), while ASSIGNMENT of the full corpus is
+    * unchanged. At 100 TB the per-iteration pass thus touches a fixed
+    * fraction (tunable to an absolute cap) instead of the corpus; the
+    * oracle samples in-SQL with the identical draw, so exact replay
+    * holds. Each iteration is one projection + one (cid, pos) hash-agg
+    * over sample×dims rows collected to C×dims values — centroids are
+    * metadata.
     */
   def kmeansCentroids(nrm: DataFrame, id: String, c: Int,
                       iters: Int): Seq[(Any, Seq[Double])] = {
+    val draw = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    val train = nrm.filter(draw < lit(kmeansSampleCut) || col(id) < c)
     var cents: Seq[(Long, Seq[Double])] = nrm.filter(col(id) < c)
       .select(col(id), col("ne")).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(nrm, cents, nProbe = 1, euclid = true)
+      val assigned = ivfAssign(train, cents, nProbe = 1, euclid = true)
         .select(col("_nn")(0)("cid").as("cid"), col("ne"))
       val sums = assigned
         .select(col("cid"), posexplode(col("ne")).as(Seq("pos", "x")))
@@ -876,6 +886,12 @@ object Similarity {
     * query and the generated oracle so they cannot drift). */
   val ivfC = 16
   val ivfIters = 2
+  /** k-means training-sample rate (md5-draw, [[kmeansCentroids]]): half
+    * the corpus at test SFs keeps every cluster populated; at real scale
+    * the rate shrinks toward an absolute sample cap. 16-bit cut shared
+    * with the generated oracles. */
+  val kmeansSampleRate = 0.5
+  val kmeansSampleCut: Long = (kmeansSampleRate * 65536).toLong
   /** emb_outliers threshold: cos-to-centroid below this flags the vector
     * (this corpus's cos_c runs 0.12–0.85, median 0.31 — 0.15 flags only
     * the far tail, the "nothing explains this vector" shape). */
@@ -1133,8 +1149,12 @@ object Similarity {
         _ => kmeansCentroids(nrm, "vec_id", c = ivfC, iters = ivfIters))
       val cbs = pqCache.computeIfAbsent(s"$d|$pqM|$pqKs|$pqIters",
         _ => pqCodebooks(nrm, "vec_id", pqM, pqSubDims, pqKs, pqIters))
+      // kmeansSampleCut in the key: the coarse centroids are a function
+      // of the training-sample draw, so a sampling change re-keys the
+      // artifact instead of serving codes quantized under stale centroids
       val path = "/tmp/graft_io/ivfpq_index/" +
-        s"$d|$ivfC|$pqM|$pqKs|$pqIters".replaceAll("[^A-Za-z0-9.]", "_")
+        s"$d|$ivfC|$ivfIters|s$kmeansSampleCut|$pqM|$pqKs|$pqIters"
+          .replaceAll("[^A-Za-z0-9.]", "_")
       val lists = graft.sources.Io.atomicParquetArtifact(s, path)(
         ivfPqCodesTable(nrm, "vec_id", coarse, cbs, pqSubDims))
       simIvfPqAnn(e, "vec_id", "embedding", coarse, cbs,
@@ -1234,17 +1254,25 @@ object Similarity {
   private def kmeansCtes: String = kmeansCtesFrom("nrm")
 
   /** [[kmeansCtes]] over an arbitrary source relation — the append oracle
-    * trains on the base-only subset while assigning the full corpus. */
+    * trains on the base-only subset while assigning the full corpus.
+    * Lloyd iterations read the md5-draw SAMPLE of the source (identical
+    * 16-bit draw to [[kmeansCentroids]]; init rows always included), so
+    * the oracle replays the sample-trained centroids exactly. */
   private def kmeansCtesFrom(src: String): String = {
+    val drawSql = (1 to 4).map(j =>
+      s"((strpos('0123456789abcdef', substr(md5(vec_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+      .mkString("(", " + ", ")")
+    val smp = s"${src}smp"
     val iterCtes = (1 to ivfIters).map { i =>
       val prev = s"c${i - 1}"
-      s"""s$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM $src n CROSS JOIN $prev c), """ +
+      s"""s$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM $smp n CROSS JOIN $prev c), """ +
         s"""a$i AS (SELECT vec_id, ne, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS rn FROM s$i) WHERE rn = 1), """ +
         s"""m$i AS (SELECT cid, i AS pos, sum(CAST(floor(ne[i] * 1000000.0 + 0.5) AS BIGINT)) AS s, count(*) AS n FROM a$i CROSS JOIN range(1, ${dims + 1}) t(i) GROUP BY cid, i), """ +
         s"""l$i AS (SELECT cid, list(floor(s / n + 0.5) / 1000000.0 ORDER BY pos) AS ce FROM m$i GROUP BY cid), """ +
         s"""c$i AS (SELECT c.cid, coalesce(l.ce, c.ce) AS ce FROM $prev c LEFT JOIN l$i l USING (cid))"""
     }.mkString(", ")
-    s"""c0 AS (SELECT vec_id AS cid, ne AS ce FROM $src WHERE vec_id < $ivfC), $iterCtes"""
+    s"""$smp AS (SELECT * FROM $src WHERE $drawSql < $kmeansSampleCut OR vec_id < $ivfC), """ +
+      s"""c0 AS (SELECT vec_id AS cid, ne AS ce FROM $src WHERE vec_id < $ivfC), $iterCtes"""
   }
 
   /** Per-subspace PQ training CTEs mirroring [[pqCodebooks]]: nsub$s is

@@ -782,18 +782,21 @@ object TextOps {
     * needs no higher-order function: repr keeps exactly one delimiter
     * space per boundary, so n_bpe = spaces − 1 — two codegen'd lengths.
     */
-  /** The k-merge encode projection on a `w` column: k chained literal
-    * replaces over the char-delimited repr (the frozen tokenizer baked
-    * as one codegen expression). Shared by the word- and corpus-grain
+  /** The frozen-tokenizer encode projection on a `w` column. The merge
+    * table (bounded tokenizer metadata, k rows) is collected once and
+    * carried inside the native [[graft.functions.BpeApply]] expression —
+    * rank-priority pair scanning, O(len·log len) per word INDEPENDENT of
+    * k, so a real ~50k-merge tokenizer encodes in the same single
+    * whole-stage-codegen projection as the test-scale tables (the former
+    * k-chained-replace shape blew past Janino's 64 KB method limit at
+    * real vocabulary k; BpeApplySpec pins byte-equality to the
+    * replace-chain semantics). Shared by the word- and corpus-grain
     * entry points.
     */
   private def bpeReprCol(merges: DataFrame): Column = {
     val table = merges.orderBy("merge_rank").select("lhs", "rhs").collect()
-    val repr0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-    table.foldLeft(repr0) { (e, m) =>
-      val (x, y) = (m.getString(0), m.getString(1))
-      replace(e, lit(s" $x $y "), lit(s" $x$y "))
-    }
+      .map(m => (m.getString(0), m.getString(1))).toSeq
+    graft.functions.GraftFunctions.bpeApply(col("w"), table)
   }
 
   /** repr → symbol count: repr keeps exactly one delimiter space per

@@ -103,28 +103,53 @@ object StreamOps {
                  version: String, deleted: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     changes.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
         // snapshots RETAIN winning tombstones (Etl.mergeLatest, not
         // mergeUpsert): dropping a deleted key from the stored state
         // would let an at-least-once REDELIVERY of an older version
         // resurrect it — the live view filters them on read instead
+        val prevCommitted: Option[Long] = {
+          val p = java.nio.file.Paths.get(dir, "_latest")
+          if (java.nio.file.Files.exists(p))
+            Some(java.nio.file.Files.readString(p).trim.toLong)
+          else None
+        }
         val cur = latestSnapshot(s, dir).getOrElse(batch.filter(lit(false)))
+        // snapshot ids are max(existing)+1, NOT the micro-batch id: a
+        // restarted query's batch ids begin again at 0, and bid-keyed
+        // dirs would OVERWRITE the very snapshot the pointer still
+        // references — a crash mid-overwrite then leaves the pointer
+        // naming a half-written directory (the crash spec pins this).
+        // max+1 also sweeps crash orphans: a snapshot written without a
+        // pointer flip has a lower id than the next commit and falls to
+        // the vacuum below. Re-running a batch after a crash writes a
+        // NEW id with identical merged content — convergent, never
+        // destructive.
+        val snapId = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("snap_"))
+          .map(_.getName.stripPrefix("snap_").toLong)
+          .foldLeft(-1L)(math.max) + 1
         graft.operators.Etl.mergeLatest(cur.unionByName(batch),
             key, version, deleted)
-          .write.mode("overwrite").parquet(s"$dir/snap_$bid")
+          .write.mode("overwrite").parquet(s"$dir/snap_$snapId")
         val tmp = java.nio.file.Paths.get(dir, "_latest.tmp")
-        java.nio.file.Files.writeString(tmp, bid.toString)
+        java.nio.file.Files.writeString(tmp, snapId.toString)
         java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "_latest"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         // retention: superseded snapshots are dead weight (only _latest
-        // is ever read); keep ONE predecessor for in-flight readers that
-        // resolved the pointer just before the flip, vacuum the rest
+        // is ever read); keep the previously COMMITTED snapshot for
+        // in-flight readers that resolved the pointer just before the
+        // flip — keeping it by pointer identity, not "highest id below
+        // the commit", because after a crash the highest lower id can be
+        // an UNCOMMITTED half-write (the crash spec plants exactly that
+        // orphan and requires the vacuum to sweep it)
+        val keep = Set(snapId) ++ prevCommitted
         val dead = new java.io.File(dir).listFiles()
           .filter(f => f.getName.startsWith("snap_"))
           .map(f => (f.getName.stripPrefix("snap_").toLong, f))
-          .filter(_._1 < bid).sortBy(-_._1).drop(1)
+          .filter(p => !keep.contains(p._1))
         dead.foreach { case (_, f) =>
           org.apache.commons.io.FileUtils.deleteQuietly(f) }
         ()

@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // GRAFT_MASTER=local-cluster[2,16,4096] runs this same suite through
+    // real executor processes (serialized closures/expressions/exchanges)
+    val master = GraftSession.effectiveMaster("local[4]")
+    val b0 = SparkSession.builder()
+      .master(master)
       .appName("graft-test")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
@@ -19,7 +22,8 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b = if (master.startsWith("local-cluster")) GraftSession.clusterConfigs(b0) else b0
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

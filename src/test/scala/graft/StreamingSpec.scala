@@ -398,6 +398,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink crash consistency: half-committed snapshots never served, restart converges") {
+    // The two-file commit protocol (versioned snapshot dir + atomic
+    // pointer flip) under the failure the protocol exists for: the
+    // builder dies BETWEEN finishing (or half-finishing) a snapshot
+    // write and flipping the pointer.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = "/tmp/graft_stream_upsert_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+
+    val b1 = Seq((1L, 1L, false, "a"), (2L, 1L, false, "b"))
+    val b2 = Seq((1L, 2L, false, "a2"), (3L, 1L, false, "c"))
+    val in1 = MemoryStream[(Long, Long, Boolean, String)]
+    val q1 = StreamOps.upsertSink(in1.toDF().toDF("k", "ver", "del", "payload"),
+      dir, key = "k", version = "ver", deleted = "del")
+    try {
+      in1.addData(b1); q1.processAllAvailable()
+      in1.addData(b2); q1.processAllAvailable()
+    } finally q1.stop()
+    val committed = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_latest")).trim
+    val want12 = Set((1L, 2L, "a2"), (2L, 1L, "b"), (3L, 1L, "c"))
+    def live: Set[(Long, Long, String)] =
+      StreamOps.liveSnapshot(s, dir, deleted = "del").get
+        .select("k", "ver", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(live == want12)
+
+    // CRASH SIMULATION: a successor snapshot half-written (no _SUCCESS
+    // commit marker, wrong content) and an orphaned pointer temp file —
+    // the exact on-disk state of a death between write and flip
+    val half = s"$dir/snap_99"
+    Seq((1L, 9L, false, "CORRUPT")).toDF("k", "ver", "del", "payload")
+      .write.mode("overwrite").parquet(half)
+    new java.io.File(half, "_SUCCESS").delete()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_latest.tmp"), "99")
+
+    // the half-commit is INVISIBLE: pointer untouched, reads serve the
+    // last committed snapshot
+    assert(java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_latest")).trim == committed)
+    assert(live == want12)
+
+    // RESTART with at-least-once redelivery (everything again + new
+    // changes): converges to the batch merge, commits past the orphan,
+    // vacuums it, and clears the stale temp pointer
+    val b3 = Seq((2L, 2L, true, "x"), (4L, 1L, false, "d"))
+    val in2 = MemoryStream[(Long, Long, Boolean, String)]
+    val q2 = StreamOps.upsertSink(in2.toDF().toDF("k", "ver", "del", "payload"),
+      dir, key = "k", version = "ver", deleted = "del")
+    try {
+      in2.addData(b1 ++ b2 ++ b3); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(live == Set((1L, 2L, "a2"), (3L, 1L, "c"), (4L, 1L, "d")))
+    // the committed pointer names a snapshot with a commit marker, and
+    // the half-written orphan is gone (max+1 id ordering put the new
+    // commit ABOVE it, so the vacuum swept it)
+    val ptr = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(dir, "_latest")).trim
+    assert(ptr.toLong > 99L, s"commit did not advance past the orphan: $ptr")
+    assert(new java.io.File(s"$dir/snap_$ptr/_SUCCESS").exists())
+    assert(!new java.io.File(half).exists(), "half-written snapshot survived vacuum")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_latest.tmp")))
+    val snaps = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("snap_"))
+    assert(snaps.length <= 2, snaps.mkString(","))
+  }
+
   test("append-mode session_window: closed sessions emit exactly once") {
     val s = spark
     import s.implicits._
