@@ -253,15 +253,18 @@ class PlanAuditSpec extends SparkSpec {
     // on the documented sf0.01->sf0.1 growth evidence instead.
     val sf001 = "/root/testdata/sf0.001"
     val sf01 = "/root/testdata/sf0.01"
-    val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
-      val n01 = SparkEntry.queries(q)(spark, sf01).count()
-      if (n01 < 200) None
-      else {
-        val n001 = SparkEntry.queries(q)(spark, sf001).count()
-        if (n01 >= 3 * n001) Some(q) else None
+    // only NON-members can be missing, so only they need measuring —
+    // ~70 queries instead of 2×186 executions
+    val missing = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.corpusGrainQueries)
+      .flatMap { q =>
+        val n01 = SparkEntry.queries(q)(spark, sf01).count()
+        if (n01 < 200) None
+        else {
+          val n001 = SparkEntry.queries(q)(spark, sf001).count()
+          if (n01 >= 3 * n001) Some(q) else None
+        }
       }
-    }
-    val missing = flagged.filterNot(SparkEntry.corpusGrainQueries)
     assert(missing.isEmpty,
       s"measured corpus-grain queries missing from corpusGrainQueries " +
         s"(their presentation sort funnels through one task): $missing")
