@@ -358,9 +358,11 @@ object Similarity {
     * codebook. Codebooks are metadata: m × ks × subDims doubles
     * (8×16×8 = 1 KB here), broadcast as literals everywhere they're used.
     *
-    * All m subspaces train TOGETHER, one corpus pass per Lloyd iteration:
-    * a single projection assigns every row its nearest code in every
-    * subspace (argmin over that subspace's literal centroids — the
+    * All m subspaces train TOGETHER, one SAMPLE pass per Lloyd iteration
+    * (the same md5-draw training sample as [[kmeansCentroids]], init
+    * rows always included — encoding of the full corpus is unchanged):
+    * a single projection assigns every sampled row its nearest code in
+    * every subspace (argmin over that subspace's literal centroids — the
     * [[ivfAssign]] sort-key arithmetic per subspace), one explode emits
     * (subspace, cid, pos, element) and ONE hash-agg sums the exact
     * 1e-6-quantized elements. The per-subspace-loop shape ran m separate
@@ -377,6 +379,12 @@ object Similarity {
     var cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { s =>
       seed.map { case (cid, v) => (cid, v.slice(s * subDims, (s + 1) * subDims)) }
     }
+    // training sees the same md5-draw sample as kmeansCentroids (init
+    // rows always included); ENCODING of the full corpus is unchanged.
+    // Same production rationale, same in-oracle replay of the draw.
+    val draw = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    val train = nrm.filter(draw < lit(kmeansSampleCut) || col(id) < ks)
     for (_ <- 0 until iters) {
       val subCols = (0 until m).map { s =>
         val sub = slice(col("ne"), s * subDims + 1, subDims)
@@ -387,7 +395,7 @@ object Similarity {
         struct(lit(s).as("s"),
           array_sort(array(scored: _*))(0)("cid").as("cid"), sub.as("sub"))
       }
-      val sums = nrm.select(explode(array(subCols: _*)).as("sc"))
+      val sums = train.select(explode(array(subCols: _*)).as("sc"))
         .select(col("sc.s").as("s"), col("sc.cid").as("cid"),
           posexplode(col("sc.sub")).as(Seq("pos", "x")))
         .withColumn("sx", floor(col("x") * lit(1000000.0) + lit(0.5)).cast("long"))
@@ -1153,7 +1161,7 @@ object Similarity {
       // of the training-sample draw, so a sampling change re-keys the
       // artifact instead of serving codes quantized under stale centroids
       val path = "/tmp/graft_io/ivfpq_index/" +
-        s"$d|$ivfC|$ivfIters|s$kmeansSampleCut|$pqM|$pqKs|$pqIters"
+        s"$d|$ivfC|$ivfIters|smp$kmeansSampleCut|$pqM|$pqKs|$pqIters"
           .replaceAll("[^A-Za-z0-9.]", "_")
       val lists = graft.sources.Io.atomicParquetArtifact(s, path)(
         ivfPqCodesTable(nrm, "vec_id", coarse, cbs, pqSubDims))
@@ -1286,15 +1294,20 @@ object Similarity {
     val lo = s * pqSubDims + 1
     val hi = lo + pqSubDims - 1
     val nsub = s"nsub$tag$s"
+    val smp = s"${nsub}smp"
+    val drawSql = (1 to 4).map(j =>
+      s"((strpos('0123456789abcdef', substr(md5(vec_id::VARCHAR), $j, 1)) - 1)::BIGINT * ${1L << (4 * (4 - j))})")
+      .mkString("(", " + ", ")")
     val iterCtes = (1 to pqIters).map { i =>
       val prev = s"cb$tag${s}_${i - 1}"
-      s"""sq$tag${s}_$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM $nsub n CROSS JOIN $prev c), """ +
+      s"""sq$tag${s}_$i AS (SELECT n.vec_id, n.ne, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM $smp n CROSS JOIN $prev c), """ +
         s"""aq$tag${s}_$i AS (SELECT vec_id, ne, cid FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS rn FROM sq$tag${s}_$i) WHERE rn = 1), """ +
         s"""mq$tag${s}_$i AS (SELECT cid, i AS pos, sum(CAST(floor(ne[i] * 1000000.0 + 0.5) AS BIGINT)) AS sm, count(*) AS n FROM aq$tag${s}_$i CROSS JOIN range(1, ${pqSubDims + 1}) t(i) GROUP BY cid, i), """ +
         s"""lq$tag${s}_$i AS (SELECT cid, list(floor(sm / n + 0.5) / 1000000.0 ORDER BY pos) AS ce FROM mq$tag${s}_$i GROUP BY cid), """ +
         s"""cb$tag${s}_$i AS (SELECT c.cid, coalesce(l.ce, c.ce) AS ce FROM $prev c LEFT JOIN lq$tag${s}_$i l USING (cid))"""
     }.mkString(", ")
     s"""$nsub AS (SELECT vec_id, ne[$lo:$hi] AS ne FROM $src), """ +
+      s"""$smp AS (SELECT * FROM $nsub WHERE $drawSql < $kmeansSampleCut OR vec_id < $pqKs), """ +
       s"""cb$tag${s}_0 AS (SELECT vec_id AS cid, ne AS ce FROM $nsub WHERE vec_id < $pqKs), $iterCtes, """ +
       s"""cbj$tag$s AS (SELECT cid, ce, row_number() OVER (ORDER BY cid) - 1 AS j FROM cb$tag${s}_$pqIters)"""
   }
