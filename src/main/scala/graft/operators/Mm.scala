@@ -398,9 +398,14 @@ object Mm {
                    bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
     require(maxHamming <= 3,
       s"4-block/16-bit buckets are complete only for maxHamming <= 3, got $maxHamming")
+    // NO explicit isNotNull on dhash: the optimizer pushes such a filter
+    // below the projection, substituting the whole decode expression —
+    // measured plan showed pngdhash evaluated in the Filter AND the
+    // Project AND the scan's DataFilters (3 decodes/row). Undecodable
+    // payloads are dropped anyway by the band join's own null-intolerant
+    // key filter (null dhash → null blk), post-explode, decode-once.
     val sig = blobs
       .select(col("doc_id"), graft.functions.GraftFunctions.pngDhash(col("blob")).as("dhash"))
-      .filter(col("dhash").isNotNull)
     val blockCols = (0 until 4).map(b => struct(lit(b).as("b"),
       shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L)).as("blk")))
     val blocks = Dedup.capBuckets(

@@ -235,6 +235,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("mm_dedup_percept decodes each payload once (exchange reused, no cartesian)") {
+    // Both sides of the band self-join consume the capBuckets window's
+    // exchange; if the subtrees stop canonicalizing equal, the PNG
+    // synthesis + Inflater decode silently runs TWICE per row — the
+    // single most expensive projection in the query.
+    val df = run("mm_dedup_percept")
+    df.collect() // AQE reuse only materializes in the executed plan
+    val fin = plan(df).split("== Initial Plan ==")(0)
+    assert("pngdhash|PngDhash".r.findAllIn(fin).size <= 1,
+      s"PNG decode planned more than once:\n${fin.take(2000)}")
+    assert(fin.contains("Reused"), s"no exchange reuse:\n${fin.take(2000)}")
+    assert(!fin.contains("CartesianProduct"), fin.take(1500))
+  }
+
   test("corpusGrainQueries: no dead entries, and measured grain implies membership") {
     // The presentation-sort audit above derives its expected shape from
     // corpusGrainQueries itself, so on its own it is circular: a future
