@@ -70,33 +70,50 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
 
 object BpeApply {
 
-  /** pair→rank lookup (keyed "lhs rhs" — unambiguous: symbols come from
-    * tokenized words, which never contain spaces) plus the rank→pair
-    * reverse arrays the per-rank scan needs. Built once per JVM from the
-    * rank-ordered merge list and shipped to executors via the codegen
-    * reference array. */
-  final class Table(val rank: java.util.HashMap[String, Integer],
+  /** pair→SORTED-RANKS lookup (keyed "lhs rhs" — unambiguous: symbols
+    * come from tokenized words, which never contain spaces) plus the
+    * rank→pair reverse arrays the per-rank scan needs. A trained table
+    * CAN legitimately contain the same pair at two ranks — the chain's
+    * consumed-space skip leaves occurrences behind, the trainer counts
+    * them again, and the pair can win a later round — and the chain
+    * then runs a SECOND replace pass for it, so the lookup must keep
+    * every rank, not just the first. Built once per JVM and shipped to
+    * executors via the codegen reference array. */
+  final class Table(val ranks: java.util.HashMap[String, Array[Int]],
                     val lhs: Array[String], val rhs: Array[String])
     extends Serializable
 
   def buildTable(merges: Seq[(String, String)]): Table = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    val m = new java.util.HashMap[String, java.util.ArrayList[Int]](merges.size * 2)
     val lhs = new Array[String](merges.size)
     val rhs = new Array[String](merges.size)
     var r = 0
     merges.foreach { case (x, y) =>
-      // first occurrence wins: rank order is the Seq order
-      m.putIfAbsent(x + " " + y, Integer.valueOf(r))
+      m.computeIfAbsent(x + " " + y, _ => new java.util.ArrayList[Int]()).add(r)
       lhs(r) = x
       rhs(r) = y
       r += 1
     }
-    new Table(m, lhs, rhs)
+    val packed = new java.util.HashMap[String, Array[Int]](m.size * 2)
+    m.forEach { (k, v) =>
+      val a = new Array[Int](v.size)
+      var i = 0
+      while (i < a.length) { a(i) = v.get(i); i += 1 } // insertion order = ascending
+      packed.put(k, a)
+    }
+    new Table(packed, lhs, rhs)
   }
 
-  private def rankOf(t: Table, x: String, y: String): Int = {
-    val r = t.rank.get(x + " " + y)
-    if (r == null) -1 else r.intValue()
+  /** Smallest rank of pair (x, y) strictly greater than `after`, or -1.
+    * `after = -1` gives the pair's first rank. */
+  private def nextRankAfter(t: Table, x: String, y: String, after: Int): Int = {
+    val a = t.ranks.get(x + " " + y)
+    if (a == null) -1
+    else {
+      var i = 0
+      while (i < a.length && a(i) <= after) i += 1 // arrays are tiny (≈1)
+      if (i < a.length) a(i) else -1
+    }
   }
 
   /** Encode one word: rank-priority merging over a linked symbol list.
@@ -170,7 +187,7 @@ object BpeApply {
 
     i = 0
     while (i < n - 1) {
-      val r = rankOf(t, sym(i), sym(i + 1))
+      val r = nextRankAfter(t, sym(i), sym(i + 1), -1)
       if (r >= 0) push(r)
       i += 1
     }
@@ -194,17 +211,25 @@ object BpeApply {
             if (next(ri) < n) prev(next(ri)) = li
             val p = prev(li)
             if (p >= 0) {
-              val rp = rankOf(t, sym(p), sym(li))
-              if (rp > r) push(rp)
+              val rp = nextRankAfter(t, sym(p), sym(li), r)
+              if (rp >= 0) push(rp)
             }
             val q = next(li)
             if (q < n) {
-              val rq = rankOf(t, sym(li), sym(q))
-              if (rq > r) push(rq)
+              val rq = nextRankAfter(t, sym(li), sym(q), r)
+              if (rq >= 0) push(rq)
             }
             blocked = true
             li = next(li)
           } else {
+            // an occurrence of (x, y) that survives THIS pass (blocked
+            // by a consumed space, exactly like the chain's replace) is
+            // picked up by the pair's next DUPLICATE rank, if any —
+            // the chain runs a second full pass there
+            if (ri < n && sym(li) == x && sym(ri) == y) {
+              val rd = nextRankAfter(t, x, y, r)
+              if (rd >= 0) push(rd)
+            }
             blocked = false
             li = if (ri < n) ri else n
           }

@@ -101,6 +101,14 @@ object PngDhash {
         case 6 => 4
         case _ => return null // palette (3), gray+alpha (4), exotic
       }
+      // dimension sanity BEFORE any allocation: a corrupt/hostile IHDR
+      // can claim dims whose raw size overflows Int (negative array
+      // size — an uncaught crash, not a null) or allocates gigabytes
+      // per row. 64 MB raw (≈ a 16-megapixel RGBA frame) is far above
+      // any thumbnail-dedup need; beyond it the payload is "no
+      // perceptual signal", same as every other undecodable shape.
+      val rawLen = (1L + w.toLong * bpp) * h.toLong
+      if (rawLen > (64L << 20)) return null
       // concatenate IDAT payloads (writers split them freely)
       val idat = new java.io.ByteArrayOutputStream()
       var p = 8 + 12 + 13 // after IHDR chunk (len+type+data+crc)
@@ -118,7 +126,7 @@ object PngDhash {
       // zlib header: CMF/FLG, +4 dictionary id if FDICT — skip, inflate raw
       val skip = if ((z(1) & 0x20) != 0) 6 else 2
       val rowBytes = 1 + w * bpp
-      val raw = new Array[Byte](rowBytes * h)
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater(true)
       try {
         inf.setInput(z, skip, z.length - skip)

@@ -1200,8 +1200,10 @@ object Dedup {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val bench = docs.filter(col("doc_id") < 20)
       // path keyed by the SAME constants the probe uses PLUS a content
-      // fingerprint of the bench side (order-free bit_xor of per-row
-      // crc32 + row count): a parameter edit OR a regenerated benchmark
+      // fingerprint of the bench side (order-free SUM of per-row crc32
+      // over '|'-separated id|text with an explicit null marker — xor
+      // would let a content swap between two rows cancel exactly — plus
+      // the row count): a parameter edit OR a regenerated benchmark
       // at the same path re-keys the artifact instead of serving a stale
       // sketch — stale here would silently break the screen's one-sided
       // -error contract (bloom_hits >= exact_hits), not just return old
@@ -1209,7 +1211,7 @@ object Dedup {
       val fpRow = bench.agg(
         count(lit(1)).as("n"),
         coalesce(expr(
-          "bit_xor(crc32(cast(concat_ws('', cast(doc_id as string), text) as binary)))"),
+          "sum(crc32(cast(concat_ws('|', cast(doc_id as string), coalesce(text, chr(1))) as binary)))"),
           lit(0L)).as("x")).head()
       val path = "/tmp/graft_io/decon_bloom/" +
         s"$d|$bloomN|$bloomBits|$bloomHashes|${fpRow.getLong(0)}x${fpRow.getLong(1)}"

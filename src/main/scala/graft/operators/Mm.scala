@@ -408,9 +408,18 @@ object Mm {
       .select(col("doc_id"), graft.functions.GraftFunctions.pngDhash(col("blob")).as("dhash"))
     val blockCols = (0 until 4).map(b => struct(lit(b).as("b"),
       shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L)).as("blk")))
+    // undecodable payloads (null dhash → null blk) are dropped HERE,
+    // post-explode, where the filter references the generated attribute
+    // and therefore cannot be substitution-pushed below the decode
+    // projection. Without it a mostly-non-PNG corpus would funnel its
+    // whole null population through 4 (b, NULL) window partitions
+    // before the join's null-intolerant condition discards them. (The
+    // join constraint usually infers this filter; stating it makes the
+    // shape independent of constraint propagation.)
     val blocks = Dedup.capBuckets(
       sig.select(col("doc_id"), col("dhash"), explode(array(blockCols: _*)).as("bb"))
-        .select(col("doc_id"), col("dhash"), col("bb.b").as("b"), col("bb.blk").as("blk")),
+        .select(col("doc_id"), col("dhash"), col("bb.b").as("b"), col("bb.blk").as("blk"))
+        .filter(col("blk").isNotNull),
       Seq("b", "blk"), "doc_id", bucketCap)
     val a = blocks.select(col("doc_id").as("id_a"), col("dhash").as("h_a"),
       col("b"), col("blk"))

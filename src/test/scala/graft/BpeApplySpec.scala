@@ -123,4 +123,30 @@ class BpeApplySpec extends SparkSpec {
     val n = Seq[String](null).toDF("w").select(bpeApply(col("w"), merges)).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("bpe_apply: duplicate-rank pairs run their second replace pass (chain parity)") {
+    // A trained table CAN repeat a pair: the consumed-space skip leaves
+    // occurrences behind, the trainer re-counts them, and the pair can
+    // win a later round — the chain then runs a SECOND full pass for
+    // it. The rank lookup must keep every rank of a pair, or the
+    // skipped occurrences stay unmerged forever.
+    val s = spark
+    import s.implicits._
+    val tables = Seq(
+      Seq(("a", "a"), ("a", "a")),
+      Seq(("a", "a"), ("b", "b"), ("a", "a")),
+      Seq(("a", "b"), ("c", "d"), ("a", "b"), ("ab", "ab")),
+      Seq(("a", "a"), ("a", "a"), ("a", "a"), ("aa", "aa")))
+    val words = Seq("aaaa", "aaaaa", "aaaaaaaa", "abab", "ababab",
+      "abcdabcd", "bbbb", "aabb")
+    tables.foreach { merges =>
+      val got = words.toDF("w")
+        .select(col("w"), bpeApply(col("w"), merges).as("r")).collect()
+      got.foreach { r =>
+        val (w, repr) = (r.getString(0), r.getString(1))
+        assert(repr == chainEncode(w, merges),
+          s"table=$merges '$w': native '$repr' != chain '${chainEncode(w, merges)}'")
+      }
+    }
+  }
 }

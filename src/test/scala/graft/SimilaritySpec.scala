@@ -217,6 +217,14 @@ class SimilaritySpec extends SparkSpec {
     // sub-grid dims are null, not junk
     assert(PngDhash.compute(pngBytes(
       new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY))) == null)
+    // hostile IHDR: dims whose raw size overflows Int (w=2^27-1, h=16
+    // → rowBytes*h wraps negative) must be null, not a
+    // NegativeArraySizeException / multi-GB allocation
+    def hex2(hx: String): Array[Byte] =
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val hostile = hex2("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "07FFFFFF" + "00000010" + "0800000000" + "00000000")
+    assert(PngDhash.compute(hostile) == null)
   }
 
   test("png_dhash: resized pair collapses, brightness shift is exact, distinct image far") {
