@@ -123,8 +123,12 @@ object PngDhash {
       }
       val z = idat.toByteArray
       if (z.length < 3) return null
-      // zlib header: CMF/FLG, +4 dictionary id if FDICT — skip, inflate raw
-      val skip = if ((z(1) & 0x20) != 0) 6 else 2
+      // zlib header: CMF/FLG. FDICT streams would need setDictionary with
+      // a preset window this decoder doesn't have (PNG forbids them
+      // anyway) — null outright rather than attempting an inflate that
+      // would silently decode wrong if it never references the window
+      if ((z(1) & 0x20) != 0) return null
+      val skip = 2
       val rowBytes = 1 + w * bpp
       val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater(true)

@@ -374,8 +374,13 @@ object Mm {
         "00000000" +                 // IDAT crc (unverified)
         "0000000049454E44AE426082")) // IEND
     df.select(col(idCol).cast("bigint").as("doc_id"))
-      .withColumn("_pat", col("doc_id") % 167)
-      .withColumn("_shift", (expr("doc_id DIV 167") % 4) * 7)
+      // pmod, not %: a negative doc_id would make _pat/_shift negative,
+      // the pixel expression leave 0..255, and lpad(hex(v), 2) silently
+      // TRUNCATE 16-char hex to a wrong-but-well-formed byte — a PNG
+      // whose pixels diverge from the oracle formula instead of failing
+      // loudly. pmod enforces the byte range by construction at any id.
+      .withColumn("_pat", pmod(col("doc_id"), lit(167L)))
+      .withColumn("_shift", pmod(expr("doc_id DIV 167"), lit(4L)) * 7)
       .withColumn("_rawhex", rawHex)
       .select(col("doc_id"), unhex(pngHex).as("blob"))
   }

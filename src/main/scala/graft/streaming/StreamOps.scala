@@ -126,8 +126,11 @@ object StreamOps {
         // the vacuum below. Re-running a batch after a crash writes a
         // NEW id with identical merged content — convergent, never
         // destructive.
+        // snap_\d+ only: a stray non-numeric snap_* entry (debug dir,
+        // partial copy) must be ignored, not NumberFormatException the
+        // whole micro-batch
         val snapId = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-          .filter(_.getName.startsWith("snap_"))
+          .filter(_.getName.matches("snap_\\d+"))
           .map(_.getName.stripPrefix("snap_").toLong)
           .foldLeft(-1L)(math.max) + 1
         graft.operators.Etl.mergeLatest(cur.unionByName(batch),
@@ -147,7 +150,7 @@ object StreamOps {
         // orphan and requires the vacuum to sweep it)
         val keep = Set(snapId) ++ prevCommitted
         val dead = new java.io.File(dir).listFiles()
-          .filter(f => f.getName.startsWith("snap_"))
+          .filter(f => f.getName.matches("snap_\\d+"))
           .map(f => (f.getName.stripPrefix("snap_").toLong, f))
           .filter(p => !keep.contains(p._1))
         dead.foreach { case (_, f) =>

@@ -15,7 +15,11 @@ class BpeApplySpec extends SparkSpec {
     * " c1 c2 ... " then one full left-to-right literal replace per merge
     * in rank order — the semantics BpeApply must reproduce exactly. */
   private def chainEncode(w: String, merges: Seq[(String, String)]): String = {
-    var repr = " " + w.flatMap(c => s"$c ")
+    // split by CODE POINTS, not UTF-16 units — BpeApply.encode and the
+    // former regexp_replace("(.)") chain both iterate code points, so a
+    // supplementary-plane word must not make the replay diverge
+    var repr = " " + w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)) + " ").mkString
     merges.foreach { case (x, y) => repr = repr.replace(s" $x $y ", s" $x$y ") }
     repr
   }
