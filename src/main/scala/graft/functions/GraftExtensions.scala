@@ -57,6 +57,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("png_dhash", children, 1)
         PngDhash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jpeg_dhash"),
+      new ExpressionInfo(classOf[JpegDhash].getName, "jpeg_dhash"),
+      (children: Seq[Expression]) => {
+        requireArity("jpeg_dhash", children, 1)
+        JpegDhash(children.head)
+      }))
   }
 }
 
@@ -128,6 +135,16 @@ object GraftFunctions {
     * see [[PngDhash]]. */
   def pngDhash(c: Column): Column =
     GraftBridge.column(PngDhash(GraftBridge.expression(c)))
+
+  /** JPEG payload → 64-bit perceptual dHash in the same hash space as
+    * [[pngDhash]] (null if undecodable) — see [[JpegDhash]]. */
+  def jpegDhash(c: Column): Column =
+    GraftBridge.column(JpegDhash(GraftBridge.expression(c)))
+
+  /** Deterministic synthetic grayscale JPEG from a bigint id — the
+    * lossy-codec fixture generator, see [[SynthGrayJpeg]]. */
+  def synthGrayJpeg(c: Column): Column =
+    GraftBridge.column(SynthGrayJpeg(GraftBridge.expression(c)))
 
   /** Exact order-free decimal sum of a <=6dp double measure via 128-bit
     * long carry arithmetic — see [[SumDec6]]. Drop-in for

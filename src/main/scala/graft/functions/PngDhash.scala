@@ -28,10 +28,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *     Average/Paeth — libpng writers emit adaptive per-row filters, so
   *     a real decoder cannot skip any of them);
   *   - grayscale: direct for color type 0, integer luma
-  *     (77R+150G+29B)>>8 for types 2 (RGB) and 6 (RGBA).
-  * Unsupported shapes (palette/16-bit/interlaced, dims < 9×8, truncated
-  * or non-PNG bytes) return NULL rather than a junk hash — callers
-  * filter nulls into the "no perceptual signal" bucket.
+  *     (77R+150G+29B)>>8 for types 2 (RGB) and 6 (RGBA), and for type 3
+  *     (palette) the same luma over the PLTE entry each index names —
+  *     favicons/screenshots, the shapes crawls are full of.
+  * Unsupported shapes (16-bit/interlaced/gray+alpha, dims < 9×8,
+  * truncated or non-PNG bytes, palette without/past its PLTE) return
+  * NULL rather than a junk hash — callers filter nulls into the "no
+  * perceptual signal" bucket.
   *
   * Downsample/bit arithmetic is EXACT integer math (box averages with
   * floor boundaries i·W/9, bit = right cell > left cell, packed
@@ -98,8 +101,9 @@ object PngDhash {
       val bpp = colorType match {
         case 0 => 1
         case 2 => 3
+        case 3 => 1 // palette: one index byte per pixel, PLTE looked up below
         case 6 => 4
-        case _ => return null // palette (3), gray+alpha (4), exotic
+        case _ => return null // gray+alpha (4), exotic
       }
       // dimension sanity BEFORE any allocation: a corrupt/hostile IHDR
       // can claim dims whose raw size overflows Int (negative array
@@ -109,8 +113,11 @@ object PngDhash {
       // perceptual signal", same as every other undecodable shape.
       val rawLen = (1L + w.toLong * bpp) * h.toLong
       if (rawLen > (64L << 20)) return null
-      // concatenate IDAT payloads (writers split them freely)
+      // concatenate IDAT payloads (writers split them freely); for
+      // palette images also grab PLTE (spec: precedes the first IDAT)
       val idat = new java.io.ByteArrayOutputStream()
+      var plteOff = -1
+      var plteLen = 0
       var p = 8 + 12 + 13 // after IHDR chunk (len+type+data+crc)
       var done = false
       while (!done && p + 8 <= blob.length) {
@@ -118,8 +125,23 @@ object PngDhash {
         if (len < 0 || p + 12 + len > blob.length) return null
         val t = new String(blob, p + 4, 4, "US-ASCII")
         if (t == "IDAT") idat.write(blob, p + 8, len)
+        if (t == "PLTE") { plteOff = p + 8; plteLen = len }
         if (t == "IEND") done = true
         p += 12 + len
+      }
+      // palette luma table: PLTE is RGB triples; an index past the table
+      // is a spec violation → null, not a junk hash
+      var palLuma: Array[Int] = null
+      if (colorType == 3) {
+        if (plteOff < 0 || plteLen < 3 || plteLen % 3 != 0) return null
+        palLuma = new Array[Int](plteLen / 3)
+        var pi = 0
+        while (pi < palLuma.length) {
+          val o = plteOff + pi * 3
+          palLuma(pi) = (77 * (blob(o) & 0xff) + 150 * (blob(o + 1) & 0xff) +
+            29 * (blob(o + 2) & 0xff)) >> 8
+          pi += 1
+        }
       }
       val z = idat.toByteArray
       if (z.length < 3) return null
@@ -175,7 +197,11 @@ object PngDhash {
         while (px < w) {
           val o = px * bpp
           gray(y * w + px) =
-            if (bpp == 1) cur(o) & 0xff
+            if (palLuma != null) {
+              val idx = cur(o) & 0xff
+              if (idx >= palLuma.length) return null
+              palLuma(idx)
+            } else if (bpp == 1) cur(o) & 0xff
             else (77 * (cur(o) & 0xff) + 150 * (cur(o + 1) & 0xff) +
               29 * (cur(o + 2) & 0xff)) >> 8
           px += 1

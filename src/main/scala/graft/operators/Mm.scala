@@ -400,7 +400,9 @@ object Mm {
     * `dedup_simhash`, which the sf10 smoke measured sublinear.
     */
   def dedupPercept(blobs: DataFrame, maxHamming: Int = 3,
-                   bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+                   bucketCap: Int = Dedup.defaultBucketCap,
+                   hashOf: Column => Column =
+                     graft.functions.GraftFunctions.pngDhash): DataFrame = {
     require(maxHamming <= 3,
       s"4-block/16-bit buckets are complete only for maxHamming <= 3, got $maxHamming")
     // NO explicit isNotNull on dhash: the optimizer pushes such a filter
@@ -410,7 +412,7 @@ object Mm {
     // payloads are dropped anyway by the band join's own null-intolerant
     // key filter (null dhash → null blk), post-explode, decode-once.
     val sig = blobs
-      .select(col("doc_id"), graft.functions.GraftFunctions.pngDhash(col("blob")).as("dhash"))
+      .select(col("doc_id"), hashOf(col("blob")).as("dhash"))
     val blockCols = (0 until 4).map(b => struct(lit(b).as("b"),
       shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L)).as("blk")))
     // undecodable payloads (null dhash → null blk) are dropped HERE,
@@ -436,6 +438,58 @@ object Mm {
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Deterministic synthetic grayscale JPEGs — the LOSSY-container
+    * counterpart of [[synthesizePixelPngs]]: a real `javax.imageio` JPEG
+    * encode of nine-by-eight flat 8×8 cells whose values are a formula
+    * of doc_id (see [[graft.functions.SynthGrayJpeg]]). Cell layout is
+    * block-aligned and margins are ≥ 72 grey levels, so the dHash bits
+    * survive quantization exactly and the oracle can state them from the
+    * formula while the engine must reproduce them through a full
+    * DCT/huffman round trip.
+    */
+  def synthesizeGrayJpegs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.synthGrayJpeg(col("doc_id")).as("blob"))
+
+  /** Perceptual-coverage telemetry: per container signature (magic
+    * bytes), how many payloads each decoder actually hashed and the
+    * combined perceptual coverage in basis points. The blind-spot
+    * report — a corpus owner SEES "png: 100% covered, jpeg: 48%, other:
+    * 0%" instead of silently missing the undecodable fraction. One
+    * scan-fused projection (both decodes gated on their cheap signature
+    * checks) + one tiny hash agg at container grain.
+    */
+  def perceptCoverage(blobs: DataFrame): DataFrame = {
+    val hx8 = hex(substring(col("blob"), 1, 8))
+    val container = when(hx8 === "89504E470D0A1A0A", lit("png"))
+      .when(substring(hx8, 1, 4) === "FFD8", lit("jpeg"))
+      .when(substring(hx8, 1, 8) === "52494646", lit("riff"))
+      .otherwise(lit("other"))
+    blobs.select(container.as("container"),
+        graft.functions.GraftFunctions.pngDhash(col("blob")).as("pd"),
+        graft.functions.GraftFunctions.jpegDhash(col("blob")).as("jd"))
+      .groupBy("container")
+      .agg(count(lit(1)).as("n_payloads"),
+        count(col("pd")).as("n_png_dhash"),
+        count(col("jd")).as("n_jpeg_dhash"),
+        count(coalesce(col("pd"), col("jd"))).as("n_percept"))
+      .withColumn("coverage_bp",
+        expr("n_percept * 10000 DIV n_payloads"))
+  }
+
+  /** The mixed-container corpus the coverage report runs over: decodable
+    * pixel PNGs, decodable JPEGs, header-only containers (the
+    * undecodable fraction a real crawl always carries), and raw text. */
+  def mixedPerceptCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("bigint").as("doc_id"), col(textCol).as("_t"))
+    synthesizePixelPngs(ids.filter(col("doc_id") % 4 === 0), "doc_id")
+      .unionByName(synthesizeGrayJpegs(ids.filter(col("doc_id") % 4 === 1), "doc_id"))
+      .unionByName(synthesizeMedia(ids.filter(col("doc_id") % 4 === 2), "doc_id", "_t"))
+      .unionByName(ids.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("_t").cast("binary").as("blob")))
   }
 
   // ---------------------------------------------------------------- queries
@@ -474,6 +528,22 @@ object Mm {
     "mm_dedup_percept" -> ((s, d) =>
       dedupPercept(synthesizePixelPngs(Tables.documents(s, d), "doc_id"))
         .orderBy("id_a", "id_b")),
+
+    // the JPEG (dominant crawl container) perceptual near-dup pass: a
+    // REAL lossy round trip — ImageIO JPEG encode of formula cells,
+    // ImageIO decode + dHash back — against an oracle that replays the
+    // hash bits from the cell FORMULA; block-aligned flat cells with
+    // >=72-level margins make every gradient sign survive quantization
+    "mm_dedup_percept_jpeg" -> ((s, d) =>
+      dedupPercept(synthesizeGrayJpegs(Tables.documents(s, d), "doc_id"),
+        hashOf = graft.functions.GraftFunctions.jpegDhash)
+        .orderBy("id_a", "id_b")),
+
+    // the perceptual-coverage report over a mixed-container corpus:
+    // which payloads the percept decoders can actually see, by container
+    "mm_percept_coverage" -> ((s, d) =>
+      perceptCoverage(mixedPerceptCorpus(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("container")),
 
     // the registered query takes the codegen path; the mapPartitions
     // typed-decode path is spec-verified equal (SimilaritySpec)
@@ -568,6 +638,22 @@ object Mm {
     // of it THROUGH the real container decode (Inflater + unfilter) to
     // hash-match. Cell assignment inverts the floor boundaries:
     // cx = ceil(9(x+1)/16)-1, cy = ceil(8(y+1)/12)-1.
+    // replays the JPEG fixture's dHash bits straight from the CELL
+    // formula (the brightness shift cancels in the gradient; v = 16+24q
+    // is monotone in q so comparing q replays comparing pixels), then
+    // the same banded pigeonhole + cap as mm_dedup_percept. The engine
+    // must reproduce these bits through a real DCT/quantization round
+    // trip to hash-match.
+    "mm_dedup_percept_jpeg" ->
+      s"""WITH cells AS (SELECT doc_id, cy, cx, (((doc_id % 167) * 31 + cy * 7 + cx * 13) % 97) % 8 AS gv FROM documents, generate_series(0, 7) g1(cy), generate_series(0, 8) g2(cx)), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // coverage ground truth from the mixed-corpus branch arithmetic:
+    // quarter 0 = decodable pixel PNG, 1 = decodable JPEG, 2 = the
+    // header-only containers of synthesizeMedia (undecodable), 3 = raw
+    // text. The engine must DECODE its way to the same counts.
+    "mm_percept_coverage" ->
+      """WITH g AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'jpeg' WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 'png' WHEN doc_id % 4 = 2 AND doc_id % 3 = 1 THEN 'jpeg' ELSE 'other' END AS container, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS png_ok, CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS jpeg_ok FROM documents) SELECT container, count(*)::BIGINT AS n_payloads, sum(png_ok)::BIGINT AS n_png_dhash, sum(jpeg_ok)::BIGINT AS n_jpeg_dhash, sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_percept, (sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS coverage_bp FROM g GROUP BY container ORDER BY container""",
+
     "mm_dedup_percept" ->
       s"""WITH px AS (SELECT doc_id, y, x, ((((doc_id % 167) * 31 + y * 7 + x * 13) % 17) * 13 + ((doc_id // 167) % 4) * 7)::BIGINT AS v FROM documents, generate_series(0, 11) g1(y), generate_series(0, 15) g2(x)), cells AS (SELECT doc_id, (8 * y + 19) // 12 - 1 AS cy, (9 * x + 24) // 16 - 1 AS cx, sum(v) // count(*) AS gv FROM px GROUP BY doc_id, (8 * y + 19) // 12 - 1, (9 * x + 24) // 16 - 1), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""
   )

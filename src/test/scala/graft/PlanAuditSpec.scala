@@ -247,6 +247,15 @@ class PlanAuditSpec extends SparkSpec {
       s"PNG decode planned more than once:\n${fin.take(2000)}")
     assert(fin.contains("Reused"), s"no exchange reuse:\n${fin.take(2000)}")
     assert(!fin.contains("CartesianProduct"), fin.take(1500))
+    // same pin for the JPEG sibling: its decode (ImageIO round trip) is
+    // even costlier per row than the Inflater path
+    val dj = run("mm_dedup_percept_jpeg")
+    dj.collect()
+    val fj = plan(dj).split("== Initial Plan ==")(0)
+    assert("jpegdhash|JpegDhash".r.findAllIn(fj).size <= 1,
+      s"JPEG decode planned more than once:\n${fj.take(2000)}")
+    assert(fj.contains("Reused"), s"no exchange reuse:\n${fj.take(2000)}")
+    assert(!fj.contains("CartesianProduct"), fj.take(1500))
   }
 
   test("corpusGrainQueries: no dead entries, and measured grain implies membership") {

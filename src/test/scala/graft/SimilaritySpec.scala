@@ -269,6 +269,147 @@ class SimilaritySpec extends SparkSpec {
     assert(ham(ha, hi) >= 16, s"distinct images too close: hamming ${ham(ha, hi)}")
   }
 
+  test("jpeg_dhash: real ImageIO JPEGs — re-encode/resize collapse, one hash space with PNG") {
+    import java.awt.image.BufferedImage
+    import java.awt.RenderingHints
+    import graft.functions.{JpegDhash, PngDhash, SynthGrayJpeg}
+    def jpegBytes(img: BufferedImage, quality: Float): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.flush(); w.dispose(); ios.close()
+      out.toByteArray
+    }
+    val (w, h) = (64, 48)
+    def radial(x: Int, y: Int): Int = {
+      val dx = x - w / 2.0; val dy = y - h / 2.0
+      math.min(200, (math.sqrt(dx * dx + dy * dy) * 4).toInt)
+    }
+    def grayImg(ww: Int, hh: Int, f: (Int, Int) => Int): BufferedImage = {
+      val i = new BufferedImage(ww, hh, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until hh; x <- 0 until ww) i.getRaster.setSample(x, y, 0, f(x, y))
+      i
+    }
+    val a = grayImg(w, h, radial)
+    val resized = new BufferedImage(32, 24, BufferedImage.TYPE_BYTE_GRAY)
+    val g2 = resized.createGraphics()
+    g2.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(a, 0, 0, 32, 24, null)
+    g2.dispose()
+    val inverted = grayImg(w, h, (x, y) => 220 - radial(x, y))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val hq9 = JpegDhash.compute(jpegBytes(a, 0.9f)).longValue()
+    val hq5 = JpegDhash.compute(jpegBytes(a, 0.5f)).longValue()
+    val hr = JpegDhash.compute(jpegBytes(resized, 0.9f)).longValue()
+    val hi = JpegDhash.compute(jpegBytes(inverted, 0.9f)).longValue()
+    // a REAL re-encoded (quality-dropped) + resized duplicate pair —
+    // exactly what a crawl serves — stays within a small radius
+    assert(ham(hq9, hq5) <= 6, s"re-encoded pair drifted: ${ham(hq9, hq5)}")
+    assert(ham(hq9, hr) <= 6, s"resized pair drifted: ${ham(hq9, hr)}")
+    assert(ham(hq9, hi) >= 16, s"distinct images too close: ${ham(hq9, hi)}")
+    // ONE hash space across containers: the PNG encode of the same image
+    // lands next to its JPEG sibling, so cross-container re-encodes
+    // collapse in the same hamming-block buckets
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(a, "png", pngOut)
+    val hp = PngDhash.compute(pngOut.toByteArray).longValue()
+    assert(ham(hq9, hp) <= 6, s"PNG/JPEG siblings drifted: ${ham(hq9, hp)}")
+    // codegen path agrees with the interpreted call
+    val s = spark
+    import s.implicits._
+    val viaExpr = Seq((0L, jpegBytes(a, 0.9f))).toDF("doc_id", "blob")
+      .select(graft.functions.GraftFunctions.jpegDhash(col("blob"))).head().getLong(0)
+    assert(viaExpr == hq9)
+    // nulls, not junk: wrong container, truncated stream, hostile SOF
+    assert(JpegDhash.compute(pngOut.toByteArray) == null, "PNG bytes must be null")
+    assert(JpegDhash.compute("not a jpeg".getBytes) == null)
+    assert(JpegDhash.compute(jpegBytes(a, 0.9f).take(60)) == null, "truncated must be null")
+    def hex2(hx: String): Array[Byte] =
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // SOI + SOF0 claiming 60000x60000 (3.6 G pixels), no scan data: the
+    // header-first dimension gate must reject before any pixel allocation
+    val bomb = hex2("FFD8" + "FFC0" + "0011" + "08" + "EA60" + "EA60" +
+      "03" + "011100" + "021101" + "031101")
+    assert(JpegDhash.compute(bomb) == null, "dimension bomb must be null")
+    // the mm_dedup_percept_jpeg fixture anchor: the decode of the
+    // synthesized lossy container reproduces the oracle's FORMULA bits
+    for (id <- Seq(0L, 1L, 166L, 167L, 500L, 4999L)) {
+      val pat = java.lang.Math.floorMod(id, 167L)
+      var expect = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        expect = (expect << 1) | (if (SynthGrayJpeg.cellQ(pat, r, c + 1) >
+          SynthGrayJpeg.cellQ(pat, r, c)) 1L else 0L)
+      val got = JpegDhash.compute(SynthGrayJpeg.compute(id))
+      assert(got != null && got.longValue() == expect,
+        s"id=$id: decoded $got != formula $expect")
+    }
+  }
+
+  test("png_dhash: palette (PLTE) PNGs decode through the palette luma") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import graft.functions.PngDhash
+    def pngBytes(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val (w, h) = (40, 30)
+    // a COLORED 16-entry palette: expected grays go through the
+    // documented (77R+150G+29B)>>8 of each PLTE entry
+    val n = 16
+    val reds = Array.tabulate(n)(i => (i * 37 % 256).toByte)
+    val greens = Array.tabulate(n)(i => (i * 91 % 256).toByte)
+    val blues = Array.tabulate(n)(i => (i * 53 % 256).toByte)
+    val icm = new IndexColorModel(8, n, reds, greens, blues)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    def idxAt(x: Int, y: Int): Int = (x * 3 + y * 5 + (x * y) % 7) % n
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idxAt(x, y))
+    val bytes = pngBytes(img)
+    // the JDK writer must actually have emitted a palette PNG (color
+    // type 3 at IHDR offset 25), or this test anchors nothing
+    assert((bytes(25) & 0xff) == 3, s"writer emitted color type ${bytes(25)}")
+    val expGray = Array.tabulate(w * h) { i =>
+      val k = idxAt(i % w, i / w)
+      (77 * (reds(k) & 0xff) + 150 * (greens(k) & 0xff) + 29 * (blues(k) & 0xff)) >> 8
+    }
+    val got = PngDhash.compute(bytes)
+    assert(got != null && got.longValue() == PngDhash.dhashOfGray(expGray, w, h),
+      "palette decode diverged from the PLTE luma replay")
+    // a gray-ramp palette is hash-identical to the equivalent gray image
+    val ramp = Array.tabulate(256)(i => i.toByte)
+    val gicm = new IndexColorModel(8, 256, ramp, ramp, ramp)
+    val pImg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, gicm)
+    val gImg = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5 + y * 7) % 200
+      pImg.getRaster.setSample(x, y, 0, v)
+      gImg.getRaster.setSample(x, y, 0, v)
+    }
+    val pb = pngBytes(pImg)
+    if ((pb(25) & 0xff) == 3)
+      assert(PngDhash.compute(pb) == PngDhash.compute(pngBytes(gImg)),
+        "gray-ramp palette must hash identically to the gray image")
+    // an index past the PLTE is a spec violation -> null, not junk: a
+    // hand-built stored-deflate palette PNG with a 2-entry PLTE and
+    // index byte 5 in the scanlines
+    def hex2(hx: String): Array[Byte] =
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val raw = (0 until 12).map(_ => "00" + Array.fill(16)("05").mkString).mkString
+    val bad = hex2("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000010" + "0000000C" + "0803000000" + "00000000" +
+      "00000006" + "504C5445" + "101010" + "F0F0F0" + "00000000" +
+      "000000D7" + "49444154" + "7801" + "01" + "CC00" + "33FF" + raw +
+      "00000000" + "00000000" + "0000000049454E44AE426082")
+    assert(PngDhash.compute(bad) == null, "out-of-range palette index must be null")
+  }
+
   test("emb_profile: norms, ragged dims and NaN vectors per label") {
     import graft.operators.Similarity
     val s = spark
