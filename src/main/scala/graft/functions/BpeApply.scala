@@ -44,7 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage-codegen (one static call), so the vocabulary-grain encode
   * remains a pure scan-fused map at any corpus size.
   */
-case class BpeApply(child: Expression, merges: Seq[(String, String)])
+case class BpeApply(child: Expression, merges: Seq[(String, String)],
+                    textbook: Boolean = false)
   extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -57,11 +58,11 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val table: BpeApply.Table = BpeApply.buildTable(merges)
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeApply.encode(input.asInstanceOf[UTF8String], table)
+    BpeApply.encode(input.asInstanceOf[UTF8String], table, textbook)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeApply.Table].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.BpeApply.encode($c, $ref)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeApply.encode($c, $ref, $textbook)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeApply =
@@ -118,8 +119,21 @@ object BpeApply {
 
   /** Encode one word: rank-priority merging over a linked symbol list.
     * Called from generated code. Output byte-matches the chained-replace
-    * repr: leading space, one space after every symbol. */
-  def encode(w: UTF8String, t: Table): UTF8String = {
+    * repr: leading space, one space after every symbol.
+    *
+    * `textbook = false` (default) reproduces the delimited-replace chain
+    * EXACTLY, including its consumed-space skip (" a a a a " merges with
+    * stride 3). `textbook = true` is canonical BPE — the published
+    * GPT-2/HF semantics: each rank's pass merges every leftmost-
+    * non-overlapping occurrence with NO skip (" a a a a " → " aa aa "),
+    * which is provably identical to the one-merge-at-a-time
+    * lowest-rank-leftmost loop every real tokenizer runs (a pair formed
+    * by a merge always involves the merged symbol, whose own merges rank
+    * strictly later — so finishing rank r's sweep before rank r+1 never
+    * reorders anything). BpeApplySpec pins this against a PUBLIC GPT-2
+    * merge-table excerpt with hand-derived canonical encodings.
+    */
+  def encode(w: UTF8String, t: Table, textbook: Boolean): UTF8String = {
     val s = w.toString
     // initial symbols: one per code point (the "(.)" split of the chain)
     var n = 0
@@ -219,7 +233,11 @@ object BpeApply {
               val rq = nextRankAfter(t, sym(li), sym(q), r)
               if (rq >= 0) push(rq)
             }
-            blocked = true
+            // chain mode: the consumed delimiter space blocks the next
+            // symbol from STARTING a match this pass. Textbook mode has
+            // no such skip — every leftmost-non-overlapping occurrence
+            // merges in the same sweep.
+            blocked = !textbook
             li = next(li)
           } else {
             // an occurrence of (x, y) that survives THIS pass (blocked

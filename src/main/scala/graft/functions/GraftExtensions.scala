@@ -128,8 +128,9 @@ object GraftFunctions {
     * merge table — see [[BpeApply]]. Not SQL-registered: the table is a
     * Seq parameter (tokenizer metadata), not a literal argument.
     */
-  def bpeApply(c: Column, merges: Seq[(String, String)]): Column =
-    GraftBridge.column(BpeApply(GraftBridge.expression(c), merges))
+  def bpeApply(c: Column, merges: Seq[(String, String)],
+               textbook: Boolean = false): Column =
+    GraftBridge.column(BpeApply(GraftBridge.expression(c), merges, textbook))
 
   /** PNG payload → 64-bit perceptual dHash (null if undecodable) —
     * see [[PngDhash]]. */

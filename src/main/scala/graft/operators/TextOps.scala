@@ -793,10 +793,10 @@ object TextOps {
     * replace-chain semantics). Shared by the word- and corpus-grain
     * entry points.
     */
-  private def bpeReprCol(merges: DataFrame): Column = {
+  private def bpeReprCol(merges: DataFrame, textbook: Boolean = false): Column = {
     val table = merges.orderBy("merge_rank").select("lhs", "rhs").collect()
       .map(m => (m.getString(0), m.getString(1))).toSeq
-    graft.functions.GraftFunctions.bpeApply(col("w"), table)
+    graft.functions.GraftFunctions.bpeApply(col("w"), table, textbook)
   }
 
   /** repr → symbol count: repr keeps exactly one delimiter space per
@@ -805,11 +805,40 @@ object TextOps {
     (length(col("bpe_repr")) -
       length(replace(col("bpe_repr"), lit(" "), lit(""))) - 1).cast("bigint")
 
-  def bpeEncodeWords(df: DataFrame, textCol: String, merges: DataFrame): DataFrame =
+  /** PUBLIC merge-table excerpt: the first 8 merges of the GPT-2
+    * tokenizer's published `vocab.bpe` (openai/gpt-2; `Ġ` is GPT-2's
+    * leading-space marker). An EXTERNAL, ecosystem-published table —
+    * nothing here trained it — so encoding against it under textbook
+    * semantics is a parity check against the published tokenizer
+    * algorithm itself, not a self-consistency loop. BpeApplySpec pins
+    * known canonical encodings (" the" → one token) on this table.
+    */
+  val gpt2MergesExcerpt: Seq[(String, String)] = Seq(
+    "Ġ" -> "t", "Ġ" -> "a", "h" -> "e", "i" -> "n",
+    "r" -> "e", "o" -> "n", "Ġt" -> "he", "e" -> "r")
+
+  /** Vocabulary-grain encode under a FIXED published merge table with
+    * canonical (textbook) BPE semantics — each word carries GPT-2's Ġ
+    * leading-space marker, exactly how the published tokenizer sees a
+    * space-preceded word. Same scan-fused single-projection shape as
+    * [[bpeEncodeWords]]; the mode only changes the per-word merge order
+    * inside the native expression.
+    */
+  def bpeEncodeWordsTextbook(df: DataFrame, textCol: String,
+                             merges: Seq[(String, String)]): DataFrame =
     df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wn"))
-      .withColumn("bpe_repr", bpeReprCol(merges))
+      .withColumn("bpe_repr", graft.functions.GraftFunctions.bpeApply(
+        concat(lit("Ġ"), col("w")), merges, textbook = true))
+      .withColumn("n_bpe", bpeCountCol)
+
+  def bpeEncodeWords(df: DataFrame, textCol: String, merges: DataFrame,
+                     textbook: Boolean = false): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .withColumn("bpe_repr", bpeReprCol(merges, textbook))
       .withColumn("n_bpe", bpeCountCol)
 
   /** Corpus-level BPE encode: true tokenizer token counts per document —
@@ -822,12 +851,12 @@ object TextOps {
     * agg — all map-side-combinable, linear at any scale.
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-                merges: DataFrame): DataFrame = {
+                merges: DataFrame, textbook: Boolean = false): DataFrame = {
     val dw = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
     val enc = dw.groupBy("w").agg(sum(col("c")).as("wn"))
-      .withColumn("bpe_repr", bpeReprCol(merges))
+      .withColumn("bpe_repr", bpeReprCol(merges, textbook))
       .select(col("w"), bpeCountCol.as("n_bpe"))
     dw.join(enc, Seq("w"))
       .groupBy(col(idCol))
@@ -847,13 +876,30 @@ object TextOps {
     * the two trainers emit the same table — spec-pinned, and the query
     * registration shares [[bpeMerges]]' oracle verbatim.
     */
-  def bpeMergesLocal(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def bpeMergesLocal(df: DataFrame, textCol: String, k: Int,
+                     textbook: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vocab = df.select(explode(tokens(lower(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wn"))
       .as[(String, Long)].collect()
+    // textbook application: one leftmost-non-overlapping SWEEP over the
+    // symbol array (canonical GPT-2/HF semantics — no consumed-space
+    // skip, so " a a a a " → " aa aa "). Chain mode keeps the literal
+    // string replace, whose trained tables the registered oracles replay.
+    def applyTextbook(repr: String, x: String, y: String): String = {
+      val t = repr.split(" ").filter(_.nonEmpty)
+      val sb = new StringBuilder(repr.length)
+      sb.append(' ')
+      var i = 0
+      while (i < t.length) {
+        if (i < t.length - 1 && t(i) == x && t(i + 1) == y) {
+          sb.append(x).append(y).append(' '); i += 2
+        } else { sb.append(t(i)).append(' '); i += 1 }
+      }
+      sb.toString
+    }
     var reprs: Array[(String, Long)] =
       vocab.map { case (w, n) => (" " + w.flatMap(c => s"$c "), n) }
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
@@ -880,7 +926,9 @@ object TextOps {
         }
         val ((x, y), cnt) = best
         merges += ((rank.toLong, x, y, x + y, cnt))
-        reprs = reprs.map { case (r, n) => (r.replace(s" $x $y ", s" $x$y "), n) }
+        reprs =
+          if (textbook) reprs.map { case (r, n) => (applyTextbook(r, x, y), n) }
+          else reprs.map { case (r, n) => (r.replace(s" $x $y ", s" $x$y "), n) }
         rank += 1
       }
     }
@@ -1111,6 +1159,16 @@ object TextOps {
       bpeEncode(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", mergesFor(s, d))
         .orderBy("doc_id")),
+
+    // CANONICAL-semantics encode against the PUBLIC GPT-2 merge excerpt:
+    // the oracle replays the published one-merge-at-a-time lowest-rank-
+    // leftmost loop as a recursive CTE over the same external table, so
+    // the engine's textbook mode is checked against the ecosystem's
+    // algorithm, not against its own trainer
+    "text_bpe_encode_textbook" -> ((s, d) =>
+      bpeEncodeWordsTextbook(Tables.documents(s, d).select("text"), "text",
+        gpt2MergesExcerpt)
+        .orderBy("w")),
 
     // crawl ingest: a deterministic HTML wrapping of each doc (nav bar,
     // script, styles, entity-bearing footer) pushed through the
@@ -1484,6 +1542,14 @@ object TextOps {
     // then the (doc, word)-grain map onto the encoded vocabulary
     "text_bpe_encode" ->
       s"""WITH ${bpePerDocCtes(bpeMergeK)} SELECT doc_id, n_words, bpe_tokens FROM bpd ORDER BY doc_id""",
+    // CANONICAL BPE against the PUBLIC GPT-2 excerpt: the published
+    // one-merge-at-a-time lowest-rank-leftmost loop as a recursive CTE
+    // (equivalent to the per-rank sweep — a merge-created pair always
+    // ranks later than the merge that created it); words carry GPT-2's
+    // Ġ leading-space marker exactly as the published tokenizer sees
+    // space-preceded words
+    "text_bpe_encode_textbook" ->
+      raw"""WITH RECURSIVE m(r, x, y) AS (SELECT * FROM (VALUES (1, 'Ġ', 't'), (2, 'Ġ', 'a'), (3, 'h', 'e'), (4, 'i', 'n'), (5, 'r', 'e'), (6, 'o', 'n'), (7, 'Ġt', 'he'), (8, 'e', 'r')) v(r, x, y)), wds AS (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS w FROM documents), wc AS (SELECT w, count(*)::BIGINT AS wn FROM wds GROUP BY w), w0 AS (SELECT w, ' ' || regexp_replace('Ġ' || w, '(.)', '\1 ', 'g') AS repr, 0 AS step FROM wc), rec AS (SELECT w, repr, step FROM w0 UNION ALL SELECT w, substr(repr, 1, p - 1) || ' ' || x || y || ' ' || substr(repr, p + 3 + length(x) + length(y)), step + 1 FROM (SELECT r0.w AS w, r0.repr AS repr, r0.step AS step, min_by(m.x, m.r) AS x, min_by(m.y, m.r) AS y, strpos(r0.repr, ' ' || min_by(m.x, m.r) || ' ' || min_by(m.y, m.r) || ' ') AS p FROM rec r0 JOIN m ON strpos(r0.repr, ' ' || m.x || ' ' || m.y || ' ') > 0 GROUP BY r0.w, r0.repr, r0.step)), fin AS (SELECT w, repr AS bpe_repr FROM (SELECT *, row_number() OVER (PARTITION BY w ORDER BY step DESC) rn FROM rec) WHERE rn = 1) SELECT wc.w, wc.wn, f.bpe_repr, (length(f.bpe_repr) - length(replace(f.bpe_repr, ' ', '')) - 1)::BIGINT AS n_bpe FROM fin f JOIN wc ON wc.w = f.w ORDER BY wc.w""",
     // the bpe per-doc counts through the same shard-local prefix-sum
     // packer as text_pack_sequences
     "text_pack_bpe" ->

@@ -153,4 +153,115 @@ class BpeApplySpec extends SparkSpec {
       }
     }
   }
+
+  /** Driver-side replay of CANONICAL (textbook) BPE — the published
+    * GPT-2/HF loop: repeatedly merge the leftmost occurrence of the
+    * lowest-ranked pair present, occurrences revisited within a rank,
+    * no delimiter-consumption skip. */
+  private def textbookEncode(w: String, merges: Seq[(String, String)]): String = {
+    val ranks = merges.zipWithIndex
+      .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).min }
+    var syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+    var go = true
+    while (go && syms.length > 1) {
+      val cands = syms.indices.dropRight(1)
+        .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(r => (r, i)))
+      if (cands.isEmpty) go = false
+      else {
+        val (_, i) = cands.minBy(identity)
+        syms = syms.patch(i, Vector(syms(i) + syms(i + 1)), 2)
+      }
+    }
+    " " + syms.map(_ + " ").mkString
+  }
+
+  test("bpe_apply textbook mode: PUBLIC GPT-2 merge excerpt encodes canonically") {
+    // The merge table is EXTERNAL — the first 8 published merges of
+    // openai/gpt-2's vocab.bpe — so this pins the engine against the
+    // ecosystem's algorithm, not its own trainer. Expectations are the
+    // canonical loop's outputs, hand-derived and independently replayed
+    // by textbookEncode: " the" is ONE token under 7 merges (Ġ t → Ġt,
+    // h e → he, Ġt he → Ġthe), the best-known fact about this table.
+    val s = spark
+    import s.implicits._
+    val merges = TextOps.gpt2MergesExcerpt
+    val expect = Map(
+      "Ġthe" -> " Ġthe ",
+      "Ġthere" -> " Ġthe re ",
+      "Ġat" -> " Ġa t ",
+      "Ġinner" -> " Ġ in n er ",
+      "Ġonion" -> " Ġ on i on ",
+      "Ġhehehe" -> " Ġ he he he ")
+    val got = expect.keys.toSeq.toDF("w")
+      .select(col("w"), bpeApply(col("w"), merges, textbook = true).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    expect.foreach { case (w, e) =>
+      assert(got(w) == e, s"'$w': textbook '${got(w)}' != canonical '$e'")
+      assert(textbookEncode(w, merges) == e,
+        s"'$w': driver replay '${textbookEncode(w, merges)}' != hand-derived '$e'")
+    }
+    // property: textbook mode == the canonical one-at-a-time loop on a
+    // dense synthetic table (the same word set the chain-parity test uses)
+    val table = synthTable(2000)
+    val rnd = new scala.util.Random(7)
+    val words = Seq("aaaa", "aaaaaaa", "ababab", "hehehe") ++
+      (0 until 1000).map { _ =>
+        (0 until (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      }
+    val tb = words.distinct.toDF("w")
+      .select(col("w"), bpeApply(col("w"), table, textbook = true).as("r")).collect()
+    tb.foreach { r =>
+      val (w, repr) = (r.getString(0), r.getString(1))
+      assert(repr == textbookEncode(w, table),
+        s"'$w': native textbook '$repr' != canonical '${textbookEncode(w, table)}'")
+    }
+    // and the two semantics genuinely DIVERGE where the chain skips:
+    // canonical " aa aa " vs the chain's stride-3 " aa a a "
+    val aa = Seq(("a", "a"))
+    val div = Seq("aaaa").toDF("w").select(
+      bpeApply(col("w"), aa, textbook = true).as("t"),
+      bpeApply(col("w"), aa).as("c")).head()
+    assert(div.getString(0) == " aa aa " && div.getString(1) == " aa a a ")
+  }
+
+  test("textbook trainer mode: merges learned under canonical application") {
+    // A run-heavy corpus separates the modes: after (a,a) merges,
+    // canonical application leaves " aa aa " (pair (aa,aa) next), the
+    // chain leaves " aa a a " (pairs (aa,a), (a,a) survive). The trainer
+    // flag must change the APPLIED table accordingly.
+    val s = spark
+    import s.implicits._
+    val corpus = Seq.fill(5)("aaaa bb").toDF("text")
+    val tb = TextOps.bpeMergesLocal(corpus, "text", 3, textbook = true)
+      .orderBy("merge_rank").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // counts round 1: (a,a) 3×5=15 beats (b,b) 5 → merge (a,a);
+    // canonical leaves " aa aa bb-word " → round 2 pairs: (aa,aa) 5,
+    // (b,b) 5 → tie breaks (aa < b) → (aa,aa); round 3: (b,b)
+    assert(tb == Seq(("a", "a"), ("aa", "aa"), ("b", "b")),
+      s"textbook trainer learned $tb")
+    val ch = TextOps.bpeMergesLocal(corpus, "text", 3)
+      .orderBy("merge_rank").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // chain application leaves " aa a a " → round 2: (aa,a) 5, (a,a) 5,
+    // (b,b) 5 → tie order (a,a) < (aa,a) < (b,b) → (a,a) AGAIN (the
+    // duplicate-rank artifact), whose second pass yields " aa aa " →
+    // round 3: (aa,aa). The chain's k=3 budget never reaches (b,b).
+    assert(ch == Seq(("a", "a"), ("a", "a"), ("aa", "aa")),
+      s"chain trainer learned $ch")
+    // the pipeline consumers run in either mode: corpus-grain encode
+    // under each trainer's own semantics
+    val docs = corpus.withColumn("doc_id", monotonically_increasing_id())
+    val encTb = TextOps.bpeEncode(docs, "doc_id", "text",
+      TextOps.bpeMergesLocal(corpus, "text", 3, textbook = true),
+      textbook = true).agg(sum("bpe_tokens")).head().getLong(0)
+    val encCh = TextOps.bpeEncode(docs, "doc_id", "text",
+      TextOps.bpeMergesLocal(corpus, "text", 3)).agg(sum("bpe_tokens")).head().getLong(0)
+    // textbook table: "aaaa"→1 token, "bb"→1 ((b,b) learned) → 2/doc;
+    // chain table: "aaaa"→1 (two (a,a) passes + (aa,aa)), "bb"→2 ((b,b)
+    // never learned within k=3) → 3/doc — the token-count divergence
+    // that propagates into pack/budget arithmetic, now a pinned choice
+    assert(encTb == 2 * 5, s"textbook pipeline tokens $encTb")
+    assert(encCh == 3 * 5, s"chain pipeline tokens $encCh")
+  }
 }
