@@ -109,7 +109,7 @@ object SparkEntry {
     "q_join_links", "q_join_salted", "q_not_in_subquery", "q_set_ops",
     "q_window_running", "sample_hash_split", "sample_leakage_split",
     "sample_soft_dedup", "sample_upsample", "sim_knn_join",
-    "sim_knn_join_rep", "sink_kv_batches", "src_csv_roundtrip",
+    "sim_knn_join_rep", "sim_knn_join_auto", "sink_kv_batches", "src_csv_roundtrip",
     "src_jsonlines_file", "src_parquet_merge_schema", "text_bpe_encode",
     "text_chunks", "text_classifier_gate", "text_dedup_sentences",
     "text_diversity", "text_dup_spans", "text_fingerprint",

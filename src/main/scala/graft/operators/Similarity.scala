@@ -874,6 +874,41 @@ object Similarity {
     * per-(table,bucket) neighbor cap are [[simKnnJoin]]'s, applied at rep
     * grain.
     */
+  /** Duplication-ratio router for the kNN self-join — closes the "user
+    * calls the raw operator on a copy-heavy 100 TB crawl and gets the
+    * spill" gap (BASELINE r7: 102.7 s raw vs 8.4 s rep-grain on the same
+    * corpus). ONE cheap linear pass decides: count(*) vs an HLL
+    * approx-distinct of the hashed vector value (no distinct shuffle, no
+    * vector movement — the sketch rides the scan's partial aggs). A ±5%
+    * HLL error is irrelevant against the 1.25 threshold: real corpora
+    * are either ~1.0 (all-distinct) or ≥ 2 (re-crawls/mirrors).
+    */
+  def knnDupRatioRoutesRep(df: DataFrame, emb: String,
+                           threshold: Double = 1.25): Boolean = {
+    val r = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col(emb))).as("d")).head()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    d > 0 && n.toDouble / d >= threshold
+  }
+
+  /** The ROUTED kNN join: [[simKnnJoinRep]]'s output contract either
+    * way (`rep_id` rides along; on an all-distinct corpus it equals
+    * `query_id` and the rows are exactly [[simKnnJoin]]'s), with the
+    * collapse/fan-back stages paid only when the measured duplication
+    * ratio says they buy something. A copy-free corpus skips the
+    * vector-value hash agg entirely — its rep map would be the identity.
+    */
+  def simKnnJoinAuto(df: DataFrame, id: String, emb: String,
+                     tabs: Seq[Seq[Seq[Double]]], k: Int,
+                     bucketCap: Int = Dedup.defaultBucketCap,
+                     threshold: Double = 1.25): DataFrame =
+    if (knnDupRatioRoutesRep(df, emb, threshold))
+      simKnnJoinRep(df, id, emb, tabs, k, bucketCap)
+    else
+      simKnnJoin(df, id, emb, tabs, k, bucketCap)
+        .select(col("query_id"), col("query_id").as("rep_id"),
+          col("neighbor_id"), col("cos_sim"), col("rank"))
+
   def simKnnJoinRep(df: DataFrame, id: String, emb: String,
                     tabs: Seq[Seq[Seq[Double]]], k: Int,
                     bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
@@ -1085,6 +1120,18 @@ object Similarity {
       val corpus = e.union(
         e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       simKnnJoinRep(corpus, "vec_id", "embedding", dupTabs, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the ROUTED kNN join on the copy-heavy corpus: the distinct-ratio
+    // probe (one HLL agg) must fire and route to rep grain — the oracle
+    // IS the rep-grain answer, so a mis-route hash-fails; SimilaritySpec
+    // pins the opposite decision on the all-distinct corpus
+    "sim_knn_join_auto" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = e.union(
+        e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      simKnnJoinAuto(corpus, "vec_id", "embedding", dupTabs, k = 3)
         .orderBy("query_id", "rank")
     }),
 
@@ -1417,6 +1464,13 @@ object Similarity {
     s"""pl(tid, pid, w) AS (SELECT * FROM (VALUES ${planesValues(tabs)})), """ +
       s"""bkt AS (SELECT vec_id, tid, string_agg(CASE WHEN ${sqlDot("embedding", "w")} >= 0 THEN '1' ELSE '0' END, '' ORDER BY pid) AS bucket FROM $rel CROSS JOIN pl GROUP BY vec_id, tid)"""
 
+  /** The sim_knn_join chain replayed at REP grain over the copy-heavy
+    * corpus (embeddings ∪ id-shifted exact copies) — shared verbatim by
+    * `sim_knn_join_rep` and the routed `sim_knn_join_auto`, which must
+    * produce the identical rep-grain answer when its ratio probe fires. */
+  private lazy val knnRepOracle: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings), reps AS (SELECT min(vec_id) AS vec_id, embedding FROM corpus GROUP BY embedding), ${bucketsCte(dupTabs, "reps")}, ${normCteFor("reps")}, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS rep_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT rep_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON rep_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT rep_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY rep_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p), base AS (SELECT rep_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3), copies AS (SELECT c.vec_id AS query_id, rp.vec_id AS rep_id FROM corpus c JOIN reps rp ON c.embedding = rp.embedding) SELECT cp.query_id, cp.rep_id, b.neighbor_id, b.cos_sim, b.rank FROM copies cp JOIN base b USING (rep_id) ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "emb_profile" ->
       s"""SELECT label::BIGINT AS label, count(*) AS n_vecs, min(len(embedding))::BIGINT AS min_dims, max(len(embedding))::BIGINT AS max_dims, min(n2) AS min_norm2, max(n2) AS max_norm2, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_nan_vecs FROM (SELECT label, embedding, CASE WHEN isnan(n2r) THEN NULL ELSE n2r END AS n2, bad FROM (SELECT label, embedding, ${sqlDot("embedding", "embedding")} AS n2r, len(list_filter(embedding, x -> isnan(x))) > 0 AS bad FROM embeddings)) GROUP BY label ORDER BY label""",
@@ -1449,8 +1503,10 @@ object Similarity {
     // id-shifted copy; reps = GROUP BY embedding min(vec_id); buckets/norm
     // CTEs run over the rep relation; fan-back joins copies on exact
     // vector equality — the same copy identity the Spark collapse uses
-    "sim_knn_join_rep" ->
-      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings), reps AS (SELECT min(vec_id) AS vec_id, embedding FROM corpus GROUP BY embedding), ${bucketsCte(dupTabs, "reps")}, ${normCteFor("reps")}, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS rep_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT rep_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON rep_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT rep_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY rep_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p), base AS (SELECT rep_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3), copies AS (SELECT c.vec_id AS query_id, rp.vec_id AS rep_id FROM corpus c JOIN reps rp ON c.embedding = rp.embedding) SELECT cp.query_id, cp.rep_id, b.neighbor_id, b.cos_sim, b.rank FROM copies cp JOIN base b USING (rep_id) ORDER BY query_id, rank""",
+    "sim_knn_join_rep" -> knnRepOracle,
+    // the routed operator on the same copy-heavy corpus: the router must
+    // pick rep grain, and the result must be the rep-grain answer
+    "sim_knn_join_auto" -> knnRepOracle,
 
     "cluster_kmeans" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id, cid FROM fr WHERE crank = 1) SELECT l.vec_id, l.cid, s.cluster_n FROM lists l JOIN (SELECT cid, count(*) AS cluster_n FROM lists GROUP BY cid) s USING (cid) ORDER BY l.vec_id""",

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.{Mm, Similarity}
 
 /** Similarity search family: exactness of the brute-force baseline, bucketed
   * plan shape for the LSH paths, metadata plumbing for mm_meta.
@@ -763,5 +764,29 @@ class SimilaritySpec extends SparkSpec {
       val bytes = r.getLong(3)
       assert(r.getLong(4) == (64 + bytes % 512) * 1024 + (64 + (bytes * 7) % 512))
     }
+  }
+
+  test("sim_knn_join_auto: ratio probe routes copy-heavy to rep grain, distinct to raw") {
+    val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val copyHeavy = e.union(
+      e.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    // the router's decisions, both ways: the testdata vectors are all
+    // distinct (ratio ~1.0), the doubled corpus is exactly 2.0
+    assert(Similarity.knnDupRatioRoutesRep(copyHeavy, "embedding"),
+      "copy-heavy corpus must route to rep grain")
+    assert(!Similarity.knnDupRatioRoutesRep(e, "embedding"),
+      "all-distinct corpus must stay raw grain")
+    // on the raw route, auto is exactly simKnnJoin plus rep_id == query_id
+    val auto = Similarity.simKnnJoinAuto(e, "vec_id", "embedding",
+      Similarity.dupTabs, k = 3).collect()
+    assert(auto.nonEmpty)
+    auto.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"raw-grain rep_id must equal query_id: $r"))
+    val raw = Similarity.simKnnJoin(e, "vec_id", "embedding",
+      Similarity.dupTabs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val autoSet = auto
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(autoSet == raw, "raw-route auto rows diverge from simKnnJoin")
   }
 }
