@@ -317,6 +317,119 @@ object Mm {
       when(isWav && col("_data").isNotNull && byteRate > 0, durMs).as("duration_ms"))
   }
 
+  /** Deterministic synthetic VIDEO payloads with REAL ISO-BMFF (MP4)
+    * box structure — the big-endian sibling of [[synthesizeAudio]]'s
+    * RIFF chain: `ftyp` first, then `moov` containing a spec-layout
+    * `mvhd` (timescale/duration at their fixed v0 offsets) and a
+    * `trak`/`tkhd` (16.16 fixed-point dims at offsets 76/80 of the v0
+    * payload). doc_id varies WHERE the `free` filler boxes sit — before
+    * `moov` at top level, or before `mvhd` inside it — so a parser must
+    * actually walk both box levels, not read fixed offsets. Ground
+    * truth derives from doc_id: timescale = 1000·(id%4+1), duration =
+    * timescale·(id%10+1) (so duration_ms = 1000·(id%10+1) exactly),
+    * dims = the image-family formulas. The remaining third carries raw
+    * text (no container).
+    */
+  def synthesizeMp4(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    def be32(v: Column): Column = lpad(hex(v), 8, "0")
+    def be16(v: Column): Column = lpad(hex(v), 4, "0")
+    val w = (id % 900 + 100).cast("int")
+    val h = ((id * 3) % 900 + 100).cast("int")
+    val timescale = (id % 4 + 1) * 1000
+    val duration = timescale * (id % 10 + 1)
+    val unityMatrix = "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000"
+    val ftyp = concat(lit(""), lit(be32Hex(20) + "66747970" + "69736F6D" +
+      "00000200" + "69736F6D"))
+    val padTop = (id % 7 + 1).cast("int")
+    val freeTop = concat(be32(padTop + 8), lit("66726565"),
+      substr(lit("0" * 28), lit(1), padTop * 2))
+    val padIn = (id % 5 + 1).cast("int")
+    val freeIn = concat(be32(padIn + 8), lit("66726565"),
+      substr(lit("0" * 20), lit(1), padIn * 2))
+    val mvhd = concat(lit(be32Hex(108) + "6D766864" + "00000000" +
+      "00000000" + "00000000"), be32(timescale), be32(duration),
+      lit("00010000" + "0100" + "0" * 20 + unityMatrix + "0" * 48 + "00000002"))
+    val tkhd = concat(lit(be32Hex(92) + "746B6864" + "00000007" +
+      "00000000" + "00000000" + "00000001" + "00000000"), be32(duration),
+      lit("0" * 16 + "0000" + "0000" + "0000" + "0000" + unityMatrix),
+      be16(w), lit("0000"), be16(h), lit("0000"))
+    val trak = concat(lit(be32Hex(100) + "7472616B"), tkhd)
+    // moov size: 8 + mvhd 108 + free (8+pad) + trak 100
+    val moovA = concat(be32(padIn + 224), lit("6D6F6F76"), mvhd, freeIn, trak)
+    val moovB = concat(be32(padIn + 224), lit("6D6F6F76"), freeIn, mvhd, trak)
+    val hexText = hex(substring(col(textCol), 1, 64).cast("binary"))
+    val mdat = concat(be32((length(hexText) / 2 + 8).cast("int")),
+      lit("6D646174"), hexText)
+    df.select(id.cast("bigint").as("doc_id"),
+      unhex(when(id % 3 === 0, concat(ftyp, moovA, mdat))
+        .when(id % 3 === 1, concat(ftyp, freeTop, moovB, mdat))
+        .otherwise(hexText)).as("blob"))
+  }
+
+  private def be32Hex(v: Long): String = f"$v%08X"
+
+  /** MP4/ISO-BMFF header decode by a TWO-LEVEL box walk — pure codegen
+    * expressions over the hex image of the first `headBytes` bytes, the
+    * big-endian mirror of [[decodeWavMeta]]'s RIFF chain. Top level:
+    * boxes of [u32 size][4-char type]; find `moov` (the file must open
+    * with `ftyp`, the ISO-BMFF magic). Inside `moov`: the same walk
+    * finds `mvhd` (v0: timescale at payload byte 12, duration at 16)
+    * and `trak`, whose own first-level walk finds `tkhd` (v0: 16.16
+    * dims at payload bytes 76/80 — the integer u16 is read, fractional
+    * pixels don't exist in practice). duration_ms = duration·1000/
+    * timescale, exact whenever timescale divides (whole-ms tracks).
+    * Positions clamp past the head window on garbage sizes, so non-MP4
+    * bytes walk safely to "unknown". Handles moov-first (faststart)
+    * files; a moov-at-end layout needs `headBytes` raised toward the
+    * mdat size or a tail read — a documented bound, not a structural
+    * limit. Zero shuffle, zero UDFs; scan-fused projection at any scale.
+    */
+  def decodeMp4Meta(blobs: DataFrame, maxSegs: Int = 4,
+                    headBytes: Int = 512): DataFrame = {
+    val hx = col("_hx")
+    def be32(q: Column): Column = conv(substr(hx, q, lit(8)), 16, 10).cast("long")
+    def be16(q: Column): Column = conv(substr(hx, q, lit(4)), 16, 10).cast("long")
+    def typeAt(p: Column): Column = substr(hx, p + 8, lit(8))
+    val past = lit(2L * headBytes + 1L)
+    // walk helper: positions _<pfx>0.._<pfx>{maxSegs-1} starting at
+    // `start`, each step advancing by the box's own size (clamped)
+    def walk(df: DataFrame, pfx: String, start: Column): DataFrame =
+      (1 until maxSegs).foldLeft(df.withColumn(s"_${pfx}0", start)) { (d, i) =>
+        d.withColumn(s"_$pfx$i",
+          least(col(s"_$pfx${i - 1}") + be32(col(s"_$pfx${i - 1}")) * 2L, past))
+      }
+    def findBox(pfx: String, typeHex: String): Column = coalesce(
+      (0 until maxSegs).map(i =>
+        when(typeAt(col(s"_$pfx$i")) === typeHex, col(s"_$pfx$i"))): _*)
+    val staged0 = walk(
+      blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes))),
+      "t", lit(1L))
+    val staged1 = staged0.withColumn("_moov", findBox("t", "6D6F6F76"))
+    val staged2 = walk(staged1, "m", col("_moov") + 16L)
+      .withColumn("_mvhd", findBox("m", "6D766864"))
+      .withColumn("_trak", findBox("m", "7472616B"))
+    val staged = walk(staged2, "k", col("_trak") + 16L)
+      .withColumn("_tkhd", findBox("k", "746B6864"))
+    val isMp4 = substring(hx, 9, 8) === "66747970" &&
+      col("_moov").isNotNull && col("_mvhd").isNotNull && col("_tkhd").isNotNull
+    val timescale = be32(col("_mvhd") + 40L)
+    val duration = be32(col("_mvhd") + 48L)
+    // exact when timescale divides duration*1000 (whole-ms tracks);
+    // operands stay far below 2^53 so the double math is exact
+    val durMs = floor(duration.cast("double") * 1000.0 / timescale.cast("double"))
+      .cast("long")
+    val tw = be16(col("_tkhd") + 168L)
+    val th = be16(col("_tkhd") + 176L)
+    staged.select(col("doc_id"),
+      when(isMp4, lit("mp4")).otherwise(lit("unknown")).as("format"),
+      when(isMp4 && timescale > 0, durMs).as("duration_ms"),
+      when(isMp4, tw).as("width"),
+      when(isMp4, th).as("height"))
+  }
+
   /** ViT-style patch tokenization budget: per image, the patch grid
     * (ceil(w/patch) × ceil(h/patch)) and the resulting vision-token
     * count — the number a multimodal packing stage budgets against
@@ -574,6 +687,13 @@ object Mm {
       decodeWavMeta(synthesizeAudio(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    // big-endian ISO-BMFF two-level box walk — the VIDEO container: mvhd
+    // duration/timescale + tkhd dims, blobs synthesized with free-box
+    // placement varying by doc_id so fixed offsets cannot pass
+    "mm_decode_mp4" -> ((s, d) =>
+      decodeMp4Meta(synthesizeMp4(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
+
     // 16px ViT patch grid over the decoded dims: the vision-token budget
     "mm_vision_tokens" -> ((s, d) =>
       visionTokens(
@@ -623,6 +743,12 @@ object Mm {
     // the png/jpeg thirds; raw-text blobs carry no container
     "mm_decode_meta" ->
       """SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
+    // ground truth of the synthesized ISO-BMFF headers, from doc_id
+    // alone: the engine must construct valid nested boxes AND walk both
+    // levels back to match
+    "mm_decode_mp4" ->
+      """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 1000 * (doc_id % 10 + 1) END AS duration_ms, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
+
     // ground truth of the synthesized RIFF headers, from doc_id alone
     "mm_decode_wav" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 2 + 1 END AS channels, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8000 * (doc_id % 5 + 1) END AS sample_rate, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8 * (doc_id % 3 + 1) END AS bits, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 250 * (doc_id % 10 + 1) END AS duration_ms FROM documents ORDER BY doc_id""",

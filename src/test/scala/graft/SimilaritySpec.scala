@@ -166,6 +166,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2).getString(1) == "unknown" && out(2).isNullAt(2) && out(2).isNullAt(3))
   }
 
+  test("mm decodeMp4Meta parses a real-layout ISO-BMFF header (fixture anchor)") {
+    // A faststart-layout MP4 opening, field-for-field the shape real
+    // muxers emit: ftyp with isom/iso2/avc1/mp41 compat brands (32
+    // bytes), moov > [mvhd v0: timescale 600, duration 3000 -> 5000 ms]
+    // + [trak > tkhd v0: 320.0 x 240.0 16.16 dims], then an mdat stub.
+    // Written from the published ISO/IEC 14496-12 box layouts, so the
+    // walker is anchored to the spec offsets independently of the
+    // synthesizeMp4 construction it is oracle-checked against.
+    val s = spark
+    import s.implicits._
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val matrix = "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000"
+    val ftyp = "00000020" + "66747970" + "69736F6D" + "00000200" +
+      "69736F6D" + "69736F32" + "61766331" + "6D703431"
+    val mvhd = "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+      "00000258" + "00000BB8" + "00010000" + "0100" + "0000" +
+      "00000000" + "00000000" + matrix + ("00" * 24) + "00000002"
+    val tkhd = "0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+      "00000001" + "00000000" + "00000BB8" + "00000000" + "00000000" +
+      "0000" + "0000" + "0000" + "0000" + matrix + "01400000" + "00F00000"
+    val moov = "000000D8" + "6D6F6F76" + mvhd + "00000064" + "7472616B" + tkhd
+    val mdat = "00000010" + "6D646174" + ("00" * 8)
+    val df = Seq((0L, bytes(ftyp + moov + mdat)),
+      (1L, bytes(ftyp)), // ftyp alone: no moov in window -> unknown
+      (2L, "not a video".getBytes)).toDF("doc_id", "blob")
+    val out = Mm.decodeMp4Meta(df).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "mp4", s"row 0: ${out(0)}")
+    assert(out(0).getLong(2) == 5000L, s"duration_ms: ${out(0)}")
+    assert(out(0).getLong(3) == 320L && out(0).getLong(4) == 240L, s"dims: ${out(0)}")
+    assert(out(1).getString(1) == "unknown" && out(1).isNullAt(2))
+    assert(out(2).getString(1) == "unknown" && out(2).isNullAt(2) &&
+      out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("png_dhash decodes REAL JDK-encoded PNGs (compressed IDAT, adaptive filters)") {
     // The in-query fixture uses stored-deflate blocks; this anchors the
     // decoder against what a real libpng-class writer emits — actual
