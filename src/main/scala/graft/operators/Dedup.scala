@@ -936,6 +936,23 @@ object Dedup {
 
   /** Minhash near-dup component labelling (doc_id → cluster) over the
     * reps, as a session index (params pinned to the oracle constants). */
+  /** The persisted component index's on-disk key: LSH parameters PLUS a
+    * content fingerprint of the document corpus ([[graft.sources.Io
+    * .contentFingerprint]] over (doc_id, text) — printable null marker,
+    * no SQL mirror needs it), so a regenerated corpus at the same path
+    * re-keys and rebuilds the labelling instead of serving stale
+    * clusters — the decon_bloom_persisted contract applied to the dedup
+    * family (IoSpec pins the staleness behavior). One linear agg; a
+    * table-format snapshot id replaces it at warehouse scale.
+    */
+  def componentsArtifactPath(s: SparkSession, d: String): String = {
+    val fp = graft.sources.Io.contentFingerprint(
+      Tables.documents(s, d).select("doc_id", "text"),
+      Seq(col("doc_id").cast("string"), coalesce(col("text"), lit("~null~"))))
+    "/tmp/graft_io/dedup_components/" +
+      s"$d|3|8|2|$fp".replaceAll("[^A-Za-z0-9.]", "_")
+  }
+
   def componentsOf(s: SparkSession, d: String): DataFrame = {
     val reps = repsOf(s, d)    // both dependencies resolved OUTSIDE the
     val pairs = pairsOf(s, d)  // thunk (not re-entrant)
@@ -1042,9 +1059,8 @@ object Dedup {
     // served — identical answers to the in-session index, so the SAME
     // oracle; the read-back scan is two narrow columns
     "dedup_components_persisted" -> ((s, d) => {
-      val path = "/tmp/graft_io/dedup_components/" +
-        s"$d|3|8|2".replaceAll("[^A-Za-z0-9.]", "_")
-      graft.sources.Io.atomicParquetArtifact(s, path)(componentsOf(s, d))
+      graft.sources.Io.atomicParquetArtifact(s, componentsArtifactPath(s, d))(
+          componentsOf(s, d))
         .orderBy("doc_id")
     }),
 

@@ -983,6 +983,25 @@ object Similarity {
   private def cachedIndex(key: String)(build: => DataFrame): DataFrame =
     graft.IndexCache.of(key)(build)
 
+  /** The persisted IVF-PQ index's on-disk key: every training parameter
+    * PLUS a content fingerprint of the embedding corpus (count + summed
+    * crc32 of per-row (id, vector-hash) — [[graft.sources.Io
+    * .contentFingerprint]]), so a REGENERATED corpus at the same path
+    * re-keys and rebuilds instead of serving codes quantized under a
+    * vanished distribution (the decon_bloom_persisted contract applied
+    * here; IoSpec pins the staleness behavior). The fingerprint pass is
+    * one linear agg over two narrow columns — at warehouse scale a
+    * table-format snapshot id replaces it outright.
+    */
+  def ivfPqArtifactPath(e: DataFrame, d: String): String = {
+    val fp = graft.sources.Io.contentFingerprint(e, Seq(
+      col("vec_id").cast("string"),
+      xxhash64(col("vec_id"), col("embedding")).cast("string")))
+    "/tmp/graft_io/ivfpq_index/" +
+      s"$d|$ivfC|$ivfIters|smp$kmeansSampleCut|$pqM|$pqKs|$pqIters|$fp"
+        .replaceAll("[^A-Za-z0-9.]", "_")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_profile" -> ((s, d) =>
       embProfile(Tables.embeddings(s, d), "label", "embedding")
@@ -1207,9 +1226,7 @@ object Similarity {
       // kmeansSampleCut in the key: the coarse centroids are a function
       // of the training-sample draw, so a sampling change re-keys the
       // artifact instead of serving codes quantized under stale centroids
-      val path = "/tmp/graft_io/ivfpq_index/" +
-        s"$d|$ivfC|$ivfIters|smp$kmeansSampleCut|$pqM|$pqKs|$pqIters"
-          .replaceAll("[^A-Za-z0-9.]", "_")
+      val path = ivfPqArtifactPath(e, d)
       val lists = graft.sources.Io.atomicParquetArtifact(s, path)(
         ivfPqCodesTable(nrm, "vec_id", coarse, cbs, pqSubDims))
       simIvfPqAnn(e, "vec_id", "embedding", coarse, cbs,

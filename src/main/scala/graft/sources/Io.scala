@@ -108,6 +108,22 @@ object Io {
     * served and ours is discarded — both answer identically, because
     * artifacts are deterministic functions of (input path, parameters).
     */
+  /** Order-free CONTENT fingerprint for persisted-artifact path keying:
+    * row count + the sum of per-row crc32 over the '|'-joined key
+    * columns (sum, not xor — with xor a content swap between two rows
+    * cancels exactly; with the id inside each row's hash a sum does
+    * not). One linear scan folded into a single agg — no shuffle of the
+    * data itself; at warehouse scale a table format's snapshot id is
+    * this fingerprint for free, and replaces it. Keying an artifact by
+    * content (not just path+params) means a REGENERATED input re-keys
+    * and rebuilds instead of silently serving a stale index.
+    */
+  def contentFingerprint(df: DataFrame, cols: Seq[Column]): String = {
+    val r = df.agg(count(lit(1)),
+      coalesce(sum(crc32(concat_ws("|", cols: _*).cast("binary"))), lit(0L))).head()
+    s"${r.getLong(0)}x${r.getLong(1)}"
+  }
+
   def atomicParquetArtifact(spark: SparkSession, path: String)
                            (build: => DataFrame): DataFrame = {
     val dir = new java.io.File(path)

@@ -124,4 +124,69 @@ class IoSpec extends SparkSpec {
     assert(got == Set((1L, "d1", 10.0), (3L, "d3", 30.0),
       (2L, "d2", 21.0), (4L, "d2", 40.0)))
   }
+
+  test("contentFingerprint: order-free, but any content change re-keys") {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val s = spark
+    import s.implicits._
+    def fp(rows: Seq[(Long, String)]): String =
+      graft.sources.Io.contentFingerprint(rows.toDF("id", "t"),
+        Seq(col("id").cast("string"), coalesce(col("t"), lit("~null~"))))
+    val base = Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    // row ORDER must not matter (partitioned scans have none)
+    assert(fp(base) == fp(base.reverse))
+    // a changed row, an added row, a dropped row, and — the xor trap —
+    // a content SWAP between two rows must all produce a different key
+    assert(fp(base) != fp(Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma2")))
+    assert(fp(base) != fp(base :+ (4L -> "delta")))
+    assert(fp(base) != fp(base.take(2)))
+    assert(fp(base) != fp(Seq(1L -> "beta", 2L -> "alpha", 3L -> "gamma")))
+    // null and empty are distinct contents
+    assert(fp(Seq(1L -> null)) != fp(Seq(1L -> "")))
+  }
+
+  test("persisted artifacts re-key on regenerated inputs (staleness contract)") {
+    // The decon_bloom_persisted contract applied to the other two
+    // persisted families: the on-disk key carries a corpus content
+    // fingerprint, so REGENERATING the input at the same path yields a
+    // NEW artifact path and atomicParquetArtifact rebuilds — a fresh
+    // session can never serve an index of vanished data. (Within one
+    // session the in-memory index caches are keyed by dir and
+    // documented deterministic; this pins the cross-session disk layer.)
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def writeEmb(shift: Double): Unit =
+      (0L until 40L).map(i => (i, Array.tabulate(8)(j => (i * 7 + j + shift).toFloat)))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    writeDocs(Seq("aa bb cc", "aa bb cc", "dd ee ff"))
+    writeEmb(0.0)
+    val compPath1 = graft.operators.Dedup.componentsArtifactPath(spark, dir)
+    val ivfPath1 = graft.operators.Similarity.ivfPqArtifactPath(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), dir)
+    // regenerate both inputs at the SAME dir
+    writeDocs(Seq("aa bb cc", "zz yy xx", "dd ee ff"))
+    writeEmb(0.5)
+    val compPath2 = graft.operators.Dedup.componentsArtifactPath(spark, dir)
+    val ivfPath2 = graft.operators.Similarity.ivfPqArtifactPath(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding"), dir)
+    assert(compPath1 != compPath2, "components artifact did not re-key")
+    assert(ivfPath1 != ivfPath2, "ivfpq artifact did not re-key")
+    // and the rebuild actually happens at the new key: the artifact
+    // committed under key 1 is untouched, key 2 builds fresh content
+    val a1 = graft.sources.Io.atomicParquetArtifact(spark, compPath1)(
+      Tables.documents(spark, dir).select("doc_id", "text")).count()
+    val a2 = graft.sources.Io.atomicParquetArtifact(spark, compPath2)(
+      Tables.documents(spark, dir).filter(col("doc_id") < 2)
+        .select("doc_id", "text")).count()
+    assert(a1 == 3 && a2 == 2, s"expected fresh builds per key, got $a1/$a2")
+    assert(new java.io.File(compPath1, "_SUCCESS").exists())
+    assert(new java.io.File(compPath2, "_SUCCESS").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
