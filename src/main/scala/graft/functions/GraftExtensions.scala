@@ -58,6 +58,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PngDhash(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("wav_fingerprint"),
+      new ExpressionInfo(classOf[WavFingerprint].getName, "wav_fingerprint"),
+      (children: Seq[Expression]) => {
+        requireArity("wav_fingerprint", children, 1)
+        WavFingerprint(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("jpeg_dhash"),
       new ExpressionInfo(classOf[JpegDhash].getName, "jpeg_dhash"),
       (children: Seq[Expression]) => {
@@ -146,6 +153,16 @@ object GraftFunctions {
     * lossy-codec fixture generator, see [[SynthGrayJpeg]]. */
   def synthGrayJpeg(c: Column): Column =
     GraftBridge.column(SynthGrayJpeg(GraftBridge.expression(c)))
+
+  /** WAV (PCM) payload → 64-bit perceptual audio fingerprint (null if
+    * undecodable) — see [[WavFingerprint]]. */
+  def wavFingerprint(c: Column): Column =
+    GraftBridge.column(WavFingerprint(GraftBridge.expression(c)))
+
+  /** Deterministic synthetic PCM WAV from a bigint id — the audio
+    * fixture generator, see [[SynthPcmWav]]. */
+  def synthPcmWav(c: Column): Column =
+    GraftBridge.column(SynthPcmWav(GraftBridge.expression(c)))
 
   /** Exact order-free decimal sum of a <=6dp double measure via 128-bit
     * long carry arithmetic — see [[SumDec6]]. Drop-in for

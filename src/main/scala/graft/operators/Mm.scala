@@ -498,6 +498,25 @@ object Mm {
       .select(col("doc_id"), unhex(pngHex).as("blob"))
   }
 
+  /** Deterministic synthetic PCM WAVs with SAMPLE-LEVEL ground truth —
+    * the audio counterpart of [[synthesizePixelPngs]]: a real RIFF/WAVE
+    * container (constant mono/16-bit/8 kHz header — PCM is uncompressed,
+    * so unlike JPEG the whole payload is spelled in pure codegen hex
+    * expressions) carrying 544 samples of
+    *   s(t) = gain · amp(t div 32) · w(t)
+    * with pat = pmod(id,167), gain = pmod(id div 167,3)+1,
+    * amp(f) = ((pat·31 + f·13) mod 97) mod 9 + 1 (the JPEG cells'
+    * nonlinear double-mod, so fingerprint classes track pat, not a tiny
+    * linear residue) and w(t) = (t·37 + pat·11) mod 7 − 3. Same-pat
+    * docs differ only by the integer gain — exactly the class the
+    * gain-invariant [[graft.functions.WavFingerprint]] collapses and
+    * byte dedup cannot.
+    */
+  def synthesizePcmWavs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.synthPcmWav(
+        col("doc_id")).as("blob"))
+
   /** Perceptual near-dup pairs over PNG payloads: REAL pixel decode
     * ([[graft.functions.PngDhash]]: chunk walk → Inflater → unfilter →
     * gray → 9×8 grid → 64-bit dHash), then the simhash hamming-block
@@ -658,6 +677,16 @@ object Mm {
       perceptCoverage(mixedPerceptCorpus(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("container")),
 
+    // the SECOND modality's perceptual near-dup pass: real RIFF/PCM
+    // decode → 17-frame × 4-band integer energies → gradient bits, the
+    // same hamming-block machinery; gain-ridden copies (same pat,
+    // different volume) collapse exactly, and the oracle replays the
+    // bits from the sample formula
+    "mm_dedup_percept_audio" -> ((s, d) =>
+      dedupPercept(synthesizePcmWavs(Tables.documents(s, d), "doc_id"),
+        hashOf = graft.functions.GraftFunctions.wavFingerprint)
+        .orderBy("id_a", "id_b")),
+
     // the registered query takes the codegen path; the mapPartitions
     // typed-decode path is spec-verified equal (SimilaritySpec)
     "mm_meta" -> ((s, d) =>
@@ -779,6 +808,16 @@ object Mm {
     // text. The engine must DECODE its way to the same counts.
     "mm_percept_coverage" ->
       """WITH g AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'jpeg' WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 'png' WHEN doc_id % 4 = 2 AND doc_id % 3 = 1 THEN 'jpeg' ELSE 'other' END AS container, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS png_ok, CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS jpeg_ok FROM documents) SELECT container, count(*)::BIGINT AS n_payloads, sum(png_ok)::BIGINT AS n_png_dhash, sum(jpeg_ok)::BIGINT AS n_jpeg_dhash, sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_percept, (sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS coverage_bp FROM g GROUP BY container ORDER BY container""",
+
+    // replays the audio fingerprint bits from the SAMPLE formula: 17
+    // 32-sample frames, four band energies (|s| and lag-1/2/4 abs
+    // diffs, never crossing a frame edge), bit = band energy rises to
+    // the next frame — then the shared banded pigeonhole + cap. The
+    // engine must parse the RIFF container and re-derive every energy
+    // in exact integer math to hash-match; gain cancels in the
+    // comparisons just as brightness does for the image families.
+    "mm_dedup_percept_audio" ->
+      s"""WITH smp AS (SELECT doc_id, t, t // 32 AS f, ((doc_id // 167) % 3 + 1) * (((((doc_id % 167) * 31 + (t // 32) * 13) % 97) % 9 + 1) * ((t * 37 + (doc_id % 167) * 11) % 7 - 3)) AS s FROM documents, generate_series(0, 543) g(t)), d AS (SELECT doc_id, t, f, s, lag(s, 1) OVER (PARTITION BY doc_id ORDER BY t) AS s1, lag(s, 2) OVER (PARTITION BY doc_id ORDER BY t) AS s2, lag(s, 4) OVER (PARTITION BY doc_id ORDER BY t) AS s4 FROM smp), e AS (SELECT doc_id, f, sum(abs(s))::BIGINT AS e0, sum(CASE WHEN t % 32 >= 1 THEN abs(s - s1) ELSE 0 END)::BIGINT AS e1, sum(CASE WHEN t % 32 >= 2 THEN abs(s - s2) ELSE 0 END)::BIGINT AS e2, sum(CASE WHEN t % 32 >= 4 THEN abs(s - s4) ELSE 0 END)::BIGINT AS e3 FROM d GROUP BY doc_id, f), eb AS (SELECT doc_id, f, b.b, CASE b.b WHEN 0 THEN e0 WHEN 1 THEN e1 WHEN 2 THEN e2 ELSE e3 END AS en FROM e, (VALUES (0), (1), (2), (3)) b(b)), bits AS (SELECT a.doc_id, a.f * 4 + a.b AS idx, CASE WHEN x.en > a.en THEN 1 ELSE 0 END AS bit FROM eb a JOIN eb x ON x.doc_id = a.doc_id AND x.b = a.b AND x.f = a.f + 1 WHERE a.f < 16), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
 
     "mm_dedup_percept" ->
       s"""WITH px AS (SELECT doc_id, y, x, ((((doc_id % 167) * 31 + y * 7 + x * 13) % 17) * 13 + ((doc_id // 167) % 4) * 7)::BIGINT AS v FROM documents, generate_series(0, 11) g1(y), generate_series(0, 15) g2(x)), cells AS (SELECT doc_id, (8 * y + 19) // 12 - 1 AS cy, (9 * x + 24) // 16 - 1 AS cx, sum(v) // count(*) AS gv FROM px GROUP BY doc_id, (8 * y + 19) // 12 - 1, (9 * x + 24) // 16 - 1), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""

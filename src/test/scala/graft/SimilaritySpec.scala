@@ -803,6 +803,70 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("wav_fingerprint: resampled/gain/stereo duplicates collapse, distinct audio far") {
+    import graft.functions.WavFingerprint
+    // a REAL (non-formula) signal: sine sweep under a slow amplitude
+    // envelope — the canonical resample-stable audio shape
+    def sig(n: Int): Array[Int] = Array.tabulate(n) { i =>
+      val t = i.toDouble / n
+      val env = 0.2 + 0.8 * math.abs(math.sin(math.Pi * 3 * t))
+      (8000 * env * math.sin(2 * math.Pi * (40 + 80 * t) * t)).toInt
+    }
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def wavBytes(x: Array[Int], channels: Int, rate: Int): Array[Byte] = {
+      val dataLen = x.length * 2
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("RIFF".getBytes); bos.write(le32(36 + dataLen))
+      bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); bos.write(le32(16)); bos.write(le16(1))
+      bos.write(le16(channels)); bos.write(le32(rate))
+      bos.write(le32(rate * channels * 2)); bos.write(le16(channels * 2))
+      bos.write(le16(16))
+      bos.write("data".getBytes); bos.write(le32(dataLen))
+      x.foreach(v => bos.write(le16(v & 0xffff)))
+      bos.toByteArray
+    }
+    val a = sig(4096)
+    val ha = WavFingerprint.compute(wavBytes(a, 1, 8000)).longValue()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    // resampled to half rate (every 2nd sample, header says 4000 Hz):
+    // band energies scale together, frames stay aligned → small radius
+    val down = Array.tabulate(2048)(i => a(2 * i))
+    val hd = WavFingerprint.compute(wavBytes(down, 1, 4000)).longValue()
+    assert(ham(ha, hd) <= 8, s"resampled pair drifted: ${ham(ha, hd)}")
+    // integer gain is EXACTLY invariant (every energy scales by 3)
+    val loud = a.map(v => (v * 3).max(-32768).min(32767))
+    assert(WavFingerprint.compute(wavBytes(loud, 1, 8000)).longValue() == ha,
+      "gain changed the fingerprint")
+    // stereo interleave with the signal on channel 0 decodes identically
+    val stereo = a.flatMap(v => Array(v, v / 4))
+    assert(WavFingerprint.compute(wavBytes(stereo, 2, 8000)).longValue() == ha,
+      "stereo channel-0 extraction diverged")
+    // genuinely different audio stays far
+    val b = sig(4096).zipWithIndex.map { case (_, i) =>
+      (6000 * math.sin(2 * math.Pi * 0.031 * i) *
+        (if ((i / 256) % 2 == 0) 1.0 else 0.1)).toInt }
+    val hb = WavFingerprint.compute(wavBytes(b, 1, 8000)).longValue()
+    assert(ham(ha, hb) >= 12, s"distinct audio too close: ${ham(ha, hb)}")
+    // nulls, not junk: wrong container, 8-bit format, truncated stream
+    assert(WavFingerprint.compute("not audio".getBytes) == null)
+    val eightBit = {
+      val bs = wavBytes(a.take(512), 1, 8000)
+      bs(34) = 8; bs // bits-per-sample field → unsupported → null
+    }
+    assert(WavFingerprint.compute(eightBit) == null)
+    assert(WavFingerprint.compute(wavBytes(a, 1, 8000).take(60)) == null)
+    // codegen path agrees with the interpreted call
+    val s = spark
+    import s.implicits._
+    val viaExpr = Seq((0L, wavBytes(a, 1, 8000))).toDF("doc_id", "blob")
+      .select(graft.functions.GraftFunctions.wavFingerprint(col("blob")))
+      .head().getLong(0)
+    assert(viaExpr == ha)
+  }
+
   test("sim_knn_join_auto: ratio probe routes copy-heavy to rep grain, distinct to raw") {
     val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val copyHeavy = e.union(
