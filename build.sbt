@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The local-cluster worker's executor-command builder needs the scala
+// version to locate build dirs; set unconditionally so Verify's default
+// serialized-exchange gate (local-cluster[2,16,4096]) works from any
+// sbt invocation — tests included, when GRAFT_MASTER requests it.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // Pass the forked program's stdout through UNWRAPPED: the default
 // LoggedOutput strategy prefixes every line with "[info] ", which breaks
 // downstream consumers that parse Bench's single JSON stdout line.

@@ -13,7 +13,33 @@ object Verify {
         (s, o, Some(f.split(",").map(_.trim).filter(_.nonEmpty).toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // STANDING GATE (r8 finding, r9 default): the correctness surface
+    // runs through REAL executor processes — local-cluster[2,16,4096],
+    // 2 workers, closures/custom expressions/broadcasts crossing a real
+    // serializer — so a serialization regression can never re-enter
+    // silently. Requires SPARK_SCALA_VERSION in the env (build.sbt sets
+    // it for every forked run; without it the worker's executor-command
+    // builder fails and jobs would HANG, so its absence routes straight
+    // to local). GRAFT_MASTER still overrides both ways; any failure to
+    // bring the cluster up falls back to plain local so the gate
+    // degrades to the r7 behavior rather than failing the round.
+    val clusterDefault =
+      if (sys.env.contains("SPARK_SCALA_VERSION")) "local-cluster[2,16,4096]"
+      else s"local[$cpus]"
+    val master = GraftSession.effectiveMaster(clusterDefault)
+    val spark =
+      try {
+        val s = GraftSession.builder(clusterDefault, cpus.toInt).getOrCreate()
+        s.range(16).repartition(4).count() // prove the executor path live
+        s
+      } catch {
+        case e: Throwable if master.startsWith("local-cluster") =>
+          System.err.println(
+            s"[verify] $master unavailable (${e.getMessage}); using local[$cpus]")
+          org.apache.spark.sql.SparkSession.getActiveSession.foreach(_.stop())
+          GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+      }
+    System.err.println(s"[verify] master = ${spark.sparkContext.master}")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A throwing query must not silently shrink the correctness surface:
@@ -47,6 +73,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/failures.json"),
       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    // local-cluster executor work dirs land in /opt/spark/work
+    // (SPARK_WORKER_DIR is not honored there) — sweep our app's litter
+    if (master.startsWith("local-cluster")) {
+      Option(new java.io.File("/opt/spark/work").listFiles()).toSeq.flatten
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
     if (failures.nonEmpty) {
       System.err.println(s"[verify] ${failures.size} queries failed: ${failures.keys.mkString(", ")}")
     }
