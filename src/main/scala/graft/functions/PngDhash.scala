@@ -27,14 +27,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *   - scanline unfiltering, all five PNG filter types (None/Sub/Up/
   *     Average/Paeth — libpng writers emit adaptive per-row filters, so
   *     a real decoder cannot skip any of them);
-  *   - grayscale: direct for color type 0, integer luma
-  *     (77R+150G+29B)>>8 for types 2 (RGB) and 6 (RGBA), and for type 3
-  *     (palette) the same luma over the PLTE entry each index names —
-  *     favicons/screenshots, the shapes crawls are full of.
-  * Unsupported shapes (16-bit/interlaced/gray+alpha, dims < 9×8,
-  * truncated or non-PNG bytes, palette without/past its PLTE) return
-  * NULL rather than a junk hash — callers filter nulls into the "no
-  * perceptual signal" bucket.
+  *   - every non-exotic color type: gray (0), RGB (2), palette (3 —
+  *     integer luma over the PLTE entry each index names), gray+alpha
+  *     (4), RGBA (6); luma is (77R+150G+29B)>>8, alpha ignored;
+  *   - 8- AND 16-bit depths (16-bit samples are big-endian; the high
+  *     byte is the spec's >>8 reduction — exactly the 8-bit value);
+  *   - Adam7 INTERLACED streams: the seven reduced-image passes are
+  *     unfiltered independently (per-pass widths and filter
+  *     neighborhoods) and scattered back to the full grid.
+  * Unsupported shapes (sub-byte palette depths, dims < 9×8, truncated
+  * or non-PNG bytes, palette without/past its PLTE) return NULL rather
+  * than a junk hash — callers filter nulls into the "no perceptual
+  * signal" bucket.
   *
   * Downsample/bit arithmetic is EXACT integer math (box averages with
   * floor boundaries i·W/9, bit = right cell > left cell, packed
@@ -77,6 +81,12 @@ object PngDhash {
 
   private val SIG = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per the PNG
+    * spec's interlace grid. */
+  val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   private def u32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
@@ -97,13 +107,31 @@ object PngDhash {
       val bitDepth = blob(24) & 0xff
       val colorType = blob(25) & 0xff
       val interlace = blob(28) & 0xff
-      if (w < 9 || h < 8 || bitDepth != 8 || interlace != 0) return null
-      val bpp = colorType match {
-        case 0 => 1
+      if (w < 9 || h < 8) return null
+      if (interlace > 1) return null // 0 = none, 1 = Adam7; else corrupt
+      // 8- and 16-bit samples for gray(0)/RGB(2)/gray+alpha(4)/RGBA(6);
+      // palette(3) is 8-bit indices (sub-byte packed palettes stay null)
+      if (bitDepth != 8 && bitDepth != 16) return null
+      if (colorType == 3 && bitDepth != 8) return null
+      val channels = colorType match {
+        case 0 | 3 => 1
         case 2 => 3
-        case 3 => 1 // palette: one index byte per pixel, PLTE looked up below
+        case 4 => 2
         case 6 => 4
-        case _ => return null // gray+alpha (4), exotic
+        case _ => return null
+      }
+      val bps = bitDepth / 8 // bytes per sample; 16-bit is big-endian
+      val bpp = channels * bps
+      // interlace passes: (xStart, yStart, xStep, yStep) — one identity
+      // pass when non-interlaced, the seven Adam7 passes otherwise (the
+      // raw stream is the concatenation of each pass's own filtered
+      // scanlines at the REDUCED width; empty passes contribute nothing)
+      val passes: Array[(Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1)) else PngDhash.Adam7
+      def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+        val (xs, ys, xst, yst) = p
+        (if (w > xs) (w - xs + xst - 1) / xst else 0,
+          if (h > ys) (h - ys + yst - 1) / yst else 0)
       }
       // dimension sanity BEFORE any allocation: a corrupt/hostile IHDR
       // can claim dims whose raw size overflows Int (negative array
@@ -111,7 +139,10 @@ object PngDhash {
       // per row. 64 MB raw (≈ a 16-megapixel RGBA frame) is far above
       // any thumbnail-dedup need; beyond it the payload is "no
       // perceptual signal", same as every other undecodable shape.
-      val rawLen = (1L + w.toLong * bpp) * h.toLong
+      val rawLen = passes.map { p =>
+        val (wp, hp) = passDims(p)
+        if (wp > 0 && hp > 0) (1L + wp.toLong * bpp) * hp.toLong else 0L
+      }.sum
       if (rawLen > (64L << 20)) return null
       // concatenate IDAT payloads (writers split them freely); for
       // palette images also grab PLTE (spec: precedes the first IDAT)
@@ -151,7 +182,6 @@ object PngDhash {
       // would silently decode wrong if it never references the window
       if ((z(1) & 0x20) != 0) return null
       val skip = 2
-      val rowBytes = 1 + w * bpp
       val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater(true)
       try {
@@ -165,49 +195,63 @@ object PngDhash {
         if (off < raw.length) return null
       } finally inf.end()
 
-      // unfilter in place: gray value per pixel into gx (w*h ints)
+      // unfilter per pass, scattering gray values to the full grid.
+      // 16-bit samples read their HIGH byte (the spec's >>8 reduction);
+      // gray+alpha/RGBA ignore alpha for luma like every dHash pipeline.
       val gray = new Array[Int](w * h)
-      val prior = new Array[Byte](w * bpp) // reconstructed previous row
-      val cur = new Array[Byte](w * bpp)
-      var y = 0
-      while (y < h) {
-        val base = y * rowBytes
-        val ft = raw(base) & 0xff
-        var x = 0
-        while (x < w * bpp) {
-          val rv = raw(base + 1 + x) & 0xff
-          val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
-          val b = prior(x) & 0xff // up
-          val c = if (x >= bpp) prior(x - bpp) & 0xff else 0 // up-left
-          val rec = ft match {
-            case 0 => rv
-            case 1 => rv + a
-            case 2 => rv + b
-            case 3 => rv + ((a + b) >> 1)
-            case 4 =>
-              val pp = a + b - c
-              val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
-              rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-            case _ => return null
+      var rawOff = 0
+      var pi2 = 0
+      while (pi2 < passes.length) {
+        val (xs, ys, xst, yst) = passes(pi2)
+        val (wp, hp) = passDims(passes(pi2))
+        if (wp > 0 && hp > 0) {
+          val rb = 1 + wp * bpp
+          val prior = new Array[Byte](wp * bpp)
+          val cur = new Array[Byte](wp * bpp)
+          var y = 0
+          while (y < hp) {
+            val base = rawOff + y * rb
+            val ft = raw(base) & 0xff
+            var x = 0
+            while (x < wp * bpp) {
+              val rv = raw(base + 1 + x) & 0xff
+              val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
+              val b = prior(x) & 0xff // up
+              val c = if (x >= bpp) prior(x - bpp) & 0xff else 0 // up-left
+              val rec = ft match {
+                case 0 => rv
+                case 1 => rv + a
+                case 2 => rv + b
+                case 3 => rv + ((a + b) >> 1)
+                case 4 =>
+                  val pp = a + b - c
+                  val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+                  rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+                case _ => return null
+              }
+              cur(x) = (rec & 0xff).toByte
+              x += 1
+            }
+            var px = 0
+            while (px < wp) {
+              val o = px * bpp
+              val g =
+                if (palLuma != null) {
+                  val idx = cur(o) & 0xff
+                  if (idx >= palLuma.length) return null
+                  palLuma(idx)
+                } else if (channels < 3) cur(o) & 0xff // gray / gray+alpha
+                else (77 * (cur(o) & 0xff) + 150 * (cur(o + bps) & 0xff) +
+                  29 * (cur(o + 2 * bps) & 0xff)) >> 8
+              gray((ys + y * yst) * w + (xs + px * xst)) = g
+              px += 1
+            }
+            System.arraycopy(cur, 0, prior, 0, wp * bpp)
+            y += 1
           }
-          cur(x) = (rec & 0xff).toByte
-          x += 1
+          rawOff += hp * rb
         }
-        var px = 0
-        while (px < w) {
-          val o = px * bpp
-          gray(y * w + px) =
-            if (palLuma != null) {
-              val idx = cur(o) & 0xff
-              if (idx >= palLuma.length) return null
-              palLuma(idx)
-            } else if (bpp == 1) cur(o) & 0xff
-            else (77 * (cur(o) & 0xff) + 150 * (cur(o + 1) & 0xff) +
-              29 * (cur(o + 2) & 0xff)) >> 8
-          px += 1
-        }
-        System.arraycopy(cur, 0, prior, 0, w * bpp)
-        y += 1
+        pi2 += 1
       }
       java.lang.Long.valueOf(dhashOfGray(gray, w, h))
     } catch {

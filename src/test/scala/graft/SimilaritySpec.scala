@@ -307,6 +307,99 @@ class SimilaritySpec extends SparkSpec {
     assert(ham(ha, hi) >= 16, s"distinct images too close: hamming ${ham(ha, hi)}")
   }
 
+  test("png_dhash: gray+alpha, 16-bit, and Adam7 interlaced shapes decode") {
+    import graft.functions.PngDhash
+    val (w, h) = (24, 16)
+    def gAt(x: Int, y: Int): Int = (x * 9 + y * 13 + (x * y) % 11) % 230
+    val expected = Array.tabulate(w * h)(i => gAt(i % w, i / w))
+    val wantHash = PngDhash.dhashOfGray(expected, w, h)
+    // hand-assembled PNGs with REAL zlib streams (java.util.zip.Deflater
+    // — header + adler, the exact wrapper libpng writes), filter 0 rows
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def chunk(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = { bos.write(v >>> 24); bos.write((v >>> 16) & 0xff)
+        bos.write((v >>> 8) & 0xff); bos.write(v & 0xff) }
+      be32(payload.length); bos.write(tpe.getBytes("US-ASCII"))
+      bos.write(payload); be32(0) // CRC unverified by the decoder
+      bos.toByteArray
+    }
+    def png(colorType: Int, depth: Int, interlace: Int, raw: Array[Byte]): Array[Byte] = {
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write(Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte,
+        depth.toByte, colorType.toByte, 0, 0, interlace.toByte))
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      bos.write(chunk("IHDR", ihdr.toByteArray))
+      bos.write(chunk("IDAT", deflate(raw)))
+      bos.write(chunk("IEND", Array.emptyByteArray))
+      bos.toByteArray
+    }
+    // gray+alpha (color type 4): per pixel [gray, alpha]; alpha varies
+    // but must not touch the hash
+    val ga = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) { ga.write(0)
+      for (x <- 0 until w) { ga.write(gAt(x, y)); ga.write((x * 31 + y) % 256) } }
+    assert(PngDhash.compute(png(4, 8, 0, ga.toByteArray)) == wantHash,
+      "gray+alpha decode diverged")
+    // 16-bit gray: big-endian samples, high byte = the 8-bit value; the
+    // low byte varies and must not matter
+    val g16 = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) { g16.write(0)
+      for (x <- 0 until w) { g16.write(gAt(x, y)); g16.write((x * 7 + y * 3) % 256) } }
+    assert(PngDhash.compute(png(0, 16, 0, g16.toByteArray)) == wantHash,
+      "16-bit gray decode diverged")
+    // 16-bit via a REAL writer too: TYPE_USHORT_GRAY through ImageIO
+    val us = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      us.getRaster.setSample(x, y, 0, (gAt(x, y) << 8) | 0x5a)
+    val usBos = new java.io.ByteArrayOutputStream()
+    if (javax.imageio.ImageIO.write(us, "png", usBos) &&
+        (usBos.toByteArray.apply(24) & 0xff) == 16)
+      assert(PngDhash.compute(usBos.toByteArray) == wantHash,
+        "JDK-written 16-bit gray diverged")
+    // Adam7: build the seven reduced passes from the same image (spec
+    // geometry), filter 0 — must hash identically to the sequential form
+    val il = new java.io.ByteArrayOutputStream()
+    for ((xs, ys, xst, yst) <- PngDhash.Adam7) {
+      val wp = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val hp = if (h > ys) (h - ys + yst - 1) / yst else 0
+      if (wp > 0 && hp > 0)
+        for (r <- 0 until hp) { il.write(0)
+          for (c <- 0 until wp) il.write(gAt(xs + c * xst, ys + r * yst)) }
+    }
+    assert(PngDhash.compute(png(0, 8, 1, il.toByteArray)) == wantHash,
+      "Adam7 interlaced decode diverged")
+    // and interlaced RGB (3-byte pixels through the pass machinery)
+    val ilRgb = new java.io.ByteArrayOutputStream()
+    for ((xs, ys, xst, yst) <- PngDhash.Adam7) {
+      val wp = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val hp = if (h > ys) (h - ys + yst - 1) / yst else 0
+      if (wp > 0 && hp > 0)
+        for (r <- 0 until hp) { ilRgb.write(0)
+          for (c <- 0 until wp) {
+            val (x, y) = (xs + c * xst, ys + r * yst)
+            ilRgb.write((x * 11) % 256); ilRgb.write((y * 17) % 256)
+            ilRgb.write(((x + y) * 23) % 256) } }
+    }
+    val rgbExpected = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      (77 * ((x * 11) % 256) + 150 * ((y * 17) % 256) + 29 * (((x + y) * 23) % 256)) >> 8
+    }
+    assert(PngDhash.compute(png(2, 8, 1, ilRgb.toByteArray)) ==
+      PngDhash.dhashOfGray(rgbExpected, w, h), "Adam7 RGB decode diverged")
+    // bogus interlace method still nulls
+    assert(PngDhash.compute(png(0, 8, 2, il.toByteArray)) == null)
+  }
+
   test("jpeg_dhash: real ImageIO JPEGs — re-encode/resize collapse, one hash space with PNG") {
     import java.awt.image.BufferedImage
     import java.awt.RenderingHints
