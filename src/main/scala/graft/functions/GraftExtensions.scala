@@ -164,6 +164,11 @@ object GraftFunctions {
   def synthPcmWav(c: Column): Column =
     GraftBridge.column(SynthPcmWav(GraftBridge.expression(c)))
 
+  /** Deterministic synthetic cell PNG (same image family as
+    * [[synthGrayJpeg]]) from a bigint id — see [[SynthCellPng]]. */
+  def synthCellPng(c: Column): Column =
+    GraftBridge.column(SynthCellPng(GraftBridge.expression(c)))
+
   /** Exact order-free decimal sum of a <=6dp double measure via 128-bit
     * long carry arithmetic — see [[SumDec6]]. Drop-in for
     * `sum(c.cast(decimal(20,6)))` without the per-row BigDecimal tax.

@@ -156,6 +156,75 @@ case class SynthGrayJpeg(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst expression: deterministic synthetic grayscale PNG
+  * carrying the SAME 72×64 flat-cell image as [[SynthGrayJpeg]] — the
+  * cross-container fixture generator (a PNG re-encode of a JPEG has
+  * identical pixels; the two containers must land in one dHash space).
+  * Stored-deflate IDAT (filter-0 rows, zlib wrapper with dummy
+  * checksums — the decoder verifies neither), assembled in a JVM byte
+  * loop: the first cut spelled this as nested SQL `transform`s, which
+  * are CodegenFallback (interpreted) and measured 45 s for 25k rows at
+  * sf1 — the audio family's synthesis-cost lesson, applied again.
+  */
+case class SynthCellPng(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"synth_cell_png needs a bigint child, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SynthCellPng.compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SynthCellPng.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SynthCellPng =
+    copy(child = newChild)
+}
+
+object SynthCellPng {
+
+  import SynthGrayJpeg.{H, W, cellQ}
+
+  private def hx(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // raw = 64·(1+72) = 4672 bytes; IDAT = 2 (zlib hdr) + 5 (stored block
+  // hdr: final, LEN 4672 LE, NLEN) + raw + 4 (adler) = 4683 = 0x124B
+  private val Head: Array[Byte] = hx(
+    "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000048" + "00000040" + "0800000000" + "00000000" +
+      "0000124B" + "49444154" + "7801" + "01" + "4012" + "BFED")
+  private val Tail: Array[Byte] = hx(
+    "00000000" + "00000000" + "0000000049454E44AE426082")
+
+  /** One synthetic cell PNG. Called from generated code. */
+  def compute(id: Long): Array[Byte] = {
+    val pat = java.lang.Math.floorMod(id, 167L)
+    val shift = java.lang.Math.floorMod(id / 167, 4L).toInt * 7
+    val out = new Array[Byte](Head.length + (1 + W) * H + Tail.length)
+    System.arraycopy(Head, 0, out, 0, Head.length)
+    var o = Head.length
+    var y = 0
+    while (y < H) {
+      out(o) = 0 // filter: none
+      o += 1
+      var x = 0
+      while (x < W) {
+        out(o) = (16 + 24 * cellQ(pat, y / 8, x / 8) + shift).toByte
+        o += 1
+        x += 1
+      }
+      y += 1
+    }
+    System.arraycopy(Tail, 0, out, o, Tail.length)
+    out
+  }
+}
+
 object SynthGrayJpeg {
 
   val W = 72

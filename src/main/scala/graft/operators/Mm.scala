@@ -498,6 +498,20 @@ object Mm {
       .select(col("doc_id"), unhex(pngHex).as("blob"))
   }
 
+  /** Deterministic synthetic PNGs carrying the SAME 72×64 flat-cell
+    * image as [[graft.functions.SynthGrayJpeg]] — the cross-container
+    * fixture: a PNG re-encode of a JPEG (the classic crawl duplicate)
+    * has identical pixels, so the two containers' dHashes must land in
+    * one hash space. Stored-deflate assembly like
+    * [[synthesizePixelPngs]]; each 8-pixel-tall cell row is built ONCE
+    * and repeated (72 hex computations per doc, not 4 608 — the audio
+    * family's synthesis-cost lesson applied).
+    */
+  def synthesizeCellPngs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.synthCellPng(
+        col("doc_id")).as("blob"))
+
   /** Deterministic synthetic PCM WAVs with SAMPLE-LEVEL ground truth —
     * the audio counterpart of [[synthesizePixelPngs]]: a real RIFF/WAVE
     * container (constant mono/16-bit/8 kHz header — PCM is uncompressed,
@@ -671,6 +685,23 @@ object Mm {
         hashOf = graft.functions.GraftFunctions.jpegDhash)
         .orderBy("id_a", "id_b")),
 
+    // CROSS-CONTAINER perceptual dedup: half the corpus is PNG, half is
+    // JPEG, of the SAME cell-formula content family — a PNG re-encode
+    // of a JPEG must collapse with it, so the pass coalesces both
+    // decoders into one hash space and pairs freely cross the container
+    // boundary (the oracle is container-blind: one formula for all
+    // docs; a decoder drifting between containers hash-fails)
+    "mm_dedup_percept_cross" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+      val blobs = synthesizeCellPngs(ids.filter(col("doc_id") % 2 === 0), "doc_id")
+        .unionByName(synthesizeGrayJpegs(ids.filter(col("doc_id") % 2 === 1), "doc_id"))
+      dedupPercept(blobs, hashOf = c => coalesce(
+        graft.functions.GraftFunctions.pngDhash(c),
+        graft.functions.GraftFunctions.jpegDhash(c)))
+        .orderBy("id_a", "id_b")
+    }),
+
     // the perceptual-coverage report over a mixed-container corpus:
     // which payloads the percept decoders can actually see, by container
     "mm_percept_coverage" -> ((s, d) =>
@@ -754,6 +785,14 @@ object Mm {
     })
   )
 
+  /** dHash-bit replay straight from the 72×64 CELL formula (the
+    * brightness shift cancels in the gradient; v = 16+24q is monotone
+    * in q), then the banded pigeonhole + cap — shared verbatim by the
+    * JPEG query (lossy round trip must reproduce the bits) and the
+    * cross-container query (both containers must reproduce them). */
+  private lazy val cellPerceptOracle: String =
+    s"""WITH cells AS (SELECT doc_id, cy, cx, (((doc_id % 167) * 31 + cy * 7 + cx * 13) % 97) % 8 AS gv FROM documents, generate_series(0, 7) g1(cy), generate_series(0, 8) g2(cx)), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""
+
   val oracles: Map[String, String] = Map(
     // md5-grain collapse + the FakeDecoder dim-bucket arithmetic
     "mm_dedup_binary" ->
@@ -799,8 +838,12 @@ object Mm {
     // the same banded pigeonhole + cap as mm_dedup_percept. The engine
     // must reproduce these bits through a real DCT/quantization round
     // trip to hash-match.
-    "mm_dedup_percept_jpeg" ->
-      s"""WITH cells AS (SELECT doc_id, cy, cx, (((doc_id % 167) * 31 + cy * 7 + cx * 13) % 97) % 8 AS gv FROM documents, generate_series(0, 7) g1(cy), generate_series(0, 8) g2(cx)), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "mm_dedup_percept_jpeg" -> cellPerceptOracle,
+
+    // container-blind by construction: the SAME cell formula governs
+    // the PNG and JPEG halves, so the identical oracle applies — the
+    // engine must agree with it through BOTH containers at once
+    "mm_dedup_percept_cross" -> cellPerceptOracle,
 
     // coverage ground truth from the mixed-corpus branch arithmetic:
     // quarter 0 = decodable pixel PNG, 1 = decodable JPEG, 2 = the

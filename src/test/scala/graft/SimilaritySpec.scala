@@ -960,6 +960,21 @@ class SimilaritySpec extends SparkSpec {
     assert(viaExpr == ha)
   }
 
+  test("mm_dedup_percept_cross: pairs genuinely cross the container boundary") {
+    // The oracle is container-blind, so it alone can't prove the two
+    // decoders landed in one hash space for the RIGHT reason — this
+    // pins that even-id (PNG) and odd-id (JPEG) docs actually pair up
+    val rows = run("mm_dedup_percept_cross").collect()
+    assert(rows.nonEmpty)
+    val cross = rows.count(r => (r.getLong(0) % 2) != (r.getLong(1) % 2))
+    val within = rows.length - cross
+    assert(cross > 0, "no PNG<->JPEG pairs — containers not in one hash space")
+    assert(within > 0, "no within-container pairs — corpus structure broken")
+    // same-pat cross-container siblings must collapse at hamming 0
+    assert(rows.exists(r => (r.getLong(0) % 2) != (r.getLong(1) % 2) &&
+      r.getLong(2) == 0L), "no exact cross-container collapse")
+  }
+
   test("sim_knn_join_auto: ratio probe routes copy-heavy to rep grain, distinct to raw") {
     val e = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val copyHeavy = e.union(
