@@ -169,6 +169,12 @@ object GraftFunctions {
   def synthCellPng(c: Column): Column =
     GraftBridge.column(SynthCellPng(GraftBridge.expression(c)))
 
+  /** Deterministic MP4 with a real stsz/stco sample table over the text
+    * payload — see [[SynthMp4Samples]]. */
+  def synthMp4Samples(id: Column, text: Column): Column =
+    GraftBridge.column(SynthMp4Samples(
+      GraftBridge.expression(id), GraftBridge.expression(text)))
+
   /** Exact order-free decimal sum of a <=6dp double measure via 128-bit
     * long carry arithmetic — see [[SumDec6]]. Drop-in for
     * `sum(c.cast(decimal(20,6)))` without the per-row BigDecimal tax.

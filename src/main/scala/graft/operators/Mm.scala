@@ -387,32 +387,39 @@ object Mm {
     * mdat size or a tail read — a documented bound, not a structural
     * limit. Zero shuffle, zero UDFs; scan-fused projection at any scale.
     */
+  /** ISO-BMFF hex-walk primitives shared by [[decodeMp4Meta]] and
+    * [[mp4SampleTable]]: u32 read, a named-column box walk at one
+    * nesting level (each step advances by the box's own size, clamped
+    * past the head window on garbage), and a first-box-of-type find. */
+  private def beU32(q: Column): Column =
+    conv(substr(col("_hx"), q, lit(8)), 16, 10).cast("long")
+  private def boxWalk(df: DataFrame, pfx: String, start: Column,
+                      maxSegs: Int, headBytes: Int): DataFrame = {
+    val past = lit(2L * headBytes + 1L)
+    (1 until maxSegs).foldLeft(df.withColumn(s"_${pfx}0", start)) { (d, i) =>
+      d.withColumn(s"_$pfx$i",
+        least(col(s"_$pfx${i - 1}") + beU32(col(s"_$pfx${i - 1}")) * 2L, past))
+    }
+  }
+  private def boxFind(pfx: String, typeHex: String, maxSegs: Int): Column =
+    coalesce((0 until maxSegs).map(i =>
+      when(substr(col("_hx"), col(s"_$pfx$i") + 8, lit(8)) === typeHex,
+        col(s"_$pfx$i"))): _*)
+
   def decodeMp4Meta(blobs: DataFrame, maxSegs: Int = 4,
                     headBytes: Int = 512): DataFrame = {
     val hx = col("_hx")
-    def be32(q: Column): Column = conv(substr(hx, q, lit(8)), 16, 10).cast("long")
+    def be32(q: Column): Column = beU32(q)
     def be16(q: Column): Column = conv(substr(hx, q, lit(4)), 16, 10).cast("long")
-    def typeAt(p: Column): Column = substr(hx, p + 8, lit(8))
-    val past = lit(2L * headBytes + 1L)
-    // walk helper: positions _<pfx>0.._<pfx>{maxSegs-1} starting at
-    // `start`, each step advancing by the box's own size (clamped)
-    def walk(df: DataFrame, pfx: String, start: Column): DataFrame =
-      (1 until maxSegs).foldLeft(df.withColumn(s"_${pfx}0", start)) { (d, i) =>
-        d.withColumn(s"_$pfx$i",
-          least(col(s"_$pfx${i - 1}") + be32(col(s"_$pfx${i - 1}")) * 2L, past))
-      }
-    def findBox(pfx: String, typeHex: String): Column = coalesce(
-      (0 until maxSegs).map(i =>
-        when(typeAt(col(s"_$pfx$i")) === typeHex, col(s"_$pfx$i"))): _*)
-    val staged0 = walk(
+    val staged0 = boxWalk(
       blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes))),
-      "t", lit(1L))
-    val staged1 = staged0.withColumn("_moov", findBox("t", "6D6F6F76"))
-    val staged2 = walk(staged1, "m", col("_moov") + 16L)
-      .withColumn("_mvhd", findBox("m", "6D766864"))
-      .withColumn("_trak", findBox("m", "7472616B"))
-    val staged = walk(staged2, "k", col("_trak") + 16L)
-      .withColumn("_tkhd", findBox("k", "746B6864"))
+      "t", lit(1L), maxSegs, headBytes)
+    val staged1 = staged0.withColumn("_moov", boxFind("t", "6D6F6F76", maxSegs))
+    val staged2 = boxWalk(staged1, "m", col("_moov") + 16L, maxSegs, headBytes)
+      .withColumn("_mvhd", boxFind("m", "6D766864", maxSegs))
+      .withColumn("_trak", boxFind("m", "7472616B", maxSegs))
+    val staged = boxWalk(staged2, "k", col("_trak") + 16L, maxSegs, headBytes)
+      .withColumn("_tkhd", boxFind("k", "746B6864", maxSegs))
     val isMp4 = substring(hx, 9, 8) === "66747970" &&
       col("_moov").isNotNull && col("_mvhd").isNotNull && col("_tkhd").isNotNull
     val timescale = be32(col("_mvhd") + 40L)
@@ -428,6 +435,53 @@ object Mm {
       when(isMp4 && timescale > 0, durMs).as("duration_ms"),
       when(isMp4, tw).as("width"),
       when(isMp4, th).as("height"))
+  }
+
+  /** TRUE video frame extraction — the sample-table walk a player
+    * actually performs, replacing [[frameSamples]]' even-offset slicing
+    * for real containers: after the [[decodeMp4Meta]] walk reaches
+    * `trak`, three more child walks (mdia → minf → stbl) find `stsz`
+    * (per-sample sizes) and `stco` (absolute chunk offsets); one row
+    * per sample with its offset, size, and the md5 of the ACTUAL mdat
+    * bytes the table points at — reachable only by parsing the table,
+    * which is exactly what the oracle's formula ground truth checks.
+    * Pure codegen expressions + one bounded per-doc explode (sample
+    * count clamped at 64); zero shuffle, scan-fused at any scale.
+    */
+  def mp4SampleTable(blobs: DataFrame, maxSegs: Int = 4,
+                     headBytes: Int = 512): DataFrame = {
+    var df = boxWalk(
+      blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes))),
+      "t", lit(1L), maxSegs, headBytes)
+      .withColumn("_moov", boxFind("t", "6D6F6F76", maxSegs))
+    df = boxWalk(df, "m", col("_moov") + 16L, maxSegs, headBytes)
+      .withColumn("_trak", boxFind("m", "7472616B", maxSegs))
+    df = boxWalk(df, "k", col("_trak") + 16L, maxSegs, headBytes)
+      .withColumn("_mdia", boxFind("k", "6D646961", maxSegs))
+    df = boxWalk(df, "d", col("_mdia") + 16L, maxSegs, headBytes)
+      .withColumn("_minf", boxFind("d", "6D696E66", maxSegs))
+    df = boxWalk(df, "n", col("_minf") + 16L, maxSegs, headBytes)
+      .withColumn("_stbl", boxFind("n", "7374626C", maxSegs))
+    df = boxWalk(df, "s", col("_stbl") + 16L, maxSegs, headBytes)
+      .withColumn("_stsz", boxFind("s", "7374737A", maxSegs))
+      .withColumn("_stco", boxFind("s", "7374636F", maxSegs))
+    // stsz: count at payload byte 8 (box byte 16), entries from byte 20;
+    // stco: count at box byte 12, entries from byte 16 — all u32 BE
+    // guard on the FOUND box, not just the count expression: least()
+    // skips nulls, so least(null, 64) is 64 — an unguarded non-media
+    // blob would explode 64 junk rows instead of none
+    val staged = df
+      .withColumn("_f", when(col("_stsz").isNotNull && col("_stco").isNotNull,
+        least(beU32(col("_stsz") + 32L), lit(64L))))
+      .withColumn("si", explode(when(col("_f") > 0,
+        expr("sequence(0, CAST(_f AS INT) - 1)"))
+        .otherwise(array().cast("array<int>"))))
+      .withColumn("_sz", beU32(col("_stsz") + 40L + col("si") * 8L))
+      .withColumn("_off", beU32(col("_stco") + 32L + col("si") * 8L))
+    staged.select(col("doc_id"), col("si").cast("bigint").as("si"),
+      col("_off").as("sample_off"), col("_sz").as("sample_size"),
+      md5(expr("substring(blob, CAST(_off AS INT) + 1, CAST(_sz AS INT))"))
+        .as("sample_md5"))
   }
 
   /** ViT-style patch tokenization budget: per image, the patch grid
@@ -754,6 +808,17 @@ object Mm {
       decodeMp4Meta(synthesizeMp4(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    // TRUE frame extraction through the sample table: stsz sizes + stco
+    // absolute offsets, one row per sample, md5 of the mdat bytes the
+    // table points at — the oracle states every offset/size/slice from
+    // doc_id alone, so only a correct six-level walk can match
+    "mm_frames_mp4" -> ((s, d) =>
+      mp4SampleTable(Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          graft.functions.GraftFunctions.synthMp4Samples(
+            col("doc_id").cast("bigint"), col("text")).as("blob")))
+        .orderBy("doc_id", "si")),
+
     // 16px ViT patch grid over the decoded dims: the vision-token budget
     "mm_vision_tokens" -> ((s, d) =>
       visionTokens(
@@ -816,6 +881,13 @@ object Mm {
     // levels back to match
     "mm_decode_mp4" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 1000 * (doc_id % 10 + 1) END AS duration_ms, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
+
+    // sample-table ground truth from doc_id alone: F = id%4+2 samples,
+    // sz(i) = 16 + (id+i)%17, absolute offsets = the deterministic
+    // header length 360+8F plus the running size sum; the md5 is over
+    // the SAME text slice the stco offset points at inside mdat
+    "mm_frames_mp4" ->
+      """WITH p AS (SELECT doc_id, text, doc_id % 4 + 2 AS f FROM documents), s AS (SELECT doc_id, text, f, unnest(range(0, f::INT)) AS si FROM p), z AS (SELECT doc_id, text, f, si, 16 + (doc_id + si) % 17 AS sz FROM s), o AS (SELECT doc_id, text, f, si, sz, coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel FROM z) SELECT doc_id, si::BIGINT AS si, (360 + 8 * f + rel)::BIGINT AS sample_off, sz::BIGINT AS sample_size, md5(substr(text, (rel + 1)::INT, sz::INT)) AS sample_md5 FROM o ORDER BY doc_id, si""",
 
     // ground truth of the synthesized RIFF headers, from doc_id alone
     "mm_decode_wav" ->

@@ -307,6 +307,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ham(ha, hi) >= 16, s"distinct images too close: hamming ${ham(ha, hi)}")
   }
 
+  test("mp4SampleTable: table drives the slices; non-media bytes yield no rows") {
+    val s = spark
+    import s.implicits._
+    assert(Mm.mp4SampleTable(
+      Seq((0L, "not a video".getBytes)).toDF("doc_id", "blob")).count() == 0)
+    val text = "the quick brown fox jumps over the lazy dog and then some more words here"
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val rows = Mm.mp4SampleTable(docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.synthMp4Samples(col("doc_id"), col("text"))
+          .as("blob")))
+      .orderBy("si").collect()
+    val f = 7 % 4 + 2
+    assert(rows.length == f, s"expected $f samples, got ${rows.length}")
+    var rel = 0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val sz = 16 + (7 + i) % 17
+      assert(r.getLong(3) == sz, s"sample $i size ${r.getLong(3)} != $sz")
+      assert(r.getLong(2) == 360 + 8 * f + rel, s"sample $i offset ${r.getLong(2)}")
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.slice(rel, rel + sz).getBytes)
+        .map("%02x".format(_)).mkString
+      assert(r.getString(4) == want, s"sample $i md5 mismatch")
+      rel += sz
+    }
+  }
+
   test("png_dhash: gray+alpha, 16-bit, and Adam7 interlaced shapes decode") {
     import graft.functions.PngDhash
     val (w, h) = (24, 16)
