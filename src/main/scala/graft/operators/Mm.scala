@@ -692,6 +692,59 @@ object Mm {
         .select(col("doc_id"), col("_t").cast("binary").as("blob")))
   }
 
+  /** The MULTIMODAL flagship: the whole media-curation stack in one
+    * plan over a mixed-container corpus — exact payload dedup (md5
+    * grain, the cheap first pass), cross-container PERCEPTUAL dedup
+    * (coalesced PNG/JPEG dHash, keep-first drop of any doc with a
+    * lower-id near-dup), vision-token budgeting off the header decode
+    * (raw-text rows budget their whitespace tokens instead), and
+    * shard-local sequence packing. Every stage is the library operator
+    * it names; the oracle replays all of it from the corpus-construction
+    * formulas (both dHash families, the byte-equality keys, the pack
+    * prefix sums), so the composition — not just the pieces — is
+    * hash-gated.
+    *
+    * 100 TB shape: one window on the md5 key (skew-free uniform
+    * digests), the capped percept band join, a scan-fused decode
+    * projection, one pack window — the same exchanges the component
+    * queries carry, nothing corpus-squared.
+    */
+  def pipelineE2e(corpus: DataFrame, packBudget: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 1. exact dedup: keep each byte-identical group's min doc
+    val wMd5 = Window.partitionBy("_md5")
+    val kept1 = corpus.withColumn("_md5", md5(col("blob")))
+      .withColumn("n_copies", count(lit(1)).over(wMd5))
+      .withColumn("_keep", min(col("doc_id")).over(wMd5))
+      .filter(col("doc_id") === col("_keep"))
+      .drop("_md5", "_keep")
+    // 2. perceptual keep-first: drop survivors with a lower-id near-dup
+    val pairs = dedupPercept(kept1.select("doc_id", "blob"), hashOf = c =>
+      coalesce(graft.functions.GraftFunctions.pngDhash(c),
+        graft.functions.GraftFunctions.jpegDhash(c)))
+    val kept2 = kept1.join(pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    // 3. token budget: vision tokens where a container decodes, else
+    // whitespace tokens of the payload read as text
+    val vis = visionTokens(decodeImageMeta(kept2), patch = 16)
+      .select(col("doc_id"), col("format"), col("vision_tokens"))
+    val hx8 = hex(substring(col("blob"), 1, 8))
+    val container = when(hx8 === "89504E470D0A1A0A", lit("png"))
+      .when(substring(hx8, 1, 4) === "FFD8", lit("jpeg"))
+      .otherwise(lit("other"))
+    val budgeted = kept2.join(vis, "doc_id")
+      .withColumn("container", container)
+      .withColumn("total_tokens", when(col("vision_tokens") > 0,
+        col("vision_tokens"))
+        .otherwise(size(TextOps.tokens(col("blob").cast("string"))).cast("bigint")))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+    // 4. pack per shard
+    TextOps.packSequences(budgeted, idCol = "doc_id", shardCol = "shard",
+      tokensCol = "total_tokens", budget = packBudget)
+      .select("doc_id", "container", "n_copies", "shard",
+        "total_tokens", "pack_id", "pack_offset")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Exact dedup of opaque binary payloads — the md5-grain collapse every
@@ -761,6 +814,12 @@ object Mm {
     "mm_percept_coverage" -> ((s, d) =>
       perceptCoverage(mixedPerceptCorpus(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("container")),
+
+    // the MULTIMODAL FLAGSHIP: exact dedup -> cross-container percept
+    // dedup -> vision/ws token budget -> packing, one plan, one oracle
+    "mm_pipeline_e2e" -> ((s, d) =>
+      pipelineE2e(mixedPerceptCorpus(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
 
     // the SECOND modality's perceptual near-dup pass: real RIFF/PCM
     // decode → 17-frame × 4-band integer energies → gradient bits, the
@@ -933,6 +992,19 @@ object Mm {
     // comparisons just as brightness does for the image families.
     "mm_dedup_percept_audio" ->
       s"""WITH smp AS (SELECT doc_id, t, t // 32 AS f, ((doc_id // 167) % 3 + 1) * (((((doc_id % 167) * 31 + (t // 32) * 13) % 97) % 9 + 1) * ((t * 37 + (doc_id % 167) * 11) % 7 - 3)) AS s FROM documents, generate_series(0, 543) g(t)), d AS (SELECT doc_id, t, f, s, lag(s, 1) OVER (PARTITION BY doc_id ORDER BY t) AS s1, lag(s, 2) OVER (PARTITION BY doc_id ORDER BY t) AS s2, lag(s, 4) OVER (PARTITION BY doc_id ORDER BY t) AS s4 FROM smp), e AS (SELECT doc_id, f, sum(abs(s))::BIGINT AS e0, sum(CASE WHEN t % 32 >= 1 THEN abs(s - s1) ELSE 0 END)::BIGINT AS e1, sum(CASE WHEN t % 32 >= 2 THEN abs(s - s2) ELSE 0 END)::BIGINT AS e2, sum(CASE WHEN t % 32 >= 4 THEN abs(s - s4) ELSE 0 END)::BIGINT AS e3 FROM d GROUP BY doc_id, f), eb AS (SELECT doc_id, f, b.b, CASE b.b WHEN 0 THEN e0 WHEN 1 THEN e1 WHEN 2 THEN e2 ELSE e3 END AS en FROM e, (VALUES (0), (1), (2), (3)) b(b)), bits AS (SELECT a.doc_id, a.f * 4 + a.b AS idx, CASE WHEN x.en > a.en THEN 1 ELSE 0 END AS bit FROM eb a JOIN eb x ON x.doc_id = a.doc_id AND x.b = a.b AND x.f = a.f + 1 WHERE a.f < 16), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // the flagship replayed end to end from the corpus-construction
+    // formulas: byte-equality keys per branch — the EXACT determinants
+    // of each branch's bytes: the pixel formulas read pat only through
+    // pat mod 17 (PNG) / mod 97 (JPEG), so those residues ARE the key
+    // (31 is invertible mod both, making the map bijective); media keys
+    // carry the 256-char truncation and the raw third collides with the
+    // raw quarter byte-for-byte — plus BOTH dHash-bit families (pixel
+    // 16×12 box grid for the PNG quarter, 72×64 cells for the JPEG
+    // quarter) through the shared banded pigeonhole, keep-first drop,
+    // per-branch token budgets, and the shard-local pack prefix sums
+    "mm_pipeline_e2e" ->
+      raw"""WITH base AS (SELECT doc_id, text, CASE WHEN doc_id % 4 = 0 THEN 'a|' || ((doc_id % 167) % 17) || '|' || ((doc_id // 167) % 4) WHEN doc_id % 4 = 1 THEN 'b|' || ((doc_id % 167) % 97) || '|' || ((doc_id // 167) % 4) WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 'c0|' || (doc_id % 900) || '|' || ((doc_id * 3) % 900) || '|' || substr(text, 1, 256) WHEN doc_id % 4 = 2 AND doc_id % 3 = 1 THEN 'c1|' || (doc_id % 900) || '|' || ((doc_id * 3) % 900) || '|' || (doc_id % 6) || '|' || (doc_id % 4) || '|' || substr(text, 1, 256) WHEN doc_id % 4 = 2 THEN 'd|' || substr(text, 1, 256) ELSE 'd|' || text END AS bkey FROM documents), g AS (SELECT doc_id, text, bkey, count(*) OVER (PARTITION BY bkey) AS n_copies, min(doc_id) OVER (PARTITION BY bkey) AS keeper FROM base), k1 AS (SELECT doc_id, text, n_copies FROM g WHERE doc_id = keeper), pxb AS (SELECT doc_id, y, x, ((((doc_id % 167) * 31 + y * 7 + x * 13) % 17) * 13 + ((doc_id // 167) % 4) * 7)::BIGINT AS v FROM k1, generate_series(0, 11) g1(y), generate_series(0, 15) g2(x) WHERE doc_id % 4 = 0), pxc AS (SELECT doc_id, (8 * y + 19) // 12 - 1 AS cy, (9 * x + 24) // 16 - 1 AS cx, sum(v) // count(*) AS gv FROM pxb GROUP BY 1, 2, 3), jc AS (SELECT doc_id, cy, cx, ((((doc_id % 167) * 31 + cy * 7 + cx * 13) % 97) % 8)::BIGINT AS gv FROM k1, generate_series(0, 7) g1(cy), generate_series(0, 8) g2(cx) WHERE doc_id % 4 = 1), cells AS (SELECT * FROM pxc UNION ALL SELECT * FROM jc), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b), k2 AS (SELECT * FROM k1 WHERE doc_id NOT IN (SELECT id_b FROM ham WHERE hamming <= 3)), tok AS (SELECT doc_id, n_copies, CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'jpeg' WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 'png' WHEN doc_id % 4 = 2 AND doc_id % 3 = 1 THEN 'jpeg' ELSE 'other' END AS container, (CASE WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN 20 WHEN doc_id % 4 = 2 AND doc_id % 3 < 2 THEN CAST(ceil((doc_id % 900 + 100) / 16.0) AS BIGINT) * CAST(ceil(((doc_id * 3) % 900 + 100) / 16.0) AS BIGINT) WHEN doc_id % 4 = 2 THEN len(string_split_regex(trim(substr(text, 1, 256)), '\s+')) ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS total_tokens, doc_id % 8 AS shard FROM k2), pc AS (SELECT *, sum(total_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total_tokens AS cum FROM tok) SELECT doc_id, container, n_copies, shard, total_tokens, (cum // 2048)::BIGINT AS pack_id, (cum % 2048)::BIGINT AS pack_offset FROM pc ORDER BY doc_id""",
 
     "mm_dedup_percept" ->
       s"""WITH px AS (SELECT doc_id, y, x, ((((doc_id % 167) * 31 + y * 7 + x * 13) % 17) * 13 + ((doc_id // 167) % 4) * 7)::BIGINT AS v FROM documents, generate_series(0, 11) g1(y), generate_series(0, 15) g2(x)), cells AS (SELECT doc_id, (8 * y + 19) // 12 - 1 AS cy, (9 * x + 24) // 16 - 1 AS cx, sum(v) // count(*) AS gv FROM px GROUP BY doc_id, (8 * y + 19) // 12 - 1, (9 * x + 24) // 16 - 1), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""
