@@ -27,18 +27,20 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   *   - scanline unfiltering, all five PNG filter types (None/Sub/Up/
   *     Average/Paeth — libpng writers emit adaptive per-row filters, so
   *     a real decoder cannot skip any of them);
-  *   - every non-exotic color type: gray (0), RGB (2), palette (3 —
-  *     integer luma over the PLTE entry each index names), gray+alpha
-  *     (4), RGBA (6); luma is (77R+150G+29B)>>8, alpha ignored;
-  *   - 8- AND 16-bit depths (16-bit samples are big-endian; the high
-  *     byte is the spec's >>8 reduction — exactly the 8-bit value);
+  *   - every color type: gray (0), RGB (2), palette (3 — integer luma
+  *     over the PLTE entry each index names), gray+alpha (4), RGBA (6);
+  *     luma is (77R+150G+29B)>>8, alpha ignored;
+  *   - every legal depth: 8- and 16-bit samples (16-bit is big-endian;
+  *     the high byte is the spec's >>8 reduction) AND the packed
+  *     sub-byte depths (1/2/4, MSB-first) for gray and palette — the
+  *     favicon/1-bit-scan shapes; sub-byte gray upscales by
+  *     255/(2^d−1), sub-byte rows filter at the spec's 1-byte grain;
   *   - Adam7 INTERLACED streams: the seven reduced-image passes are
   *     unfiltered independently (per-pass widths and filter
   *     neighborhoods) and scattered back to the full grid.
-  * Unsupported shapes (sub-byte palette depths, dims < 9×8, truncated
-  * or non-PNG bytes, palette without/past its PLTE) return NULL rather
-  * than a junk hash — callers filter nulls into the "no perceptual
-  * signal" bucket.
+  * Undecodable shapes (dims < 9×8, truncated or non-PNG bytes, palette
+  * without/past its PLTE) return NULL rather than a junk hash — callers
+  * filter nulls into the "no perceptual signal" bucket.
   *
   * Downsample/bit arithmetic is EXACT integer math (box averages with
   * floor boundaries i·W/9, bit = right cell > left cell, packed
@@ -109,10 +111,9 @@ object PngDhash {
       val interlace = blob(28) & 0xff
       if (w < 9 || h < 8) return null
       if (interlace > 1) return null // 0 = none, 1 = Adam7; else corrupt
-      // 8- and 16-bit samples for gray(0)/RGB(2)/gray+alpha(4)/RGBA(6);
-      // palette(3) is 8-bit indices (sub-byte packed palettes stay null)
-      if (bitDepth != 8 && bitDepth != 16) return null
-      if (colorType == 3 && bitDepth != 8) return null
+      // 8/16-bit samples everywhere; PLUS the packed sub-byte depths
+      // (1/2/4) the spec allows for gray(0) and palette(3) — favicons
+      // and 1-bit scans. RGB/gray+alpha/RGBA are 8- or 16-bit only.
       val channels = colorType match {
         case 0 | 3 => 1
         case 2 => 3
@@ -120,8 +121,19 @@ object PngDhash {
         case 6 => 4
         case _ => return null
       }
-      val bps = bitDepth / 8 // bytes per sample; 16-bit is big-endian
+      val depthOk = bitDepth match {
+        case 8 | 16 => colorType != 3 || bitDepth == 8
+        case 1 | 2 | 4 => colorType == 0 || colorType == 3
+        case _ => false
+      }
+      if (!depthOk) return null
+      val subBits = if (bitDepth < 8) bitDepth else 0
+      val bps = math.max(1, bitDepth / 8) // bytes/sample; 16-bit big-endian
+      // filter neighborhood distance: ceil(bits per pixel / 8), so every
+      // sub-byte depth filters at 1-byte grain (the spec's definition)
       val bpp = channels * bps
+      def rowBytesOf(wp: Int): Int =
+        if (subBits > 0) (wp * subBits + 7) / 8 else wp * bpp
       // interlace passes: (xStart, yStart, xStep, yStep) — one identity
       // pass when non-interlaced, the seven Adam7 passes otherwise (the
       // raw stream is the concatenation of each pass's own filtered
@@ -141,7 +153,7 @@ object PngDhash {
       // perceptual signal", same as every other undecodable shape.
       val rawLen = passes.map { p =>
         val (wp, hp) = passDims(p)
-        if (wp > 0 && hp > 0) (1L + wp.toLong * bpp) * hp.toLong else 0L
+        if (wp > 0 && hp > 0) (1L + rowBytesOf(wp).toLong) * hp.toLong else 0L
       }.sum
       if (rawLen > (64L << 20)) return null
       // concatenate IDAT payloads (writers split them freely); for
@@ -205,15 +217,16 @@ object PngDhash {
         val (xs, ys, xst, yst) = passes(pi2)
         val (wp, hp) = passDims(passes(pi2))
         if (wp > 0 && hp > 0) {
-          val rb = 1 + wp * bpp
-          val prior = new Array[Byte](wp * bpp)
-          val cur = new Array[Byte](wp * bpp)
+          val rdb = rowBytesOf(wp)
+          val rb = 1 + rdb
+          val prior = new Array[Byte](rdb)
+          val cur = new Array[Byte](rdb)
           var y = 0
           while (y < hp) {
             val base = rawOff + y * rb
             val ft = raw(base) & 0xff
             var x = 0
-            while (x < wp * bpp) {
+            while (x < rdb) {
               val rv = raw(base + 1 + x) & 0xff
               val a = if (x >= bpp) cur(x - bpp) & 0xff else 0 // left
               val b = prior(x) & 0xff // up
@@ -234,19 +247,30 @@ object PngDhash {
             }
             var px = 0
             while (px < wp) {
-              val o = px * bpp
               val g =
-                if (palLuma != null) {
-                  val idx = cur(o) & 0xff
-                  if (idx >= palLuma.length) return null
-                  palLuma(idx)
-                } else if (channels < 3) cur(o) & 0xff // gray / gray+alpha
-                else (77 * (cur(o) & 0xff) + 150 * (cur(o + bps) & 0xff) +
-                  29 * (cur(o + 2 * bps) & 0xff)) >> 8
+                if (subBits > 0) {
+                  // packed MSB-first sub-byte sample (index or gray)
+                  val bitPos = px * subBits
+                  val v = (cur(bitPos >> 3) >> (8 - subBits - (bitPos & 7))) &
+                    ((1 << subBits) - 1)
+                  if (palLuma != null) {
+                    if (v >= palLuma.length) return null
+                    palLuma(v)
+                  } else v * 255 / ((1 << subBits) - 1) // gray upscale
+                } else {
+                  val o = px * bpp
+                  if (palLuma != null) {
+                    val idx = cur(o) & 0xff
+                    if (idx >= palLuma.length) return null
+                    palLuma(idx)
+                  } else if (channels < 3) cur(o) & 0xff // gray / gray+alpha
+                  else (77 * (cur(o) & 0xff) + 150 * (cur(o + bps) & 0xff) +
+                    29 * (cur(o + 2 * bps) & 0xff)) >> 8
+                }
               gray((ys + y * yst) * w + (xs + px * xst)) = g
               px += 1
             }
-            System.arraycopy(cur, 0, prior, 0, wp * bpp)
+            System.arraycopy(cur, 0, prior, 0, rdb)
             y += 1
           }
           rawOff += hp * rb

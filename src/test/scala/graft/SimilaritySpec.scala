@@ -426,6 +426,91 @@ class SimilaritySpec extends SparkSpec {
     assert(PngDhash.compute(png(0, 8, 2, il.toByteArray)) == null)
   }
 
+  test("png_dhash: sub-byte depths — 4-bit palette (real writer), 1-bit gray, 2-bit palette") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import graft.functions.PngDhash
+    val (w, h) = (24, 16)
+    // 4-bit palette through the REAL JDK writer: TYPE_BYTE_BINARY with
+    // a 16-entry COLORED palette (a gray ramp gets optimized into
+    // color-type-0 grayscale) emits depth-4 color-type-3 PNG
+    val pr = Array.tabulate(16)(i => (i * 37 % 256).toByte)
+    val pg = Array.tabulate(16)(i => (i * 91 % 256).toByte)
+    val pb = Array.tabulate(16)(i => (i * 53 % 256).toByte)
+    val icm = new IndexColorModel(4, 16, pr, pg, pb)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, icm)
+    def idxAt(x: Int, y: Int): Int = (x * 3 + y * 5 + (x * y) % 7) % 16
+    for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, idxAt(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val bytes = bos.toByteArray
+    assert((bytes(24) & 0xff) == 4 && (bytes(25) & 0xff) == 3,
+      s"writer emitted depth ${bytes(24)} type ${bytes(25)}")
+    val exp4 = Array.tabulate(w * h) { i =>
+      val k = idxAt(i % w, i / w)
+      (77 * (pr(k) & 0xff) + 150 * (pg(k) & 0xff) + 29 * (pb(k) & 0xff)) >> 8
+    }
+    assert(PngDhash.compute(bytes) == PngDhash.dhashOfGray(exp4, w, h),
+      "4-bit palette decode diverged")
+    // hand-built 1-bit GRAY (fax/scan shape) and 2-bit palette, stored
+    // rows, filter 0 — packed MSB-first per the spec
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def chunk(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def be32(v: Int): Unit = { o.write(v >>> 24); o.write((v >>> 16) & 0xff)
+        o.write((v >>> 8) & 0xff); o.write(v & 0xff) }
+      be32(payload.length); o.write(tpe.getBytes("US-ASCII")); o.write(payload); be32(0)
+      o.toByteArray
+    }
+    def pngOf(ct: Int, depth: Int, chunks: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      o.write(chunk("IHDR", Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte,
+        depth.toByte, ct.toByte, 0, 0, 0)))
+      o.write(chunks); o.write(chunk("IEND", Array.emptyByteArray))
+      o.toByteArray
+    }
+    def bitAt(x: Int, y: Int): Int = if ((x / 3 + y / 2) % 2 == 0) 0 else 1
+    val raw1 = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw1.write(0)
+      var acc = 0; var nb = 0
+      for (x <- 0 until w) {
+        acc = (acc << 1) | bitAt(x, y); nb += 1
+        if (nb == 8) { raw1.write(acc); acc = 0; nb = 0 }
+      }
+      if (nb > 0) raw1.write(acc << (8 - nb))
+    }
+    val exp1 = Array.tabulate(w * h)(i => bitAt(i % w, i / w) * 255)
+    assert(PngDhash.compute(pngOf(0, 1, chunk("IDAT", deflate(raw1.toByteArray)))) ==
+      PngDhash.dhashOfGray(exp1, w, h), "1-bit gray decode diverged")
+    def q2At(x: Int, y: Int): Int = (x / 2 + y) % 4
+    val raw2 = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw2.write(0)
+      var acc = 0; var nb = 0
+      for (x <- 0 until w) {
+        acc = (acc << 2) | q2At(x, y); nb += 2
+        if (nb == 8) { raw2.write(acc); acc = 0; nb = 0 }
+      }
+      if (nb > 0) raw2.write(acc << (8 - nb))
+    }
+    val pal2 = Array(10, 20, 30, 60, 70, 80, 120, 130, 140, 200, 210, 220)
+      .map(_.toByte)
+    val exp2 = Array.tabulate(w * h) { i =>
+      val k = q2At(i % w, i / w)
+      (77 * (pal2(k * 3) & 0xff) + 150 * (pal2(k * 3 + 1) & 0xff) +
+        29 * (pal2(k * 3 + 2) & 0xff)) >> 8
+    }
+    assert(PngDhash.compute(pngOf(3, 2,
+      chunk("PLTE", pal2) ++ chunk("IDAT", deflate(raw2.toByteArray)))) ==
+      PngDhash.dhashOfGray(exp2, w, h), "2-bit palette decode diverged")
+  }
+
   test("jpeg_dhash: real ImageIO JPEGs — re-encode/resize collapse, one hash space with PNG") {
     import java.awt.image.BufferedImage
     import java.awt.RenderingHints
