@@ -87,6 +87,29 @@ object StreamOps {
                      keyCols: Seq[String]): DataFrame =
     df.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming PERCEPTUAL media dedup — [[streamingDedup]] keyed on the
+    * perceptual hash instead of bytes: re-encoded / brightness-shifted /
+    * cross-container duplicate images arriving in different micro-
+    * batches collapse to the first copy, which byte-keyed dedup
+    * structurally cannot do. Decodable payloads key on the coalesced
+    * PNG/JPEG dHash (one hash space); undecodable payloads fall back to
+    * an exact byte-hash key in a DISJOINT key namespace (prefix marker),
+    * so "no perceptual signal" degrades to exact dedup instead of
+    * collapsing all opaque rows together. The decode is the same
+    * scan-fused expression the batch family uses; state is one row per
+    * live key, watermark-evicted.
+    */
+  def streamingPerceptDedup(df: DataFrame, ts: String, delay: String,
+                            blobCol: String): DataFrame = {
+    val phash = coalesce(
+      graft.functions.GraftFunctions.pngDhash(col(blobCol)),
+      graft.functions.GraftFunctions.jpegDhash(col(blobCol)))
+    val key = when(phash.isNotNull, concat(lit("p"), phash.cast("string")))
+      .otherwise(concat(lit("b"), xxhash64(col(blobCol)).cast("string")))
+    streamingDedup(df.withColumn("_pkey", key), ts, delay, Seq("_pkey"))
+      .drop("_pkey")
+  }
+
   /** Streaming CDC upsert sink — Etl.mergeUpsert as a live pipeline (the
     * engine-agnostic image of a Delta/Iceberg MERGE): each micro-batch
     * of change rows merges into a maintained keyed snapshot via

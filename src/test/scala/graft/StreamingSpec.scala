@@ -645,4 +645,42 @@ class StreamingSpec extends SparkSpec {
       assert(got.values.exists(identity)) // at least one edge fired
     } finally q.stop()
   }
+
+  test("streaming percept dedup: cross-container re-encodes collapse across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.{SynthCellPng, SynthGrayJpeg}
+
+    val base = 1700000000000L
+    def row(id: Long, min: Long, blob: Array[Byte]) =
+      (id, new java.sql.Timestamp(base + min * 60000L), blob)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val out = StreamOps.streamingPerceptDedup(
+      input.toDF().toDF("doc_id", "ts", "blob"), "ts", "2 hours", "blob")
+    val q = out.writeStream.format("memory").queryName("pdedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a PNG of pattern 5, a distinct pattern 6, and a text blob
+      input.addData(Seq(
+        row(1, 0, SynthCellPng.compute(5L)),
+        row(2, 1, SynthCellPng.compute(6L)),
+        row(3, 2, "opaque payload one".getBytes)))
+      q.processAllAvailable()
+      // batch 2: the JPEG RE-ENCODE of pattern 5 (different bytes, same
+      // image — byte dedup cannot see it), a fresh pattern, the SAME
+      // text bytes again, and a different text blob
+      input.addData(Seq(
+        row(4, 5, SynthGrayJpeg.compute(5L)),
+        row(5, 6, SynthCellPng.compute(7L)),
+        row(6, 7, "opaque payload one".getBytes),
+        row(7, 8, "opaque payload two".getBytes)))
+      q.processAllAvailable()
+      val ids = s.table("pdedup_out").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // 4 (cross-container re-encode of 5's image) and 6 (exact byte
+      // duplicate of the opaque payload) must be dropped
+      assert(ids == Set(1L, 2L, 3L, 5L, 7L), s"survivors: $ids")
+    } finally q.stop()
+  }
 }
