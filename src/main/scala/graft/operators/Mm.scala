@@ -503,6 +503,26 @@ object Mm {
       coalesce(px * py, lit(0L)).as("vision_tokens"))
   }
 
+  /** VIDEO vision-token budget: frames sampled at `fps` over the
+    * decoded duration × the per-frame ViT patch grid — the number a
+    * multimodal packer budgets for a video clip (each sampled frame
+    * enters the context as one image's patches). Rides
+    * [[decodeMp4Meta]]'s output; undecodable payloads budget 0. Pure
+    * projection, zero shuffle.
+    */
+  def videoTokens(meta: DataFrame, patch: Int, fps: Double): DataFrame = {
+    val px = ceil(col("width").cast("double") / patch).cast("long")
+    val py = ceil(col("height").cast("double") / patch).cast("long")
+    // ceil so any clip samples at least one frame; duration_ms·fps/1000
+    // stays integral for whole-ms durations and integral fps
+    val frames = ceil(col("duration_ms").cast("double") * fps / 1000.0).cast("long")
+    meta.select(col("doc_id"), col("format"), col("duration_ms"),
+      col("width"), col("height"),
+      coalesce(frames, lit(0L)).as("sampled_frames"),
+      coalesce(px * py, lit(0L)).as("tokens_per_frame"),
+      coalesce(frames * px * py, lit(0L)).as("vision_tokens"))
+  }
+
   /** Deterministic synthetic PIXEL-BEARING PNGs: real container (IHDR,
     * IDAT, IEND chunk walk), real zlib stream (stored-deflate blocks —
     * `java.util.zip.Inflater` decompresses them through its normal path),
@@ -867,6 +887,14 @@ object Mm {
       decodeMp4Meta(synthesizeMp4(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    // video token budget: 1 fps frame sampling over the decoded
+    // duration × 16px patch grid — the packer-facing number for clips
+    "mm_video_tokens" -> ((s, d) =>
+      videoTokens(
+        decodeMp4Meta(synthesizeMp4(Tables.documents(s, d), "doc_id", "text")),
+        patch = 16, fps = 1.0)
+        .orderBy("doc_id")),
+
     // TRUE frame extraction through the sample table: stsz sizes + stco
     // absolute offsets, one row per sample, md5 of the mdat bytes the
     // table points at — the oracle states every offset/size/slice from
@@ -940,6 +968,11 @@ object Mm {
     // levels back to match
     "mm_decode_mp4" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 1000 * (doc_id % 10 + 1) END AS duration_ms, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
+
+    // frames at 1 fps = the whole-second duration; patches off the
+    // tkhd dims; unknown containers budget zero
+    "mm_video_tokens" ->
+      """WITH m AS (SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'mp4' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 1000 * (doc_id % 10 + 1) END AS duration_ms, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents) SELECT doc_id, format, duration_ms, width, height, coalesce(CAST(ceil(duration_ms / 1000.0) AS BIGINT), 0) AS sampled_frames, coalesce(CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS tokens_per_frame, coalesce(CAST(ceil(duration_ms / 1000.0) AS BIGINT) * CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS vision_tokens FROM m ORDER BY doc_id""",
 
     // sample-table ground truth from doc_id alone: F = id%4+2 samples,
     // sz(i) = 16 + (id+i)%17, absolute offsets = the deterministic
