@@ -396,4 +396,26 @@ class RelationalSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
+
+  test("pageRank: exact integer ranks match a hand-computed path graph") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Graph
+    // undirected path 1—2—3, symmetrized; S = 1e12, N = 3:
+    // r0 = 333333333333 each; deg 1,2,1; base = 15S/300 = 50000000000;
+    // c(1)=c(3)=r0·85 div 100 = 283333333333, c(2)=r0·85 div 200 =
+    // 141666666666 → r1 = (191666666666, 616666666666, 191666666666)
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(e, "src", "dst", iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 191666666666L, 2L -> 616666666666L,
+      3L -> 191666666666L), s"got $r1")
+    // after more rounds: the hub keeps the top rank, everything stays
+    // positive, and total mass stays within the per-edge floor loss
+    val r3 = Graph.pageRank(e, "src", "dst", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(2L) > r3(1L) && r3(1L) == r3(3L) && r3.values.forall(_ > 0))
+    assert(math.abs(r3.values.sum - 1000000000000L) < 100L,
+      s"mass drifted: ${r3.values.sum}")
+  }
 }
