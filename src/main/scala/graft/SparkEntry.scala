@@ -24,6 +24,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (Mm.queries, Mm.oracles),
       (Graph.queries, Graph.oracles),
+      (Web.queries, Web.oracles),
       (Pipelines.queries, Pipelines.oracles),
       (graft.sources.Io.queries, graft.sources.Io.oracles)
     )
@@ -90,7 +91,8 @@ object SparkEntry {
     "events_pattern", "events_range_join", "q_join_anti", "q_search_tags",
     "q_search_tags_quoted", "sample_weighted", "sim_range_search",
     "src_binary_files", "src_orc_roundtrip", "src_text_files",
-    "graph_pagerank",
+    "graph_pagerank", "graph_triangles", "url_canonicalize", "dedup_url",
+    "etl_compaction_plan",
     "cluster_kmeans", "decon_bloom_persisted", "decon_bloom_screen",
     "decon_spans", "dedup_components", "dedup_components_persisted",
     "dedup_exact", "dedup_keep_best", "dedup_normalized",

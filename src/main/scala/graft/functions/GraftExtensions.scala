@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WavFingerprint(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("url_canonical"),
+      new ExpressionInfo(classOf[UrlCanonical].getName, "url_canonical"),
+      (children: Seq[Expression]) => {
+        requireArity("url_canonical", children, 1)
+        UrlCanonical(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("jpeg_dhash"),
       new ExpressionInfo(classOf[JpegDhash].getName, "jpeg_dhash"),
       (children: Seq[Expression]) => {
@@ -153,6 +160,11 @@ object GraftFunctions {
     * lossy-codec fixture generator, see [[SynthGrayJpeg]]. */
   def synthGrayJpeg(c: Column): Column =
     GraftBridge.column(SynthGrayJpeg(GraftBridge.expression(c)))
+
+  /** Raw URL → RFC 3986-normalized canonical form (null if
+    * unparseable) — see [[UrlCanonical]]. */
+  def urlCanonical(c: Column): Column =
+    GraftBridge.column(UrlCanonical(GraftBridge.expression(c)))
 
   /** WAV (PCM) payload → 64-bit perceptual audio fingerprint (null if
     * undecodable) — see [[WavFingerprint]]. */

@@ -359,6 +359,33 @@ object Etl {
           lit(nb * nb), 6).as("bbox_frac"))
   }
 
+  /** Small-file COMPACTION planner — the lakehouse maintenance op that
+    * pairs with [[zorderLayout]]: given a file inventory (partition,
+    * file id, bytes), assign every file to a rewrite bin by NEXT-FIT
+    * over cumulative bytes in file-id order — bin = bytes-before-this-
+    * file div target — and report each bin's file count, byte total and
+    * id range. Next-fit (not best-fit) is deliberate: it is the only
+    * bin-packing discipline that is a pure prefix-sum, i.e. ONE window
+    * over the inventory with no iteration and no driver state, and its
+    * waste bound (each bin ≥ half target once closed) is the accepted
+    * trade in production compactors. Scale shape: the inventory is
+    * METADATA grain (one row per file — millions of rows at 100 TB, not
+    * billions), the window partitions by the table partition so no
+    * global sort exists, and the output is bin grain.
+    */
+  def compactionPlan(df: DataFrame, partCol: String, idCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "compaction target must be positive")
+    val w = Window.partitionBy("part").orderBy("fid")
+    df.select(col(partCol).as("part"), col(idCol).cast("bigint").as("fid"),
+        col(sizeCol).cast("bigint").as("bytes"))
+      .withColumn("_prior", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("bin", expr(s"_prior div $targetBytes"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("fid")).as("first_file"), max(col("fid")).as("last_file"))
+  }
+
   /** JOIN-KEY SKEW report — the operational pre-check behind every
     * salting/broadcast decision (q_join_salted's "should we?" input):
     * per-key row counts, each heavy hitter's share of the table and its
@@ -448,6 +475,13 @@ object Etl {
     // heavy-hitter report on the events join key
     "data_skew_report" -> ((s, d) =>
       skewReport(Tables.events(s, d), "user_id", topK = 20)),
+
+    // compaction bins over the documents inventory (source = partition,
+    // n_chars = file bytes): next-fit prefix-sum binning at 4 KiB
+    "etl_compaction_plan" -> ((s, d) =>
+      compactionPlan(Tables.documents(s, d), "source", "doc_id", "n_chars",
+        targetBytes = 4096L)
+        .orderBy("part", "bin")),
 
     "etl_rename_normalize" -> ((s, d) =>
       renameNormalize(
@@ -593,6 +627,13 @@ object Etl {
         "(bamax - bamin + 1) * (bbmax - bbmin + 1)", s"${256L * 256L}", 6)
       s"""WITH src AS (SELECT user_id AS a, epoch_us(ts) AS b FROM events), mm AS (SELECT min(a) AS amin, max(a) AS amax, min(b) AS bmin, max(b) AS bmax FROM src), bk AS (SELECT a, b, ((a - amin) * 256) // (amax - amin + 1) AS ba, ((b - bmin) * 256) // (bmax - bmin + 1) AS bb FROM src CROSS JOIN mm), z AS (SELECT a, b, ba, bb, ($zkey) // ${1L << 10} AS file_id FROM bk), g AS (SELECT file_id, count(*)::BIGINT AS n_rows, min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max, min(ba) AS bamin, max(ba) AS bamax, min(bb) AS bbmin, max(bb) AS bbmax FROM z GROUP BY file_id) SELECT file_id, n_rows, a_min, a_max, b_min, b_max, $frac AS bbox_frac FROM g ORDER BY file_id NULLS FIRST"""
     },
+
+    "etl_compaction_plan" ->
+      """WITH f AS (SELECT source AS part, doc_id AS fid, CAST(n_chars AS BIGINT) AS bytes FROM documents),
+        |c AS (SELECT part, fid, bytes, sum(bytes) OVER (PARTITION BY part ORDER BY fid) - bytes AS prior_bytes FROM f),
+        |b AS (SELECT part, prior_bytes // 4096 AS bin, fid, bytes FROM c)
+        |SELECT part, bin, count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bytes, min(fid) AS first_file, max(fid) AS last_file
+        |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin,
 
     "data_skew_report" -> {
       val share = Stable.sqlRatioRounded("cnt", "total", 4)

@@ -75,6 +75,79 @@ object Graph {
     r.withColumnRenamed("r", "rank")
   }
 
+  /** Exact triangle counting with DEGREE ORIENTATION — the standard
+    * skew bound. Input: canonical undirected edges (a < b, distinct).
+    *
+    * Naive wedge enumeration pays Σ deg(v)² — a power-law heavy hitter
+    * (the supplier in every order) alone generates a quadratic wedge
+    * set. Orienting every edge from the (degree, id)-SMALLER endpoint
+    * to the larger makes the graph a DAG whose out-degrees are capped
+    * at O(√(2m)) (a node with out-degree k has k neighbors of degree
+    * ≥ its own, so k² ≤ 2m): wedges become Σ outdeg(v)² = O(m^1.5)
+    * WORST-case, independent of skew — the heavy hitter RECEIVES its
+    * edges and emits no wedge pairs. Each triangle then appears exactly
+    * once, as (u → lo, u → hi) closed by the oriented edge lo → hi.
+    *
+    * Shape: two node-grain joins to attach degrees (broadcastable —
+    * node grain vs edge grain), one edge×edge self-join on src (the
+    * bounded wedge set), one semi-shaped equi-join against the edge
+    * list to close, then a node-grain agg. No iteration, no driver
+    * state. Output: every node with its degree and triangle count.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("bigint").as("a"),
+      col("b").cast("bigint").as("b"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // attach both endpoint degrees, then orient by (degree, id)
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+           (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"), col("db").as("dk")))
+      .otherwise(
+        struct(col("b").as("src"), col("a").as("dst"), col("da").as("dk")))
+      .as("o")).select(col("o.src"), col("o.dst"), col("o.dk"))
+    // wedge heads ordered by the SAME (degree, id) total order, so the
+    // closing edge is oriented lo → hi by construction
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dk") < col("e2.dk") ||
+            (col("e1.dk") === col("e2.dk") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("lo"),
+        col("e2.dst").as("hi"))
+    val triangles = wedges.join(oriented,
+        col("lo") === col("src") && col("hi") === col("dst"))
+      .select("u", "lo", "hi")
+    val perNode = triangles.select(col("u").as("node"))
+      .unionByName(triangles.select(col("lo").as("node")))
+      .unionByName(triangles.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Supplier co-occurrence edges: two suppliers are linked when they
+    * ship lineitems of the SAME order — the co-supply projection of the
+    * order↔supplier bipartite graph (the trade graph itself is
+    * bipartite and triangle-free). Canonical a < b, distinct; the
+    * projection is sparse because order groups are small (a handful of
+    * lineitems each), so the pair fan-out is a bounded per-order
+    * combination, not a cross join. */
+  def coSupplyEdges(s: SparkSession, d: String): DataFrame = {
+    val sl = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+      .distinct()
+    sl.as("x").join(sl.as("y"),
+        col("x.o") === col("y.o") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      .distinct()
+  }
+
   /** The customer↔supplier trade graph: who transacted with whom, one
     * (distinct) edge per trading pair, symmetrized. Even node ids =
     * customers (custkey·2), odd = suppliers (suppkey·2+1). */
@@ -96,7 +169,15 @@ object Graph {
         .withColumn("node_type",
           when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")))
         .select("node", "node_type", "rank")
-        .orderBy("node"))
+        .orderBy("node")),
+
+    // exact per-supplier triangle census over the co-supply graph —
+    // local clustering structure (degree + closed wedges) with the
+    // orientation bound doing the 100 TB work
+    "graph_triangles" -> ((s, d) =>
+      triangleCounts(coSupplyEdges(s, d))
+        .withColumnRenamed("node", "suppkey")
+        .orderBy("suppkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,6 +190,19 @@ object Graph {
       def round(prev: String, out: String): String =
         s"""$out AS (SELECT e.dst AS node, ((SELECT ($scale * 15) // (100 * count(*)) FROM n) + sum(($prev.r * 85) // (100 * deg.d)))::BIGINT AS r FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src GROUP BY e.dst)"""
       s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), n AS (SELECT DISTINCT src AS node FROM e), deg AS (SELECT src, count(*) AS d FROM e GROUP BY src), r0 AS (SELECT node, $scale // (SELECT count(*) FROM n) AS r FROM n), ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")} SELECT node, CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, r AS rank FROM r3 ORDER BY node"""
-    }
+    },
+
+    // GROUND-TRUTH triangle semantics — the definitional a<b<c triple
+    // enumeration over canonical edges, NOT a replay of the engine's
+    // degree orientation: if the oriented wedge algebra over- or
+    // under-counts anywhere, the hash fails
+    "graph_triangles" ->
+      """WITH sl AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT DISTINCT x.sk AS a, y.sk AS b FROM sl x JOIN sl y ON x.o = y.o AND x.sk < y.sk),
+        |deg AS (SELECT node, count(*) AS degree FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tn AS (SELECT node, count(*) AS triangles FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT d.node AS suppkey, d.degree, CAST(COALESCE(tn.triangles, 0) AS BIGINT) AS triangles
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node ORDER BY suppkey""".stripMargin
   )
 }
