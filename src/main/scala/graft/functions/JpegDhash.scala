@@ -63,6 +63,15 @@ object JpegDhash {
   def compute(blob: Array[Byte]): java.lang.Long = {
     if (blob == null || blob.length < 4) return null
     if (blob(0) != 0xff.toByte || blob(1) != 0xd8.toByte) return null // SOI
+    viaImageIO(blob)
+  }
+
+  /** Shared ImageIO decode → luma → dHash body: the caller has already
+    * gated on its container signature, so whichever bundled JDK reader
+    * claims the bytes (JPEG, GIF, BMP, …) does the decode. Same
+    * header-dims-first hostile-payload gate and null-on-undecodable
+    * contract for every container riding it. */
+  private[functions] def viaImageIO(blob: Array[Byte]): java.lang.Long = {
     var iis: javax.imageio.stream.ImageInputStream = null
     var reader: javax.imageio.ImageReader = null
     try {

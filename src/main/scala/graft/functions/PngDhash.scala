@@ -132,8 +132,14 @@ object PngDhash {
       // filter neighborhood distance: ceil(bits per pixel / 8), so every
       // sub-byte depth filters at 1-byte grain (the spec's definition)
       val bpp = channels * bps
-      def rowBytesOf(wp: Int): Int =
-        if (subBits > 0) (wp * subBits + 7) / 8 else wp * bpp
+      // LONG math: a hostile IHDR width (e.g. 0x20000000 × RGBA) would
+      // overflow Int to a NEGATIVE row size, dodge the 64 MB gate below
+      // and crash on a negative array alloc instead of returning null
+      def rowBytesOf(wp: Int): Long =
+        if (subBits > 0) (wp.toLong * subBits + 7) / 8 else wp.toLong * bpp
+      // pixel-count gate before any pixel-grain allocation: the raw-size
+      // gate alone admits 512 M pixels of 1-bit data = a 2 GB gray array
+      if (w.toLong * h > (64L << 20)) return null
       // interlace passes: (xStart, yStart, xStep, yStep) — one identity
       // pass when non-interlaced, the seven Adam7 passes otherwise (the
       // raw stream is the concatenation of each pass's own filtered
@@ -153,7 +159,7 @@ object PngDhash {
       // perceptual signal", same as every other undecodable shape.
       val rawLen = passes.map { p =>
         val (wp, hp) = passDims(p)
-        if (wp > 0 && hp > 0) (1L + rowBytesOf(wp).toLong) * hp.toLong else 0L
+        if (wp > 0 && hp > 0) (1L + rowBytesOf(wp)) * hp.toLong else 0L
       }.sum
       if (rawLen > (64L << 20)) return null
       // concatenate IDAT payloads (writers split them freely); for
@@ -217,7 +223,7 @@ object PngDhash {
         val (xs, ys, xst, yst) = passes(pi2)
         val (wp, hp) = passDims(passes(pi2))
         if (wp > 0 && hp > 0) {
-          val rdb = rowBytesOf(wp)
+          val rdb = rowBytesOf(wp).toInt // ≤ rawLen ≤ 64 MB post-gate
           val rb = 1 + rdb
           val prior = new Array[Byte](rdb)
           val cur = new Array[Byte](rdb)
@@ -281,6 +287,10 @@ object PngDhash {
     } catch {
       case _: java.util.zip.DataFormatException => null
       case _: ArrayIndexOutOfBoundsException => null
+      // belt-and-braces: no size arithmetic should go negative after the
+      // Long-math gates above, but a corrupt container must never take
+      // down the whole task
+      case _: NegativeArraySizeException => null
     }
   }
 

@@ -52,6 +52,17 @@ object SynthMp4Samples {
   def compute(id: Long, text: UTF8String): Array[Byte] = {
     val f = sampleCount(id)
     val payload = text.getBytes
+    // CLAMP the declared sample table to the payload: the formula sizes
+    // can total more bytes than the text provides (356/5000 docs at
+    // sf0.1), and an unclamped stco/stsz would point past mdat — a
+    // spec-invalid file that only round-tripped because both the engine
+    // slice and the oracle substr happened to clamp identically. With
+    // the clamp the file is valid for ANY payload; trailing samples
+    // shrink to 0 bytes (md5 of empty), and the oracle replays
+    // least(rel, n) / least(rel+sz, n) - least(rel, n).
+    val rel = new Array[Int](f + 1)
+    (0 until f).foreach(i => rel(i + 1) = rel(i) + sampleSize(id, i))
+    def cl(x: Int): Int = math.min(x, payload.length)
     val stblLen = 8 + 24 + (20 + 4 * f) + (16 + 4 * f)
     val minfLen = 8 + stblLen
     val mdiaLen = 8 + 32 + minfLen
@@ -84,10 +95,9 @@ object SynthMp4Samples {
     box(stblLen, "stbl")
     box(24, "stts"); out.putInt(0); out.putInt(1); out.putInt(f); out.putInt(1000)
     box(20 + 4 * f, "stsz"); out.putInt(0); out.putInt(0); out.putInt(f)
-    (0 until f).foreach(i => out.putInt(sampleSize(id, i)))
+    (0 until f).foreach(i => out.putInt(cl(rel(i + 1)) - cl(rel(i))))
     box(16 + 4 * f, "stco"); out.putInt(0); out.putInt(f)
-    var off = mdatOff + 8
-    (0 until f).foreach { i => out.putInt(off); off += sampleSize(id, i) }
+    (0 until f).foreach(i => out.putInt(mdatOff + 8 + cl(rel(i))))
     // mdat
     box(8 + payload.length, "mdat"); out.put(payload)
     out.array()

@@ -165,7 +165,11 @@ object WavFingerprint {
         if (id == "fmt " && fmtOff < 0) fmtOff = p + 8
         if (id == "data" && dataOff < 0) { dataOff = p + 8; dataLen = sz }
         if (sz < 0 || sz > blob.length) return null
-        p += 8 + sz.toInt
+        // RIFF chunks are 2-byte aligned: an odd-sized chunk (LIST/INFO
+        // text is the common case) is followed by a pad byte the size
+        // field does NOT count — skipping it keeps the walk aligned
+        // instead of silently degrading real WAVs to the byte-hash path
+        p += 8 + sz.toInt + (sz.toInt & 1)
       }
       if (fmtOff < 0 || dataOff < 0 || fmtOff + 16 > blob.length) return null
       val audioFormat = u16(blob, fmtOff)

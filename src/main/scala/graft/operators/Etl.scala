@@ -631,7 +631,7 @@ object Etl {
     "etl_compaction_plan" ->
       """WITH f AS (SELECT source AS part, doc_id AS fid, CAST(n_chars AS BIGINT) AS bytes FROM documents),
         |c AS (SELECT part, fid, bytes, sum(bytes) OVER (PARTITION BY part ORDER BY fid) - bytes AS prior_bytes FROM f),
-        |b AS (SELECT part, prior_bytes // 4096 AS bin, fid, bytes FROM c)
+        |b AS (SELECT part, CAST(prior_bytes // 4096 AS BIGINT) AS bin, fid, bytes FROM c)
         |SELECT part, bin, count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bytes, min(fid) AS first_file, max(fid) AS last_file
         |FROM b GROUP BY part, bin ORDER BY part, bin""".stripMargin,
 

@@ -38,36 +38,44 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, scale: Long = 1000000000000L): DataFrame = {
-    // The edge list stays LAZY deliberately. Measured at sf10 (120M
-    // symmetrized fact-grain edges, default 8g heap): caching it —
-    // in-memory checkpoint AND disk-only persist both — starves the
-    // per-iteration hash aggs into UNABLE_TO_ACQUIRE_MEMORY, while the
-    // lazy plan (which recomputes the upstream join+distinct per round)
-    // completes in 67 s, 6.5× at 10× data. k is small and bounded, so
-    // k redundant scans beat k aggs competing with pinned blocks at
-    // fixed local memory; on a real cluster the edge list would be a
-    // bucketed TABLE (write once, zero-exchange reads per iteration),
-    // which is the durable analog of the checkpoint, not a cache.
-    val e = edges.select(col(srcCol).cast("bigint").as("src"),
-      col(dstCol).cast("bigint").as("dst"))
-    val nodes = e.select(col("src").as("node")).distinct()
+    // The edge list is CHECKPOINTED once. r9's lazy version recomputed
+    // the upstream join+distinct per round because caching + the then-
+    // current per-round sort-merge join + repartition aggs starved an
+    // 8g heap at sf10 (UNABLE_TO_ACQUIRE_MEMORY); the r10 rounds
+    // broadcast the node-grain side instead, so the edge blocks no
+    // longer compete with per-round sort buffers and the checkpoint
+    // wins (sf0.1: 2.6 s vs 3.2 s lazy; sf1 11.4 s — 4.4× at 10×
+    // data). On a real cluster the durable analog is a bucketed edge
+    // TABLE (write once, zero-exchange reads per iteration).
+    val e = graft.CacheScope.register(
+      edges.select(col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst")).localCheckpoint(true))
+    // deg is NODE-grain (|nodes| rows of two longs) — checkpoint it once
+    // so the per-round weight join never re-scans the fact-grain edge
+    // list to recount degrees, and derive nodes/N from it (symmetrized
+    // edges put every node in the src column) instead of paying a
+    // separate distinct scan.
+    val deg = graft.CacheScope.register(
+      e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true))
     // N is ONE driver-side long (the formula constant), not a collect
-    val n = nodes.count()
+    val n = deg.count()
     require(n > 0, "pageRank over an empty edge list")
     val base = scale * 15 / (100 * n)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    var r = nodes.withColumn("r", lit(scale / n))
+    var r = deg.select(col("src").as("node")).withColumn("r", lit(scale / n))
     (1 to iters).foreach { _ =>
-      // per-src weight at NODE grain first (one narrow join), then the
-      // fact-grain edge join; the explicit dst repartition puts the
-      // rank agg in its OWN stage — pipelining it behind the
-      // sort-merge join's buffers measured UNABLE_TO_ACQUIRE_MEMORY at
-      // sf10/8g (32 concurrent tasks × sort + high-cardinality agg map)
-      val w = r.join(deg, col("node") === col("src"))
+      // per-src weight at NODE grain first (one narrow broadcast join),
+      // then the fact-grain edge join with the node-grain weight table
+      // BROADCAST — the edge list is never exchanged, and the dst agg
+      // partial-aggregates map-side before its one (node-grain) shuffle.
+      // At a node count past driver memory the broadcast hint would be
+      // replaced by a bucketed edge TABLE co-partitioned with the rank
+      // table (the durable analog already described above); |nodes| ≪
+      // |edges| by the fan-out of any real link graph, so broadcast is
+      // the right default shape.
+      val w = r.join(broadcast(deg), col("node") === col("src"))
         .select(col("src"), expr("(r * 85) div (100 * d)").as("c"))
-      r = e.join(w, "src")
+      r = e.join(broadcast(w), "src")
         .select(col("dst"), col("c"))
-        .repartition(col("dst"))
         .groupBy(col("dst").as("node"))
         .agg((sum(col("c")) + base).as("r"))
         .select(col("node"), col("r"))
@@ -95,8 +103,14 @@ object Graph {
     * state. Output: every node with its degree and triangle count.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a").cast("bigint").as("a"),
-      col("b").cast("bigint").as("b"))
+    // The canonical edge list is typically the output of an expensive
+    // upstream projection (coSupplyEdges: a distinct'd self-join over
+    // lineitem) and is referenced by deg + the orientation + the final
+    // join — checkpoint it ONCE. It is edge-grain and two-long narrow
+    // (~16 B/row), so the blocks are tiny relative to the wedge work.
+    val e = graft.CacheScope.register(
+      edges.select(col("a").cast("bigint").as("a"),
+        col("b").cast("bigint").as("b")).localCheckpoint(true))
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -104,28 +118,51 @@ object Graph {
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
-    val oriented = withDeg.select(
+    // `oriented` is the (degree, id)-DAG: every edge points from the
+    // smaller endpoint to the larger under the total order, so each
+    // triangle is the unique acyclic tournament a→b, a→c, b→c.
+    // Checkpointed: edge-grain, two longs (~16 B/row) — the r9 lazy
+    // version recomputed these node-grain joins per consumer (75 s
+    // median, 24—142 s pass variance at sf0.1).
+    val oriented = graft.CacheScope.register(withDeg.select(
       when(col("da") < col("db") ||
            (col("da") === col("db") && col("a") < col("b")),
-        struct(col("a").as("src"), col("b").as("dst"), col("db").as("dk")))
+        struct(col("a").as("src"), col("b").as("dst")))
       .otherwise(
-        struct(col("b").as("src"), col("a").as("dst"), col("da").as("dk")))
-      .as("o")).select(col("o.src"), col("o.dst"), col("o.dk"))
-    // wedge heads ordered by the SAME (degree, id) total order, so the
-    // closing edge is oriented lo → hi by construction
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.dk") < col("e2.dk") ||
-            (col("e1.dk") === col("e2.dk") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.src").as("u"), col("e1.dst").as("lo"),
-        col("e2.dst").as("hi"))
-    val triangles = wedges.join(oriented,
-        col("lo") === col("src") && col("hi") === col("dst"))
-      .select("u", "lo", "hi")
-    val perNode = triangles.select(col("u").as("node"))
-      .unionByName(triangles.select(col("lo").as("node")))
-      .unionByName(triangles.select(col("hi").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+        struct(col("b").as("src"), col("a").as("dst")))
+      .as("o")).select(col("o.src"), col("o.dst"))
+      .localCheckpoint(true))
+    // COMPACT-FORWARD closing: each triangle is found exactly once, on
+    // its a→b edge, as c ∈ N⁺(a) ∩ N⁺(b) (b→c can't yield it — a ∉
+    // N⁺(b); a→c can't — b ∉ N⁺(c)). The r9→r10.0 wedge SELF-JOIN
+    // materialized Σ outdeg² wedge ROWS (205 M at sf0.1) through join
+    // machinery and then exploded 3 corners per triangle (373 M more);
+    // here the whole wedge set collapses into one codegen'd
+    // array_intersect per EDGE (453 k rows at sf0.1), and corner
+    // attribution is a single explode of |triangles| + 2·|E| struct
+    // rows. Out-degrees are orientation-capped at O(√(2m)), so each
+    // adjacency array — and each per-edge intersect — is skew-bounded.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // adj totals |E| longs (MBs while edges fit an executor — true for
+    // any node-grain² projection like co-supply). Broadcast beats
+    // exchanging the edge list twice; past that, drop the hints and
+    // this becomes two edge-grain shuffle joins — still the right
+    // 100 TB shape. Inner joins: src always has out-edges (its own),
+    // and a sink dst means an empty intersection = zero contribution,
+    // so dropped rows are exactly the zero rows.
+    val withT = oriented
+      .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), Seq("src"))
+      .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), Seq("dst"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("na"), col("nb")).as("i"))
+    // one pass: a and b each earn |I| triangles, every c ∈ I earns 1
+    val perNode = withT.select(explode(concat(
+        array(struct(col("src").as("node"), size(col("i")).cast("long").as("w")),
+              struct(col("dst").as("node"), size(col("i")).cast("long").as("w"))),
+        transform(col("i"), c => struct(c.as("node"), lit(1L).as("w"))))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg(sum(col("x.w")).as("triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))

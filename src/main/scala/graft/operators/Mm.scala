@@ -976,10 +976,14 @@ object Mm {
 
     // sample-table ground truth from doc_id alone: F = id%4+2 samples,
     // sz(i) = 16 + (id+i)%17, absolute offsets = the deterministic
-    // header length 360+8F plus the running size sum; the md5 is over
-    // the SAME text slice the stco offset points at inside mdat
+    // header length 360+8F plus the running size sum, with both offset
+    // and size CLAMPED to the payload length exactly as the muxer
+    // declares them (SynthMp4Samples: the table must never point past
+    // mdat); the md5 is over the SAME text slice the stco offset points
+    // at inside mdat. Char-based substr == the engine's byte slice only
+    // because the corpus is ASCII — a documented corpus contract.
     "mm_frames_mp4" ->
-      """WITH p AS (SELECT doc_id, text, doc_id % 4 + 2 AS f FROM documents), s AS (SELECT doc_id, text, f, unnest(range(0, f::INT)) AS si FROM p), z AS (SELECT doc_id, text, f, si, 16 + (doc_id + si) % 17 AS sz FROM s), o AS (SELECT doc_id, text, f, si, sz, coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel FROM z) SELECT doc_id, si::BIGINT AS si, (360 + 8 * f + rel)::BIGINT AS sample_off, sz::BIGINT AS sample_size, md5(substr(text, (rel + 1)::INT, sz::INT)) AS sample_md5 FROM o ORDER BY doc_id, si""",
+      """WITH p AS (SELECT doc_id, text, length(text) AS n, doc_id % 4 + 2 AS f FROM documents), s AS (SELECT doc_id, text, n, f, unnest(range(0, f::INT)) AS si FROM p), z AS (SELECT doc_id, text, n, f, si, 16 + (doc_id + si) % 17 AS sz FROM s), o AS (SELECT doc_id, text, n, f, si, sz, coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel FROM z) SELECT doc_id, si::BIGINT AS si, (360 + 8 * f + least(rel, n))::BIGINT AS sample_off, (least(rel + sz, n) - least(rel, n))::BIGINT AS sample_size, md5(substr(text, (least(rel, n) + 1)::INT, (least(rel + sz, n) - least(rel, n))::INT)) AS sample_md5 FROM o ORDER BY doc_id, si""",
 
     // ground truth of the synthesized RIFF headers, from doc_id alone
     "mm_decode_wav" ->

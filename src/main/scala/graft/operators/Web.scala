@@ -121,9 +121,12 @@ object Web {
   val oracles: Map[String, String] = Map(
     "url_canonicalize" ->
       s"WITH $urlCte SELECT doc_id, raw_url, url FROM urls ORDER BY doc_id",
+    // NOTE: plain concatenation, no second stripMargin — urlCte is
+    // already margin-stripped, and re-stripping would eat the leading
+    // pipe of its `|| '://www.site'` continuation line (r9 ERR row)
     "dedup_url" ->
-      s"""WITH $urlCte
-         |SELECT url, count(*) AS n_raw, min(doc_id) AS keeper
-         |FROM urls GROUP BY url ORDER BY url""".stripMargin
+      (s"WITH $urlCte " +
+        "SELECT url, count(*) AS n_raw, min(doc_id) AS keeper " +
+        "FROM urls GROUP BY url ORDER BY url")
   )
 }
