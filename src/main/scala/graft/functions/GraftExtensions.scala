@@ -78,6 +78,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("jpeg_dhash", children, 1)
         JpegDhash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("gif_dhash"),
+      new ExpressionInfo(classOf[GifDhash].getName, "gif_dhash"),
+      (children: Seq[Expression]) => {
+        requireArity("gif_dhash", children, 1)
+        GifDhash(children.head)
+      }))
   }
 }
 
@@ -180,6 +187,16 @@ object GraftFunctions {
     * [[synthGrayJpeg]]) from a bigint id — see [[SynthCellPng]]. */
   def synthCellPng(c: Column): Column =
     GraftBridge.column(SynthCellPng(GraftBridge.expression(c)))
+
+  /** GIF payload → 64-bit perceptual dHash in the same hash space as
+    * [[pngDhash]]/[[jpegDhash]] (null if undecodable) — see [[GifDhash]]. */
+  def gifDhash(c: Column): Column =
+    GraftBridge.column(GifDhash(GraftBridge.expression(c)))
+
+  /** Deterministic synthetic cell GIF (same image family as
+    * [[synthGrayJpeg]]) from a bigint id — see [[SynthCellGif]]. */
+  def synthCellGif(c: Column): Column =
+    GraftBridge.column(SynthCellGif(GraftBridge.expression(c)))
 
   /** Deterministic MP4 with a real stsz/stco sample table over the text
     * payload — see [[SynthMp4Samples]]. */

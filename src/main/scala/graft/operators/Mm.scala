@@ -586,6 +586,15 @@ object Mm {
       .select(col("doc_id"), graft.functions.GraftFunctions.synthCellPng(
         col("doc_id")).as("blob"))
 
+  /** Deterministic synthetic cell GIFs — the third container over the
+    * SAME 72×64 cell-formula image family (real `javax.imageio` GIF
+    * write; lossless at ≤256 colors so the formula pixels round-trip
+    * exactly) — see [[graft.functions.SynthCellGif]]. */
+  def synthesizeCellGifs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.synthCellGif(
+        col("doc_id")).as("blob"))
+
   /** Deterministic synthetic PCM WAVs with SAMPLE-LEVEL ground truth —
     * the audio counterpart of [[synthesizePixelPngs]]: a real RIFF/WAVE
     * container (constant mono/16-bit/8 kHz header — PCM is uncompressed,
