@@ -320,13 +320,20 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("si").collect()
     val f = 7 % 4 + 2
     assert(rows.length == f, s"expected $f samples, got ${rows.length}")
+    // replay the payload clamp (SynthMp4Samples.compute): declared
+    // sizes past the payload shrink — size = cl(rel+sz) − cl(rel),
+    // offset and md5 use the CLAMPED slice start
+    val n = text.getBytes.length
+    def cl(x: Int): Int = math.min(x, n)
     var rel = 0
     rows.zipWithIndex.foreach { case (r, i) =>
       val sz = 16 + (7 + i) % 17
-      assert(r.getLong(3) == sz, s"sample $i size ${r.getLong(3)} != $sz")
-      assert(r.getLong(2) == 360 + 8 * f + rel, s"sample $i offset ${r.getLong(2)}")
+      val want0 = cl(rel)
+      val wantSz = cl(rel + sz) - want0
+      assert(r.getLong(3) == wantSz, s"sample $i size ${r.getLong(3)} != $wantSz")
+      assert(r.getLong(2) == 360 + 8 * f + want0, s"sample $i offset ${r.getLong(2)}")
       val want = java.security.MessageDigest.getInstance("MD5")
-        .digest(text.slice(rel, rel + sz).getBytes)
+        .digest(text.slice(want0, want0 + wantSz).getBytes)
         .map("%02x".format(_)).mkString
       assert(r.getString(4) == want, s"sample $i md5 mismatch")
       rel += sz
