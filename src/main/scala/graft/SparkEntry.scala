@@ -106,10 +106,12 @@ object SparkEntry {
     "flow_json_parse", "flow_map", "flow_push", "flow_rewire", "flow_split",
     "flow_switch", "flow_to_json", "merge_upsert", "mix_anneal",
     "mix_sources", "mix_temperature", "mm_chunks", "mm_decode_meta",
-    "mm_decode_wav", "mm_decode_mp4", "mm_frames_mp4", "mm_video_tokens",
+    "mm_decode_wav", "mm_decode_mp4", "mm_decode_webp", "mm_frames_mp4",
+    "mm_video_tokens",
     "mm_dedup_binary", "mm_frames", "mm_meta",
     "mm_dedup_percept", "mm_dedup_percept_jpeg", "mm_dedup_percept_audio",
-    "mm_dedup_percept_cross", "mm_pipeline_e2e", "mm_pack_multimodal",
+    "mm_dedup_percept_cross", "mm_dedup_percept_gif",
+    "mm_pipeline_e2e", "mm_pack_multimodal",
     "mm_vision_tokens", "q_above_custavg",
     "q_filter_eq", "q_filter_range", "q_groupby_having", "q_join_bloom",
     "q_join_links", "q_join_salted", "q_not_in_subquery", "q_set_ops",

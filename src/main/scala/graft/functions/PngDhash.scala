@@ -138,8 +138,11 @@ object PngDhash {
       def rowBytesOf(wp: Int): Long =
         if (subBits > 0) (wp.toLong * subBits + 7) / 8 else wp.toLong * bpp
       // pixel-count gate before any pixel-grain allocation: the raw-size
-      // gate alone admits 512 M pixels of 1-bit data = a 2 GB gray array
-      if (w.toLong * h > (64L << 20)) return null
+      // gate alone admits 512 M pixels of 1-bit data = a 2 GB gray array.
+      // 16 Mpixel — the SAME bound JpegDhash.viaImageIO applies, so every
+      // decoder of the shared hash space holds one hostile-payload memory
+      // ceiling (gray Int array ≤ 64 MB per task)
+      if (w.toLong * h > (16L << 20)) return null
       // interlace passes: (xStart, yStart, xStep, yStep) — one identity
       // pass when non-interlaced, the seven Adam7 passes otherwise (the
       // raw stream is the concatenation of each pass's own filtered

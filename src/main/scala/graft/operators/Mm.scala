@@ -317,14 +317,125 @@ object Mm {
       when(isWav && col("_data").isNotNull && byteRate > 0, durMs).as("duration_ms"))
   }
 
+  /** Deterministic synthetic WebP payloads — the FOURTH crawl image
+    * container, one per published bitstream flavor: `VP8 ` (lossy —
+    * 3-byte frame tag, 9D 01 2A start code, 14-bit u16le dims), `VP8L`
+    * (lossless — 0x2F signature, dims-minus-one packed in a u32le
+    * bitfield), and `VP8X` (extended — u24le canvas dims-minus-one),
+    * each inside a real RIFF/"WEBP" chunk chain (VP8L's 5-byte payload
+    * carries the RIFF odd-chunk pad byte). Ground truth derives from
+    * doc_id via the house dim formulas; the remaining quarter is raw
+    * text (no container). Reference tie: container-agnostic S3 ingest
+    * (packages/app/bundles/custom/aws/s3/s3-connector.ts:1).
+    */
+  def synthesizeWebp(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    def le16h(v: Column): Column = {
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le24h(v: Column): Column = {
+      val be = lpad(hex(v), 6, "0")
+      concat(substring(be, 5, 2), substring(be, 3, 2), substring(be, 1, 2))
+    }
+    def le32h(v: Column): Column = {
+      val be = lpad(hex(v), 8, "0")
+      concat(substring(be, 7, 2), substring(be, 5, 2),
+        substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val w = (id % 900 + 100).cast("int")
+    val h = ((id * 3) % 900 + 100).cast("int")
+    val vp8 = concat(lit("56503820"), le32h(lit(10L)),
+      lit("000000" + "9D012A"), le16h(w), le16h(h))
+    val vp8l = concat(lit("5650384C"), le32h(lit(5L)), lit("2F"),
+      le32h((w - 1) + (h - 1) * 16384), lit("00"))
+    val vp8x = concat(lit("56505838"), le32h(lit(10L)), lit("00000000"),
+      le24h(w - 1), le24h(h - 1))
+    // RIFF size = "WEBP" (4) + chunk header (8) + payload incl. pad
+    def riff(chunk: Column, size: Long): Column =
+      concat(lit("52494646"), le32h(lit(size)), lit("57454250"), chunk)
+    val hexText = hex(substring(col(textCol), 1, 64).cast("binary"))
+    df.select(id.cast("bigint").as("doc_id"),
+      unhex(when(id % 4 === 0, riff(vp8, 22L))
+        .when(id % 4 === 1, riff(vp8l, 18L))
+        .when(id % 4 === 2, riff(vp8x, 22L))
+        .otherwise(hexText)).as("blob"))
+  }
+
+  /** WebP header decode — the RIFF chunk walk of [[decodeWavMeta]]
+    * with the odd-chunk PAD byte modeled (VP8L payloads are routinely
+    * odd-sized), dims per bitstream flavor: `VP8X` canvas u24le+1
+    * first (the extended container's declared canvas governs), then
+    * `VP8L`'s signature-gated u32le bitfield, then `VP8 `'s
+    * start-code-gated 14-bit u16le pair. Pure codegen expressions over
+    * the hex image of the first `headBytes` bytes — dims live in the
+    * leading chunk of every legal WebP, so a tiny head window suffices.
+    * Zero shuffle, zero UDFs; scan-fused projection at any scale.
+    */
+  def decodeWebpMeta(blobs: DataFrame, maxSegs: Int = 4,
+                     headBytes: Int = 64): DataFrame = {
+    val hx = col("_hx")
+    def le16(q: Column): Column =
+      conv(concat(substr(hx, q + 2, lit(2)), substr(hx, q, lit(2))), 16, 10).cast("long")
+    def le24(q: Column): Column =
+      conv(concat(substr(hx, q + 4, lit(2)), substr(hx, q + 2, lit(2)),
+        substr(hx, q, lit(2))), 16, 10).cast("long")
+    def le32(q: Column): Column =
+      conv(concat(substr(hx, q + 6, lit(2)), substr(hx, q + 4, lit(2)),
+        substr(hx, q + 2, lit(2)), substr(hx, q, lit(2))), 16, 10).cast("long")
+    def idAt(p: Column): Column = substr(hx, p, lit(8))
+    // chunk-start hex positions: byte 12 → hex 25; next = p + header
+    // (16) + payload (2·size) + RIFF pad when the size is odd
+    val past = lit(2L * headBytes + 1L)
+    val walked = (1 until maxSegs).foldLeft(
+      blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes)))
+        .withColumn("_p0", lit(25L))) { (df, i) =>
+      val sz = le32(col(s"_p${i - 1}") + 8L)
+      df.withColumn(s"_p$i",
+        least(col(s"_p${i - 1}") + 16L + (sz + pmod(sz, lit(2L))) * 2L, past))
+    }
+    def firstChunk(idHex: String): Column = coalesce(
+      (0 until maxSegs).map(i => when(idAt(col(s"_p$i")) === idHex, col(s"_p$i"))): _*)
+    val staged = walked
+      .withColumn("_vp8", firstChunk("56503820"))
+      .withColumn("_vp8l", firstChunk("5650384C"))
+      .withColumn("_vp8x", firstChunk("56505838"))
+    val isRiffWebp = substring(hx, 1, 8) === "52494646" &&
+      substring(hx, 17, 8) === "57454250"
+    val vp8Ok = col("_vp8").isNotNull &&
+      substr(hx, col("_vp8") + 16L + 6L, lit(6)) === "9D012A"
+    val vp8lOk = col("_vp8l").isNotNull &&
+      substr(hx, col("_vp8l") + 16L, lit(2)) === "2F"
+    val lBits = le32(col("_vp8l") + 18L)
+    val codec = when(!isRiffWebp, lit(null).cast("string"))
+      .when(col("_vp8x").isNotNull, lit("vp8x"))
+      .when(vp8lOk, lit("vp8l"))
+      .when(vp8Ok, lit("vp8"))
+    val width = when(col("_vp8x").isNotNull, le24(col("_vp8x") + 24L) + 1L)
+      .when(vp8lOk, lBits.bitwiseAND(lit(16383L)) + 1L)
+      .when(vp8Ok, le16(col("_vp8") + 28L).bitwiseAND(lit(16383L)))
+    val height = when(col("_vp8x").isNotNull, le24(col("_vp8x") + 30L) + 1L)
+      .when(vp8lOk, shiftright(lBits, 14).bitwiseAND(lit(16383L)) + 1L)
+      .when(vp8Ok, le16(col("_vp8") + 32L).bitwiseAND(lit(16383L)))
+    staged.select(col("doc_id"),
+      when(isRiffWebp && codec.isNotNull, lit("webp"))
+        .otherwise(lit("unknown")).as("format"),
+      when(isRiffWebp, codec).as("codec"),
+      when(isRiffWebp, width).as("width"),
+      when(isRiffWebp, height).as("height"))
+  }
+
   /** Deterministic synthetic VIDEO payloads with REAL ISO-BMFF (MP4)
     * box structure — the big-endian sibling of [[synthesizeAudio]]'s
     * RIFF chain: `ftyp` first, then `moov` containing a spec-layout
     * `mvhd` (timescale/duration at their fixed v0 offsets) and a
     * `trak`/`tkhd` (16.16 fixed-point dims at offsets 76/80 of the v0
-    * payload). doc_id varies WHERE the `free` filler boxes sit — before
-    * `moov` at top level, or before `mvhd` inside it — so a parser must
-    * actually walk both box levels, not read fixed offsets. Ground
+    * payload). doc_id varies the LAYOUT: variant 0 is faststart
+    * (ftyp moov mdat), variant 1 is non-faststart (ftyp free mdat
+    * moov — moov AFTER the payload, the layout a plain recorder
+    * writes) with a `free` box shuffled before `mvhd` inside moov —
+    * so a parser must actually walk the top-level size chain and both
+    * box levels, not read fixed offsets or a fixed head window. Ground
     * truth derives from doc_id: timescale = 1000·(id%4+1), duration =
     * timescale·(id%10+1) (so duration_ms = 1000·(id%10+1) exactly),
     * dims = the image-family formulas. The remaining third carries raw
@@ -364,28 +475,35 @@ object Mm {
     val mdat = concat(be32((length(hexText) / 2 + 8).cast("int")),
       lit("6D646174"), hexText)
     df.select(id.cast("bigint").as("doc_id"),
+      // variant 1 is NON-FASTSTART: moov sits AFTER mdat (the layout a
+      // plain recorder writes), with a free box and an in-moov free
+      // shuffle on top — a parser must walk the top-level size chain
+      // past the payload, not scan a fixed head window, to reach it
       unhex(when(id % 3 === 0, concat(ftyp, moovA, mdat))
-        .when(id % 3 === 1, concat(ftyp, freeTop, moovB, mdat))
+        .when(id % 3 === 1, concat(ftyp, freeTop, mdat, moovB))
         .otherwise(hexText)).as("blob"))
   }
 
   private def be32Hex(v: Long): String = f"$v%08X"
 
-  /** MP4/ISO-BMFF header decode by a TWO-LEVEL box walk — pure codegen
-    * expressions over the hex image of the first `headBytes` bytes, the
-    * big-endian mirror of [[decodeWavMeta]]'s RIFF chain. Top level:
-    * boxes of [u32 size][4-char type]; find `moov` (the file must open
-    * with `ftyp`, the ISO-BMFF magic). Inside `moov`: the same walk
-    * finds `mvhd` (v0: timescale at payload byte 12, duration at 16)
-    * and `trak`, whose own first-level walk finds `tkhd` (v0: 16.16
-    * dims at payload bytes 76/80 — the integer u16 is read, fractional
-    * pixels don't exist in practice). duration_ms = duration·1000/
-    * timescale, exact whenever timescale divides (whole-ms tracks).
-    * Positions clamp past the head window on garbage sizes, so non-MP4
-    * bytes walk safely to "unknown". Handles moov-first (faststart)
-    * files; a moov-at-end layout needs `headBytes` raised toward the
-    * mdat size or a tail read — a documented bound, not a structural
-    * limit. Zero shuffle, zero UDFs; scan-fused projection at any scale.
+  /** MP4/ISO-BMFF header decode by a TWO-LEVEL box walk. Top level:
+    * boxes of [u32 size][4-char type], walked DIRECTLY on the blob at
+    * dynamic byte positions — only the 8 header bytes of each box are
+    * read per step, so `moov` is found at ANY file offset, including
+    * after a multi-GB `mdat` (the non-faststart layout a plain
+    * recorder writes); no head-window bound exists at this level.
+    * The found moov is then hex-imaged through a bounded `moovWindow`
+    * and walked with the same named-column machinery as
+    * [[decodeWavMeta]]'s RIFF chain: `mvhd` (v0: timescale at payload
+    * byte 12, duration at 16) and `trak`, whose own child walk finds
+    * `tkhd` (v0: 16.16 dims at payload bytes 76/80 — the integer u16
+    * is read, fractional pixels don't exist in practice).
+    * duration_ms = duration·1000/timescale, exact whenever timescale
+    * divides (whole-ms tracks). Garbage sizes clamp to EOF (top level)
+    * or past the moov window (child levels), and every step advances
+    * ≥ 8 bytes, so hostile payloads walk safely to "unknown" in a
+    * bounded number of reads. Zero shuffle, zero UDFs; scan-fused
+    * projection at any scale.
     */
   /** ISO-BMFF hex-walk primitives shared by [[decodeMp4Meta]] and
     * [[mp4SampleTable]]: u32 read, a named-column box walk at one
@@ -406,21 +524,43 @@ object Mm {
       when(substr(col("_hx"), col(s"_$pfx$i") + 8, lit(8)) === typeHex,
         col(s"_$pfx$i"))): _*)
 
+  /** Top-level box-chain primitives: u32/type reads at a dynamic
+    * 0-based BYTE position straight off the blob (an 8-byte slice per
+    * box — no window), and the chain walk itself. A size below the
+    * 8-byte header minimum (or garbage past EOF) still advances ≥ 8
+    * and clamps to the blob length, so the walk terminates at its box
+    * budget on any payload. */
+  private def topU32(p: Column): Column =
+    conv(hex(substr(col("blob"), p + 1L, lit(4))), 16, 10).cast("long")
+  private def topType(p: Column): Column = hex(substr(col("blob"), p + 5L, lit(4)))
+  private def topWalk(df: DataFrame, maxSegs: Int): DataFrame = {
+    val len = length(col("blob")).cast("long")
+    (1 until maxSegs).foldLeft(df.withColumn("_t0", lit(0L))) { (d, i) =>
+      d.withColumn(s"_t$i", least(col(s"_t${i - 1}") +
+        greatest(topU32(col(s"_t${i - 1}")), lit(8L)), len))
+    }
+  }
+  private def topFind(typeHex: String, maxSegs: Int): Column =
+    coalesce((0 until maxSegs).map(i =>
+      when(topType(col(s"_t$i")) === typeHex, col(s"_t$i"))): _*)
+
   def decodeMp4Meta(blobs: DataFrame, maxSegs: Int = 4,
-                    headBytes: Int = 512): DataFrame = {
+                    moovWindow: Int = 512, topSegs: Int = 6): DataFrame = {
     val hx = col("_hx")
     def be32(q: Column): Column = beU32(q)
     def be16(q: Column): Column = conv(substr(hx, q, lit(4)), 16, 10).cast("long")
-    val staged0 = boxWalk(
-      blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes))),
-      "t", lit(1L), maxSegs, headBytes)
-    val staged1 = staged0.withColumn("_moov", boxFind("t", "6D6F6F76", maxSegs))
-    val staged2 = boxWalk(staged1, "m", col("_moov") + 16L, maxSegs, headBytes)
+    // top level on the raw blob (moov at any offset), then a bounded
+    // hex window AT the moov: child positions are moov-relative, first
+    // child at hex position 17 (after the 8-byte moov header)
+    val staged1 = topWalk(blobs, topSegs)
+      .withColumn("_moov", topFind("6D6F6F76", topSegs))
+      .withColumn("_hx", hex(substr(col("blob"), col("_moov") + 1L, lit(moovWindow))))
+    val staged2 = boxWalk(staged1, "m", lit(17L), maxSegs, moovWindow)
       .withColumn("_mvhd", boxFind("m", "6D766864", maxSegs))
       .withColumn("_trak", boxFind("m", "7472616B", maxSegs))
-    val staged = boxWalk(staged2, "k", col("_trak") + 16L, maxSegs, headBytes)
+    val staged = boxWalk(staged2, "k", col("_trak") + 16L, maxSegs, moovWindow)
       .withColumn("_tkhd", boxFind("k", "746B6864", maxSegs))
-    val isMp4 = substring(hx, 9, 8) === "66747970" &&
+    val isMp4 = hex(substring(col("blob"), 5, 4)) === "66747970" &&
       col("_moov").isNotNull && col("_mvhd").isNotNull && col("_tkhd").isNotNull
     val timescale = be32(col("_mvhd") + 40L)
     val duration = be32(col("_mvhd") + 48L)
@@ -449,20 +589,23 @@ object Mm {
     * count clamped at 64); zero shuffle, scan-fused at any scale.
     */
   def mp4SampleTable(blobs: DataFrame, maxSegs: Int = 4,
-                     headBytes: Int = 512): DataFrame = {
-    var df = boxWalk(
-      blobs.withColumn("_hx", hex(substring(col("blob"), 1, headBytes))),
-      "t", lit(1L), maxSegs, headBytes)
-      .withColumn("_moov", boxFind("t", "6D6F6F76", maxSegs))
-    df = boxWalk(df, "m", col("_moov") + 16L, maxSegs, headBytes)
+                     moovWindow: Int = 512, topSegs: Int = 6): DataFrame = {
+    // same two-tier shape as decodeMp4Meta: dynamic top-level chain
+    // (moov at any offset — faststart or not), bounded moov-relative
+    // hex window for the six-level child walk; stco entries stay
+    // FILE-absolute, so the sample md5 below reads the raw blob
+    var df = topWalk(blobs, topSegs)
+      .withColumn("_moov", topFind("6D6F6F76", topSegs))
+      .withColumn("_hx", hex(substr(col("blob"), col("_moov") + 1L, lit(moovWindow))))
+    df = boxWalk(df, "m", lit(17L), maxSegs, moovWindow)
       .withColumn("_trak", boxFind("m", "7472616B", maxSegs))
-    df = boxWalk(df, "k", col("_trak") + 16L, maxSegs, headBytes)
+    df = boxWalk(df, "k", col("_trak") + 16L, maxSegs, moovWindow)
       .withColumn("_mdia", boxFind("k", "6D646961", maxSegs))
-    df = boxWalk(df, "d", col("_mdia") + 16L, maxSegs, headBytes)
+    df = boxWalk(df, "d", col("_mdia") + 16L, maxSegs, moovWindow)
       .withColumn("_minf", boxFind("d", "6D696E66", maxSegs))
-    df = boxWalk(df, "n", col("_minf") + 16L, maxSegs, headBytes)
+    df = boxWalk(df, "n", col("_minf") + 16L, maxSegs, moovWindow)
       .withColumn("_stbl", boxFind("n", "7374626C", maxSegs))
-    df = boxWalk(df, "s", col("_stbl") + 16L, maxSegs, headBytes)
+    df = boxWalk(df, "s", col("_stbl") + 16L, maxSegs, moovWindow)
       .withColumn("_stsz", boxFind("s", "7374737A", maxSegs))
       .withColumn("_stco", boxFind("s", "7374636F", maxSegs))
     // stsz: count at payload byte 8 (box byte 16), entries from byte 20;
@@ -692,19 +835,29 @@ object Mm {
     * checks) + one tiny hash agg at container grain.
     */
   def perceptCoverage(blobs: DataFrame): DataFrame = {
-    val hx8 = hex(substring(col("blob"), 1, 8))
-    val container = when(hx8 === "89504E470D0A1A0A", lit("png"))
+    // 12-byte magic window: RIFF containers disambiguate on the fourcc
+    // at bytes 9-12 (WEBP vs WAVE), so the blind-spot report names the
+    // actual container a decoder would face, not just "riff"
+    val hx8 = hex(substring(col("blob"), 1, 12))
+    val container = when(substring(hx8, 1, 16) === "89504E470D0A1A0A", lit("png"))
       .when(substring(hx8, 1, 4) === "FFD8", lit("jpeg"))
+      .when(substring(hx8, 1, 6) === "474946", lit("gif"))
+      .when(substring(hx8, 1, 8) === "52494646" &&
+        substring(hx8, 17, 8) === "57454250", lit("webp"))
+      .when(substring(hx8, 1, 8) === "52494646" &&
+        substring(hx8, 17, 8) === "57415645", lit("wav"))
       .when(substring(hx8, 1, 8) === "52494646", lit("riff"))
       .otherwise(lit("other"))
     blobs.select(container.as("container"),
         graft.functions.GraftFunctions.pngDhash(col("blob")).as("pd"),
-        graft.functions.GraftFunctions.jpegDhash(col("blob")).as("jd"))
+        graft.functions.GraftFunctions.jpegDhash(col("blob")).as("jd"),
+        graft.functions.GraftFunctions.gifDhash(col("blob")).as("gd"))
       .groupBy("container")
       .agg(count(lit(1)).as("n_payloads"),
         count(col("pd")).as("n_png_dhash"),
         count(col("jd")).as("n_jpeg_dhash"),
-        count(coalesce(col("pd"), col("jd"))).as("n_percept"))
+        count(col("gd")).as("n_gif_dhash"),
+        count(coalesce(col("pd"), col("jd"), col("gd"))).as("n_percept"))
       .withColumn("coverage_bp",
         expr("n_percept * 10000 DIV n_payloads"))
   }
@@ -719,6 +872,21 @@ object Mm {
       .unionByName(synthesizeMedia(ids.filter(col("doc_id") % 4 === 2), "doc_id", "_t"))
       .unionByName(ids.filter(col("doc_id") % 4 === 3)
         .select(col("doc_id"), col("_t").cast("binary").as("blob")))
+  }
+
+  /** The coverage report's corpus: the mixed-container quarters plus a
+    * GIF fifth — every pixel-bearing container the percept family
+    * decodes (PNG/JPEG/GIF), the header-only fraction, and raw text.
+    * Kept separate from [[mixedPerceptCorpus]] so the flagship
+    * pipeline's quarter-keyed oracle stays byte-stable. */
+  def mixedPerceptCorpusGif(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("bigint").as("doc_id"), col(textCol).as("_t"))
+    synthesizePixelPngs(ids.filter(col("doc_id") % 5 === 0), "doc_id")
+      .unionByName(synthesizeGrayJpegs(ids.filter(col("doc_id") % 5 === 1), "doc_id"))
+      .unionByName(synthesizeMedia(ids.filter(col("doc_id") % 5 === 2), "doc_id", "_t"))
+      .unionByName(ids.filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"), col("_t").cast("binary").as("blob")))
+      .unionByName(synthesizeCellGifs(ids.filter(col("doc_id") % 5 === 4), "doc_id"))
   }
 
   /** The MULTIMODAL flagship: the whole media-curation stack in one
@@ -821,27 +989,39 @@ object Mm {
         hashOf = graft.functions.GraftFunctions.jpegDhash)
         .orderBy("id_a", "id_b")),
 
-    // CROSS-CONTAINER perceptual dedup: half the corpus is PNG, half is
-    // JPEG, of the SAME cell-formula content family — a PNG re-encode
-    // of a JPEG must collapse with it, so the pass coalesces both
-    // decoders into one hash space and pairs freely cross the container
-    // boundary (the oracle is container-blind: one formula for all
-    // docs; a decoder drifting between containers hash-fails)
+    // CROSS-CONTAINER perceptual dedup: thirds of the corpus are PNG,
+    // JPEG and GIF re-encodes of the SAME cell-formula content family —
+    // a re-encode in any container must collapse with its source, so
+    // the pass coalesces all three decoders into one hash space and
+    // pairs freely cross every container boundary (the oracle is
+    // container-blind: one formula for all docs; a decoder drifting
+    // between containers hash-fails)
     "mm_dedup_percept_cross" -> ((s, d) => {
       val ids = Tables.documents(s, d)
         .select(col("doc_id").cast("bigint").as("doc_id"))
-      val blobs = synthesizeCellPngs(ids.filter(col("doc_id") % 2 === 0), "doc_id")
-        .unionByName(synthesizeGrayJpegs(ids.filter(col("doc_id") % 2 === 1), "doc_id"))
+      val blobs = synthesizeCellPngs(ids.filter(col("doc_id") % 3 === 0), "doc_id")
+        .unionByName(synthesizeGrayJpegs(ids.filter(col("doc_id") % 3 === 1), "doc_id"))
+        .unionByName(synthesizeCellGifs(ids.filter(col("doc_id") % 3 === 2), "doc_id"))
       dedupPercept(blobs, hashOf = c => coalesce(
         graft.functions.GraftFunctions.pngDhash(c),
-        graft.functions.GraftFunctions.jpegDhash(c)))
+        graft.functions.GraftFunctions.jpegDhash(c),
+        graft.functions.GraftFunctions.gifDhash(c)))
         .orderBy("id_a", "id_b")
     }),
+
+    // the GIF (legacy-web / icon / meme container) perceptual near-dup
+    // pass: a REAL ImageIO LZW round trip — GIF write of the formula
+    // cells, palette decode + dHash back; GIF is lossless at ≤256
+    // colors so the container-blind cell oracle applies unchanged
+    "mm_dedup_percept_gif" -> ((s, d) =>
+      dedupPercept(synthesizeCellGifs(Tables.documents(s, d), "doc_id"),
+        hashOf = graft.functions.GraftFunctions.gifDhash)
+        .orderBy("id_a", "id_b")),
 
     // the perceptual-coverage report over a mixed-container corpus:
     // which payloads the percept decoders can actually see, by container
     "mm_percept_coverage" -> ((s, d) =>
-      perceptCoverage(mixedPerceptCorpus(Tables.documents(s, d), "doc_id", "text"))
+      perceptCoverage(mixedPerceptCorpusGif(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("container")),
 
     // the MULTIMODAL FLAGSHIP: exact dedup -> cross-container percept
@@ -887,6 +1067,16 @@ object Mm {
     // little-endian RIFF/WAVE chunk walk — audio mirror of mm_decode_meta
     "mm_decode_wav" -> ((s, d) =>
       decodeWavMeta(synthesizeAudio(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
+
+    // RIFF chunk walk with the odd-chunk pad modeled — the FOURTH image
+    // container, one query over all three published bitstream flavors
+    // (VP8 lossy / VP8L lossless / VP8X extended): the engine must
+    // construct valid containers AND parse each flavor's own dim
+    // encoding (start-code-gated u16le, signature-gated u32le bitfield,
+    // u24le canvas) to match the doc_id-derived ground truth
+    "mm_decode_webp" -> ((s, d) =>
+      decodeWebpMeta(synthesizeWebp(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
 
     // big-endian ISO-BMFF two-level box walk — the VIDEO container: mvhd
@@ -994,6 +1184,12 @@ object Mm {
     "mm_frames_mp4" ->
       """WITH p AS (SELECT doc_id, text, length(text) AS n, doc_id % 4 + 2 AS f FROM documents), s AS (SELECT doc_id, text, n, f, unnest(range(0, f::INT)) AS si FROM p), z AS (SELECT doc_id, text, n, f, si, 16 + (doc_id + si) % 17 AS sz FROM s), o AS (SELECT doc_id, text, n, f, si, sz, coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel FROM z) SELECT doc_id, si::BIGINT AS si, (360 + 8 * f + least(rel, n))::BIGINT AS sample_off, (least(rel + sz, n) - least(rel, n))::BIGINT AS sample_size, md5(substr(text, (least(rel, n) + 1)::INT, (least(rel + sz, n) - least(rel, n))::INT)) AS sample_md5 FROM o ORDER BY doc_id, si""",
 
+    // ground truth of the synthesized WebP containers, from doc_id
+    // alone: quarter 0/1/2 = VP8/VP8L/VP8X with the house dim
+    // formulas, quarter 3 = raw text (no container)
+    "mm_decode_webp" ->
+      """SELECT doc_id, CASE WHEN doc_id % 4 = 3 THEN 'unknown' ELSE 'webp' END AS format, CASE WHEN doc_id % 4 = 0 THEN 'vp8' WHEN doc_id % 4 = 1 THEN 'vp8l' WHEN doc_id % 4 = 2 THEN 'vp8x' END AS codec, CASE WHEN doc_id % 4 = 3 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 4 = 3 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents ORDER BY doc_id""",
+
     // ground truth of the synthesized RIFF headers, from doc_id alone
     "mm_decode_wav" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 2 + 1 END AS channels, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8000 * (doc_id % 5 + 1) END AS sample_rate, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8 * (doc_id % 3 + 1) END AS bits, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 250 * (doc_id % 10 + 1) END AS duration_ms FROM documents ORDER BY doc_id""",
@@ -1018,16 +1214,21 @@ object Mm {
     "mm_dedup_percept_jpeg" -> cellPerceptOracle,
 
     // container-blind by construction: the SAME cell formula governs
-    // the PNG and JPEG halves, so the identical oracle applies — the
-    // engine must agree with it through BOTH containers at once
+    // the PNG, JPEG and GIF thirds, so the identical oracle applies —
+    // the engine must agree with it through all THREE containers at once
     "mm_dedup_percept_cross" -> cellPerceptOracle,
 
+    // lossless LZW round trip: the identical cell oracle, reached
+    // through the ImageIO GIF write + palette decode
+    "mm_dedup_percept_gif" -> cellPerceptOracle,
+
     // coverage ground truth from the mixed-corpus branch arithmetic:
-    // quarter 0 = decodable pixel PNG, 1 = decodable JPEG, 2 = the
+    // fifth 0 = decodable pixel PNG, 1 = decodable JPEG, 2 = the
     // header-only containers of synthesizeMedia (undecodable), 3 = raw
-    // text. The engine must DECODE its way to the same counts.
+    // text, 4 = decodable cell GIF. The engine must DECODE its way to
+    // the same counts.
     "mm_percept_coverage" ->
-      """WITH g AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'png' WHEN doc_id % 4 = 1 THEN 'jpeg' WHEN doc_id % 4 = 2 AND doc_id % 3 = 0 THEN 'png' WHEN doc_id % 4 = 2 AND doc_id % 3 = 1 THEN 'jpeg' ELSE 'other' END AS container, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS png_ok, CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS jpeg_ok FROM documents) SELECT container, count(*)::BIGINT AS n_payloads, sum(png_ok)::BIGINT AS n_png_dhash, sum(jpeg_ok)::BIGINT AS n_jpeg_dhash, sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_percept, (sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS coverage_bp FROM g GROUP BY container ORDER BY container""",
+      """WITH g AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'png' WHEN doc_id % 5 = 1 THEN 'jpeg' WHEN doc_id % 5 = 4 THEN 'gif' WHEN doc_id % 5 = 2 AND doc_id % 3 = 0 THEN 'png' WHEN doc_id % 5 = 2 AND doc_id % 3 = 1 THEN 'jpeg' ELSE 'other' END AS container, CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS png_ok, CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS jpeg_ok, CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS gif_ok FROM documents) SELECT container, count(*)::BIGINT AS n_payloads, sum(png_ok)::BIGINT AS n_png_dhash, sum(jpeg_ok)::BIGINT AS n_jpeg_dhash, sum(gif_ok)::BIGINT AS n_gif_dhash, sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 OR gif_ok = 1 THEN 1 ELSE 0 END)::BIGINT AS n_percept, (sum(CASE WHEN png_ok = 1 OR jpeg_ok = 1 OR gif_ok = 1 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS coverage_bp FROM g GROUP BY container ORDER BY container""",
 
     // replays the audio fingerprint bits from the SAMPLE formula: 17
     // 32-sample frames, four band energies (|s| and lag-1/2/4 abs

@@ -192,8 +192,12 @@ class SimilaritySpec extends SparkSpec {
     val moov = "000000D8" + "6D6F6F76" + mvhd + "00000064" + "7472616B" + tkhd
     val mdat = "00000010" + "6D646174" + ("00" * 8)
     val df = Seq((0L, bytes(ftyp + moov + mdat)),
-      (1L, bytes(ftyp)), // ftyp alone: no moov in window -> unknown
-      (2L, "not a video".getBytes)).toDF("doc_id", "blob")
+      (1L, bytes(ftyp)), // ftyp alone: no moov anywhere -> unknown
+      (2L, "not a video".getBytes),
+      // NON-FASTSTART: the identical boxes with moov AFTER mdat — the
+      // layout a plain recorder writes; the top-level size chain must
+      // step over the payload to reach it
+      (3L, bytes(ftyp + mdat + moov))).toDF("doc_id", "blob")
     val out = Mm.decodeMp4Meta(df).orderBy("doc_id").collect()
     assert(out(0).getString(1) == "mp4", s"row 0: ${out(0)}")
     assert(out(0).getLong(2) == 5000L, s"duration_ms: ${out(0)}")
@@ -201,6 +205,80 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1).getString(1) == "unknown" && out(1).isNullAt(2))
     assert(out(2).getString(1) == "unknown" && out(2).isNullAt(2) &&
       out(2).isNullAt(3) && out(2).isNullAt(4))
+    assert(out(3).getString(1) == "mp4" && out(3).getLong(2) == 5000L &&
+      out(3).getLong(3) == 320L && out(3).getLong(4) == 240L,
+      s"non-faststart twin diverged: ${out(3)}")
+  }
+
+  test("mp4SampleTable: non-faststart twin yields identical samples") {
+    // Reorder a SynthMp4Samples file from [ftyp][moov][mdat] to
+    // [ftyp][mdat][moov] and patch the (file-absolute) stco entries by
+    // the mdat displacement: a correct table walk must recover the SAME
+    // sample bytes through the moved table, shifted offsets and all.
+    import graft.functions.SynthMp4Samples
+    val s = spark
+    import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog and then some more words here"
+    val orig = SynthMp4Samples.compute(7L, org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    def be32(b: Array[Byte], p: Int): Int =
+      ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+    val ftypLen = be32(orig, 0)
+    val moovLen = be32(orig, ftypLen)
+    val moov = orig.slice(ftypLen, ftypLen + moovLen)
+    val mdat = orig.slice(ftypLen + moovLen, orig.length)
+    // stco entries drop by moovLen (mdat moves from 20+moovLen to 20)
+    val stcoIdx = (0 until moov.length - 4).find(i =>
+      moov(i) == 's' && moov(i + 1) == 't' && moov(i + 2) == 'c' && moov(i + 3) == 'o').get
+    val n = be32(moov, stcoIdx + 8)
+    for (k <- 0 until n) {
+      val p = stcoIdx + 12 + 4 * k
+      val v = be32(moov, p) - moovLen
+      moov(p) = (v >>> 24).toByte; moov(p + 1) = ((v >>> 16) & 0xff).toByte
+      moov(p + 2) = ((v >>> 8) & 0xff).toByte; moov(p + 3) = (v & 0xff).toByte
+    }
+    val twin = orig.slice(0, ftypLen) ++ mdat ++ moov
+    val rows = Mm.mp4SampleTable(
+      Seq((7L, orig), (8L, twin)).toDF("doc_id", "blob"))
+      .orderBy("doc_id", "si").collect()
+    val a = rows.filter(_.getLong(0) == 7L)
+    val b = rows.filter(_.getLong(0) == 8L)
+    assert(a.nonEmpty && a.length == b.length, s"${a.length} vs ${b.length} samples")
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(1) == y.getLong(1), "si diverged")
+      assert(x.getLong(3) == y.getLong(3), s"size diverged: $x vs $y")
+      assert(x.getString(4) == y.getString(4), s"md5 diverged: $x vs $y")
+      assert(y.getLong(2) == x.getLong(2) - moovLen, s"offset shift wrong: $x vs $y")
+    }
+  }
+
+  test("mm decodeWebpMeta parses spec-layout WebP headers (fixture anchor)") {
+    // Hand-stated from the published WebP container/bitstream layouts,
+    // independent of the synthesizeWebp construction: VP8 (frame tag +
+    // 9D 01 2A start code + 14-bit u16le dims — the canonical 550x368
+    // example), VP8L (0x2F signature + u32le dims-minus-one bitfield,
+    // odd 5-byte payload with its RIFF pad), VP8X (u24le canvas
+    // dims-minus-one).
+    val s = spark
+    import s.implicits._
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val vp8 = "52494646" + "16000000" + "57454250" + "56503820" + "0A000000" +
+      "B00100" + "9D012A" + "2602" + "7001" // 550 x 368
+    val vp8l = "52494646" + "12000000" + "57454250" + "5650384C" + "05000000" +
+      "2F" + "00000000" + "00" // 1 x 1
+    val vp8x = "52494646" + "16000000" + "57454250" + "56505838" + "0A000000" +
+      "00000000" + "FF0300" + "FF0200" // canvas 1024 x 768
+    val df = Seq((0L, bytes(vp8)), (1L, bytes(vp8l)), (2L, bytes(vp8x)),
+      (3L, "not an image".getBytes)).toDF("doc_id", "blob")
+    val out = graft.operators.Mm.decodeWebpMeta(df).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "webp" && out(0).getString(2) == "vp8" &&
+      out(0).getLong(3) == 550L && out(0).getLong(4) == 368L, s"vp8: ${out(0)}")
+    assert(out(1).getString(1) == "webp" && out(1).getString(2) == "vp8l" &&
+      out(1).getLong(3) == 1L && out(1).getLong(4) == 1L, s"vp8l: ${out(1)}")
+    assert(out(2).getString(1) == "webp" && out(2).getString(2) == "vp8x" &&
+      out(2).getLong(3) == 1024L && out(2).getLong(4) == 768L, s"vp8x: ${out(2)}")
+    assert(out(3).getString(1) == "unknown" && out(3).isNullAt(2) &&
+      out(3).isNullAt(3) && out(3).isNullAt(4), s"raw: ${out(3)}")
   }
 
   test("png_dhash decodes REAL JDK-encoded PNGs (compressed IDAT, adaptive filters)") {
@@ -598,6 +676,53 @@ class SimilaritySpec extends SparkSpec {
       assert(got != null && got.longValue() == expect,
         s"id=$id: decoded $got != formula $expect")
     }
+  }
+
+  test("gif_dhash: lossless LZW round trip, PNG sibling at hamming 0, formula anchor") {
+    import graft.functions.{GifDhash, PngDhash, SynthCellGif, SynthGrayJpeg}
+    // a real gray image written by ImageIO as BOTH containers: GIF is
+    // lossless at <=256 colors and a gray palette's luma is the identity
+    // ((77+150+29)v >> 8 = v), so the two decodes must agree EXACTLY —
+    // the strongest cross-container anchor the family has
+    val (w, h) = (48, 32)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 11 + (x * y) % 13) % 240)
+    def bytesOf(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val gifBytes = bytesOf("gif")
+    assert(gifBytes.take(3).sameElements("GIF".getBytes), "writer emitted no GIF")
+    val hg = GifDhash.compute(gifBytes)
+    val hp = PngDhash.compute(bytesOf("png"))
+    assert(hg != null && hp != null)
+    assert(hg.longValue() == hp.longValue(),
+      s"PNG/GIF siblings differ: hamming ${java.lang.Long.bitCount(hg ^ hp)}")
+    // nulls, not junk: wrong container, truncated header
+    assert(GifDhash.compute(bytesOf("png")) == null, "PNG bytes must be null")
+    assert(GifDhash.compute("GIF8".getBytes) == null, "truncated must be null")
+    assert(GifDhash.compute("not a gif".getBytes) == null)
+    // the mm_dedup_percept_gif fixture anchor: the decode of the
+    // synthesized LZW container reproduces the oracle's FORMULA bits
+    for (id <- Seq(0L, 1L, 166L, 167L, 500L, 4999L)) {
+      val pat = java.lang.Math.floorMod(id, 167L)
+      var expect = 0L
+      for (r <- 0 until 8; c <- 0 until 8)
+        expect = (expect << 1) | (if (SynthGrayJpeg.cellQ(pat, r, c + 1) >
+          SynthGrayJpeg.cellQ(pat, r, c)) 1L else 0L)
+      val got = GifDhash.compute(SynthCellGif.compute(id))
+      assert(got != null && got.longValue() == expect,
+        s"id=$id: decoded $got != formula $expect")
+    }
+    // codegen path agrees with the interpreted call
+    val s = spark
+    import s.implicits._
+    val viaExpr = Seq((0L, gifBytes)).toDF("doc_id", "blob")
+      .select(graft.functions.GraftFunctions.gifDhash(col("blob"))).head().getLong(0)
+    assert(viaExpr == hg.longValue())
   }
 
   test("png_dhash: palette (PLTE) PNGs decode through the palette luma") {
@@ -1078,19 +1203,24 @@ class SimilaritySpec extends SparkSpec {
     assert(viaExpr == ha)
   }
 
-  test("mm_dedup_percept_cross: pairs genuinely cross the container boundary") {
-    // The oracle is container-blind, so it alone can't prove the two
+  test("mm_dedup_percept_cross: pairs genuinely cross every container boundary") {
+    // The oracle is container-blind, so it alone can't prove the three
     // decoders landed in one hash space for the RIGHT reason — this
-    // pins that even-id (PNG) and odd-id (JPEG) docs actually pair up
+    // pins that PNG (id%3=0), JPEG (id%3=1) and GIF (id%3=2) docs
+    // actually pair up across each boundary
     val rows = run("mm_dedup_percept_cross").collect()
     assert(rows.nonEmpty)
-    val cross = rows.count(r => (r.getLong(0) % 2) != (r.getLong(1) % 2))
+    def c(r: org.apache.spark.sql.Row, i: Int) = r.getLong(i) % 3
+    val cross = rows.count(r => c(r, 0) != c(r, 1))
     val within = rows.length - cross
-    assert(cross > 0, "no PNG<->JPEG pairs — containers not in one hash space")
+    assert(cross > 0, "no cross-container pairs — containers not in one hash space")
     assert(within > 0, "no within-container pairs — corpus structure broken")
+    // GIF must participate in the cross pairs, not just ride along
+    assert(rows.exists(r => (c(r, 0) == 2) != (c(r, 1) == 2)),
+      "no GIF<->PNG/JPEG pairs — GIF decoder not in the shared hash space")
     // same-pat cross-container siblings must collapse at hamming 0
-    assert(rows.exists(r => (r.getLong(0) % 2) != (r.getLong(1) % 2) &&
-      r.getLong(2) == 0L), "no exact cross-container collapse")
+    assert(rows.exists(r => c(r, 0) != c(r, 1) && r.getLong(2) == 0L),
+      "no exact cross-container collapse")
   }
 
   test("sim_knn_join_auto: ratio probe routes copy-heavy to rep grain, distinct to raw") {
