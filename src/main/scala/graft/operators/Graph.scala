@@ -19,6 +19,22 @@ import graft.Tables
   */
 object Graph {
 
+  /** Broadcast-hint gate for the node-grain sides of both graph
+    * operators: above this many broadcast-resident longs (64 M ≈
+    * 0.5–1 GB with array/row overhead — the practical executor
+    * broadcast ceiling), the hints are DROPPED and the planner falls
+    * back to shuffle joins instead of failing outright on an
+    * over-limit broadcast build. Both call sites already know the
+    * relevant cardinality from a checkpointed table, so the gate
+    * costs at most one count over local checkpoint blocks. The
+    * durable 100 TB analog past the gate is the bucketed-table shape
+    * documented at each call site.
+    */
+  private[operators] val broadcastLongLimit = 64L << 20
+
+  private def hintIf(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
+
   /** PageRank with EXACT integer arithmetic: ranks live at a fixed
     * scale (default 1e12) and every division floors, so the result is
     * bit-identical across engines and partitionings — no float
@@ -72,9 +88,10 @@ object Graph {
       // table (the durable analog already described above); |nodes| ≪
       // |edges| by the fan-out of any real link graph, so broadcast is
       // the right default shape.
-      val w = r.join(broadcast(deg), col("node") === col("src"))
+      val bc = hintIf(n <= broadcastLongLimit) _
+      val w = r.join(bc(deg), col("node") === col("src"))
         .select(col("src"), expr("(r * 85) div (100 * d)").as("c"))
-      r = e.join(broadcast(w), "src")
+      r = e.join(bc(w), "src")
         .select(col("dst"), col("c"))
         .groupBy(col("dst").as("node"))
         .agg((sum(col("c")) + base).as("r"))
@@ -146,14 +163,17 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // adj totals |E| longs (MBs while edges fit an executor — true for
     // any node-grain² projection like co-supply). Broadcast beats
-    // exchanging the edge list twice; past that, drop the hints and
-    // this becomes two edge-grain shuffle joins — still the right
+    // exchanging the edge list twice; past the GATE (|E| >
+    // broadcastLongLimit, one count over the checkpoint) the hints
+    // drop and this degrades to two edge-grain shuffle joins instead
+    // of failing on an over-limit broadcast build — still the right
     // 100 TB shape. Inner joins: src always has out-edges (its own),
     // and a sink dst means an empty intersection = zero contribution,
     // so dropped rows are exactly the zero rows.
+    val bc = hintIf(e.count() <= broadcastLongLimit) _
     val withT = oriented
-      .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), Seq("src"))
-      .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), Seq("dst"))
+      .join(bc(adj.select(col("src"), col("nbrs").as("na"))), Seq("src"))
+      .join(bc(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), Seq("dst"))
       .select(col("src"), col("dst"),
         array_intersect(col("na"), col("nb")).as("i"))
     // one pass: a and b each earn |I| triangles, every c ∈ I earns 1
