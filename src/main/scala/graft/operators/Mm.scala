@@ -524,20 +524,27 @@ object Mm {
       when(substr(col("_hx"), col(s"_$pfx$i") + 8, lit(8)) === typeHex,
         col(s"_$pfx$i"))): _*)
 
-  /** Top-level box-chain primitives: u32/type reads at a dynamic
-    * 0-based BYTE position straight off the blob (an 8-byte slice per
-    * box — no window), and the chain walk itself. A size below the
-    * 8-byte header minimum (or garbage past EOF) still advances ≥ 8
-    * and clamps to the blob length, so the walk terminates at its box
-    * budget on any payload. */
+  /** Top-level box-chain primitives: u32/u64/type reads at a dynamic
+    * 0-based BYTE position straight off the blob (a ≤16-byte slice per
+    * box — no window), and the chain walk itself. A declared size of 1
+    * means the REAL size is the u64 `largesize` at bytes 8-15 (the
+    * ISO-BMFF escape every >4 GB mdat uses — exactly the box a
+    * non-faststart walk must step over at crawl scale). A size below
+    * the 8-byte header minimum (or garbage past EOF) still advances
+    * ≥ 8 and clamps to the blob length, so the walk terminates at its
+    * box budget on any payload. */
   private def topU32(p: Column): Column =
     conv(hex(substr(col("blob"), p + 1L, lit(4))), 16, 10).cast("long")
+  private def topU64(p: Column): Column =
+    conv(hex(substr(col("blob"), p + 1L, lit(8))), 16, 10).cast("long")
   private def topType(p: Column): Column = hex(substr(col("blob"), p + 5L, lit(4)))
   private def topWalk(df: DataFrame, maxSegs: Int): DataFrame = {
     val len = length(col("blob")).cast("long")
     (1 until maxSegs).foldLeft(df.withColumn("_t0", lit(0L))) { (d, i) =>
-      d.withColumn(s"_t$i", least(col(s"_t${i - 1}") +
-        greatest(topU32(col(s"_t${i - 1}")), lit(8L)), len))
+      val q = col(s"_t${i - 1}")
+      val declared = topU32(q)
+      val eff = when(declared === 1L, topU64(q + 8L)).otherwise(declared)
+      d.withColumn(s"_t$i", least(q + greatest(eff, lit(8L)), len))
     }
   }
   private def topFind(typeHex: String, maxSegs: Int): Column =
@@ -581,7 +588,8 @@ object Mm {
     * actually performs, replacing [[frameSamples]]' even-offset slicing
     * for real containers: after the [[decodeMp4Meta]] walk reaches
     * `trak`, three more child walks (mdia → minf → stbl) find `stsz`
-    * (per-sample sizes) and `stco` (absolute chunk offsets); one row
+    * (per-sample sizes) and `stco` — or its >4 GB-file sibling `co64`
+    * with u64 entries — (absolute chunk offsets); one row
     * per sample with its offset, size, and the md5 of the ACTUAL mdat
     * bytes the table points at — reachable only by parsing the table,
     * which is exactly what the oracle's formula ground truth checks.
@@ -608,19 +616,28 @@ object Mm {
     df = boxWalk(df, "s", col("_stbl") + 16L, maxSegs, moovWindow)
       .withColumn("_stsz", boxFind("s", "7374737A", maxSegs))
       .withColumn("_stco", boxFind("s", "7374636F", maxSegs))
+      .withColumn("_co64", boxFind("s", "636F3634", maxSegs))
     // stsz: count at payload byte 8 (box byte 16), entries from byte 20;
-    // stco: count at box byte 12, entries from byte 16 — all u32 BE
+    // stco: count at box byte 12, entries from byte 16 — u32 BE. A
+    // >4 GB file carries `co64` instead of `stco`: same layout, u64
+    // entries at a 16-hex stride (stco is preferred when both exist —
+    // real muxers emit exactly one).
     // guard on the FOUND box, not just the count expression: least()
     // skips nulls, so least(null, 64) is 64 — an unguarded non-media
     // blob would explode 64 junk rows instead of none
+    def beU64(q: Column): Column =
+      conv(substr(col("_hx"), q, lit(16)), 16, 10).cast("long")
     val staged = df
-      .withColumn("_f", when(col("_stsz").isNotNull && col("_stco").isNotNull,
+      .withColumn("_f", when(col("_stsz").isNotNull &&
+          (col("_stco").isNotNull || col("_co64").isNotNull),
         least(beU32(col("_stsz") + 32L), lit(64L))))
       .withColumn("si", explode(when(col("_f") > 0,
         expr("sequence(0, CAST(_f AS INT) - 1)"))
         .otherwise(array().cast("array<int>"))))
       .withColumn("_sz", beU32(col("_stsz") + 40L + col("si") * 8L))
-      .withColumn("_off", beU32(col("_stco") + 32L + col("si") * 8L))
+      .withColumn("_off", when(col("_stco").isNotNull,
+        beU32(col("_stco") + 32L + col("si") * 8L))
+        .otherwise(beU64(col("_co64") + 32L + col("si") * 16L)))
     staged.select(col("doc_id"), col("si").cast("bigint").as("si"),
       col("_off").as("sample_off"), col("_sz").as("sample_size"),
       md5(expr("substring(blob, CAST(_off AS INT) + 1, CAST(_sz AS INT))"))

@@ -197,7 +197,12 @@ class SimilaritySpec extends SparkSpec {
       // NON-FASTSTART: the identical boxes with moov AFTER mdat — the
       // layout a plain recorder writes; the top-level size chain must
       // step over the payload to reach it
-      (3L, bytes(ftyp + mdat + moov))).toDF("doc_id", "blob")
+      (3L, bytes(ftyp + mdat + moov)),
+      // LARGESIZE: mdat declares size 1 + the u64 largesize escape
+      // every >4 GB file uses (here 24 = 16-byte header + 8 payload);
+      // the walk must advance by the u64 to find the trailing moov
+      (4L, bytes(ftyp + "00000001" + "6D646174" + "0000000000000018" +
+        ("00" * 8) + moov))).toDF("doc_id", "blob")
     val out = Mm.decodeMp4Meta(df).orderBy("doc_id").collect()
     assert(out(0).getString(1) == "mp4", s"row 0: ${out(0)}")
     assert(out(0).getLong(2) == 5000L, s"duration_ms: ${out(0)}")
@@ -208,6 +213,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3).getString(1) == "mp4" && out(3).getLong(2) == 5000L &&
       out(3).getLong(3) == 320L && out(3).getLong(4) == 240L,
       s"non-faststart twin diverged: ${out(3)}")
+    assert(out(4).getString(1) == "mp4" && out(4).getLong(2) == 5000L &&
+      out(4).getLong(3) == 320L && out(4).getLong(4) == 240L,
+      s"largesize-mdat twin diverged: ${out(4)}")
+  }
+
+  test("mp4SampleTable: co64 (64-bit chunk offsets) drives the slices") {
+    // Hand-built minimal nesting with a co64 table instead of stco —
+    // the sample table every >4 GB file carries. Two samples pointing
+    // into mdat; the walk must read u64 entries at the 16-hex stride.
+    val s = spark
+    import s.implicits._
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def u64(v: Long): String = f"$v%016X"
+    val ftyp = "00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"
+    val stsz = "0000001C" + "7374737A" + "00000000" + "00000000" + "00000002" +
+      "00000005" + "00000007" // sizes 5, 7
+    // mdat header lands at byte 120, payload at 128 (see sizes below)
+    val co64 = "00000020" + "636F3634" + "00000000" + "00000002" +
+      u64(128L) + u64(133L)
+    val stbl = "00000044" + "7374626C" + stsz + co64
+    val minf = "0000004C" + "6D696E66" + stbl
+    val mdia = "00000054" + "6D646961" + minf
+    val trak = "0000005C" + "7472616B" + mdia
+    val moov = "00000064" + "6D6F6F76" + trak
+    val payload = "HelloWorld12"
+    val mdat = "00000014" + "6D646174" + payload.getBytes.map("%02X".format(_)).mkString
+    val rows = graft.operators.Mm.mp4SampleTable(
+      Seq((1L, bytes(ftyp + moov + mdat))).toDF("doc_id", "blob"))
+      .orderBy("si").collect()
+    assert(rows.length == 2, s"expected 2 samples, got ${rows.length}")
+    def md5(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes).map("%02x".format(_)).mkString
+    assert(rows(0).getLong(2) == 128L && rows(0).getLong(3) == 5L &&
+      rows(0).getString(4) == md5("Hello"), s"sample 0: ${rows(0)}")
+    assert(rows(1).getLong(2) == 133L && rows(1).getLong(3) == 7L &&
+      rows(1).getString(4) == md5("World12"), s"sample 1: ${rows(1)}")
   }
 
   test("mp4SampleTable: non-faststart twin yields identical samples") {
