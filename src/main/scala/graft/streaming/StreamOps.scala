@@ -92,7 +92,7 @@ object StreamOps {
     * cross-container duplicate images arriving in different micro-
     * batches collapse to the first copy, which byte-keyed dedup
     * structurally cannot do. Decodable payloads key on the coalesced
-    * PNG/JPEG dHash (one hash space); undecodable payloads fall back to
+    * PNG/JPEG/GIF dHash (one hash space); undecodable payloads fall back to
     * an exact byte-hash key in a DISJOINT key namespace (prefix marker),
     * so "no perceptual signal" degrades to exact dedup instead of
     * collapsing all opaque rows together. The decode is the same
@@ -103,7 +103,8 @@ object StreamOps {
                             blobCol: String): DataFrame = {
     val phash = coalesce(
       graft.functions.GraftFunctions.pngDhash(col(blobCol)),
-      graft.functions.GraftFunctions.jpegDhash(col(blobCol)))
+      graft.functions.GraftFunctions.jpegDhash(col(blobCol)),
+      graft.functions.GraftFunctions.gifDhash(col(blobCol)))
     val key = when(phash.isNotNull, concat(lit("p"), phash.cast("string")))
       .otherwise(concat(lit("b"), xxhash64(col(blobCol)).cast("string")))
     streamingDedup(df.withColumn("_pkey", key), ts, delay, Seq("_pkey"))

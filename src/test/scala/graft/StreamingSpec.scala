@@ -650,7 +650,7 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    import graft.functions.{SynthCellPng, SynthGrayJpeg}
+    import graft.functions.{SynthCellGif, SynthCellPng, SynthGrayJpeg}
 
     val base = 1700000000000L
     def row(id: Long, min: Long, blob: Array[Byte]) =
@@ -668,18 +668,21 @@ class StreamingSpec extends SparkSpec {
         row(3, 2, "opaque payload one".getBytes)))
       q.processAllAvailable()
       // batch 2: the JPEG RE-ENCODE of pattern 5 (different bytes, same
-      // image — byte dedup cannot see it), a fresh pattern, the SAME
-      // text bytes again, and a different text blob
+      // image — byte dedup cannot see it), the GIF RE-ENCODE of pattern
+      // 6 (the third container, same hash space), a fresh pattern, the
+      // SAME text bytes again, and a different text blob
       input.addData(Seq(
         row(4, 5, SynthGrayJpeg.compute(5L)),
         row(5, 6, SynthCellPng.compute(7L)),
         row(6, 7, "opaque payload one".getBytes),
-        row(7, 8, "opaque payload two".getBytes)))
+        row(7, 8, "opaque payload two".getBytes),
+        row(8, 9, SynthCellGif.compute(6L))))
       q.processAllAvailable()
       val ids = s.table("pdedup_out").select("doc_id").collect()
         .map(_.getLong(0)).toSet
-      // 4 (cross-container re-encode of 5's image) and 6 (exact byte
-      // duplicate of the opaque payload) must be dropped
+      // 4 (cross-container re-encode of 5's image), 6 (exact byte
+      // duplicate of the opaque payload) and 8 (GIF re-encode of 2's
+      // image) must be dropped
       assert(ids == Set(1L, 2L, 3L, 5L, 7L), s"survivors: $ids")
     } finally q.stop()
   }
