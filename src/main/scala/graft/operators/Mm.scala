@@ -208,6 +208,57 @@ object Mm {
       when(isPng, ph).when(isJpeg, jh).as("height"))
   }
 
+  /** Deterministic synthetic GIF headers — signature + version + the
+    * Logical Screen Descriptor at its fixed spec offsets: u16le dims,
+    * the packed byte (global-color-table flag + size exponent),
+    * background index, aspect. Thirds: 89a with a GCT of
+    * 2^(id%8+1) colors, 87a without one, raw text (no container).
+    * Dims from the house doc_id formulas. */
+  def synthesizeGif(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    def le16h(v: Column): Column = {
+      val be = lpad(hex(v), 4, "0")
+      concat(substring(be, 3, 2), substring(be, 1, 2))
+    }
+    val w = (id % 900 + 100).cast("int")
+    val h = ((id * 3) % 900 + 100).cast("int")
+    val hexText = hex(substring(col(textCol), 1, 64).cast("binary"))
+    val packed89 = lpad(hex(pmod(id, lit(8)) + 128), 2, "0") // GCT flag + size
+    val gif89 = concat(lit("474946383961"), le16h(w), le16h(h), packed89,
+      lit("0000"), hexText)
+    val gif87 = concat(lit("474946383761"), le16h(w), le16h(h), lit("70"),
+      lit("0000"), hexText) // color resolution 7, no GCT
+    df.select(id.cast("bigint").as("doc_id"),
+      unhex(when(id % 3 === 0, gif89)
+        .when(id % 3 === 1, gif87)
+        .otherwise(hexText)).as("blob"))
+  }
+
+  /** GIF header decode — signature/version gate then the Logical Screen
+    * Descriptor's fixed offsets (the one container of the decode family
+    * with NO walk: the LSD is mandatory and first per the spec): u16le
+    * dims at bytes 6-9, the packed byte's GCT flag + size exponent at
+    * byte 10 (colors = 2^(N+1)). 13-byte hex window, scan-fused codegen
+    * projection, zero shuffle.
+    */
+  def decodeGifMeta(blobs: DataFrame): DataFrame = {
+    val hx = hex(substring(col("blob"), 1, 13))
+    def le16(pos: Int): Column =
+      conv(concat(substring(hx, pos + 2, 2), substring(hx, pos, 2)), 16, 10).cast("long")
+    val ver = substring(hx, 9, 4)
+    val isGif = substring(hx, 1, 8) === "47494638" && ver.isin("3761", "3961")
+    val packed = conv(substring(hx, 21, 2), 16, 10).cast("long")
+    // 2^(N+1), N ∈ 0..7 — double pow is exact far beyond 2^8
+    val gct = when(packed >= 128,
+      pow(lit(2.0), (pmod(packed, lit(8L)) + 1).cast("double")).cast("long"))
+    blobs.select(col("doc_id"),
+      when(isGif, lit("gif")).otherwise(lit("unknown")).as("format"),
+      when(isGif, when(ver === "3761", lit("87a")).otherwise(lit("89a"))).as("version"),
+      when(isGif, le16(13)).as("width"),
+      when(isGif, le16(17)).as("height"),
+      when(isGif, gct).as("gct_colors"))
+  }
+
   /** Deterministic synthetic AUDIO payloads with REAL RIFF/WAVE container
     * structure: doc_id % 3 picks plain WAV (RIFF header, then `fmt ` as
     * the first chunk), WAV with a LIST chunk of doc_id-varying length
@@ -1086,6 +1137,14 @@ object Mm {
       decodeWavMeta(synthesizeAudio(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    // the no-walk member of the decode family: GIF's mandatory-first
+    // Logical Screen Descriptor at fixed spec offsets — u16le dims
+    // (the third endianness/offset regime after PNG-BE and RIFF-LE),
+    // version gate, GCT flag + 2^(N+1) color count
+    "mm_decode_gif" -> ((s, d) =>
+      decodeGifMeta(synthesizeGif(Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("doc_id")),
+
     // RIFF chunk walk with the odd-chunk pad modeled — the FOURTH image
     // container, one query over all three published bitstream flavors
     // (VP8 lossy / VP8L lossless / VP8X extended): the engine must
@@ -1200,6 +1259,12 @@ object Mm {
     // because the corpus is ASCII — a documented corpus contract.
     "mm_frames_mp4" ->
       """WITH p AS (SELECT doc_id, text, length(text) AS n, doc_id % 4 + 2 AS f FROM documents), s AS (SELECT doc_id, text, n, f, unnest(range(0, f::INT)) AS si FROM p), z AS (SELECT doc_id, text, n, f, si, 16 + (doc_id + si) % 17 AS sz FROM s), o AS (SELECT doc_id, text, n, f, si, sz, coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rel FROM z) SELECT doc_id, si::BIGINT AS si, (360 + 8 * f + least(rel, n))::BIGINT AS sample_off, (least(rel + sz, n) - least(rel, n))::BIGINT AS sample_size, md5(substr(text, (least(rel, n) + 1)::INT, (least(rel + sz, n) - least(rel, n))::INT)) AS sample_md5 FROM o ORDER BY doc_id, si""",
+
+    // ground truth of the synthesized GIF headers, from doc_id alone:
+    // third 0 = 89a with a 2^(id%8+1)-color GCT, 1 = 87a without,
+    // 2 = raw text
+    "mm_decode_gif" ->
+      """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'gif' END AS format, CASE WHEN doc_id % 3 = 0 THEN '89a' WHEN doc_id % 3 = 1 THEN '87a' END AS version, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height, CASE WHEN doc_id % 3 = 0 THEN (2 << (doc_id % 8))::BIGINT END AS gct_colors FROM documents ORDER BY doc_id""",
 
     // ground truth of the synthesized WebP containers, from doc_id
     // alone: quarter 0/1/2 = VP8/VP8L/VP8X with the house dim

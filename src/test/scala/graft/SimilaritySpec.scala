@@ -293,6 +293,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mm decodeGifMeta parses REAL and spec-layout GIF headers (fixture anchor)") {
+    val s = spark
+    import s.implicits._
+    // a REAL ImageIO-written GIF: the decoder must read the writer's
+    // actual Logical Screen Descriptor, independent of synthesizeGif
+    val img = new java.awt.image.BufferedImage(
+      37, 23, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    // hand-stated 89a header: 300x200, GCT flag set with size exponent 3
+    // (16 colors): packed = 0x83
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val hand = bytes("474946383961" + "2C01" + "C800" + "83" + "0000")
+    val out = graft.operators.Mm.decodeGifMeta(
+      Seq((0L, bos.toByteArray), (1L, hand), (2L, "not a gif".getBytes))
+        .toDF("doc_id", "blob")).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "gif" && out(0).getLong(3) == 37L &&
+      out(0).getLong(4) == 23L, s"real gif: ${out(0)}")
+    assert(out(1).getString(1) == "gif" && out(1).getString(2) == "89a" &&
+      out(1).getLong(3) == 300L && out(1).getLong(4) == 200L &&
+      out(1).getLong(5) == 16L, s"hand gif: ${out(1)}")
+    assert(out(2).getString(1) == "unknown" && out(2).isNullAt(2) &&
+      out(2).isNullAt(3) && out(2).isNullAt(4) && out(2).isNullAt(5))
+  }
+
   test("mm decodeWebpMeta parses spec-layout WebP headers (fixture anchor)") {
     // Hand-stated from the published WebP container/bitstream layouts,
     // independent of the synthesizeWebp construction: VP8 (frame tag +
