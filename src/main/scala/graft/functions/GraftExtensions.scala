@@ -85,6 +85,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("gif_dhash", children, 1)
         GifDhash(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+      (children: Seq[Expression]) => {
+        requireArity("sorted_intersect", children, 2)
+        SortedIntersect(children.head, children(1))
+      }))
   }
 }
 
@@ -192,6 +199,19 @@ object GraftFunctions {
     * [[pngDhash]]/[[jpegDhash]] (null if undecodable) — see [[GifDhash]]. */
   def gifDhash(c: Column): Column =
     GraftBridge.column(GifDhash(GraftBridge.expression(c)))
+
+  /** Merge-intersection of two SORTED duplicate-free bigint arrays —
+    * see [[SortedIntersect]] for the contract. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersect(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Per-node triangle contributions accumulated into one long→long map
+    * per partition (node-count-gated; see [[TriangleContribs]]). */
+  def triangleContribs(src: Column, dst: Column, inter: Column): Column =
+    GraftBridge.column(TriangleContribs(
+      GraftBridge.expression(src), GraftBridge.expression(dst),
+      GraftBridge.expression(inter)).toAggregateExpression())
 
   /** Deterministic synthetic cell GIF (same image family as
     * [[synthGrayJpeg]]) from a bigint id — see [[SynthCellGif]]. */

@@ -87,6 +87,39 @@ class ExpressionSpec extends SparkSpec {
     assert(mismatch.isNullAt(0))
   }
 
+  test("sorted_intersect matches array_intersect on sorted distinct arrays") {
+    import graft.functions.GraftFunctions.sortedIntersect
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random sorted distinct arrays, incl. empty,
+    // disjoint, identical, and containment shapes
+    val rnd = new scala.util.Random(42)
+    def arr(n: Int, stride: Int, off: Int): Seq[Long] =
+      (0 until n).scanLeft(off.toLong)((a, _) => a + 1 + rnd.nextInt(stride)).tail
+    val cases = Seq(
+      (arr(50, 3, 0), arr(40, 4, 5)),
+      (arr(0, 1, 0), arr(10, 2, 0)),
+      (arr(10, 2, 0), arr(0, 1, 0)),
+      (arr(30, 1, 0), arr(30, 1, 0)),          // identical
+      (arr(30, 2, 0), arr(30, 2, 1000)),       // disjoint ranges
+      (arr(100, 5, 0), arr(7, 60, 0)),         // big vs small
+      (Seq(1L, 2L, 3L), Seq(2L)),              // containment
+      (arr(500, 2, 0), arr(500, 2, 3)))
+    val df = cases.toDF("a", "b")
+    val bad = df.select(
+        sortedIntersect(col("a"), col("b")).as("native"),
+        array_intersect(col("a"), col("b")).as("builtin"))
+      .filter(not(col("native") === col("builtin"))).count()
+    assert(bad == 0)
+    // null propagation + SQL registration
+    assert(df.limit(1).select(sortedIntersect(lit(null).cast("array<bigint>"),
+      col("b"))).head().isNullAt(0))
+    val viaSql = spark.sql(
+      "SELECT sorted_intersect(array(1L,3L,5L), array(3L,4L,5L)) AS v")
+      .head().getSeq[Long](0)
+    assert(viaSql == Seq(3L, 5L))
+  }
+
   test("md5_prefix_long propagates nulls") {
     val s = spark
     import s.implicits._

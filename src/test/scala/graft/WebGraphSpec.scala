@@ -97,6 +97,18 @@ class WebGraphSpec extends SparkSpec {
     assert(k4.values.forall(_ == (3L, 3L)), s"got $k4")
   }
 
+  test("triangleCounts: map-agg and explode shapes agree row-for-row") {
+    // mapAggMaxNodes = 0 forces the past-the-gate explode shape; both
+    // paths must produce identical node/degree/triangle rows
+    val e = Graph.coSupplyEdges(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mapAgg = rows(Graph.triangleCounts(e))
+    val exploded = rows(Graph.triangleCounts(e, mapAggMaxNodes = 0L))
+    assert(mapAgg == exploded, "gate branches diverged")
+    assert(mapAgg.nonEmpty)
+  }
+
   test("graph_triangles agrees with the naive triple count on real data") {
     // independent ground truth computed WITHOUT the degree orientation
     val e = Graph.coSupplyEdges(spark, sfDir).cache()
