@@ -256,6 +256,25 @@ class PlanAuditSpec extends SparkSpec {
       s"JPEG decode planned more than once:\n${fj.take(2000)}")
     assert(fj.contains("Reused"), s"no exchange reuse:\n${fj.take(2000)}")
     assert(!fj.contains("CartesianProduct"), fj.take(1500))
+    // and the GIF sibling (ImageIO LZW round trip per row)
+    val dg = run("mm_dedup_percept_gif")
+    dg.collect()
+    val fg = plan(dg).split("== Initial Plan ==")(0)
+    assert("gifdhash|GifDhash".r.findAllIn(fg).size <= 1,
+      s"GIF decode planned more than once:\n${fg.take(2000)}")
+    assert(fg.contains("Reused"), s"no exchange reuse:\n${fg.take(2000)}")
+    assert(!fg.contains("CartesianProduct"), fg.take(1500))
+    // the three-container cross query: PushProjectionThroughUnion
+    // legitimately clones the coalesced decode into each of the three
+    // union branches (each ROW still decodes once) — the hazard line is
+    // >3 occurrences, which would mean per-row re-evaluation crept in
+    val dc = run("mm_dedup_percept_cross")
+    dc.collect()
+    val fc = plan(dc).split("== Initial Plan ==")(0)
+    for (pat <- Seq("pngdhash|PngDhash", "jpegdhash|JpegDhash", "gifdhash|GifDhash"))
+      assert(pat.r.findAllIn(fc).size <= 3,
+        s"cross: $pat planned more than once per union branch:\n${fc.take(2000)}")
+    assert(!fc.contains("CartesianProduct"), fc.take(1500))
   }
 
   test("corpusGrainQueries: no dead entries, and measured grain implies membership") {
