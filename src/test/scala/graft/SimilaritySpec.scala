@@ -293,6 +293,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("decoder fuzz: random, magic-prefixed and corrupted containers never throw") {
+    // Seeded hostile-input sweep across EVERY decoder in the library:
+    // pure noise, noise behind each container magic, and valid
+    // containers with random corruption/truncation. The contract under
+    // fuzz is "null / unknown / no rows", never an exception — the
+    // targeted hostile tests pin specific bombs; this pins the space
+    // between them.
+    import graft.functions._
+    val rnd = new scala.util.Random(987654321L)
+    val u8 = org.apache.spark.unsafe.types.UTF8String.fromString("fuzz corpus text payload")
+    val valid: Seq[Array[Byte]] = Seq(
+      SynthCellPng.compute(7L), SynthGrayJpeg.compute(7L),
+      SynthCellGif.compute(7L), SynthPcmWav.compute(7L),
+      SynthMp4Samples.compute(7L, u8))
+    val blobs = scala.collection.mutable.ArrayBuffer[Array[Byte]](Array.emptyByteArray)
+    for (_ <- 1 to 150) {
+      val b = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(b); blobs += b
+    }
+    val magics = Seq("89504E470D0A1A0A", "FFD8FFE0", "474946383961",
+      "474946383761", "52494646AAAA000057454250", "52494646AAAA000057415645",
+      "0000001466747970")
+    def hex2(hx: String): Array[Byte] =
+      hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    for (m <- magics; _ <- 1 to 15) {
+      val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)
+      blobs += hex2(m) ++ tail
+    }
+    for (v <- valid; _ <- 1 to 25) {
+      val c = java.util.Arrays.copyOf(v, if (rnd.nextBoolean()) v.length
+        else 1 + rnd.nextInt(v.length))
+      for (_ <- 0 to rnd.nextInt(8))
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      blobs += c
+    }
+    // expression decoders: direct calls (null is fine, throwing is not)
+    blobs.foreach { b =>
+      PngDhash.compute(b); JpegDhash.compute(b); GifDhash.compute(b)
+      WavFingerprint.compute(b)
+    }
+    // DataFrame decoders: the whole fuzz corpus through each walk
+    val s = spark
+    import s.implicits._
+    val df = blobs.toSeq.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "blob")
+    import graft.operators.Mm
+    assert(Mm.decodeImageMeta(df).count() == blobs.size)
+    assert(Mm.decodeWavMeta(df).count() == blobs.size)
+    assert(Mm.decodeMp4Meta(df).count() == blobs.size)
+    assert(Mm.decodeWebpMeta(df).count() == blobs.size)
+    assert(Mm.decodeGifMeta(df).count() == blobs.size)
+    Mm.mp4SampleTable(df).count() // row count varies; must not throw
+  }
+
   test("mm decodeGifMeta parses REAL and spec-layout GIF headers (fixture anchor)") {
     val s = spark
     import s.implicits._
