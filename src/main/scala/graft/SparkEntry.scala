@@ -107,7 +107,7 @@ object SparkEntry {
     "flow_switch", "flow_to_json", "merge_upsert", "mix_anneal",
     "mix_sources", "mix_temperature", "mm_chunks", "mm_decode_meta",
     "mm_decode_wav", "mm_decode_mp4", "mm_decode_webp", "mm_decode_gif",
-    "mm_frames_mp4", "mm_video_tokens",
+    "mm_frames_mp4", "mm_frames_gif", "mm_video_tokens",
     "mm_dedup_binary", "mm_frames", "mm_meta",
     "mm_dedup_percept", "mm_dedup_percept_jpeg", "mm_dedup_percept_audio",
     "mm_dedup_percept_cross", "mm_dedup_percept_gif",

@@ -86,6 +86,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GifDhash(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("gif_frame_dhashes"),
+      new ExpressionInfo(classOf[GifFrameDhashes].getName, "gif_frame_dhashes"),
+      (children: Seq[Expression]) => {
+        requireArity("gif_frame_dhashes", children, 1)
+        GifFrameDhashes(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
       (children: Seq[Expression]) => {
@@ -199,6 +206,16 @@ object GraftFunctions {
     * [[pngDhash]]/[[jpegDhash]] (null if undecodable) — see [[GifDhash]]. */
   def gifDhash(c: Column): Column =
     GraftBridge.column(GifDhash(GraftBridge.expression(c)))
+
+  /** Animated GIF → per-frame 64-bit perceptual dHash array (null if
+    * undecodable) — see [[GifFrameDhashes]]. */
+  def gifFrameDhashes(c: Column): Column =
+    GraftBridge.column(GifFrameDhashes(GraftBridge.expression(c)))
+
+  /** Deterministic synthetic ANIMATED cell GIF from a bigint id — see
+    * [[SynthAnimGif]]. */
+  def synthAnimGif(c: Column): Column =
+    GraftBridge.column(SynthAnimGif(GraftBridge.expression(c)))
 
   /** Merge-intersection of two SORTED duplicate-free bigint arrays —
     * see [[SortedIntersect]] for the contract. */

@@ -87,34 +87,7 @@ object JpegDhash {
       val w = reader.getWidth(0)
       val h = reader.getHeight(0)
       if (w < 9 || h < 8 || w.toLong * h > (16L << 20)) return null
-      val img = reader.read(0)
-      val gray = new Array[Int](w * h)
-      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
-        val r = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { gray(y * w + x) = r.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
-      } else {
-        // row-wise sRGB pull; luma weights sum to 256 so gray inputs
-        // (r=g=b=v) reproduce v exactly
-        val row = new Array[Int](w)
-        var y = 0
-        while (y < h) {
-          img.getRGB(0, y, w, 1, row, 0, w)
-          var x = 0
-          while (x < w) {
-            val p = row(x)
-            gray(y * w + x) =
-              (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
-            x += 1
-          }
-          y += 1
-        }
-      }
-      java.lang.Long.valueOf(PngDhash.dhashOfGray(gray, w, h))
+      java.lang.Long.valueOf(dhashOfImage(reader.read(0), w, h))
     } catch {
       case _: java.io.IOException => null
       case _: RuntimeException => null // ImageIO throws IAE/ISE on exotic corruption
@@ -122,6 +95,39 @@ object JpegDhash {
       if (reader != null) reader.dispose()
       if (iis != null) try iis.close() catch { case _: java.io.IOException => () }
     }
+  }
+
+  /** Decoded BufferedImage → integer luma → dHash. Shared by the
+    * single-image path above and the multi-frame GIF walk
+    * ([[GifFrameDhashes]]); luma weights sum to 256 so gray inputs
+    * (r=g=b=v) reproduce v exactly. */
+  private[functions] def dhashOfImage(
+      img: java.awt.image.BufferedImage, w: Int, h: Int): Long = {
+    val gray = new Array[Int](w * h)
+    if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { gray(y * w + x) = r.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          gray(y * w + x) =
+            (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
+          x += 1
+        }
+        y += 1
+      }
+    }
+    PngDhash.dhashOfGray(gray, w, h)
   }
 }
 

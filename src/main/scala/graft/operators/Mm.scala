@@ -1181,6 +1181,23 @@ object Mm {
             col("doc_id").cast("bigint"), col("text")).as("blob")))
         .orderBy("doc_id", "si")),
 
+    // ANIMATED-GIF frame extraction — the GIF counterpart of
+    // mm_frames_mp4: a real multi-frame ImageIO sequence write, then
+    // the multi-frame reader walk hashing EVERY frame through the
+    // shared dHash space; the oracle states each frame's hash bits
+    // from the (id, frame) formula, nibble-packed to hex, so only a
+    // correct per-frame decode matches
+    "mm_frames_gif" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          graft.functions.GraftFunctions.synthAnimGif(
+            col("doc_id").cast("bigint")).as("blob"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.GraftFunctions.gifFrameDhashes(col("blob"))))
+        .select(col("doc_id"), col("pos").cast("bigint").as("fi"),
+          lpad(hex(col("col")), 16, "0").as("frame_dhash_hex"))
+        .orderBy("doc_id", "fi")),
+
     // 16px ViT patch grid over the decoded dims: the vision-token budget
     "mm_vision_tokens" -> ((s, d) =>
       visionTokens(
@@ -1303,6 +1320,14 @@ object Mm {
     // lossless LZW round trip: the identical cell oracle, reached
     // through the ImageIO GIF write + palette decode
     "mm_dedup_percept_gif" -> cellPerceptOracle,
+
+    // per-frame dHash ground truth from (doc_id, frame) alone:
+    // F = id%3+2 frames, frame k carries pat_k = (id + 37k) mod 167;
+    // the 8x8 gradient bits (idx 0 = MSB, engine pack order) are
+    // nibble-packed to the 16-char uppercase hex the engine emits via
+    // lpad(hex(dhash), 16, '0') — bit-exact through the LZW round trip
+    "mm_frames_gif" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 + 2 AS f FROM documents), fr AS (SELECT doc_id, unnest(range(0, f::INT)) AS fi FROM p), cells AS (SELECT doc_id, fi, cy, cx, ((((doc_id + 37 * fi) % 167) * 31 + cy * 7 + cx * 13) % 97) % 8 AS gv FROM fr, generate_series(0, 7) g1(cy), generate_series(0, 8) g2(cx)), bits AS (SELECT a.doc_id, a.fi, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.fi = a.fi AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), nib AS (SELECT doc_id, fi, idx // 4 AS ni, sum(bit * (CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS v FROM bits GROUP BY doc_id, fi, idx // 4) SELECT doc_id, fi::BIGINT AS fi, string_agg(substr('0123456789ABCDEF', (v + 1)::INT, 1), '' ORDER BY ni) AS frame_dhash_hex FROM nib GROUP BY doc_id, fi ORDER BY doc_id, fi""",
 
     // coverage ground truth from the mixed-corpus branch arithmetic:
     // fifth 0 = decodable pixel PNG, 1 = decodable JPEG, 2 = the

@@ -293,6 +293,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("gif_frame_dhashes: per-frame formula anchor, static GIF, non-GIF null") {
+    import graft.functions.{GifDhash, GifFrameDhashes, SynthAnimGif, SynthCellGif, SynthGrayJpeg}
+    // every frame of the animated fixture decodes to its OWN formula
+    // bits (frames sweep distinct patterns)
+    for (id <- Seq(0L, 1L, 2L, 166L, 500L)) {
+      val frames = GifFrameDhashes.compute(SynthAnimGif.compute(id))
+      assert(frames != null, s"id=$id: undecodable")
+      assert(frames.numElements() == SynthAnimGif.frameCount(id),
+        s"id=$id: ${frames.numElements()} frames")
+      for (k <- 0 until frames.numElements()) {
+        val pat = SynthAnimGif.framePat(id, k)
+        var expect = 0L
+        for (r <- 0 until 8; c <- 0 until 8)
+          expect = (expect << 1) | (if (SynthGrayJpeg.cellQ(pat, r, c + 1) >
+            SynthGrayJpeg.cellQ(pat, r, c)) 1L else 0L)
+        assert(frames.getLong(k) == expect, s"id=$id frame $k diverged")
+      }
+    }
+    // a STATIC GIF is a 1-frame animation whose only hash equals the
+    // single-image decoder's
+    val still = SynthCellGif.compute(9L)
+    val one = GifFrameDhashes.compute(still)
+    assert(one.numElements() == 1 &&
+      one.getLong(0) == GifDhash.compute(still).longValue())
+    // nulls, not junk
+    assert(GifFrameDhashes.compute("not a gif".getBytes) == null)
+    assert(GifFrameDhashes.compute(SynthAnimGif.compute(3L).take(20)) == null)
+  }
+
   test("decoder fuzz: random, magic-prefixed and corrupted containers never throw") {
     // Seeded hostile-input sweep across EVERY decoder in the library:
     // pure noise, noise behind each container magic, and valid
@@ -330,7 +359,7 @@ class SimilaritySpec extends SparkSpec {
     // expression decoders: direct calls (null is fine, throwing is not)
     blobs.foreach { b =>
       PngDhash.compute(b); JpegDhash.compute(b); GifDhash.compute(b)
-      WavFingerprint.compute(b)
+      WavFingerprint.compute(b); GifFrameDhashes.compute(b)
     }
     // DataFrame decoders: the whole fuzz corpus through each walk
     val s = spark
