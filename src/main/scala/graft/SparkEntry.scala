@@ -26,7 +26,8 @@ object SparkEntry {
       (Graph.queries, Graph.oracles),
       (Web.queries, Web.oracles),
       (Pipelines.queries, Pipelines.oracles),
-      (graft.sources.Io.queries, graft.sources.Io.oracles)
+      (graft.sources.Io.queries, graft.sources.Io.oracles),
+      (graft.sources.Archive.queries, graft.sources.Archive.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -118,7 +119,9 @@ object SparkEntry {
     "q_window_running", "sample_hash_split", "sample_leakage_split",
     "sample_soft_dedup", "sample_upsample", "sim_knn_join",
     "sim_knn_join_rep", "sim_knn_join_auto", "sink_kv_batches", "src_csv_roundtrip",
-    "src_jsonlines_file", "src_parquet_merge_schema", "text_bpe_encode",
+    "src_jsonlines_file", "src_parquet_merge_schema",
+    "src_tar_roundtrip", "mm_webdataset", "src_zip_roundtrip",
+    "src_gzip_roundtrip", "src_warc_records", "text_bpe_encode",
     "text_chunks", "text_classifier_gate", "text_dedup_sentences",
     "text_diversity", "text_dup_spans", "text_fingerprint",
     "text_html_extract", "text_html_pipeline", "text_langid", "text_lm_score",

@@ -99,6 +99,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("sorted_intersect", children, 2)
         SortedIntersect(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("tar_build"),
+      new ExpressionInfo(classOf[TarBuild].getName, "tar_build"),
+      (children: Seq[Expression]) => {
+        requireArity("tar_build", children, 2)
+        TarBuild(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("tar_entries"),
+      new ExpressionInfo(classOf[TarEntries].getName, "tar_entries"),
+      (children: Seq[Expression]) => {
+        requireArity("tar_entries", children, 1)
+        TarEntries(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("zip_build"),
+      new ExpressionInfo(classOf[ZipBuild].getName, "zip_build"),
+      (children: Seq[Expression]) => {
+        requireArity("zip_build", children, 2)
+        ZipBuild(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("zip_entries"),
+      new ExpressionInfo(classOf[ZipEntries].getName, "zip_entries"),
+      (children: Seq[Expression]) => {
+        requireArity("zip_entries", children, 1)
+        ZipEntries(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gzip_bytes"),
+      new ExpressionInfo(classOf[GzipBytes].getName, "gzip_bytes"),
+      (children: Seq[Expression]) => {
+        requireArity("gzip_bytes", children, 1)
+        GzipBytes(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gunzip_bytes"),
+      new ExpressionInfo(classOf[GunzipBytes].getName, "gunzip_bytes"),
+      (children: Seq[Expression]) => {
+        requireArity("gunzip_bytes", children, 1)
+        GunzipBytes(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
+      (children: Seq[Expression]) => {
+        requireArity("warc_records", children, 1)
+        WarcRecords(children.head)
+      }))
   }
 }
 
@@ -247,6 +296,42 @@ object GraftFunctions {
     */
   def sumDec6(c: Column): Column =
     GraftBridge.column(SumDec6(GraftBridge.expression(c)).toAggregateExpression())
+
+  /** POSIX ustar archive from parallel name/payload arrays — see
+    * [[TarBuild]]. */
+  def tarBuild(names: Column, payloads: Column): Column =
+    GraftBridge.column(TarBuild(
+      GraftBridge.expression(names), GraftBridge.expression(payloads)))
+
+  /** Checksum-verified tar member walk → (name, off, size) structs —
+    * see [[TarEntries]]. */
+  def tarEntries(c: Column): Column =
+    GraftBridge.column(TarEntries(GraftBridge.expression(c)))
+
+  /** Stored-member ZIP archive from parallel name/payload arrays — see
+    * [[ZipBuild]]. */
+  def zipBuild(names: Column, payloads: Column): Column =
+    GraftBridge.column(ZipBuild(
+      GraftBridge.expression(names), GraftBridge.expression(payloads)))
+
+  /** Central-directory ZIP walk with CRC32 verification → (name, off,
+    * size, crc_ok, payload_md5) structs — see [[ZipEntries]]. */
+  def zipEntries(c: Column): Column =
+    GraftBridge.column(ZipEntries(GraftBridge.expression(c)))
+
+  /** RFC 1952 gzip member of a binary value — see [[GzipBytes]]. */
+  def gzipBytes(c: Column): Column =
+    GraftBridge.column(GzipBytes(GraftBridge.expression(c)))
+
+  /** Trailer-verified gunzip of one member (null on corruption/bomb) —
+    * see [[GunzipBytes]]. */
+  def gunzipBytes(c: Column): Column =
+    GraftBridge.column(GunzipBytes(GraftBridge.expression(c)))
+
+  /** WARC record walk → (rec_type, uri, off, len) structs — see
+    * [[WarcRecords]]. */
+  def warcRecords(c: Column): Column =
+    GraftBridge.column(WarcRecords(GraftBridge.expression(c)))
 
   /** `v >> n` with a COLUMN shift amount. `functions.shiftright` only takes
     * a constant Int; the underlying Catalyst ShiftRight is two-expression

@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Native Catalyst expressions for gzip members — crawl corpora arrive
+  * gzip-compressed at the RECORD level (each WARC record its own member),
+  * where Spark's whole-file `.gz` codec support doesn't reach: the
+  * decompression has to happen per binary VALUE inside the plan.
+  *
+  *  - [[GzipBytes]] writes a real RFC 1952 member: 10-byte header with
+  *    MTIME pinned to 0 (deterministic output for a given zlib), raw
+  *    DEFLATE body, CRC32 + ISIZE trailer. The `gzip` CLI decompresses
+  *    its output (pinned in ArchiveSpec).
+  *  - [[GunzipBytes]] inflates one member and VERIFIES the trailer: CRC32
+  *    and ISIZE both checked, so a flipped payload byte — or a flipped
+  *    trailer byte — returns NULL rather than silently surfacing corrupt
+  *    text. Output capped at 64 MiB (decompression-bomb gate; a member
+  *    claiming or producing more returns NULL). Multi-member
+  *    concatenations decode their FIRST member (the per-record framing
+  *    this pair exists for keeps one record per member).
+  *
+  * Scale shape: scan-fused per-row projections, zero shuffle, memory
+  * bounded by one member's declared size.
+  */
+case class GzipBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gzip_bytes needs a binary child, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    GzipBytes.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GzipBytes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipBytes =
+    copy(child = newChild)
+}
+
+object GzipBytes {
+
+  /** Encode one member. Called from generated code. */
+  def compute(data: Array[Byte]): Array[Byte] = {
+    val def_ = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    val body = try {
+      def_.setInput(data)
+      def_.finish()
+      val buf = new Array[Byte](math.max(64, data.length / 2))
+      val out = new java.io.ByteArrayOutputStream(buf.length + 18)
+      while (!def_.finished()) {
+        val k = def_.deflate(buf)
+        out.write(buf, 0, k)
+      }
+      out.toByteArray
+    } finally def_.end()
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val out = new Array[Byte](10 + body.length + 8)
+    out(0) = 0x1f; out(1) = 0x8b.toByte; out(2) = 8 // magic + deflate
+    // flags/mtime/xfl 0 (deterministic), OS 255 (unknown)
+    out(9) = 0xff.toByte
+    System.arraycopy(body, 0, out, 10, body.length)
+    le32(out, 10 + body.length, crc.getValue)
+    le32(out, 14 + body.length, data.length.toLong & 0xffffffffL)
+    out
+  }
+
+  private def le32(b: Array[Byte], p: Int, v: Long): Unit = {
+    b(p) = v.toByte; b(p + 1) = (v >>> 8).toByte
+    b(p + 2) = (v >>> 16).toByte; b(p + 3) = (v >>> 24).toByte
+  }
+}
+
+/** See [[GzipBytes]]'s scaladoc — this is the decode half. */
+case class GunzipBytes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gunzip_bytes needs a binary child, got ${child.dataType}")
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    GunzipBytes.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("gun")
+      s"""
+         |byte[] $out = graft.functions.GunzipBytes.compute($c);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GunzipBytes =
+    copy(child = newChild)
+}
+
+object GunzipBytes {
+
+  /** Decompression-bomb gate (shared bound with [[ZipEntries]]). */
+  val MaxBytes: Long = 64L << 20
+
+  /** Decode + verify one member; null on any malformation, bad CRC/ISIZE,
+    * or the bomb gate. Called from generated code. */
+  def compute(blob: Array[Byte]): Array[Byte] = {
+    if (blob.length < 18 || blob(0) != 0x1f || blob(1) != 0x8b.toByte ||
+        blob(2) != 8) return null
+    val flg = blob(3) & 0xff
+    if ((flg & 0xe0) != 0) return null // reserved bits must be zero
+    var p = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > blob.length) return null
+      p += 2 + ((blob(p) & 0xff) | ((blob(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) p = skipZ(blob, p)  // FNAME
+    if ((flg & 16) != 0) p = skipZ(blob, p) // FCOMMENT
+    if ((flg & 2) != 0) p += 2              // FHCRC
+    if (p < 0 || p + 8 >= blob.length) return null
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(blob, p, blob.length - p)
+      val out = new java.io.ByteArrayOutputStream(math.min(blob.length * 4L, 1L << 16).toInt)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0) {
+          if (!inf.finished()) return null // truncated or needs-dict
+        } else {
+          if (out.size().toLong + k > MaxBytes) return null
+          out.write(buf, 0, k)
+        }
+      }
+      val data = out.toByteArray
+      // trailer sits immediately after the deflate stream's last byte
+      val consumed = inf.getBytesRead
+      if (consumed > Int.MaxValue - p) return null
+      val tp = p + consumed.toInt
+      if (tp + 8 > blob.length) return null
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (le32(blob, tp) != crc.getValue) return null
+      if (le32(blob, tp + 4) != (data.length.toLong & 0xffffffffL)) return null
+      data
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  /** Skip a NUL-terminated optional field; negative sentinel on overrun. */
+  private def skipZ(blob: Array[Byte], from: Int): Int = {
+    if (from < 0) return -1
+    var p = from
+    while (p < blob.length && blob(p) != 0) p += 1
+    if (p >= blob.length) -1 else p + 1
+  }
+
+  private def le32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+}

@@ -1,0 +1,235 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Archive-shard ingest — the container layer between an object store
+  * and the document/multimodal operators: training corpora ship as tar
+  * shards (WebDataset), zip bundles, per-record gzip members, and WARC
+  * crawl files. Each operator here round-trips REAL container bytes: the
+  * engine builds spec-correct archives from the documents table (so the
+  * DuckDB oracle can state every member's offset/size/hash from doc_id
+  * and the format's arithmetic alone) and parses them back through the
+  * native codec expressions ([[graft.functions.TarBuild]]/
+  * [[graft.functions.TarEntries]], Zip/Gzip/Warc siblings) — construction
+  * and parse cannot share a bug because ArchiveSpec cross-validates both
+  * halves against the system `tar`/`zip`/`gzip` tools and
+  * `java.util.zip`.
+  *
+  * Scale shape: at 100 TB the fixture-synthesis half disappears — ingest
+  * is `binaryFile` reads of shard objects → one codec expression → one
+  * bounded explode, a scan-fused, shuffle-free pipeline whose per-task
+  * memory is one shard. The only shuffle below is the fixture-side
+  * `groupBy(shard)` that ASSEMBLES test archives (documented as such).
+  * Reference tie: object-store ingest
+  * (packages/app/bundles/custom/aws/s3/s3-connector.ts:1) — the
+  * reference streams whole objects row-at-a-time; this is the
+  * shard-member walk Spark-native at training-data scale.
+  */
+object Archive {
+
+  /** Docs projected to (shard, doc_id, text): 8 docs per shard — small
+    * enough that sf0.001 still yields multi-member archives, large
+    * enough that offsets exercise multi-KB chains. */
+  private def sharded(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      expr("CAST(doc_id AS BIGINT) div 8").as("shard"),
+      col("doc_id").cast("bigint").as("doc_id"), col("text"))
+
+  /** WebDataset member layout: every doc contributes `{id}.cls` (its
+    * label rendered as text — here doc_id mod 10) and `{id}.txt` (the
+    * document body). Sorted by (doc_id, name) inside each shard so the
+    * oracle can replay member order. */
+  private def memberLists(docs: DataFrame): DataFrame =
+    docs.select(col("shard"), col("doc_id"),
+      explode(array(
+        struct(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(".cls")).as("name"),
+          expr("CAST(CAST(doc_id % 10 AS STRING) AS BINARY)").as("payload")),
+        struct(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+          col("text").cast("binary").as("payload")))).as("m"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("shard"),
+        expr("transform(ms, x -> x.name)").as("names"),
+        expr("transform(ms, x -> x.payload)").as("payloads"))
+
+  /** Tar shards (2 members per doc) → checksum-verified header walk →
+    * one row per member with its payload offset/size and the md5 of the
+    * bytes the offsets frame. */
+  def tarRoundtrip(s: SparkSession, dir: String): DataFrame =
+    memberLists(sharded(s, dir))
+      .select(col("shard"),
+        GraftFunctions.tarBuild(col("names"), col("payloads")).as("blob"))
+      .select(col("shard"), col("blob"),
+        explode(GraftFunctions.tarEntries(col("blob"))).as("e"))
+      .select(col("shard"), col("e.name").as("name"), col("e.off").as("off"),
+        col("e.size").as("size"),
+        md5(expr("substring(blob, CAST(e.off AS INT) + 1, CAST(e.size AS INT))"))
+          .as("payload_md5"))
+      .orderBy("shard", "off")
+
+  /** WebDataset sample assembly: members grouped on their key (basename
+    * before the extension) — the `{id}.cls` label and `{id}.txt` body
+    * re-join into one training sample per doc, THROUGH the tar parse. */
+  def webdatasetSamples(s: SparkSession, dir: String): DataFrame =
+    memberLists(sharded(s, dir))
+      .select(col("shard"),
+        GraftFunctions.tarBuild(col("names"), col("payloads")).as("blob"))
+      .select(col("shard"), col("blob"),
+        explode(GraftFunctions.tarEntries(col("blob"))).as("e"))
+      .select(col("shard"),
+        expr("CAST(split(e.name, '\\\\.')[0] AS BIGINT)").as("key"),
+        expr("split(e.name, '\\\\.')[1]").as("ext"),
+        col("e.size").as("size"),
+        expr("substring(blob, CAST(e.off AS INT) + 1, CAST(e.size AS INT))").as("payload"))
+      .groupBy("shard", "key")
+      .agg(
+        max(when(col("ext") === "txt", md5(col("payload")))).as("txt_md5"),
+        max(when(col("ext") === "cls", col("payload").cast("string"))).as("cls_label"),
+        sum(col("size")).as("sample_bytes"),
+        count(lit(1)).as("n_members"))
+      .orderBy("key")
+
+  /** Zip shards (stored members) → EOCD/central-directory walk with
+    * per-member CRC32 verification done by the codec itself. */
+  def zipRoundtrip(s: SparkSession, dir: String): DataFrame =
+    memberLists(sharded(s, dir))
+      .select(col("shard"),
+        GraftFunctions.zipBuild(col("names"), col("payloads")).as("blob"))
+      .select(col("shard"),
+        explode(GraftFunctions.zipEntries(col("blob"))).as("e"))
+      .select(col("shard"), col("e.name").as("name"), col("e.off").as("off"),
+        col("e.size").as("size"),
+        col("e.crc_ok").cast("bigint").as("crc_ok"),
+        col("e.payload_md5").as("payload_md5"))
+      .orderBy("shard", "off")
+
+  /** Per-record gzip members with a deterministic corrupted subset: docs
+    * with doc_id ≡ 0 (mod 7) get their 8-byte CRC32+ISIZE trailer
+    * replaced with junk, so the decoder's trailer verification — not
+    * just its header parse — decides `ok`. The oracle states `ok` from
+    * the residue alone; a decoder that skips CRC verification returns
+    * the corrupt rows as ok=1 and hash-mismatches. */
+  def gzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val junk = lit(Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte,
+      0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte))
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        GraftFunctions.gzipBytes(col("text").cast("binary")).as("gz"))
+      .withColumn("gz",
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(expr("substring(gz, 1, octet_length(gz) - 8)"), junk))
+          .otherwise(col("gz")))
+      .withColumn("un", GraftFunctions.gunzipBytes(col("gz")))
+      .select(col("doc_id"),
+        col("un").isNotNull.cast("bigint").as("ok"),
+        expr("CAST(octet_length(un) AS BIGINT)").as("un_bytes"),
+        md5(col("un")).as("un_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** WARC crawl shards: records synthesized as real `WARC/1.0` framing
+    * over the document bodies (header text + Content-Length + the
+    * mandatory CRLF pairs), concatenated per shard, then re-framed by
+    * the Content-Length walk — offsets are reachable only through each
+    * predecessor's declared length, exactly how a crawl reader works. */
+  def warcRecords(s: SparkSession, dir: String): DataFrame = {
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.test/doc/"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Length: "),
+      expr("CAST(octet_length(CAST(text AS BINARY)) AS STRING)"),
+      lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+    sharded(s, dir)
+      .select(col("shard"), struct(col("doc_id"), rec.as("rec")).as("m"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("shard"),
+        expr("CAST(array_join(transform(ms, x -> x.rec), '') AS BINARY)").as("blob"))
+      .select(col("shard"), col("blob"),
+        explode(GraftFunctions.warcRecords(col("blob"))).as("e"))
+      .select(col("shard"), col("e.rec_type").as("rec_type"), col("e.uri").as("uri"),
+        col("e.off").as("off"), col("e.len").as("len"),
+        md5(expr("substring(blob, CAST(e.off AS INT) + 1, CAST(e.len AS INT))"))
+          .as("body_md5"))
+      .orderBy("shard", "off")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_tar_roundtrip" -> ((s, d) => tarRoundtrip(s, d)),
+    "mm_webdataset" -> ((s, d) => webdatasetSamples(s, d)),
+    "src_zip_roundtrip" -> ((s, d) => zipRoundtrip(s, d)),
+    "src_gzip_roundtrip" -> ((s, d) => gzipRoundtrip(s, d)),
+    "src_warc_records" -> ((s, d) => warcRecords(s, d))
+  )
+
+  /** Members ordered (doc_id, name) inside each shard — `.cls` sorts
+    * before `.txt`, matching `sort_array` over (doc_id, name, payload)
+    * structs. Every offset is stated from the format's own arithmetic:
+    * tar = 512-byte headers + 512-padded payloads; zip = 30-byte local
+    * headers + name + payload; WARC = header text + body + 4. */
+  private val tarMembers: String =
+    """WITH m AS (
+      |  SELECT doc_id // 8 AS shard, doc_id,
+      |         doc_id::VARCHAR || '.cls' AS name,
+      |         octet_length(encode((doc_id % 10)::VARCHAR))::BIGINT AS size,
+      |         md5((doc_id % 10)::VARCHAR) AS payload_md5 FROM documents
+      |  UNION ALL
+      |  SELECT doc_id // 8, doc_id, doc_id::VARCHAR || '.txt',
+      |         octet_length(encode(text))::BIGINT, md5(text) FROM documents)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "src_tar_roundtrip" -> (tarMembers +
+      """, p AS (SELECT shard, name, size, payload_md5,
+        |  (512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
+        |     OVER (PARTITION BY shard ORDER BY doc_id, name
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
+        |  FROM m)
+        |SELECT shard, name, off, size, payload_md5 FROM p ORDER BY shard, off""".stripMargin),
+
+    "mm_webdataset" ->
+      """SELECT doc_id // 8 AS shard, doc_id AS key, md5(text) AS txt_md5,
+        |  (doc_id % 10)::VARCHAR AS cls_label,
+        |  (octet_length(encode(text)) + octet_length(encode((doc_id % 10)::VARCHAR)))::BIGINT AS sample_bytes,
+        |  2::BIGINT AS n_members
+        |FROM documents ORDER BY key""".stripMargin,
+
+    "src_zip_roundtrip" -> (tarMembers +
+      """, p AS (SELECT shard, name, size, payload_md5,
+        |  (30 + octet_length(encode(name)) + coalesce(sum(30 + octet_length(encode(name)) + size)
+        |     OVER (PARTITION BY shard ORDER BY doc_id, name
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
+        |  FROM m)
+        |SELECT shard, name, off, size, 1::BIGINT AS crc_ok, payload_md5 FROM p ORDER BY shard, off""".stripMargin),
+
+    "src_gzip_roundtrip" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS ok,
+        |  CASE WHEN doc_id % 7 <> 0 THEN octet_length(encode(text))::BIGINT END AS un_bytes,
+        |  CASE WHEN doc_id % 7 <> 0 THEN md5(text) END AS un_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "src_warc_records" ->
+      """WITH r AS (SELECT doc_id // 8 AS shard, doc_id,
+        |  octet_length(encode(text))::BIGINT AS len, md5(text) AS body_md5,
+        |  octet_length(encode(
+        |    'WARC/1.0' || chr(13) || chr(10) ||
+        |    'WARC-Type: response' || chr(13) || chr(10) ||
+        |    'WARC-Target-URI: https://crawl.test/doc/' || doc_id::VARCHAR || chr(13) || chr(10) ||
+        |    'Content-Length: ' || octet_length(encode(text))::VARCHAR || chr(13) || chr(10) ||
+        |    chr(13) || chr(10)))::BIGINT AS hlen
+        |  FROM documents),
+        |q AS (SELECT shard, 'response' AS rec_type,
+        |  'https://crawl.test/doc/' || doc_id::VARCHAR AS uri, len, body_md5,
+        |  (hlen + coalesce(sum(hlen + len + 4)
+        |     OVER (PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
+        |  FROM r)
+        |SELECT shard, rec_type, uri, off, len, body_md5 FROM q ORDER BY shard, off""".stripMargin
+  )
+}
