@@ -121,7 +121,8 @@ object SparkEntry {
     "sim_knn_join_rep", "sim_knn_join_auto", "sink_kv_batches", "src_csv_roundtrip",
     "src_jsonlines_file", "src_parquet_merge_schema",
     "src_tar_roundtrip", "mm_webdataset", "src_zip_roundtrip",
-    "src_gzip_roundtrip", "src_warc_records", "text_bpe_encode",
+    "src_gzip_roundtrip", "src_warc_records", "src_warc_gz_e2e",
+    "text_bpe_encode",
     "text_chunks", "text_classifier_gate", "text_dedup_sentences",
     "text_diversity", "text_dup_spans", "text_fingerprint",
     "text_html_extract", "text_html_pipeline", "text_langid", "text_lm_score",

@@ -142,6 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GunzipBytes(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("gunzip_members"),
+      new ExpressionInfo(classOf[GunzipMembers].getName, "gunzip_members"),
+      (children: Seq[Expression]) => {
+        requireArity("gunzip_members", children, 1)
+        GunzipMembers(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("warc_records"),
       new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
       (children: Seq[Expression]) => {
@@ -327,6 +334,11 @@ object GraftFunctions {
     * see [[GunzipBytes]]. */
   def gunzipBytes(c: Column): Column =
     GraftBridge.column(GunzipBytes(GraftBridge.expression(c)))
+
+  /** Concatenated gzip members → array of decompressed, trailer-verified
+    * member payloads (the .warc.gz layout) — see [[GunzipMembers]]. */
+  def gunzipMembers(c: Column): Column =
+    GraftBridge.column(GunzipMembers(GraftBridge.expression(c)))
 
   /** WARC record walk → (rec_type, uri, off, len) structs — see
     * [[WarcRecords]]. */

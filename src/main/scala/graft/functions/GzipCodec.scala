@@ -115,11 +115,20 @@ object GunzipBytes {
   /** Decode + verify one member; null on any malformation, bad CRC/ISIZE,
     * or the bomb gate. Called from generated code. */
   def compute(blob: Array[Byte]): Array[Byte] = {
-    if (blob.length < 18 || blob(0) != 0x1f || blob(1) != 0x8b.toByte ||
-        blob(2) != 8) return null
-    val flg = blob(3) & 0xff
+    val m = member(blob, 0)
+    if (m == null) null else m._1
+  }
+
+  /** Decode + verify ONE member starting at `start`; (data, end offset)
+    * or null. The multi-member walk [[GunzipMembers]] shares this body —
+    * member boundaries in a concatenation are only discoverable by
+    * decompressing, which is how zcat/WARC readers find them too. */
+  private[functions] def member(blob: Array[Byte], start: Int): (Array[Byte], Int) = {
+    if (start + 18 > blob.length || blob(start) != 0x1f ||
+        blob(start + 1) != 0x8b.toByte || blob(start + 2) != 8) return null
+    val flg = blob(start + 3) & 0xff
     if ((flg & 0xe0) != 0) return null // reserved bits must be zero
-    var p = 10
+    var p = start + 10
     if ((flg & 4) != 0) { // FEXTRA
       if (p + 2 > blob.length) return null
       p += 2 + ((blob(p) & 0xff) | ((blob(p + 1) & 0xff) << 8))
@@ -152,7 +161,7 @@ object GunzipBytes {
       crc.update(data)
       if (le32(blob, tp) != crc.getValue) return null
       if (le32(blob, tp + 4) != (data.length.toLong & 0xffffffffL)) return null
-      data
+      (data, tp + 8)
     } catch {
       case _: java.util.zip.DataFormatException => null
     } finally inf.end()
@@ -169,4 +178,75 @@ object GunzipBytes {
   private def le32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
       ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+}
+
+/** Native Catalyst expression: CONCATENATED gzip members → one binary
+  * element per member, decompressed and trailer-verified — the
+  * `.warc.gz` layout CommonCrawl actually publishes (each WARC record
+  * its own gzip member, members back-to-back in one object, so a reader
+  * can seek to any member and inflate one record). Member boundaries
+  * are only discoverable by decompressing — exactly what zcat does —
+  * via the shared [[GunzipBytes.member]] body, so every member gets the
+  * same CRC32+ISIZE verification. NULL on any bad member (one corrupt
+  * record quarantines the shard — the caller can fall back to
+  * per-member salvage by slicing). Bounds: 65536 members, 64 MiB per
+  * member, 256 MiB decompressed per shard.
+  *
+  * Scale shape: scan-fused per-row projection, zero shuffle; the
+  * explode that follows is bounded by one shard's record count.
+  */
+case class GunzipMembers(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(BinaryType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gunzip_members needs a binary child, got ${child.dataType}")
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    GunzipMembers.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("gzm")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.GunzipMembers.compute($c);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $out; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GunzipMembers =
+    copy(child = newChild)
+}
+
+object GunzipMembers {
+
+  val MaxMembers = 65536
+  val MaxTotalBytes: Long = 256L << 20
+
+  /** Decode every member in the concatenation; empty array for an empty
+    * blob, null on any malformed member or a cap breach. Called from
+    * generated code. */
+  def compute(blob: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    var pos = 0
+    var total = 0L
+    while (pos < blob.length) {
+      if (out.size() >= MaxMembers) return null
+      val m = GunzipBytes.member(blob, pos)
+      if (m == null) return null
+      total += m._1.length
+      if (total > MaxTotalBytes) return null
+      out.add(m._1)
+      pos = m._2
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(Array.empty[AnyRef]))
+  }
 }

@@ -209,6 +209,40 @@ class ArchiveSpec extends SparkSpec {
     assert(GunzipBytes.compute(gz) == null, "output past the cap must fail, not allocate")
   }
 
+  test("gzip: GunzipMembers walks concatenated members like zcat") {
+    val parts = Seq("first member", "second member body", "third").map(_.getBytes("UTF-8"))
+    val cat = parts.map(GzipBytes.compute).reduce(_ ++ _)
+    // engine walk: every member decoded, in order
+    val ms = GunzipMembers.compute(cat)
+    assert(ms != null && ms.numElements() == 3)
+    for ((p, i) <- parts.zipWithIndex)
+      assert(java.util.Arrays.equals(ms.getBinary(i), p))
+    // zcat agrees the concatenation is one valid multi-member stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_gzm").toFile
+    val f = new java.io.File(dir, "cat.gz")
+    java.nio.file.Files.write(f.toPath, cat)
+    val (rc, out) = sh("sh", "-c", s"zcat ${f.getAbsolutePath} | md5sum")
+    assert(rc == 0 && out.startsWith(md5hex(parts.reduce(_ ++ _))), out)
+    // CLI-produced members (FNAME-bearing) concatenate and walk too
+    val a = new java.io.File(dir, "a.txt"); val b = new java.io.File(dir, "b.txt")
+    java.nio.file.Files.write(a.toPath, parts(0))
+    java.nio.file.Files.write(b.toPath, parts(1))
+    assert(sh("gzip", a.getAbsolutePath)._1 == 0)
+    assert(sh("gzip", b.getAbsolutePath)._1 == 0)
+    val cliCat = java.nio.file.Files.readAllBytes(new java.io.File(dir, "a.txt.gz").toPath) ++
+      java.nio.file.Files.readAllBytes(new java.io.File(dir, "b.txt.gz").toPath)
+    val ms2 = GunzipMembers.compute(cliCat)
+    assert(ms2 != null && ms2.numElements() == 2 &&
+      java.util.Arrays.equals(ms2.getBinary(0), parts(0)) &&
+      java.util.Arrays.equals(ms2.getBinary(1), parts(1)))
+    // one corrupt member quarantines the shard; empty blob = no members
+    val bad = cat.clone(); bad(GzipBytes.compute(parts(0)).length + 12) =
+      (bad(GzipBytes.compute(parts(0)).length + 12) ^ 0x10).toByte
+    assert(GunzipMembers.compute(bad) == null)
+    assert(GunzipMembers.compute(cat.take(cat.length - 2)) == null, "truncated tail member")
+    assert(GunzipMembers.compute(Array.emptyByteArray).numElements() == 0)
+  }
+
   // --------------------------------------------------------------- warc
 
   test("warc: record walk frames bodies by Content-Length, not by scanning") {
@@ -309,5 +343,7 @@ class ArchiveSpec extends SparkSpec {
     assert(good.forall(r => r.getLong(1) == 1L && !r.isNullAt(3)))
     val warc = run("src_warc_records").collect()
     assert(warc.length == 500 && warc.forall(_.getString(1) == "response"))
+    val wgz = run("src_warc_gz_e2e").collect()
+    assert(wgz.length == 500 && wgz.forall(_.getString(2) == "response"))
   }
 }
