@@ -142,6 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GunzipBytes(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("exif_meta"),
+      new ExpressionInfo(classOf[ExifMeta].getName, "exif_meta"),
+      (children: Seq[Expression]) => {
+        requireArity("exif_meta", children, 1)
+        ExifMeta(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("gunzip_members"),
       new ExpressionInfo(classOf[GunzipMembers].getName, "gunzip_members"),
       (children: Seq[Expression]) => {
@@ -334,6 +341,16 @@ object GraftFunctions {
     * see [[GunzipBytes]]. */
   def gunzipBytes(c: Column): Column =
     GraftBridge.column(GunzipBytes(GraftBridge.expression(c)))
+
+  /** JPEG APP1/TIFF EXIF walk → (endian, orientation, make, datetime,
+    * pixel_x) struct, null if no well-formed EXIF — see [[ExifMeta]]. */
+  def exifMeta(c: Column): Column =
+    GraftBridge.column(ExifMeta(GraftBridge.expression(c)))
+
+  /** Deterministic EXIF-bearing JPEG (byte order alternates by id
+    * parity) — see [[SynthExifJpeg]]. */
+  def synthExifJpeg(c: Column): Column =
+    GraftBridge.column(SynthExifJpeg(GraftBridge.expression(c)))
 
   /** Concatenated gzip members → array of decompressed, trailer-verified
     * member payloads (the .warc.gz layout) — see [[GunzipMembers]]. */

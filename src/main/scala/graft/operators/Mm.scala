@@ -1198,6 +1198,22 @@ object Mm {
           lpad(hex(col("col")), 16, "0").as("frame_dhash_hex"))
         .orderBy("doc_id", "fi")),
 
+    // JPEG EXIF decode: APP1 marker scan → TIFF header (BOTH byte
+    // orders, alternating by id parity) → IFD0 + Exif sub-IFD walk.
+    // Orientation is what a percept pass must normalize by; the oracle
+    // states every field from doc_id's formulas, so only a correct
+    // endian-aware TIFF walk matches
+    "mm_exif" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          graft.functions.GraftFunctions.exifMeta(
+            graft.functions.GraftFunctions.synthExifJpeg(
+              col("doc_id").cast("bigint"))).as("e"))
+        .select(col("doc_id"), col("e.endian").as("endian"),
+          col("e.orientation").as("orientation"), col("e.make").as("make"),
+          col("e.datetime").as("datetime"), col("e.pixel_x").as("pixel_x"))
+        .orderBy("doc_id")),
+
     // 16px ViT patch grid over the decoded dims: the vision-token budget
     "mm_vision_tokens" -> ((s, d) =>
       visionTokens(
@@ -1292,6 +1308,10 @@ object Mm {
     // ground truth of the synthesized RIFF headers, from doc_id alone
     "mm_decode_wav" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 2 + 1 END AS channels, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8000 * (doc_id % 5 + 1) END AS sample_rate, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8 * (doc_id % 3 + 1) END AS bits, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 250 * (doc_id % 10 + 1) END AS duration_ms FROM documents ORDER BY doc_id""",
+    // the EXIF formulas the synthesizer encodes, from doc_id alone —
+    // matching requires the endian-aware TIFF walk to read them back
+    "mm_exif" ->
+      """SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian, (1 + doc_id % 8)::BIGINT AS orientation, 'GraftCam ' || (doc_id % 5)::VARCHAR AS make, '2026:01:' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || ' ' || lpad((doc_id % 24)::VARCHAR, 2, '0') || ':00:00' AS datetime, 72::BIGINT AS pixel_x FROM documents ORDER BY doc_id""",
     "mm_vision_tokens" ->
       """WITH m AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 900 + 100 END AS width, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE (doc_id * 3) % 900 + 100 END AS height FROM documents) SELECT doc_id, format, width, height, coalesce(CAST(ceil(width / 16.0) AS BIGINT), 0) AS patches_x, coalesce(CAST(ceil(height / 16.0) AS BIGINT), 0) AS patches_y, coalesce(CAST(ceil(width / 16.0) AS BIGINT) * CAST(ceil(height / 16.0) AS BIGINT), 0) AS vision_tokens FROM m ORDER BY doc_id""",
     "mm_pack_multimodal" ->

@@ -360,6 +360,7 @@ class SimilaritySpec extends SparkSpec {
     blobs.foreach { b =>
       PngDhash.compute(b); JpegDhash.compute(b); GifDhash.compute(b)
       WavFingerprint.compute(b); GifFrameDhashes.compute(b)
+      ExifMeta.compute(b)
     }
     // DataFrame decoders: the whole fuzz corpus through each walk
     val s = spark
@@ -373,6 +374,35 @@ class SimilaritySpec extends SparkSpec {
     assert(Mm.decodeWebpMeta(df).count() == blobs.size)
     assert(Mm.decodeGifMeta(df).count() == blobs.size)
     Mm.mp4SampleTable(df).count() // row count varies; must not throw
+  }
+
+  test("exif: endian-aware TIFF walk reads both byte orders; hostile EXIF nulls") {
+    import graft.functions.{ExifMeta, SynthExifJpeg, JpegDhash, SynthGrayJpeg}
+    // id 4 → II (little-endian), id 7 → MM (big-endian): same walk, both orders
+    for (id <- Seq(4L, 7L)) {
+      val r = ExifMeta.compute(SynthExifJpeg.compute(id))
+      assert(r != null, s"id $id must decode")
+      assert(r.getUTF8String(0).toString == (if (id % 2 == 0) "II" else "MM"))
+      assert(r.getLong(1) == SynthExifJpeg.orientation(id))
+      assert(r.getUTF8String(2).toString == SynthExifJpeg.make(id))
+      assert(r.getUTF8String(3).toString == SynthExifJpeg.datetime(id))
+      assert(r.getLong(4) == SynthGrayJpeg.W)
+    }
+    // the APP1 injection must not break the pixel decode: the EXIF-bearing
+    // JPEG hashes identically to its EXIF-free twin (same image bits)
+    assert(JpegDhash.compute(SynthExifJpeg.compute(11L)) ==
+      JpegDhash.compute(SynthGrayJpeg.compute(11L)))
+    // a plain JPEG carries no EXIF → null (not garbage)
+    assert(ExifMeta.compute(SynthGrayJpeg.compute(3L)) == null)
+    // hostile: IFD offset past the segment, truncated APP1, non-JPEG
+    val good = SynthExifJpeg.compute(2L)
+    val badOff = good.clone()
+    // IFD0 offset field sits at TIFF+4 (file offset 16, LE for id=2):
+    // poison its most-significant byte → offset far past tiffEnd
+    badOff(2 + 4 + 6 + 4 + 3) = 0x7f
+    assert(ExifMeta.compute(badOff) == null)
+    assert(ExifMeta.compute(good.take(30)) == null)
+    assert(ExifMeta.compute("not a jpeg".getBytes) == null)
   }
 
   test("mm decodeGifMeta parses REAL and spec-layout GIF headers (fixture anchor)") {
