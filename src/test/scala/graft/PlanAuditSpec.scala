@@ -235,6 +235,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("archive queries: fixture assembly is the only data shuffle, parse side scan-fused") {
+    // The ingest half of every archive query (codec expression + explode
+    // + projection) must be shuffle-free: at 100 TB the fixture groupBy
+    // disappears (shards already exist as objects) and the parse is the
+    // whole job. Pin: no joins anywhere; exchanges bounded by the fixture
+    // groupBy (+ the corpus-grain range sort), so a parse-side shuffle
+    // can never slip in unnoticed.
+    Seq("src_tar_roundtrip", "src_zip_roundtrip", "src_warc_records",
+        "src_warc_gz_e2e", "mm_webdataset").foreach { q =>
+      val p = plan(run(q))
+      assert(!p.contains("Join"), s"$q joins:\n${p.take(1200)}")
+      val n = "Exchange".r.findAllIn(p).size
+      assert(n <= 3, s"$q has $n exchanges (fixture agg + sort expected):\n${p.take(1500)}")
+    }
+    // per-doc gzip round-trip is a pure projection: sort exchange only
+    val gz = plan(run("src_gzip_roundtrip"))
+    assert(!gz.contains("Join") && "Exchange".r.findAllIn(gz).size <= 1,
+      s"src_gzip_roundtrip must be a single projection:\n${gz.take(1500)}")
+    // mm_exif likewise: synth + walk fused into the scan projection
+    val ex = plan(run("mm_exif"))
+    assert(!ex.contains("Join") && "Exchange".r.findAllIn(ex).size <= 1,
+      s"mm_exif must be a single projection:\n${ex.take(1500)}")
+  }
+
   test("mm_dedup_percept decodes each payload once (exchange reused, no cartesian)") {
     // Both sides of the band self-join consume the capBuckets window's
     // exchange; if the subtrees stop canonicalizing equal, the PNG

@@ -686,4 +686,45 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(1L, 2L, 3L, 5L, 7L), s"survivors: $ids")
     } finally q.stop()
   }
+
+  test("streaming archive ingest: tar shards arriving as a stream explode to member rows") {
+    // WebDataset shards land continuously (an object-store listing feed);
+    // the codec expressions are plain projections, so they run inside a
+    // streaming micro-batch with no state and no watermark — this pins
+    // that composition (explode of tar_entries under writeStream).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.functions.{GraftFunctions, TarBuild}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def shard(ids: Seq[Long]): Array[Byte] = TarBuild.compute(
+      new GenericArrayData(ids.flatMap(i => Seq(
+        UTF8String.fromString(s"$i.cls"), UTF8String.fromString(s"$i.txt"))).toArray[Any]),
+      new GenericArrayData(ids.flatMap(i => Seq(
+        s"${i % 10}".getBytes("UTF-8"), s"document body $i".getBytes("UTF-8"))).toArray[Any]))
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = input.toDF().toDF("shard_id", "blob")
+      .select(col("shard_id"), explode(GraftFunctions.tarEntries(col("blob"))).as("e"),
+        col("blob"))
+      .select(col("shard_id"), col("e.name").as("name"), col("e.size").as("size"),
+        expr("CAST(substring(blob, CAST(e.off AS INT) + 1, CAST(e.size AS INT)) AS STRING)")
+          .as("payload"))
+    val q = out.writeStream.format("memory").queryName("tar_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((0L, shard(Seq(1L, 2L)))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, shard(Seq(3L))), (2L, shard(Seq(4L, 5L, 6L)))))
+      q.processAllAvailable()
+      val rows = s.table("tar_stream_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+      assert(rows.size == 12, s"2+1+3 docs x 2 members: ${rows.size}")
+      assert(rows.contains((0L, "1.txt", "document body 1")))
+      assert(rows.contains((2L, "6.cls", "6")))
+    } finally q.stop()
+  }
 }
