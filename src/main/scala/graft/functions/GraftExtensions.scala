@@ -142,6 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GunzipBytes(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("synth_cell_png"),
+      new ExpressionInfo(classOf[SynthCellPng].getName, "synth_cell_png"),
+      (children: Seq[Expression]) => {
+        requireArity("synth_cell_png", children, 1)
+        SynthCellPng(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("exif_meta"),
       new ExpressionInfo(classOf[ExifMeta].getName, "exif_meta"),
       (children: Seq[Expression]) => {

@@ -695,6 +695,28 @@ object Mm {
         .as("sample_md5"))
   }
 
+  /** Inline-image extraction: pull every `data:image/png;base64,…` URI
+    * out of an HTML column, base64-decode it, and hash it through the
+    * SAME perceptual space as every container decoder — so an image
+    * embedded in markup dedups against its file-borne re-encodes.
+    * Spark's `base64` emits MIME-wrapped output (a newline every 76
+    * chars) and real crawl HTML wraps long data URIs the same way, so
+    * the extractor tolerates line breaks inside the payload and
+    * normalizes before decoding; other MIME types' data URIs never
+    * match. One row per (doc, image index); undecodable payloads keep
+    * their row with a NULL hash (extraction evidence is data too).
+    * Scale shape: regex + decode + hash fused into the scan projection,
+    * one bounded per-doc explode, zero shuffle.
+    */
+  def inlineImageHashes(html: DataFrame): DataFrame =
+    html.select(col("doc_id"), posexplode(expr(
+        """regexp_extract_all(html, 'data:image/png;base64,([A-Za-z0-9+/=\r\n]+)', 1)"""))
+        .as(Seq("ii", "b64")))
+      .select(col("doc_id"), col("ii").cast("bigint").as("ii"),
+        lpad(hex(graft.functions.GraftFunctions.pngDhash(
+          unbase64(regexp_replace(col("b64"), "[\\r\\n]", "")))),
+          16, "0").as("dhash_hex"))
+
   /** ViT-style patch tokenization budget: per image, the patch grid
     * (ceil(w/patch) × ceil(h/patch)) and the resulting vision-token
     * count — the number a multimodal packing stage budgets against
@@ -1198,6 +1220,29 @@ object Mm {
           lpad(hex(col("col")), 16, "0").as("frame_dhash_hex"))
         .orderBy("doc_id", "fi")),
 
+    // INLINE-IMAGE ingest: crawl HTML carries images as base64 data
+    // URIs; extract them (regex over the markup, decoys of other MIME
+    // types must not match), base64-decode, and hash through the SAME
+    // perceptual space as every container decoder — so an inline image
+    // dedups against its file-borne re-encodes. The oracle replays each
+    // image's dHash bits from the (doc_id, image-index) cell formula:
+    // only a correct extract → decode → PNG-decode → hash chain matches.
+    // Fixture side: 1 + doc_id%3 images per doc, pattern swept by a
+    // 53-stride (coprime to 167), plus a text/plain data-URI decoy.
+    "mm_inline_images" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
+      val html = docs.select(col("doc_id"), expr(
+        """concat('<html><body><p>', substring(text, 1, 40),
+          |  '</p><a href="data:text/plain;base64,',
+          |  base64(CAST(substring(text, 1, 16) AS BINARY)), '">t</a>',
+          |  array_join(transform(sequence(0, CAST(doc_id % 3 AS INT)), k ->
+          |    concat('<img alt="fig', k, '" src="data:image/png;base64,',
+          |      base64(synth_cell_png(doc_id + 53 * k)), '">')), '<br>'),
+          |  '</body></html>')""".stripMargin).as("html"))
+      inlineImageHashes(html).orderBy("doc_id", "ii")
+    }),
+
     // JPEG EXIF decode: APP1 marker scan → TIFF header (BOTH byte
     // orders, alternating by id parity) → IFD0 + Exif sub-IFD walk.
     // Orientation is what a percept pass must normalize by; the oracle
@@ -1308,6 +1353,12 @@ object Mm {
     // ground truth of the synthesized RIFF headers, from doc_id alone
     "mm_decode_wav" ->
       """SELECT doc_id, CASE WHEN doc_id % 3 = 2 THEN 'unknown' ELSE 'wav' END AS format, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE doc_id % 2 + 1 END AS channels, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8000 * (doc_id % 5 + 1) END AS sample_rate, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 8 * (doc_id % 3 + 1) END AS bits, CASE WHEN doc_id % 3 = 2 THEN NULL ELSE 250 * (doc_id % 10 + 1) END AS duration_ms FROM documents ORDER BY doc_id""",
+    // replays each inline image's dHash bits from the swept cell
+    // formula (pat = (doc_id + 53·ii) mod 167; the brightness shift
+    // cancels in the gradient), nibble-packed to the engine's hex
+    "mm_inline_images" ->
+      """WITH p AS (SELECT doc_id, doc_id % 3 AS kmax FROM documents), im AS (SELECT doc_id, unnest(range(0, (kmax + 1)::INT))::BIGINT AS ii FROM p), cells AS (SELECT doc_id, ii, cy, cx, ((((doc_id + 53 * ii) % 167) * 31 + cy * 7 + cx * 13) % 97) % 8 AS gv FROM im, generate_series(0, 7) g1(cy), generate_series(0, 8) g2(cx)), bits AS (SELECT a.doc_id, a.ii, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.ii = a.ii AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), nib AS (SELECT doc_id, ii, idx // 4 AS ni, sum(bit * (CASE idx % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS v FROM bits GROUP BY doc_id, ii, idx // 4) SELECT doc_id, ii, string_agg(substr('0123456789ABCDEF', (v + 1)::INT, 1), '' ORDER BY ni) AS dhash_hex FROM nib GROUP BY doc_id, ii ORDER BY doc_id, ii""",
+
     // the EXIF formulas the synthesizer encodes, from doc_id alone —
     // matching requires the endian-aware TIFF walk to read them back
     "mm_exif" ->

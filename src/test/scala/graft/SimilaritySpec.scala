@@ -405,6 +405,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ExifMeta.compute("not a jpeg".getBytes) == null)
   }
 
+  test("inline images: wrapped base64 decodes into the shared hash space; decoys don't match") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{PngDhash, SynthCellPng}
+    val png = SynthCellPng.compute(9L)
+    val direct = PngDhash.compute(png)
+    // MIME-wrapped base64 (CRLF every 76 chars) — the crawl-HTML shape
+    val wrapped = java.util.Base64.getMimeEncoder.encodeToString(png)
+    assert(wrapped.contains("\r\n"), "fixture must actually be wrapped")
+    val html =
+      s"""<body><a href="data:text/plain;base64,aGVsbG8=">t</a>
+         |<img src="data:image/png;base64,$wrapped">
+         |<img src="data:image/gif;base64,R0lGODlhAQABAAAAACw=">
+         |<img src="data:image/png;base64,bm90IGEgcG5n"></body>""".stripMargin
+    val out = graft.operators.Mm.inlineImageHashes(
+      Seq((9L, html)).toDF("doc_id", "html")).orderBy("ii").collect()
+    // exactly the two png URIs extract (text + gif decoys skipped);
+    // the wrapped one lands on the SAME hash as the raw bytes, the
+    // non-PNG payload keeps its row with a NULL hash
+    assert(out.length == 2, s"rows: ${out.length}")
+    assert(out(0).getString(2) == "%016X".format(direct.longValue()),
+      s"wrapped-base64 hash ${out(0).getString(2)} != direct $direct")
+    assert(out(1).isNullAt(2), "undecodable inline payload must keep a NULL-hash row")
+  }
+
   test("mm decodeGifMeta parses REAL and spec-layout GIF headers (fixture anchor)") {
     val s = spark
     import s.implicits._
