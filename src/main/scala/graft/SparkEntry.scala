@@ -25,6 +25,7 @@ object SparkEntry {
       (Mm.queries, Mm.oracles),
       (Graph.queries, Graph.oracles),
       (Web.queries, Web.oracles),
+      (Link.queries, Link.oracles),
       (Pipelines.queries, Pipelines.oracles),
       (graft.sources.Io.queries, graft.sources.Io.oracles),
       (graft.sources.Archive.queries, graft.sources.Archive.oracles)
@@ -94,6 +95,7 @@ object SparkEntry {
     "src_binary_files", "src_orc_roundtrip", "src_text_files",
     "graph_pagerank", "graph_triangles", "url_canonicalize", "dedup_url",
     "etl_compaction_plan",
+    "link_candidates", "link_fuzzy_best", "link_clusters", "link_jaro_rerank",
     "cluster_kmeans", "decon_bloom_persisted", "decon_bloom_screen",
     "decon_spans", "dedup_components", "dedup_components_persisted",
     "dedup_exact", "dedup_keep_best", "dedup_normalized",

@@ -93,6 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GifFrameDhashes(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        requireArity("jaro_winkler", children, 2)
+        JaroWinkler(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("sorted_intersect"),
       new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
       (children: Seq[Expression]) => {
@@ -286,6 +293,12 @@ object GraftFunctions {
     * [[SynthAnimGif]]. */
   def synthAnimGif(c: Column): Column =
     GraftBridge.column(SynthAnimGif(GraftBridge.expression(c)))
+
+  /** Jaro-Winkler similarity (standard Winkler prefix boost, strict
+    * 0.7 threshold) — see [[JaroWinkler]]. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftBridge.column(JaroWinkler(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Merge-intersection of two SORTED duplicate-free bigint arrays —
     * see [[SortedIntersect]] for the contract. */

@@ -156,4 +156,48 @@ class ExpressionSpec extends SparkSpec {
     assert(spark.sql("SELECT winnow_fingerprints('abcdefgh', 4, 3) v")
       .collect().head.getAs[scala.collection.Seq[Long]](0).nonEmpty)
   }
+
+  test("jaro_winkler matches the published hand values and DuckDB's edge semantics") {
+    // classic Winkler pairs (published values) + the edges that pin the
+    // DuckDB-parity contract: strict > 0.7 boost threshold (crate/trace
+    // is 0.7333 with prefix 0 — unboosted; abcdef/abx is 2/3 with
+    // prefix 2 — below threshold, unboosted), window 0 for 2-char
+    // swaps, and 0.0 for empty inputs (including BOTH empty)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("crate", "trace", 0.7333333333333334),
+      ("abcdef", "abx", 0.6666666666666666),
+      ("ab", "ba", 0.0),
+      ("", "x", 0.0),
+      ("", "", 0.0),
+      ("a", "a", 1.0),
+      ("kai stone ames", "kai stone amse", 0.9857142857142858),
+      // ODD out-of-order count (11) under greedy matching: t must be
+      // the integer floor 5, not 5.5 — fractional halving gives
+      // 0.892341 and diverges from DuckDB (found by the sf0.01 sweep)
+      ("ninb akira durant", "nina akira durant", 0.8996323529411765))
+    cases.foreach { case (a, b, want) =>
+      val got = graft.functions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-12, s"jw($a, $b) = $got, want $want")
+      // symmetric by definition
+      val rev = graft.functions.JaroWinkler.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(math.abs(got - rev) < 1e-15, s"jw not symmetric on ($a, $b)")
+    }
+    // SQL registration + null propagation + codegen path (runs through
+    // a projection, not direct compute)
+    val row = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') v, jaro_winkler(CAST(NULL AS STRING), 'x') n").collect().head
+    assert(math.abs(row.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(row.isNullAt(1))
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler('a')").collect()
+    }
+    assert(arity.getCondition.startsWith("WRONG_NUM_ARGS"))
+  }
 }

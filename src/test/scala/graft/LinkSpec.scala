@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Link
+
+/** Record-linkage family: deletion-neighborhood exactness for the three
+  * modeled typo classes, argmin bit-packing equivalence, and the plan
+  * shapes that keep candidate generation linear at scale.
+  */
+class LinkSpec extends SparkSpec {
+
+  private def pipeline() = {
+    val clean = Link.cleanEntities(Tables.customer(spark, sfDir), "c_custkey")
+    val dirty = Link.dirtyRecords(clean)
+    (dirty, clean)
+  }
+
+  test("deletion-neighborhood recall is exact: every record's candidates contain its true entity") {
+    val (dirty, clean) = pipeline()
+    // cand descends from dirty, so rename BOTH join columns to fresh
+    // names — a dirty("record_id") === cand("record_id") condition
+    // resolves self-referentially (trivially true) and silently weakens
+    // the assertion to "true_e matched under ANY record"
+    val cand = Link.candidates(dirty, clean)
+      .select(col("record_id").as("cand_rid"), col("e").as("cand_e"))
+    val missed = dirty
+      .join(cand,
+        dirty("record_id") === col("cand_rid") && dirty("true_e") === col("cand_e"),
+        "left_anti")
+      .count()
+    assert(missed === 0L,
+      s"$missed records lost their true entity in blocking — k=1 deletion index must cover delete/transpose/substitute")
+  }
+
+  test("adjacent transposition shares a deletion variant (the k=1 coverage argument, by hand)") {
+    // clean "abcd", transpose at p=2 -> "acbd": clean\{p} = "abd", dirty\{p+1} = "abd"
+    val df = {
+      val s = spark
+      import s.implicits._
+      Seq("abcd", "acbd").toDF("n")
+    }
+    val idx = Link.deletionIndex(df, "n", Seq("n"))
+    val shared = idx.groupBy("variant").agg(countDistinct("n").as("k"))
+      .filter(col("k") === 2).count()
+    assert(shared >= 1, "transposed pair shares no deletion variant — k=1 index argument broken")
+  }
+
+  test("exact records (v0) match their entity at lev 0; every record matches something") {
+    val (dirty, clean) = pipeline()
+    val best = Link.bestMatch(Link.candidates(dirty, clean))
+    val joined = dirty.join(best, Seq("record_id"), "left")
+    assert(joined.filter(col("matched_e").isNull).count() === 0L, "full recall expected at lev <= 2")
+    // v0 is byte-identical to SOME entity's clean name, so lev must be 0
+    assert(joined.filter(col("v") === 0 && col("lev") =!= 0).count() === 0L)
+    // and every lev is within the declared verify threshold
+    assert(joined.filter(col("lev") > 2).count() === 0L)
+  }
+
+  test("bit-packed argmin equals the window-ranked reference tie-break (lev, e)") {
+    val (dirty, clean) = pipeline()
+    val cand = Link.candidates(dirty, clean)
+      .withColumn("lev", levenshtein(col("dname"), col("cname")))
+      .filter(col("lev") <= 2)
+    val viaWindow = cand
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("record_id").orderBy(col("lev"), col("e"))))
+      .filter(col("rn") === 1)
+      .select(col("record_id"), col("e").as("matched_e"), col("lev"))
+    val viaPack = Link.bestMatch(Link.candidates(dirty, clean))
+    assert(viaPack.except(viaWindow).count() === 0L && viaWindow.except(viaPack).count() === 0L,
+      "packed argmin diverged from the definitional (lev, e) tie-break")
+  }
+
+  test("plan: argmin is a HashAggregate pair, join is equi (no cartesian), scan prunes to c_custkey") {
+    val p = plan(run("link_fuzzy_best"))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), "struct-min SortAggregate regressed:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(rs.contains("c_custkey") && !rs.contains("c_name") && !rs.contains("c_acctbal"),
+      s"link reads more than the entity key: $rs")
+  }
+
+  test("report is bounded (4 variant rows) and internally consistent") {
+    val (dirty, clean) = pipeline()
+    val rep = run("link_er_report").collect()
+    assert(rep.length === 4)
+    rep.foreach { r =>
+      val (n, m, c) = (r.getAs[Long]("n_records"), r.getAs[Long]("n_matched"), r.getAs[Long]("n_correct"))
+      assert(m <= n && c <= m, s"report row violates n_correct <= n_matched <= n_records: $r")
+      assert(m === n, s"recall must be total for the modeled typo classes: $r")
+    }
+  }
+}
