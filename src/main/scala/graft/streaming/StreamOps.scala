@@ -241,7 +241,30 @@ object StreamOps {
       .drop(r(key))
   }
 
+  /** Streaming record linkage: dirty records arriving on a stream are
+    * matched against a STATIC clean-entity table through the same
+    * deletion-neighborhood index + levenshtein argmin as the batch
+    * family ([[graft.operators.Link.candidates]]/[[graft.operators.Link.bestMatch]]),
+    * one micro-batch at a time via foreachBatch. Linkage is
+    * per-record and each record's candidate set is complete within its
+    * own batch (the index explode and the stream-static join add no
+    * cross-batch dependency), so the query holds ZERO streaming state —
+    * no watermark, nothing to restore on restart beyond source offsets.
+    * Matches append to a parquet dir. `dirty` needs (record_id, dname);
+    * `clean` needs (e, cname).
+    */
+  def streamingLink(dirty: DataFrame, clean: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dirty.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Link
+          .bestMatch(graft.operators.Link.candidates(batch, clean))
+          .write.mode("append").parquet(dir)
+        ()
+    }.start()
+
   case class Reading(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class DirtyRec(record_id: Long, dname: String)
   case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
   case class LastValue(value: Double)
 

@@ -511,6 +511,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming record linkage: stream-static deletion-index match equals batch, zero state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.Link
+    import graft.streaming.StreamOps.DirtyRec
+
+    val clean = Link.cleanEntities(Tables.customer(s, sfDir), "c_custkey")
+    val dirtyAll = Link.dirtyRecords(clean)
+      .select("record_id", "dname")
+      .collect().map(r => DirtyRec(r.getLong(0), r.getString(1))).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_link").toString
+    val input = MemoryStream[DirtyRec]
+    val q = StreamOps.streamingLink(input.toDF(), clean, dir)
+    try {
+      // records split across micro-batches: each batch must link
+      // independently (per-record completeness — no cross-batch state)
+      val (b1, b2) = dirtyAll.splitAt(dirtyAll.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+
+      val got = s.read.parquet(dir)
+      val batch = Link.bestMatch(Link.candidates(
+        dirtyAll.toDF(), clean))
+      assert(got.count() === dirtyAll.length.toLong)
+      assert(got.except(batch).count() === 0L && batch.except(got).count() === 0L,
+        "streamed linkage diverged from the batch pipeline")
+      // the linkage itself is stateless: no state operators at all
+      val p = q.lastProgress
+      assert(p.stateOperators.isEmpty, p.stateOperators.mkString(","))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("stream-static enrichment join: broadcast dim, zero join state, matches batch") {
     val s = spark
     import s.implicits._
