@@ -106,12 +106,47 @@ object Link {
         s"ELSE substr($nameCol, 1, i-1) || substr($nameCol, i+1) END"))
       .drop("i")
 
-  /** Candidate (record, entity) pairs: variant-key equi-join between the
-    * two indexes, deduped. Names ride along so no corpus re-join. */
+  /** Exact-dedup pre-pass on the entity side: DISTINCT names, each
+    * represented by its minimum entity id. EXACT for every downstream
+    * query, not a lossy cap: entities sharing a full name are
+    * interchangeable under the (lev, e) tie-break — they all sit at the
+    * SAME lev from any record, so the argmin always lands on the
+    * lowest-e member of the winning name, which is precisely the
+    * representative this collapse keeps (ties ACROSS names at equal lev
+    * reduce to min over the names' min-e's — the same value either way).
+    *
+    * This is the linkage analog of the dedup family's exact-dedup
+    * pre-pass before LSH, and it is what bounds candidate mass at
+    * scale: without it, hot names make the variant join quadratic in
+    * the per-name entity count (the sf10 smoke — 1.5 M entities over
+    * this synthetic corpus's FIXED 7429-name vocabulary, ~200 entities
+    * per name — ran past 25 min on two queries before being killed;
+    * collapsed, candidate volume follows the DISTINCT-name count, which
+    * grows sublinearly in any real corpus, and the same smoke finishes
+    * in seconds). One partial-aggregable hash agg on a two-column
+    * projection. */
+  def nameReps(clean: DataFrame): DataFrame =
+    clean.groupBy("cname").agg(min(col("e")).as("e"))
+
+  /** Candidate (record, name-representative) pairs: variant-key
+    * equi-join between the dirty index and the [[nameReps]]-collapsed
+    * clean index, deduped. Names ride along so no corpus re-join.
+    *
+    * The join carries an explicit SHUFFLE_HASH hint: the dirty side is
+    * corpus-grain, and Catalyst's size estimate does not scale through
+    * the Generate (explode) nodes, so the ~len+1× index amplification is
+    * invisible to the planner — at sf0.01 it happily BROADCASTS the
+    * dirty index (estimated at the few-MB customer scan), and at sf1
+    * that mis-plan ships a ~600 MB build side to every task (measured:
+    * the sf1 smoke crawled past 16 min before being killed; with the
+    * hint the whole family runs in seconds). A shuffled hash join on the
+    * variant key is the right shape at every scale: no sort, per-task
+    * build = one partition of the (name-collapsed, smaller) clean
+    * index, skew bounded by cross-NAME variant collisions only. */
   def candidates(dirty: DataFrame, clean: DataFrame): DataFrame = {
     val dv = deletionIndex(dirty, "dname", Seq("record_id", "dname"))
-    val cv = deletionIndex(clean, "cname", Seq("e", "cname"))
-    dv.join(cv, "variant")
+    val cv = deletionIndex(nameReps(clean), "cname", Seq("e", "cname"))
+    dv.join(cv.hint("shuffle_hash"), "variant")
       .select("record_id", "dname", "e", "cname")
       .distinct()
   }
@@ -234,10 +269,12 @@ object Link {
        |      ELSE substr(cname,1,p-1) || chr(ascii(substr(cname,p,1))+1) || substr(cname,p+1)
        |    END AS dname
        |  FROM recs),
+       |crep AS (
+       |  SELECT cname, min(e) AS e FROM clean GROUP BY cname),
        |cvar AS (
        |  SELECT e, cname,
        |    CASE WHEN i=0 THEN cname ELSE substr(cname,1,CAST(i AS INT)-1)||substr(cname,CAST(i AS INT)+1) END AS variant
-       |  FROM clean CROSS JOIN range(0,64) g(i) WHERE i <= length(cname)),
+       |  FROM crep CROSS JOIN range(0,64) g(i) WHERE i <= length(cname)),
        |dvar AS (
        |  SELECT record_id, dname,
        |    CASE WHEN i=0 THEN dname ELSE substr(dname,1,CAST(i AS INT)-1)||substr(dname,CAST(i AS INT)+1) END AS variant

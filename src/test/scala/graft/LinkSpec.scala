@@ -15,21 +15,45 @@ class LinkSpec extends SparkSpec {
     (dirty, clean)
   }
 
-  test("deletion-neighborhood recall is exact: every record's candidates contain its true entity") {
+  test("deletion-neighborhood recall is exact: every record's candidates contain its true NAME's representative") {
     val (dirty, clean) = pipeline()
+    // the clean side is name-collapsed (nameReps), so the recall
+    // contract is per NAME: each record's candidate set must contain
+    // the min-e representative of its true entity's clean name
+    val expected = dirty
+      .join(clean.select(col("e").as("true_e"), col("cname")), "true_e")
+      .join(Link.nameReps(clean).select(col("cname"), col("e").as("rep_e")), "cname")
+      .select(col("record_id").as("exp_rid"), col("rep_e"))
     // cand descends from dirty, so rename BOTH join columns to fresh
     // names — a dirty("record_id") === cand("record_id") condition
     // resolves self-referentially (trivially true) and silently weakens
-    // the assertion to "true_e matched under ANY record"
+    // the assertion to "rep matched under ANY record"
     val cand = Link.candidates(dirty, clean)
       .select(col("record_id").as("cand_rid"), col("e").as("cand_e"))
-    val missed = dirty
+    val missed = expected
       .join(cand,
-        dirty("record_id") === col("cand_rid") && dirty("true_e") === col("cand_e"),
+        col("exp_rid") === col("cand_rid") && col("rep_e") === col("cand_e"),
         "left_anti")
       .count()
     assert(missed === 0L,
-      s"$missed records lost their true entity in blocking — k=1 deletion index must cover delete/transpose/substitute")
+      s"$missed records lost their true name's rep in blocking — k=1 deletion index must cover delete/transpose/substitute")
+  }
+
+  test("name-collapse equivalence: best match over the FULL entity table equals the rep-collapsed pipeline") {
+    // the exactness argument, measured: same-name entities all sit at
+    // the same lev from any record, so the (lev, e) argmin over the
+    // uncollapsed index must land on exactly the rep the collapse keeps
+    val (dirty, clean) = pipeline()
+    val full = {
+      val dv = Link.deletionIndex(dirty, "dname", Seq("record_id", "dname"))
+      val cv = Link.deletionIndex(clean, "cname", Seq("e", "cname"))
+      dv.join(cv.hint("shuffle_hash"), "variant")
+        .select("record_id", "dname", "e", "cname").distinct()
+    }
+    val viaFull = Link.bestMatch(full)
+    val viaRep = Link.bestMatch(Link.candidates(dirty, clean))
+    assert(viaFull.except(viaRep).count() === 0L && viaRep.except(viaFull).count() === 0L,
+      "name-collapse changed the best-match output — tie-break argument broken")
   }
 
   test("adjacent transposition shares a deletion variant (the k=1 coverage argument, by hand)") {
@@ -77,6 +101,12 @@ class LinkSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("SortAggregate"), "struct-min SortAggregate regressed:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    // the variant join must NOT broadcast either index: both are
+    // corpus-grain, and the explode amplification is invisible to the
+    // planner's size estimate (the sf1 smoke measured the mis-plan at
+    // >16 min vs seconds) — the shuffle_hash hint pins the shape
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"), "corpus-grain index broadcast regressed:\n" + p.take(2000))
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     assert(rs.contains("c_custkey") && !rs.contains("c_name") && !rs.contains("c_acctbal"),
       s"link reads more than the entity key: $rs")
