@@ -96,6 +96,7 @@ object SparkEntry {
     "graph_pagerank", "graph_triangles", "url_canonicalize", "dedup_url",
     "etl_compaction_plan",
     "link_candidates", "link_fuzzy_best", "link_clusters", "link_jaro_rerank",
+    "link_incremental",
     "cluster_kmeans", "decon_bloom_persisted", "decon_bloom_screen",
     "decon_spans", "dedup_components", "dedup_components_persisted",
     "dedup_exact", "dedup_keep_best", "dedup_normalized",

@@ -112,6 +112,19 @@ class LinkSpec extends SparkSpec {
       s"link reads more than the entity key: $rs")
   }
 
+  test("incremental linkage through the persisted index equals the in-session pipeline on the batch") {
+    val viaArtifact = run("link_incremental")
+    val reference = run("link_fuzzy_best")
+      .filter(expr("(record_id div 4) % 10 = 0"))
+    assert(viaArtifact.except(reference).count() === 0L &&
+      reference.except(viaArtifact).count() === 0L,
+      "persisted-index answers diverged from the in-session pipeline")
+    // and the artifact actually exists behind a _SUCCESS marker
+    val clean = Link.cleanEntities(Tables.customer(spark, sfDir), "c_custkey")
+    val path = Link.linkIndexArtifactPath(spark, clean, sfDir)
+    assert(new java.io.File(path, "_SUCCESS").exists(), s"no committed artifact at $path")
+  }
+
   test("report is bounded (4 variant rows) and internally consistent") {
     val (dirty, clean) = pipeline()
     val rep = run("link_er_report").collect()

@@ -510,4 +510,33 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("JaroWinkler.compute invariants on random strings (seeded)") {
+    def jw(a: String, b: String): Double = graft.functions.JaroWinkler.compute(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    val r = new scala.util.Random(4242)
+    val alpha = "abcde fgh"
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alpha(r.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 400) {
+      val a = randStr(r.nextInt(20))
+      val b = randStr(r.nextInt(20))
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"range violated: jw($a, $b) = $s")
+      assert(math.abs(s - jw(b, a)) < 1e-15, s"asymmetric on ($a, $b)")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0, s"identity != 1 for $a")
+      // a single trailing append can only be reached from similarity
+      // strictly above any unrelated string's — the metric must rank
+      // the 1-edit neighbor over a fresh random string of same length
+      if (a.length >= 8) {
+        val near = a.dropRight(1) + (if (a.last == 'z') 'y' else 'z')
+        val far = randStr(a.length)
+        if (far != a && jw(a, far) < 0.99)
+          assert(jw(a, near) > jw(a, far) - 1e-9,
+            s"1-edit neighbor ranked below random: $a / $near / $far")
+      }
+    }
+    // empty-side convention (DuckDB parity): always 0, even both-empty
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("abc", "") == 0.0)
+  }
 }
