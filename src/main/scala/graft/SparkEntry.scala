@@ -93,7 +93,8 @@ object SparkEntry {
     "events_pattern", "events_range_join", "q_join_anti", "q_search_tags",
     "q_search_tags_quoted", "sample_weighted", "sim_range_search",
     "src_binary_files", "src_orc_roundtrip", "src_text_files",
-    "graph_pagerank", "graph_triangles", "url_canonicalize", "dedup_url",
+    "graph_pagerank", "graph_triangles", "graph_components", "graph_bfs",
+    "graph_kcore", "url_canonicalize", "dedup_url",
     "etl_compaction_plan",
     "link_candidates", "link_fuzzy_best", "link_clusters", "link_jaro_rerank",
     "link_incremental",

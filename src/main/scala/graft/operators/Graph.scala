@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -231,13 +231,186 @@ object Graph {
     * (distinct) edge per trading pair, symmetrized. Even node ids =
     * customers (custkey·2), odd = suppliers (suppkey·2+1). */
   def tradeGraph(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val pairs = tradePairs(s, d)
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** The trade graph at CANONICAL grain: one row per undirected edge
+    * (a = customer node, b = supplier node — the bipartite sides, so
+    * the pair is already an unordered-edge key). Undirected-edge
+    * consumers (k-core) take this directly: symmetrizing and then
+    * keeping one direction (`tradeGraph.filter(src < dst)`) would
+    * materialize 2× the rows into the iteration checkpoint only to
+    * throw half away — at sf10 that is 117M rows checkpointed vs 59M
+    * (the pair distinct barely compresses this data: ~59M distinct
+    * pairs out of 60M lineitems — the edge list IS fact-grain). */
+  def tradePairs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-    pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+
+  /** The SAME-NATION restriction of the trade graph, canonical one-
+    * direction (a = customer node, b = supplier node): an edge only
+    * where customer and supplier share a nation. Unlike the full trade
+    * graph (one giant component — every hub supplier glues the whole
+    * bipartite graph together, measured diameter ≤ 4 at sf0.1), the
+    * nation predicate makes the component structure REAL: nations never
+    * link, so the graph fragments into per-nation regional trade
+    * networks (25 at sf0.01+) and min-label propagation has to earn its
+    * answer inside each fragment.
+    *
+    * Plan shape: the DISTINCT collapses the fact-grain order×lineitem
+    * stream to PAIR grain BEFORE the nation dims join — the nation
+    * predicate reads only (custkey, suppkey), so dedup-first is
+    * semantics-preserving and the dim joins touch |pairs| rows (~1% of
+    * the fact stream), not |lineitem|. The first cut joined dims at
+    * fact grain; the sf10 probe (tools/CcProbe2) measured the dim joins
+    * at fact grain dominating the 290 s+ derivation. */
+  def nationTradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+
+  private def nodeType(c: Column): Column =
+    when(c % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+
+  /** Single-source BFS hop distances, bounded at `maxHops` — the
+    * reachability/traversal primitive (impact radius of one entity
+    * across the relation graph). FRONTIER-style Pregel expansion: only
+    * the nodes first reached LAST round send messages (the BFS
+    * invariant — a node's first reach is its final hop count — makes
+    * re-sending from settled nodes pure waste), so every frontier row
+    * carries the same hop and the per-round agg is a plain distinct on
+    * the frontier's out-neighbors, anti-joined against the settled
+    * set. One checkpoint per round (the settled table; the frontier is
+    * a FILTER over the same blocks — hops = this round — so it costs
+    * no extra job), with the fresh-node count riding the checkpoint
+    * job via observe(): an empty frontier exits early, the bounded
+    * variant of components' changed==0 fixpoint test. Node-grain
+    * sides broadcast below the gate, so the fact-grain edge list is
+    * never exchanged. The first cut kept the WHOLE distance table as
+    * the message source and re-min-agged it every round; the sf10
+    * probe (tools/BfsProbe) measured frontier messaging equal-or-
+    * better per round with the tail rounds collapsing to ~0.4 s once
+    * the shell is exhausted (diameter 4 < maxHops 6 on this graph).
+    *
+    * `maxHops` is bounded metadata (the oracle unrolls the same bound),
+    * so unreached nodes are absent rather than ∞ — the output is the
+    * ≤ maxHops reachability shell, exactly what "blast radius" asks.
+    *
+    * `edges` is NOT materialized here: it is scanned once per round
+    * (plus one count+min pass), so an expensive derivation must arrive
+    * checkpointed — or as a cheap view over checkpointed blocks, the
+    * shape graph_bfs uses (a lazy symmetrize union over the canonical
+    * pair checkpoint: materializing the symmetrized list doubles the
+    * block bytes for zero information — the sf10 smoke priced that
+    * double at ~50 s of the 209 s query).
+    */
+  def bfsLayers(edges: DataFrame, srcCol: String, dstCol: String,
+                maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst"))
+    // one pass for the size gate and the deterministic seed (minimum
+    // node id — the oracle replays the same scalar subquery)
+    val head = e.agg(count(lit(1)).as("n"), min(col("src")).as("mn")).head()
+    val eCnt = head.getLong(0)
+    require(eCnt > 0, "bfsLayers over an empty edge list")
+    val bc = hintIf(eCnt <= broadcastLongLimit) _
+    val seed = head.getLong(1)
+    var settled = graft.CacheScope.register(
+      e.sparkSession.range(0, 1)
+        .select(lit(seed).as("node"), lit(0L).as("hops"))
+        .localCheckpoint(true))
+    var frontier = settled
+    var hop = 1L
+    var fresh = 1L
+    while (fresh > 0 && hop <= maxHops) {
+      // every frontier node sits at hop-1, so the message hop is a
+      // literal and dedup within the round is a distinct, not a min-agg
+      val msgs = e.join(bc(frontier.select(col("node").as("_fr"))),
+          e("src") === col("_fr"))
+        .select(col("dst").as("node")).distinct()
+        .join(bc(settled.select(col("node").as("_kn"))),
+          col("node") === col("_kn"), "leftanti")
+        .select(col("node"), lit(hop).as("hops"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = graft.CacheScope.register(
+        settled.unionByName(msgs)
+          .observe(obs, count(when(col("hops") === hop, lit(1))).as("fresh"))
+          .localCheckpoint(true))
+      fresh = obs.get("fresh").asInstanceOf[Long]
+      graft.CacheScope.free(settled)
+      settled = next
+      frontier = next.filter(col("hops") === hop)
+      hop += 1
+    }
+    settled
+  }
+
+  /** Exact k-core: iteratively peel nodes of degree < k until the edge
+    * set is stable — the standard dense-subgraph extraction (who stays
+    * engaged when fair-weather participants are removed). Each round is
+    * one degree agg (map-side partial) + two semi-joins of the
+    * (shrinking, checkpointed) edge list against the node-grain
+    * survivor set — broadcast below the gate, so the edge list is never
+    * exchanged; the convergence count rides the checkpoint job via
+    * observe(), no extra pass. The edge set only shrinks, so per-round
+    * cost is monotonically non-increasing; dense graphs converge in a
+    * couple of peels (measured: 2 rounds at sf0.001–0.1). Throws past
+    * `maxRounds` — an honest failure beats a silently-partial core.
+    * Returns surviving nodes with their IN-CORE degree (≥ k by
+    * definition); an empty result is a legitimate answer (no k-core).
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int = 40): DataFrame = {
+    // DISK_ONLY checkpoints: the peel holds TWO edge-list generations
+    // live at once (current + next-under-construction) while running a
+    // node-grain hash agg and two join builds — at sf10/8g the
+    // MEMORY_AND_DISK default crowded the protected storage pool until
+    // the degree agg died with AGGREGATE_OUT_OF_MEMORY (local[32]
+    // smoke; pagerank hit the same class in its cached-edge variants).
+    // Scanning the blocks from local disk costs one sequential read
+    // per round; the iteration's memory then belongs to the agg + joins.
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    var e = graft.CacheScope.register(
+      edges.select(col(aCol).cast("bigint").as("a"),
+        col(bCol).cast("bigint").as("b")).localCheckpoint(true, disk))
+    var cnt = e.count()
+    var converged = cnt == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val surv = deg.filter(col("d") >= k).select("node")
+      val bc = hintIf(cnt <= broadcastLongLimit) _
+      val obs = org.apache.spark.sql.Observation()
+      val next = graft.CacheScope.register(
+        e.join(bc(surv), e("a") === surv("node"), "leftsemi")
+          .join(bc(surv), e("b") === surv("node"), "leftsemi")
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint(true, disk))
+      val nextCnt = obs.get("n").asInstanceOf[Long]
+      graft.CacheScope.free(e)
+      e = next
+      converged = nextCnt == cnt
+      cnt = nextCnt
+      round += 1
+    }
+    require(converged, s"kCore did not converge in $maxRounds rounds")
+    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_degree"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -256,7 +429,81 @@ object Graph {
     "graph_triangles" -> ((s, d) =>
       triangleCounts(coSupplyEdges(s, d))
         .withColumnRenamed("node", "suppkey")
-        .orderBy("suppkey"))
+        .orderBy("suppkey")),
+
+    // connected components over the same-nation trade graph — the
+    // fragmented regime (per-nation regional networks) the dedup
+    // family's shallow near-dup clusters never exercise; same min-label
+    // machinery (checkpointed rounds, alternating-star fallback)
+    "graph_components" -> ((s, d) => {
+      // checkpoint the derivation ONCE: the plan below references e0
+      // four times (nodes union ×2, symmetrize union ×2 inside
+      // connectedComponents) and each reference would re-run the
+      // fact-grain join — the sf10 smoke measured the un-cut shape at
+      // 530 s with propagation itself only 8 s (tools/CcProbe)
+      val e0 = graft.CacheScope.register(
+        nationTradeEdges(s, d).localCheckpoint(true))
+      val nodes = e0.select(col("a").as("node"))
+        .unionByName(e0.select(col("b").as("node"))).distinct()
+      val comp = Dedup.connectedComponents(nodes, "node", e0, "a", "b")
+      // cluster-grain size table (≤ #components rows) — broadcast back
+      val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("comp_size"))
+      comp.join(broadcast(sizes), "cluster")
+        .select(col("node"), nodeType(col("node")).as("node_type"),
+          col("cluster"), col("comp_size"))
+        .orderBy("node")
+    }),
+
+    // 6-hop BFS shell from the minimum node — reachability blast radius
+    // over the full trade graph (measured eccentricity ≤ 4 at sf0.1,
+    // so the shell is the whole component and the bound is slack).
+    // BFS is MULTIPLICITY-INVARIANT, so the fact-grain pair DISTINCT
+    // (a full shuffle the other graph queries need for degree/weight
+    // semantics) is dropped, and only the canonical one-direction pair
+    // list is checkpointed — the symmetrized view the rounds join is a
+    // lazy union over the same blocks
+    "graph_bfs" -> ((s, d) => {
+      val pairs = graft.CacheScope.register(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .localCheckpoint(true))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      bfsLayers(edges, "src", "dst", maxHops = 6)
+        .select(col("node"), nodeType(col("node")).as("node_type"),
+          col("hops"))
+        .orderBy("node")
+    }),
+
+    // 8-core of the trade graph: who keeps trading when thin
+    // relationships are peeled away — dense-subgraph extraction with
+    // the iterative peel doing one degree agg + two broadcast
+    // semi-joins per (shrinking) round
+    "graph_kcore" -> ((s, d) =>
+      kCore(tradePairs(s, d), "a", "b", k = 8)
+        .select(col("node"), nodeType(col("node")).as("node_type"),
+          col("core_degree"))
+        .orderBy("node")),
+
+    // power-of-2 degree histogram by node type — the graph-shaped
+    // sibling of data_skew_report (hub structure at a glance); the
+    // bucket is an exact integer when-ladder, not a float log2 (ln x /
+    // ln 2 can land 2.9999… at exact powers and flip a bucket)
+    "graph_degree_dist" -> ((s, d) => {
+      val deg = tradeGraph(s, d).groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      var ladder = when(col("degree") >= (1L << 30), lit(1L << 30))
+      (29 to 1 by -1).foreach { k =>
+        ladder = ladder.when(col("degree") >= (1L << k), lit(1L << k))
+      }
+      deg.groupBy(nodeType(col("node")).as("node_type"),
+          ladder.otherwise(lit(1L)).as("degree_bucket"))
+        .agg(count(lit(1)).as("nodes"), min(col("degree")).as("min_degree"),
+          max(col("degree")).as("max_degree"))
+        .orderBy("node_type", "degree_bucket")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,6 +529,50 @@ object Graph {
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
         |tn AS (SELECT node, count(*) AS triangles FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY node)
         |SELECT d.node AS suppkey, d.degree, CAST(COALESCE(tn.triangles, 0) AS BIGINT) AS triangles
-        |FROM deg d LEFT JOIN tn ON tn.node = d.node ORDER BY suppkey""".stripMargin
+        |FROM deg d LEFT JOIN tn ON tn.node = d.node ORDER BY suppkey""".stripMargin,
+
+    // 12 unrolled min-label rounds — measured convergence ≤ 7 at sf0.1
+    // (the engine iterates to the exact fixpoint, so the unroll only
+    // has to REACH it; the margin covers a rounds-regression).
+    // MATERIALIZED per round: each round references its predecessor
+    // twice, and DuckDB inlines plain CTEs — 2^12 copies of the scan
+    // (the mm_decode_meta 2^k lesson, DuckDB edition; observed as an
+    // fd-exhaustion error before the hint)
+    "graph_components" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (SELECT node, lbl FROM $prev UNION ALL SELECT e.dst AS node, p.lbl FROM e JOIN $prev p ON e.src = p.node) t GROUP BY node)"""
+      val rounds = (1 to 12).map(i => round(s"l${i - 1}", s"l$i")).mkString(", ")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey JOIN customer c ON o.o_custkey = c.c_custkey JOIN supplier s ON l.l_suppkey = s.s_suppkey WHERE c.c_nationkey = s.s_nationkey), e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e), $rounds, sz AS (SELECT lbl, count(*) AS c FROM l12 GROUP BY lbl) SELECT node, CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, lbl AS cluster, c::BIGINT AS comp_size FROM l12 JOIN sz USING (lbl) ORDER BY node"""
+    },
+
+    // recursive frontier with set-UNION dedup on (node, hops): every
+    // (node, d ≤ 6) pair reachable in exactly d steps appears once, and
+    // min(d) per node is the hop distance — bounded by |nodes| × 7 rows
+    "graph_bfs" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |b(node, d) AS (SELECT (SELECT min(src) FROM e), 0 UNION SELECT e.dst, b.d + 1 FROM b JOIN e ON e.src = b.node WHERE b.d < 6)
+        |SELECT node, CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, min(d)::BIGINT AS hops
+        |FROM b GROUP BY node ORDER BY node""".stripMargin,
+
+    // 8 unrolled peel rounds (measured fixpoint in 2): degree per
+    // round, survivors with degree ≥ 8, edges restricted to survivor
+    // endpoints — the definitional peel, stable rounds are no-ops.
+    // MATERIALIZED for the same inlining reason as graph_components
+    // (each e_i references e_{i-1} three times → 3^8 inlined scans)
+    "graph_kcore" -> {
+      def peel(prev: String, i: Int): String =
+        s"""d$i AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM $prev UNION ALL SELECT b AS node FROM $prev) t GROUP BY node), e$i AS MATERIALIZED (SELECT a, b FROM $prev WHERE a IN (SELECT node FROM d$i WHERE c >= 8) AND b IN (SELECT node FROM d$i WHERE c >= 8))"""
+      val rounds = (1 to 8).map(i => peel(s"e${i - 1}", i)).mkString(", ")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), $rounds SELECT node, CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, count(*)::BIGINT AS core_degree FROM (SELECT a AS node FROM e8 UNION ALL SELECT b AS node FROM e8) t GROUP BY node ORDER BY node"""
+    },
+
+    // the same exact integer bucket ladder (largest power of 2 ≤ degree)
+    "graph_degree_dist" -> {
+      val ladder = (30 to 1 by -1)
+        .map(k => s"WHEN degree >= ${1L << k} THEN ${1L << k}")
+        .mkString("CASE ", " ", " ELSE 1 END")
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src) SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, ($ladder)::BIGINT AS degree_bucket, count(*)::BIGINT AS nodes, min(degree)::BIGINT AS min_degree, max(degree)::BIGINT AS max_degree FROM deg GROUP BY 1, 2 ORDER BY node_type, degree_bucket"""
+    }
   )
 }

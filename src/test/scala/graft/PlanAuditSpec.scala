@@ -67,6 +67,23 @@ class PlanAuditSpec extends SparkSpec {
       "as-of should be a window carry, not a join")
   }
 
+  test("graph derivations: scans pruned, dims broadcast, histogram join-free") {
+    // degree histogram: scan only the 4 key columns, one agg chain —
+    // the bucket ladder is a projection, never a join
+    val dd = plan(run("graph_degree_dist"))
+    val rs = readSchema(dd)
+    assert(!rs.contains("o_totalprice") && !rs.contains("l_quantity") &&
+      !rs.contains("l_extendedprice"), s"degree_dist reads extra columns: $rs")
+    assert(!dd.contains("SortMergeJoin"), "degree_dist should not shuffle-join")
+    // nation edge derivation: customer/supplier are node-grain dims —
+    // broadcast against the fact-grain order×lineitem join, scans pruned
+    val ne = plan(operators.Graph.nationTradeEdges(spark, sfDir))
+    assert(ne.contains("BroadcastHashJoin"), "nation dims should broadcast")
+    val nrs = readSchema(ne)
+    assert(!nrs.contains("c_name") && !nrs.contains("s_acctbal"),
+      s"nationTradeEdges reads extra columns: $nrs")
+  }
+
   test("pack/sample/band plans keep their scale shapes") {
     val pack = plan(run("text_pack_sequences"))
     assert(!readSchema(pack).contains("lang"), "pack reads unused columns")

@@ -124,6 +124,72 @@ class WebGraphSpec extends SparkSpec {
     } finally { e.unpersist() }
   }
 
+  test("bfsLayers: hand graph — path distances, bound truncation, unreachable absent") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 plus a disconnected pair {10,11}; seed = min = 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    def dists(maxHops: Int): Map[Long, Long] =
+      Graph.bfsLayers(edges, "src", "dst", maxHops).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists(6) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // the bound is a hard shell: hops > maxHops rows must be ABSENT
+    assert(dists(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("kCore: hand graph — K4 survives the tail peel cascade; empty core is legal") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} with a pendant chain 4-5-6: the chain must peel
+    // away in CASCADE (6 first, then 5), leaving exactly the K4 at k=2+
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    def core(k: Int): Map[Long, Long] =
+      Graph.kCore(edges, "a", "b", k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core(3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max core: empty result, not a throw
+    assert(core(4).isEmpty)
+    // k=1 keeps everything, with the in-core (= full) degrees
+    assert(core(1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L,
+      5L -> 2L, 6L -> 1L))
+  }
+
+  test("graph_components: nation edges never cross clusters, sizes consistent") {
+    val comp = Graph.queries("graph_components")(spark, sfDir).cache()
+    try {
+      // the nation predicate fragments the trade graph: >1 component,
+      // every edge's endpoints share a cluster (it IS a valid labelling)
+      assert(comp.select("cluster").distinct().count() > 1)
+      val e = Graph.nationTradeEdges(spark, sfDir)
+      val ca = comp.select(col("node").as("a"), col("cluster").as("cla"))
+      val cb = comp.select(col("node").as("b"), col("cluster").as("clb"))
+      assert(e.join(ca, "a").join(cb, "b")
+        .filter(col("cla") =!= col("clb")).count() == 0, "edge crosses clusters")
+      // comp_size is the actual per-cluster node count, cluster = min id
+      val bad = comp.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), max("comp_size").as("sz"), min("node").as("mn"))
+        .filter(col("n") =!= col("sz") || col("mn") =!= col("cluster")).count()
+      assert(bad == 0, "comp_size or min-label mismatch")
+    } finally { comp.unpersist() }
+  }
+
+  test("graph_degree_dist: buckets are powers of two and bound their degrees") {
+    val rows = Graph.queries("graph_degree_dist")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(java.lang.Long.bitCount(bucket) == 1, s"bucket $bucket not a power of 2")
+      assert(mn >= bucket && mx < bucket * 2 && mn <= mx,
+        s"degrees [$mn,$mx] outside bucket [$bucket, ${bucket * 2})")
+    }
+    // the histogram partitions all nodes exactly once
+    val total = rows.map(_.getLong(2)).sum
+    val nodes = Graph.tradeGraph(spark, sfDir).select("src").distinct().count()
+    assert(total == nodes, s"histogram covers $total of $nodes nodes")
+  }
+
   test("compactionPlan: next-fit prefix-sum binning, oversized file included") {
     val s = spark
     import s.implicits._

@@ -59,4 +59,17 @@ for t, plan in plans.items():
             for c in cols)
         con.execute(f"COPY (SELECT {sel} FROM read_parquet('{src_pq}') CROSS JOIN reps) TO '{dst_pq}' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM read_parquet('{dst_pq}')").fetchone()[0]
+    # Guard: shifted PRIMARY keys must stay unique after replication.
+    # Two-level replication (sf1 -> sf10) silently violated this — the
+    # second level's i*offset blocks land inside the first level's key
+    # range (e.g. custkey 285k distinct out of 1.5M rows), turning every
+    # join into a ~5x many-to-many explosion. Replicate from the ORIGINAL
+    # sf dir with a larger COPIES instead; this assert makes the broken
+    # output impossible to produce silently.
+    PK = {"documents": "doc_id", "embeddings": "vec_id", "orders": "o_orderkey",
+          "customer": "c_custkey", "part": "p_partkey", "supplier": "s_suppkey",
+          "events": "event_id"}
+    if plan is not None and t in PK:
+        dk = con.execute(f"SELECT count(DISTINCT {PK[t]}) FROM read_parquet('{dst_pq}')").fetchone()[0]
+        assert dk == n, f"{t}.{PK[t]}: {dk} distinct of {n} rows — copy offsets collide; rerun from the original sf dir"
     print(f"{t}: {n} rows -> {dst_pq}")
