@@ -399,11 +399,20 @@ object Dedup {
         .localCheckpoint(true))
     // seed from nodes UNION edge endpoints: an endpoint missing from
     // `nodes` would otherwise appear mid-loop, be invisible to the
-    // inner-join convergence check, and silently split its component
-    var snapshot = nodes.select(col(id))
-      .unionByName(e.select(col("_src").as(id)))
-      .distinct()
-      .select(col(id), col(id).as("cluster")).localCheckpoint(true)
+    // inner-join convergence check, and silently split its component.
+    // The seed label is min(node, min neighbor) — the FIRST propagation
+    // step prepaid inside the seed materialization (one node-grain agg
+    // over the checkpointed edge blocks, riding the same job): shallow
+    // near-dup clusters are then BORN at their fixpoint and converge in
+    // one confirming round instead of two, and deeper graphs save a
+    // round whenever the diameter parity tips (graph_components'
+    // sf0.1 floor decomposition in tools/CcFloor priced a round at
+    // ~0.9 s of its 3.5 s propagation)
+    val nbrMin = e.groupBy(col("_src").as(id)).agg(min(col("_dst")).as("_nm"))
+    var snapshot = nodes.select(col(id)).distinct()
+      .join(nbrMin, Seq(id), "full_outer")
+      .select(col(id), least(col(id), coalesce(col("_nm"), col(id))).as("cluster"))
+      .localCheckpoint(true)
     var labels = snapshot
     var changed = 1L
     var it = 0
@@ -413,7 +422,11 @@ object Dedup {
       // components in local mode, and a scheduling round-trip on a
       // cluster), so covering distance 2 per round halves them; the extra
       // join/agg pair rides inside the same plan, and the convergence
-      // count rides the checkpoint job itself (observe() below).
+      // count rides the checkpoint job itself (observe() below). A
+      // 3-step variant was MEASURED SLOWER at sf0.1 (4.2 s vs 3.5 s
+      // propagation on the nation trade graph: the marginal join+agg
+      // inside the round costs more than the round it saves), so two is
+      // the pinned choice, with the min-neighbor seed prepaying step 1.
       val msgs1 = e.join(labels, e("_src") === labels(id))
         .select(col("_dst").as(id), col("cluster"), lit(0).as("_self"))
       // the node's OWN previous label rides through the same aggregation
@@ -442,6 +455,8 @@ object Dedup {
         .observe(obs, count(when(col("cluster") =!= col("_prev"), lit(1))).as("changed"))
         .localCheckpoint(true)
       changed = obs.get("changed").asInstanceOf[Long]
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round ${it + 1} changed=$changed")
       // free the superseded snapshot — its checkpoint-root Dataset, per
       // CacheScope.free's contract (free walks the whole plan's
       // LogicalRDDs, so the root names exactly the one checkpoint)
