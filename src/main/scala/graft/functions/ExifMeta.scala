@@ -139,9 +139,12 @@ object ExifMeta {
           else -1L
         def ascii: String = {
           if (typ != 2 || count > MaxAsciiBytes) return null
-          // values ≤ 4 bytes are inline; longer live at a TIFF offset
-          val at = if (count <= 4) e + 8 else (tiff + u32(e + 8)).toInt
-          if (at < tiff || at + count > tiffEnd) return null
+          // values ≤ 4 bytes are inline; longer live at a TIFF offset.
+          // Bounds-check in Long first: a hostile ~2^32 offset wraps
+          // through Int truncation to a small value that passes the guards.
+          val atL = if (count <= 4) (e + 8).toLong else tiff + u32(e + 8)
+          if (atL < tiff || atL + count > tiffEnd) return null
+          val at = atL.toInt
           val len = if (count > 0 && blob((at + count - 1).toInt) == 0)
             count - 1 else count // NUL-terminated per spec
           new String(blob, at, len.toInt, "US-ASCII")

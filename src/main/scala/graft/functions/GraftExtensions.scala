@@ -149,11 +149,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GunzipBytes(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        requireArity("unicode_normalize", children, 2)
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(f: org.apache.spark.unsafe.types.UTF8String, _) =>
+            UnicodeNormalize(children.head, f.toString)
+          case other => throw new IllegalArgumentException(
+            s"unicode_normalize form must be a string literal, got $other")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("zstd_bytes"),
+      new ExpressionInfo(classOf[ZstdBytes].getName, "zstd_bytes"),
+      (children: Seq[Expression]) => {
+        requireArity("zstd_bytes", children, 1)
+        ZstdBytes(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("unzstd_bytes"),
+      new ExpressionInfo(classOf[UnzstdBytes].getName, "unzstd_bytes"),
+      (children: Seq[Expression]) => {
+        requireArity("unzstd_bytes", children, 1)
+        UnzstdBytes(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("unzstd_members"),
+      new ExpressionInfo(classOf[UnzstdMembers].getName, "unzstd_members"),
+      (children: Seq[Expression]) => {
+        requireArity("unzstd_members", children, 1)
+        UnzstdMembers(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("synth_cell_png"),
       new ExpressionInfo(classOf[SynthCellPng].getName, "synth_cell_png"),
       (children: Seq[Expression]) => {
         requireArity("synth_cell_png", children, 1)
         SynthCellPng(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("tiff_bmp_dims"),
+      new ExpressionInfo(classOf[TiffBmpDims].getName, "tiff_bmp_dims"),
+      (children: Seq[Expression]) => {
+        requireArity("tiff_bmp_dims", children, 1)
+        TiffBmpDims(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("exif_meta"),
@@ -361,6 +401,32 @@ object GraftFunctions {
     * see [[GunzipBytes]]. */
   def gunzipBytes(c: Column): Column =
     GraftBridge.column(GunzipBytes(GraftBridge.expression(c)))
+
+  /** UAX #15 Unicode normalization (form ∈ NFC/NFD/NFKC/NFKD) — see
+    * [[UnicodeNormalize]]. */
+  def unicodeNormalize(c: Column, form: String): Column =
+    GraftBridge.column(UnicodeNormalize(GraftBridge.expression(c), form))
+
+  /** RFC 8878 zstd frame (content size + checksum on) of a binary
+    * value — see [[ZstdBytes]]. */
+  def zstdBytes(c: Column): Column =
+    GraftBridge.column(ZstdBytes(GraftBridge.expression(c)))
+
+  /** Checksum-verified unzstd of the first data frame (null on
+    * corruption/bomb) — see [[UnzstdBytes]]. */
+  def unzstdBytes(c: Column): Column =
+    GraftBridge.column(UnzstdBytes(GraftBridge.expression(c)))
+
+  /** Concatenated zstd frames → array of decompressed, checksum-verified
+    * member payloads (the `.zst` multi-frame layout) — see
+    * [[UnzstdMembers]]. */
+  def unzstdMembers(c: Column): Column =
+    GraftBridge.column(UnzstdMembers(GraftBridge.expression(c)))
+
+  /** Standalone TIFF / BMP header dims → (format, endian, width,
+    * height, top_down) struct, null if neither — see [[TiffBmpDims]]. */
+  def tiffBmpDims(c: Column): Column =
+    GraftBridge.column(TiffBmpDims(GraftBridge.expression(c)))
 
   /** JPEG APP1/TIFF EXIF walk → (endian, orientation, make, datetime,
     * pixel_x) struct, null if no well-formed EXIF — see [[ExifMeta]]. */

@@ -72,6 +72,7 @@ object ZipBuild {
   def compute(names: ArrayData, payloads: ArrayData): Array[Byte] = {
     val n = names.numElements()
     if (n != payloads.numElements()) return null
+    if (n > 0xffff) return null // EOCD counts are u16; zip64 out of contract
     var local = 0L
     var cd = 22L // EOCD
     var i = 0

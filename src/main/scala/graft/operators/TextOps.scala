@@ -622,18 +622,25 @@ object TextOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
   /** Canonicalization dedup — the layer every real pipeline runs between
-    * byte-exact and MinHash: lowercase, collapse every non-alphanumeric
-    * run to a single space, trim, THEN hash. Catches the near-universal
-    * trivial variants (case, punctuation, whitespace/encoding damage)
-    * at exact-dedup cost: the normalization is a zero-shuffle projection
-    * fused into the scan, and the dedup stays ONE hash-agg on a uniform
-    * 128-bit key — no candidate generation, no verify pass, skew-free at
-    * any scale. `n_raw_variants` (distinct raw hashes per canonical
-    * group) separates what THIS layer merged from what byte-exact dedup
-    * would already have caught.
+    * byte-exact and MinHash: Unicode NFC (so "café" composed and
+    * decomposed are one string BEFORE any byte-level hash sees them —
+    * the r11 gap: codepoint-identical multilingual text used to slip
+    * every dedup layer), lowercase, collapse every non-alphanumeric run
+    * to a single space, trim, THEN hash. Catches the near-universal
+    * trivial variants (case, punctuation, whitespace/encoding damage,
+    * composed-vs-decomposed codepoints) at exact-dedup cost: the
+    * normalization is a zero-shuffle projection fused into the scan
+    * (NFC quick-checks and keeps already-normalized bytes), and the
+    * dedup stays ONE hash-agg on a uniform 128-bit key — no candidate
+    * generation, no verify pass, skew-free at any scale.
+    * `n_raw_variants` (distinct raw hashes per canonical group)
+    * separates what THIS layer merged from what byte-exact dedup would
+    * already have caught.
     */
   def dedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    val norm = trim(regexp_replace(lower(
+      graft.functions.GraftFunctions.unicodeNormalize(col(textCol), "NFC")),
+      "[^a-z0-9]+", " "))
     df.groupBy(md5(norm).as("norm_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"),
         countDistinct(md5(col(textCol))).as("n_raw_variants"))
@@ -1231,6 +1238,36 @@ object TextOps {
         .select("norm_hash", "keep_id", "n_dupes", "n_raw_variants")
         .orderBy("keep_id")),
 
+    // Unicode NFC normalization (UAX #15) over a multilingual fixture:
+    // each doc's prefix is decorated with a DECOMPOSED suffix (combining
+    // acute/diaeresis/tilde, Hangul conjoining jamo) chosen by residue;
+    // the engine composes via the native quick-check expression and the
+    // oracle replays with DuckDB's own nfc_normalize over chr()-built
+    // codepoints — two independent Unicode implementations must agree
+    // on every composed byte (md5), codepoint count, and changed flag
+    "text_nfc_normalize" -> ((s, d) => {
+      // explicit \uXXXX escapes so the fixture is decomposed BY
+      // CONSTRUCTION (a composed literal would make the query a no-op)
+      val suffix = element_at(array(
+        lit(" cafe\u0301"),        // e + COMBINING ACUTE
+        lit(" u\u0308ber"),        // u + COMBINING DIAERESIS
+        lit(" espan\u0303ol"),     // n + COMBINING TILDE
+        lit(" \u1112\u1161\u11ab\u1100\u1173\u11af")), // hangul jamo
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          concat(substring(col("text"), 1, 24), suffix).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.functions.GraftFunctions.unicodeNormalize(col("raw"), "NFC")
+            .as("nfc_text"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("bigint").as("raw_len"),
+          length(col("nfc_text")).cast("bigint").as("nfc_len"),
+          md5(col("nfc_text")).as("nfc_md5"),
+          (col("raw") =!= col("nfc_text")).cast("bigint").as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // Dice-scored adjacent-token collocations, count floor 5, top 100
     "text_collocations" -> ((s, d) =>
       collocations(Tables.documents(s, d).select("text"), "text",
@@ -1592,7 +1629,23 @@ object TextOps {
     "dedup_exact" ->
       raw"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "dedup_normalized" ->
-      raw"""SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash, min(doc_id) AS keep_id, count(*) AS n_dupes, count(DISTINCT md5(text)) AS n_raw_variants FROM documents GROUP BY 1 ORDER BY keep_id""",
+      raw"""SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash, min(doc_id) AS keep_id, count(*) AS n_dupes, count(DISTINCT md5(text)) AS n_raw_variants FROM documents GROUP BY 1 ORDER BY keep_id""",
+    // DuckDB's own UTF8PROC-backed nfc_normalize over chr()-built
+    // decomposed codepoints — an independent Unicode implementation
+    // cross-checking the JDK Normalizer byte-for-byte (md5)
+    "text_nfc_normalize" ->
+      raw"""WITH r AS (SELECT doc_id, substring(text, 1, 24) ||
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN ' cafe' || chr(769)
+        |    WHEN 1 THEN ' u' || chr(776) || 'ber'
+        |    WHEN 2 THEN ' espan' || chr(771) || 'ol'
+        |    ELSE ' ' || chr(4370) || chr(4449) || chr(4523) || chr(4352) || chr(4467) || chr(4527)
+        |  END AS raw FROM documents)
+        |SELECT doc_id, length(raw)::BIGINT AS raw_len,
+        |  length(nfc_normalize(raw))::BIGINT AS nfc_len,
+        |  md5(nfc_normalize(raw)) AS nfc_md5,
+        |  (raw <> nfc_normalize(raw))::BIGINT AS changed
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_collocations" -> {
       val dice = Stable.sqlRatioRounded("2 * pair_count", "c1 + c2", 4)
       raw"""WITH tk AS (SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), bi AS (SELECT t[i-1] AS w1, t[i] AS w2 FROM (SELECT t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS pair_count FROM bi GROUP BY w1, w2 HAVING count(*) >= 5), j AS (SELECT b.w1, b.w2, b.pair_count, u1.c AS c1, u2.c AS c2 FROM bc b JOIN uc u1 ON b.w1 = u1.w JOIN uc u2 ON b.w2 = u2.w) SELECT w1, w2, pair_count, $dice AS dice FROM j ORDER BY dice DESC, w1 ASC, w2 ASC LIMIT 100"""

@@ -195,9 +195,63 @@ object Archive {
       .orderBy("shard", "mi")
   }
 
+  /** Per-record zstd frames with a deterministic corrupted subset —
+    * the zstd sibling of [[gzipRoundtrip]]: docs with doc_id ≡ 0 (mod 7)
+    * get their trailing 4-byte xxhash64 content checksum replaced with
+    * junk, so the decoder's native checksum verification — not just its
+    * frame parse — decides `ok`. The oracle states `ok` from the residue
+    * alone; a decoder that skips checksum verification returns the
+    * corrupt rows as ok=1 and hash-mismatches. */
+  def zstRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val junk = lit(Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte))
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        GraftFunctions.zstdBytes(col("text").cast("binary")).as("zs"))
+      .withColumn("zs",
+        when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(expr("substring(zs, 1, octet_length(zs) - 4)"), junk))
+          .otherwise(col("zs")))
+      .withColumn("un", GraftFunctions.unzstdBytes(col("zs")))
+      .select(col("doc_id"),
+        col("un").isNotNull.cast("bigint").as("ok"),
+        expr("CAST(octet_length(un) AS BIGINT)").as("un_bytes"),
+        md5(col("un")).as("un_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The `.tar.zst` WebDataset layout end-to-end: the tar shard is
+    * zstd-compressed WHOLE (one frame per shard object — how WebDataset
+    * publishes `.tar.zst`), decoded through the checksum-verifying
+    * frame decoder, then member-walked and sample-assembled exactly
+    * like [[webdatasetSamples]] — so the oracle is the same
+    * content-level statement (tar offsets inside the DECOMPRESSED bytes
+    * stay pure arithmetic; the compressed layer contributes only its
+    * verified round trip). */
+  def webdatasetZstSamples(s: SparkSession, dir: String): DataFrame =
+    memberLists(sharded(s, dir))
+      .select(col("shard"),
+        GraftFunctions.unzstdBytes(GraftFunctions.zstdBytes(
+          GraftFunctions.tarBuild(col("names"), col("payloads")))).as("blob"))
+      .select(col("shard"), col("blob"),
+        explode(GraftFunctions.tarEntries(col("blob"))).as("e"))
+      .select(col("shard"),
+        expr("CAST(split(e.name, '\\\\.')[0] AS BIGINT)").as("key"),
+        expr("split(e.name, '\\\\.')[1]").as("ext"),
+        col("e.size").as("size"),
+        expr("substring(blob, CAST(e.off AS INT) + 1, CAST(e.size AS INT))").as("payload"))
+      .groupBy("shard", "key")
+      .agg(
+        max(when(col("ext") === "txt", md5(col("payload")))).as("txt_md5"),
+        max(when(col("ext") === "cls", col("payload").cast("string"))).as("cls_label"),
+        sum(col("size")).as("sample_bytes"),
+        count(lit(1)).as("n_members"))
+      .orderBy("key")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_tar_roundtrip" -> ((s, d) => tarRoundtrip(s, d)),
     "mm_webdataset" -> ((s, d) => webdatasetSamples(s, d)),
+    "src_zst_roundtrip" -> ((s, d) => zstRoundtrip(s, d)),
+    "mm_webdataset_zst" -> ((s, d) => webdatasetZstSamples(s, d)),
     "src_zip_roundtrip" -> ((s, d) => zipRoundtrip(s, d)),
     "src_gzip_roundtrip" -> ((s, d) => gzipRoundtrip(s, d)),
     "src_warc_records" -> ((s, d) => warcRecords(s, d)),
@@ -243,6 +297,20 @@ object Archive {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
         |  FROM m)
         |SELECT shard, name, off, size, 1::BIGINT AS crc_ok, payload_md5 FROM p ORDER BY shard, off""".stripMargin),
+
+    "src_zst_roundtrip" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS ok,
+        |  CASE WHEN doc_id % 7 <> 0 THEN octet_length(encode(text))::BIGINT END AS un_bytes,
+        |  CASE WHEN doc_id % 7 <> 0 THEN md5(text) END AS un_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_webdataset_zst" ->
+      """SELECT doc_id // 8 AS shard, doc_id AS key, md5(text) AS txt_md5,
+        |  (doc_id % 10)::VARCHAR AS cls_label,
+        |  (octet_length(encode(text)) + octet_length(encode((doc_id % 10)::VARCHAR)))::BIGINT AS sample_bytes,
+        |  2::BIGINT AS n_members
+        |FROM documents ORDER BY key""".stripMargin,
 
     "src_gzip_roundtrip" ->
       """SELECT doc_id,

@@ -250,16 +250,22 @@ object StreamOps {
     * own batch (the index explode and the stream-static join add no
     * cross-batch dependency), so the query holds ZERO streaming state —
     * no watermark, nothing to restore on restart beyond source offsets.
-    * Matches append to a parquet dir. `dirty` needs (record_id, dname);
-    * `clean` needs (e, cname).
+    * Matches land in a parquet dir PARTITIONED BY batch id: each
+    * micro-batch OVERWRITES its own `batch=<id>` subdir, so a batch
+    * retried after a sink-side failure replaces its previous (possibly
+    * partial) output instead of appending a duplicate — the sink is
+    * effectively-once, not merely at-least-once. Readers scan the root
+    * dir; the discovered `batch` partition column is bookkeeping they
+    * can drop. `dirty` needs (record_id, dname); `clean` needs
+    * (e, cname).
     */
   def streamingLink(dirty: DataFrame, clean: DataFrame, dir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     dirty.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Link
           .bestMatch(graft.operators.Link.candidates(batch, clean))
-          .write.mode("append").parquet(dir)
+          .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
         ()
     }.start()
 

@@ -299,18 +299,99 @@ class ArchiveSpec extends SparkSpec {
 
   // --------------------------------------------------------------- fuzz
 
+  // --------------------------------------------------------------- zstd
+
+  test("zstd: CLI round-trips both directions, including unknown-content-size frames") {
+    val data = ("zstd cross validation body " * 20).getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zst").toFile
+    // engine → CLI
+    val zsF = new java.io.File(dir, "e.zst")
+    java.nio.file.Files.write(zsF.toPath, ZstdBytes.compute(data))
+    val (rc, out) = sh("sh", "-c", s"zstd -dc ${zsF.getAbsolutePath} | md5sum")
+    assert(rc == 0 && out.startsWith(md5hex(data)), out)
+    // CLI → engine: a file input carries the content size in the header
+    val plain = new java.io.File(dir, "payload.txt")
+    java.nio.file.Files.write(plain.toPath, data)
+    assert(sh("zstd", "-q", plain.getAbsolutePath)._1 == 0)
+    val cli = java.nio.file.Files.readAllBytes(new java.io.File(dir, "payload.txt.zst").toPath)
+    assert(java.util.Arrays.equals(UnzstdBytes.compute(cli), data))
+    // CLI streaming from stdin omits the content size → exercises the
+    // capped-streaming decode branch, not the pre-allocated one
+    val (rc2, _) = sh("sh", "-c",
+      s"zstd -q -c < ${plain.getAbsolutePath} > ${dir.getAbsolutePath}/stream.zst")
+    assert(rc2 == 0)
+    val streamed = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "stream.zst").toPath)
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(
+      streamed, 0, streamed.length) < 0, "stdin frame should omit content size")
+    assert(java.util.Arrays.equals(UnzstdBytes.compute(streamed), data))
+  }
+
+  test("zstd: checksum verification catches body, checksum and truncation corruption") {
+    val data = "verify me please zstd".getBytes("UTF-8")
+    val zs = ZstdBytes.compute(data)
+    assert(java.util.Arrays.equals(UnzstdBytes.compute(zs), data))
+    // flipped trailing checksum byte (ZstdBytes writes checksum frames)
+    val badCk = zs.clone(); badCk(zs.length - 1) = (badCk(zs.length - 1) ^ 1).toByte
+    assert(UnzstdBytes.compute(badCk) == null, "flipped checksum byte must fail")
+    val badBody = zs.clone(); badBody(zs.length / 2) = (badBody(zs.length / 2) ^ 0x10).toByte
+    assert(UnzstdBytes.compute(badBody) == null, "flipped body byte must fail")
+    assert(UnzstdBytes.compute(zs.take(zs.length - 3)) == null, "truncated frame")
+    assert(UnzstdBytes.compute("not zstd".getBytes) == null)
+  }
+
+  test("zstd: declared-size bomb gate refuses allocation past 64 MiB") {
+    val big = new Array[Byte](80 << 20)
+    val zs = ZstdBytes.compute(big)
+    assert(zs.length < (1 << 20), s"bomb fixture should be tiny, was ${zs.length}")
+    assert(UnzstdBytes.compute(zs) == null, "declared size past the cap must fail, not allocate")
+  }
+
+  test("zstd: UnzstdMembers walks concatenated frames and skips skippable frames") {
+    val parts = Seq("first frame", "second frame body", "third").map(_.getBytes("UTF-8"))
+    // a skippable frame (magic 0x184D2A50 LE, 4-byte LE length, payload)
+    // between data frames — the seekable-zstd layout
+    val skip = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 6, 0, 0, 0) ++ "seekme".getBytes
+    val cat = ZstdBytes.compute(parts(0)) ++ skip ++
+      ZstdBytes.compute(parts(1)) ++ ZstdBytes.compute(parts(2))
+    val ms = UnzstdMembers.compute(cat)
+    assert(ms != null && ms.numElements() == 3)
+    for ((p, i) <- parts.zipWithIndex)
+      assert(java.util.Arrays.equals(ms.getBinary(i), p))
+    // the zstd CLI agrees the concatenation (incl. skippable) is valid
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstm").toFile
+    val f = new java.io.File(dir, "cat.zst")
+    java.nio.file.Files.write(f.toPath, cat)
+    val (rc, out) = sh("sh", "-c", s"zstd -dc ${f.getAbsolutePath} | md5sum")
+    assert(rc == 0 && out.startsWith(md5hex(parts.reduce(_ ++ _))), out)
+    // one corrupt frame quarantines the shard; truncation too; empty =
+    // none. The flip lands in the first frame's compressed BLOCK (not
+    // the header's unused bit, which decoders must ignore): either the
+    // block fails to decode or the content checksum catches it
+    val bad = cat.clone(); bad(12) = (bad(12) ^ 0x10).toByte
+    assert(UnzstdMembers.compute(bad) == null)
+    assert(UnzstdMembers.compute(cat.take(cat.length - 2)) == null, "truncated tail frame")
+    assert(UnzstdMembers.compute(Array.emptyByteArray).numElements() == 0)
+    // a leading skippable frame is legal prefix metadata for the single
+    // -frame decoder too
+    assert(java.util.Arrays.equals(
+      UnzstdBytes.compute(skip ++ ZstdBytes.compute(parts(0))), parts(0)))
+  }
+
   test("archive fuzz: noise, magic-prefixed noise and corrupted archives never throw") {
     val rnd = new scala.util.Random(246813579L)
     val valid: Seq[Array[Byte]] = Seq(
       TarBuild.compute(names("f.txt"), bins("fuzz tar body".getBytes)),
       ZipBuild.compute(names("f.txt"), bins("fuzz zip body".getBytes)),
       GzipBytes.compute("fuzz gzip body".getBytes),
+      ZstdBytes.compute("fuzz zstd body".getBytes),
       "WARC/1.0\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n".getBytes)
     val blobs = scala.collection.mutable.ArrayBuffer[Array[Byte]](Array.emptyByteArray)
     for (_ <- 1 to 150) {
       val b = new Array[Byte](rnd.nextInt(1400)); rnd.nextBytes(b); blobs += b
     }
-    val magics = Seq("1F8B08", "504B0304", "504B0506", "574152432F312E30")
+    val magics = Seq("1F8B08", "504B0304", "504B0506", "574152432F312E30",
+      "28B52FFD", "502A4D18")
     for (m <- magics; _ <- 1 to 15) {
       val tail = new Array[Byte](rnd.nextInt(600)); rnd.nextBytes(tail)
       blobs += m.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray ++ tail
@@ -325,6 +406,7 @@ class ArchiveSpec extends SparkSpec {
     blobs.foreach { b =>
       TarEntries.compute(b); ZipEntries.compute(b)
       GunzipBytes.compute(b); WarcRecords.compute(b)
+      UnzstdBytes.compute(b); UnzstdMembers.compute(b)
     }
   }
 
@@ -341,6 +423,12 @@ class ArchiveSpec extends SparkSpec {
     val (bad, good) = gz.partition(r => r.getLong(0) % 7 == 0)
     assert(bad.nonEmpty && bad.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
     assert(good.forall(r => r.getLong(1) == 1L && !r.isNullAt(3)))
+    val zst = run("src_zst_roundtrip").collect()
+    val (zbad, zgood) = zst.partition(r => r.getLong(0) % 7 == 0)
+    assert(zbad.nonEmpty && zbad.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    assert(zgood.forall(r => r.getLong(1) == 1L && !r.isNullAt(3)))
+    val wdz = run("mm_webdataset_zst").collect()
+    assert(wdz.length == 500 && wdz.forall(_.getLong(5) == 2L))
     val warc = run("src_warc_records").collect()
     assert(warc.length == 500 && warc.forall(_.getString(1) == "response"))
     val wgz = run("src_warc_gz_e2e").collect()

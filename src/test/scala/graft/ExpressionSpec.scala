@@ -157,6 +157,54 @@ class ExpressionSpec extends SparkSpec {
       .collect().head.getAs[scala.collection.Seq[Long]](0).nonEmpty)
   }
 
+  test("tiff_bmp_dims reads ImageIO-written TIFF and BMP, rejects hostile input") {
+    import graft.functions.TiffBmpDims
+    // reference-writer cross-validation: the JDK's own TIFF and BMP
+    // encoders produce the files, our walker reads the dims back
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    for ((w, h) <- Seq((13, 7), (640, 480), (1, 1))) {
+      val t = TiffBmpDims.compute(encode("tiff", w, h))
+      assert(t != null && t.getUTF8String(0).toString == "tiff" &&
+        t.getLong(2) == w && t.getLong(3) == h, s"tiff ${w}x$h: $t")
+      val b = TiffBmpDims.compute(encode("bmp", w, h))
+      assert(b != null && b.getUTF8String(0).toString == "bmp" &&
+        b.getLong(2) == w && b.getLong(3) == h && b.getLong(4) == 0L,
+        s"bmp ${w}x$h: $b")
+    }
+    // top-down BMP: hand-flip the height field to its negative
+    val bmp = encode("bmp", 16, 8)
+    def putI32(b: Array[Byte], p: Int, v: Int): Unit = {
+      b(p) = v.toByte; b(p + 1) = (v >> 8).toByte
+      b(p + 2) = (v >> 16).toByte; b(p + 3) = (v >> 24).toByte
+    }
+    putI32(bmp, 22, -8)
+    val td = TiffBmpDims.compute(bmp)
+    assert(td != null && td.getLong(3) == 8L && td.getLong(4) == 1L)
+    // hostile inputs: junk, truncation, oversized IFD, core-header BMP
+    assert(TiffBmpDims.compute("plain text".getBytes) == null)
+    assert(TiffBmpDims.compute(Array[Byte]('I', 'I', 42, 0)) == null)
+    val tiff = encode("tiff", 9, 9)
+    assert(TiffBmpDims.compute(tiff.take(12)) == null, "truncated IFD")
+    val badBmp = encode("bmp", 4, 4); putI32(badBmp, 14, 12) // BITMAPCOREHEADER
+    assert(TiffBmpDims.compute(badBmp) == null, "core-family DIB rejected")
+    // seeded fuzz: magic-prefixed noise never throws
+    val rnd = new scala.util.Random(135792468L)
+    for (magic <- Seq(Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42),
+        Array[Byte]('B', 'M')); _ <- 1 to 40) {
+      val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)
+      TiffBmpDims.compute(magic ++ tail)
+    }
+    // SQL registration + codegen path
+    val r = spark.sql("SELECT tiff_bmp_dims(CAST(NULL AS BINARY)) n").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("jaro_winkler matches the published hand values and DuckDB's edge semantics") {
     // classic Winkler pairs (published values) + the edges that pin the
     // DuckDB-parity contract: strict > 0.7 boost threshold (crate/trace

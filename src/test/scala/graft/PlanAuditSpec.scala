@@ -260,16 +260,18 @@ class PlanAuditSpec extends SparkSpec {
     // groupBy (+ the corpus-grain range sort), so a parse-side shuffle
     // can never slip in unnoticed.
     Seq("src_tar_roundtrip", "src_zip_roundtrip", "src_warc_records",
-        "src_warc_gz_e2e", "mm_webdataset").foreach { q =>
+        "src_warc_gz_e2e", "mm_webdataset", "mm_webdataset_zst").foreach { q =>
       val p = plan(run(q))
       assert(!p.contains("Join"), s"$q joins:\n${p.take(1200)}")
       val n = "Exchange".r.findAllIn(p).size
       assert(n <= 3, s"$q has $n exchanges (fixture agg + sort expected):\n${p.take(1500)}")
     }
-    // per-doc gzip round-trip is a pure projection: sort exchange only
-    val gz = plan(run("src_gzip_roundtrip"))
-    assert(!gz.contains("Join") && "Exchange".r.findAllIn(gz).size <= 1,
-      s"src_gzip_roundtrip must be a single projection:\n${gz.take(1500)}")
+    // per-doc gzip/zstd round-trips are pure projections: sort exchange only
+    Seq("src_gzip_roundtrip", "src_zst_roundtrip").foreach { q =>
+      val gz = plan(run(q))
+      assert(!gz.contains("Join") && "Exchange".r.findAllIn(gz).size <= 1,
+        s"$q must be a single projection:\n${gz.take(1500)}")
+    }
     // mm_exif likewise: synth + walk fused into the scan projection
     val ex = plan(run("mm_exif"))
     assert(!ex.contains("Join") && "Exchange".r.findAllIn(ex).size <= 1,

@@ -533,7 +533,9 @@ class StreamingSpec extends SparkSpec {
       input.addData(b1); q.processAllAvailable()
       input.addData(b2); q.processAllAvailable()
 
-      val got = s.read.parquet(dir)
+      // the sink writes one batch=<id> subdir per micro-batch (retry
+      // idempotence); the discovered partition column is bookkeeping
+      val got = s.read.parquet(dir).drop("batch")
       val batch = Link.bestMatch(Link.candidates(
         dirtyAll.toDF(), clean))
       assert(got.count() === dirtyAll.length.toLong)

@@ -139,6 +139,42 @@ class TextDedupSpec extends SparkSpec {
     assert(dupGroup.getLong(1) == 3L) // keep-first = min id
   }
 
+  test("unicode normalization: NFC==NFD collapse through dedup_normalized, NFKC folds") {
+    val s = spark
+    import s.implicits._
+    // the same word in composed (NFC) and decomposed (NFD) codepoints —
+    // different byte strings, one document to a reader
+    val composed = "caf\u00e9 menu"
+    val decomposed = "cafe\u0301 menu"
+    assert(composed != decomposed, "fixture must differ at the byte level")
+    val d = Seq((1L, composed), (2L, decomposed), (3L, "other")).toDF("doc_id", "text")
+    val out = TextOps.dedupNormalized(d, "doc_id", "text").collect()
+    assert(out.length == 2, s"NFC and NFD forms must land in ONE group: ${out.mkString}")
+    val merged = out.find(_.getLong(2) == 2L).get
+    assert(merged.getLong(1) == 1L)          // keep-first = min id
+    assert(merged.getLong(3) == 2L)          // two raw byte variants merged
+    // the expression itself: decomposed accent, fi-ligature, fullwidth G,
+    // hangul jamo — all four forms behave per UAX #15
+    import graft.functions.GraftFunctions.unicodeNormalize
+    val mixed = "cafe\u0301 \ufb01le \uff27 \u1112\u1161\u11ab"
+    val r = Seq(Tuple1(mixed)).toDF("t")
+      .select(
+        unicodeNormalize(col("t"), "NFC").as("nfc"),
+        unicodeNormalize(col("t"), "NFD").as("nfd"),
+        unicodeNormalize(col("t"), "NFKC").as("nfkc"))
+      .collect().head
+    assert(r.getString(0) == "caf\u00e9 \ufb01le \uff27 \ud55c",
+      "NFC composes accents and jamo, leaves compatibility chars alone")
+    assert(r.getString(1) == mixed, "NFD keeps decomposed forms")
+    assert(r.getString(2) == "caf\u00e9 file G \ud55c",
+      "NFKC additionally folds ligature fi and fullwidth G")
+    // idempotence + ASCII passthrough (the 100 TB fast path)
+    val ascii = Seq(Tuple1("plain ascii text 123")).toDF("t")
+      .select(unicodeNormalize(unicodeNormalize(col("t"), "NFC"), "NFC"))
+      .collect().head.getString(0)
+    assert(ascii == "plain ascii text 123")
+  }
+
   test("dedup_minhash finds planted near-dups, same-token-set docs score 1.0") {
     val pairs = run("dedup_minhash").collect()
     assert(pairs.nonEmpty)
