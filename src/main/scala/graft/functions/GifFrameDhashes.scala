@@ -57,6 +57,18 @@ object GifFrameDhashes {
 
   val MaxFrames = 64
 
+  /** One GIF reader per executor thread, reused across rows: the
+    * registry lookup + reader construction + dispose cycle is pure
+    * per-row overhead (ImageReader is not thread-safe, so the reuse
+    * rides a ThreadLocal; `setInput` resets the reader's state between
+    * rows). Never disposed — one small object per live thread. */
+  private val localReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (it.hasNext) it.next() else null
+    }
+  }
+
   /** Signature gate then the multi-frame decode. Called from generated
     * code. */
   def compute(blob: Array[Byte]): ArrayData = {
@@ -65,15 +77,16 @@ object GifFrameDhashes {
         blob(3) != '8' || (blob(4) != '7' && blob(4) != '9') ||
         blob(5) != 'a') return null
     var iis: javax.imageio.stream.ImageInputStream = null
-    var reader: javax.imageio.ImageReader = null
+    val reader: javax.imageio.ImageReader = localReader.get()
+    if (reader == null) return null
     try {
       iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(blob))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return null
-      reader = readers.next()
       // seekForwardOnly = false: counting frames requires a full scan
       reader.setInput(iis, false, true)
+      // getNumImages(true) pre-scans the block structure once; the
+      // read-until-IndexOutOfBounds alternative measured SLOWER (the
+      // per-row end-of-sequence exception costs more than the scan)
       val n = math.min(reader.getNumImages(true), MaxFrames)
       if (n <= 0) return null
       val out = new Array[Long](n)
@@ -90,7 +103,7 @@ object GifFrameDhashes {
       case _: java.io.IOException => null
       case _: RuntimeException => null
     } finally {
-      if (reader != null) reader.dispose()
+      reader.setInput(null) // drop the stream reference, keep the reader
       if (iis != null) try iis.close() catch { case _: java.io.IOException => () }
     }
   }

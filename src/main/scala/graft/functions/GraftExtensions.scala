@@ -189,6 +189,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SynthCellPng(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("inline_data_uris"),
+      new ExpressionInfo(classOf[InlineDataUris].getName, "inline_data_uris"),
+      (children: Seq[Expression]) => {
+        requireArity("inline_data_uris", children, 2)
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(m: org.apache.spark.unsafe.types.UTF8String, _) =>
+            InlineDataUris(children.head, m.toString)
+          case other => throw new IllegalArgumentException(
+            s"inline_data_uris mime must be a string literal, got $other")
+        }
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("tiff_bmp_dims"),
       new ExpressionInfo(classOf[TiffBmpDims].getName, "tiff_bmp_dims"),
       (children: Seq[Expression]) => {
@@ -422,6 +434,12 @@ object GraftFunctions {
     * [[UnzstdMembers]]. */
   def unzstdMembers(c: Column): Column =
     GraftBridge.column(UnzstdMembers(GraftBridge.expression(c)))
+
+  /** Single-pass `data:<mime>;base64,` payload extraction from markup
+    * (delimiter-anchored, MIME-wrap-tolerant, pre-stripped for
+    * `unbase64`) — see [[InlineDataUris]]. */
+  def inlineDataUris(c: Column, mime: String): Column =
+    GraftBridge.column(InlineDataUris(GraftBridge.expression(c), mime))
 
   /** Standalone TIFF / BMP header dims → (format, endian, width,
     * height, top_down) struct, null if neither — see [[TiffBmpDims]]. */

@@ -428,6 +428,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getString(2) == "%016X".format(direct.longValue()),
       s"wrapped-base64 hash ${out(0).getString(2)} != direct $direct")
     assert(out(1).isNullAt(2), "undecodable inline payload must keep a NULL-hash row")
+    // delimiter anchoring (the r11 advice finding): an UNQUOTED data URI
+    // followed by newline + base64-alphabet prose must cut at the break,
+    // while the same payload inside quotes absorbs MIME wrapping
+    val plain = java.util.Base64.getEncoder.encodeToString(png) // no wrap
+    val unquoted =
+      s"<img src=data:image/png;base64,$plain\nfoo bar baz\n" +
+        s"<img src=\"data:image/png;base64,$wrapped\">"
+    val out2 = graft.operators.Mm.inlineImageHashes(
+      Seq((9L, unquoted)).toDF("doc_id", "html")).orderBy("ii").collect()
+    assert(out2.length == 2, s"rows: ${out2.length}")
+    assert(out2.forall(_.getString(2) == "%016X".format(direct.longValue())),
+      "unquoted payload must cut at the line break (prose must not bleed in), " +
+        s"got ${out2.map(_.getString(2)).mkString(",")}")
   }
 
   test("mm decodeGifMeta parses REAL and spec-layout GIF headers (fixture anchor)") {
