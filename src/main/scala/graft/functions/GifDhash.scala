@@ -12,9 +12,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * graphics), and the reference ingest is container-agnostic
   * (packages/app/bundles/custom/aws/s3/s3-connector.ts:1), so a
   * perceptual pass that skips GIF silently misses a real corpus slice.
-  * Decode rides the JDK's BUNDLED GIF reader via the shared
-  * [[JpegDhash.viaImageIO]] body (zero new dependencies): signature gate
-  * ("GIF87a"/"GIF89a"), header-dims-first hostile gate, palette decode,
+  * Decode is the native [[GifRaster]] walk (zero dependencies, r12 —
+  * ImageIO-parity-pinned in PropertySpec): signature gate
+  * ("GIF87a"/"GIF89a"), bounded palette/LZW decode,
   * the same integer luma and 9×8 box grid — ONE hash space, so a GIF
   * re-encode of a PNG/JPEG collapses with its source across containers.
   * GIF is lossless for ≤256 distinct colors, so flat-cell fixtures
@@ -53,14 +53,17 @@ case class GifDhash(child: Expression) extends UnaryExpression {
 
 object GifDhash {
 
-  /** Signature gate ("GIF87a"/"GIF89a") then the shared ImageIO
-    * decode → luma → dHash body. Called from generated code. */
+  /** Signature gate ("GIF87a"/"GIF89a") then the native [[GifRaster]]
+    * decode of the FIRST frame (r12 — the ImageIO path's per-row
+    * plumbing measured ~1 ms/image; PropertySpec pins the two decoders
+    * luma-identical on ImageIO-written GIFs) → shared luma → dHash
+    * body. Called from generated code. */
   def compute(blob: Array[Byte]): java.lang.Long = {
-    if (blob == null || blob.length < 6) return null
-    if (blob(0) != 'G' || blob(1) != 'I' || blob(2) != 'F' ||
-        blob(3) != '8' || (blob(4) != '7' && blob(4) != '9') ||
-        blob(5) != 'a') return null
-    JpegDhash.viaImageIO(blob)
+    val fs = GifRaster.frames(blob, 1, 16L << 20)
+    if (fs == null || fs.isEmpty) return null
+    val f = fs(0)
+    if (f.w < 9 || f.h < 8) return null
+    java.lang.Long.valueOf(PngDhash.dhashOfGray(f.luma, f.w, f.h))
   }
 }
 

@@ -187,6 +187,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GifRaster == JDK ImageIO decoder, luma for luma, on ImageIO-written GIFs") {
+    // the native walk replaced ImageIO in the hot path; the JDK reader
+    // stays as the REFERENCE implementation here. Random gray AND
+    // random-RGB-palette images, odd dims, single- and multi-frame.
+    val seeded = new scala.util.Random(975318642L)
+    def viaImageIO(blob: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      try {
+        reader.setInput(iis, false, true)
+        (0 until reader.getNumImages(true)).map { i =>
+          val img = reader.read(i)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Int](w * h)
+          for (y <- 0 until h; x <- 0 until w) {
+            val p = img.getRGB(x, y)
+            gray(y * w + x) =
+              (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
+          }
+          (w, h, gray)
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+    for (trial <- 1 to 30) {
+      val w = 9 + seeded.nextInt(60)
+      val h = 8 + seeded.nextInt(60)
+      val frames = 1 + seeded.nextInt(3)
+      val gray = seeded.nextBoolean()
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (_ <- 1 to frames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+          else java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          // few distinct colors so the GIF palette quantizer is lossless
+          img.setRGB(x, y, Seq(0x000000, 0x3366cc, 0xff9900, 0xffffff,
+            0x808080, 0x22aa55)(seeded.nextInt(6)))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.flush(); writer.dispose(); ios.close()
+      val blob = bos.toByteArray
+      val want = viaImageIO(blob)
+      val got = graft.functions.GifRaster.frames(blob, 64, 16L << 20)
+      assert(got != null && got.length == want.length,
+        s"trial $trial: frame count ${if (got == null) "null" else got.length} vs ${want.length}")
+      for ((f, (ww, wh, wg)) <- got.zip(want)) {
+        assert(f.w == ww && f.h == wh, s"trial $trial dims")
+        assert(f.luma.sameElements(wg), s"trial $trial: luma mismatch (${w}x$h, gray=$gray)")
+      }
+    }
+  }
+
   test("Md5Hash.prefixLong == MessageDigest reference") {
     val md = java.security.MessageDigest.getInstance("MD5")
     for (_ <- 1 to 200) {
