@@ -247,6 +247,39 @@ object Archive {
         count(lit(1)).as("n_members"))
       .orderBy("key")
 
+  /** The `.warc.zst` object layout — the zstd twin of [[warcGzE2e]]:
+    * each WARC record its own zstd frame, frames concatenated per shard,
+    * walked by `UnzstdMembers` (checksum-verified per frame, skippable
+    * frames stepped over) → Content-Length framing inside each
+    * decompressed member. Same three decode layers, zstd edition. */
+  def warcZstE2e(s: SparkSession, dir: String): DataFrame = {
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://crawl.test/doc/"),
+      col("doc_id").cast("string"),
+      lit("\r\nContent-Length: "),
+      expr("CAST(octet_length(CAST(text AS BINARY)) AS STRING)"),
+      lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+    sharded(s, dir)
+      .select(col("shard"),
+        struct(col("doc_id"),
+          GraftFunctions.zstdBytes(rec.cast("binary")).as("zs")).as("m"))
+      .groupBy("shard")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      // binary concat of the sorted members — fixture assembly only
+      .select(col("shard"),
+        expr("aggregate(transform(ms, x -> x.zs), CAST('' AS BINARY), (acc, x) -> concat(acc, x))")
+          .as("blob"))
+      .select(col("shard"),
+        posexplode(GraftFunctions.unzstdMembers(col("blob"))).as(Seq("mi", "member")))
+      .withColumn("e", element_at(GraftFunctions.warcRecords(col("member")), 1))
+      .select(col("shard"), col("mi").cast("bigint").as("mi"),
+        col("e.rec_type").as("rec_type"), col("e.uri").as("uri"),
+        col("e.len").as("len"),
+        md5(expr("substring(member, CAST(e.off AS INT) + 1, CAST(e.len AS INT))"))
+          .as("body_md5"))
+      .orderBy("shard", "mi")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_tar_roundtrip" -> ((s, d) => tarRoundtrip(s, d)),
     "mm_webdataset" -> ((s, d) => webdatasetSamples(s, d)),
@@ -255,7 +288,8 @@ object Archive {
     "src_zip_roundtrip" -> ((s, d) => zipRoundtrip(s, d)),
     "src_gzip_roundtrip" -> ((s, d) => gzipRoundtrip(s, d)),
     "src_warc_records" -> ((s, d) => warcRecords(s, d)),
-    "src_warc_gz_e2e" -> ((s, d) => warcGzE2e(s, d))
+    "src_warc_gz_e2e" -> ((s, d) => warcGzE2e(s, d)),
+    "src_warc_zst_e2e" -> ((s, d) => warcZstE2e(s, d))
   )
 
   /** Members ordered (doc_id, name) inside each shard — `.cls` sorts
@@ -336,6 +370,15 @@ object Archive {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
         |  FROM r)
         |SELECT shard, rec_type, uri, off, len, body_md5 FROM q ORDER BY shard, off""".stripMargin,
+
+    "src_warc_zst_e2e" ->
+      """SELECT doc_id // 8 AS shard,
+        |  (row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1)::BIGINT AS mi,
+        |  'response' AS rec_type,
+        |  'https://crawl.test/doc/' || doc_id::VARCHAR AS uri,
+        |  octet_length(encode(text))::BIGINT AS len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY shard, mi""".stripMargin,
 
     "src_warc_gz_e2e" ->
       """SELECT doc_id // 8 AS shard,

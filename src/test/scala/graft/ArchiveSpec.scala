@@ -433,5 +433,7 @@ class ArchiveSpec extends SparkSpec {
     assert(warc.length == 500 && warc.forall(_.getString(1) == "response"))
     val wgz = run("src_warc_gz_e2e").collect()
     assert(wgz.length == 500 && wgz.forall(_.getString(2) == "response"))
+    val wzs = run("src_warc_zst_e2e").collect()
+    assert(wzs.length == 500 && wzs.forall(_.getString(2) == "response"))
   }
 }
