@@ -211,11 +211,15 @@ class PropertySpec extends SparkSpec {
         }
       } finally { reader.dispose(); iis.close() }
     }
-    for (trial <- 1 to 30) {
-      val w = 9 + seeded.nextInt(60)
-      val h = 8 + seeded.nextInt(60)
+    for (trial <- 1 to 32) {
+      // trials 31/32: large random-gray frames — thousands of distinct
+      // pixel runs fill the LZW dictionary, exercising code-size growth
+      // to 12 bits and the encoder's clear-on-full behavior
+      val big = trial > 30
+      val w = if (big) 120 + seeded.nextInt(40) else 9 + seeded.nextInt(60)
+      val h = if (big) 100 + seeded.nextInt(40) else 8 + seeded.nextInt(60)
       val frames = 1 + seeded.nextInt(3)
-      val gray = seeded.nextBoolean()
+      val gray = big || seeded.nextBoolean()
       val bos = new java.io.ByteArrayOutputStream()
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
@@ -226,9 +230,13 @@ class PropertySpec extends SparkSpec {
           if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
           else java.awt.image.BufferedImage.TYPE_INT_RGB)
         for (y <- 0 until h; x <- 0 until w)
-          // few distinct colors so the GIF palette quantizer is lossless
-          img.setRGB(x, y, Seq(0x000000, 0x3366cc, 0xff9900, 0xffffff,
-            0x808080, 0x22aa55)(seeded.nextInt(6)))
+          // few distinct colors (or 256 exact grays) so the GIF palette
+          // quantizer is lossless
+          if (gray) {
+            val v = if (big) seeded.nextInt(256) else seeded.nextInt(6) * 40
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          } else img.setRGB(x, y, Seq(0x000000, 0x3366cc, 0xff9900,
+            0xffffff, 0x808080, 0x22aa55)(seeded.nextInt(6)))
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence(); ios.flush(); writer.dispose(); ios.close()
@@ -241,6 +249,75 @@ class PropertySpec extends SparkSpec {
         assert(f.w == ww && f.h == wh, s"trial $trial dims")
         assert(f.luma.sameElements(wg), s"trial $trial: luma mismatch (${w}x$h, gray=$gray)")
       }
+    }
+  }
+
+  test("GifRaster decodes INTERLACED GIFs identically to ImageIO (hand-built fixture)") {
+    // ImageIO's writer never emits the interlace flag, so the parity
+    // sweep above cannot reach GifRaster's 4-pass reorder. Build an
+    // interlaced GIF by hand with the degenerate-LZW encoding (a CLEAR
+    // code before every literal keeps the dictionary empty and the code
+    // size fixed — spec-legal and trivially correct), then require the
+    // JDK reader and GifRaster to agree on the de-interlaced raster.
+    val seeded = new scala.util.Random(246801357L)
+    def buildInterlaced(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      bos.write("GIF89a".getBytes("US-ASCII"))
+      u16(w); u16(h)
+      bos.write(0xf7) // GCT present, 256 entries, 8-bit color res
+      bos.write(0); bos.write(0)
+      for (i <- 0 until 256) { bos.write(i); bos.write(i); bos.write(i) } // gray GCT
+      bos.write(0x2c) // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      bos.write(0x40) // INTERLACED, no LCT
+      bos.write(8)    // LZW min code size
+      // interlaced row order: pixels are stored pass by pass
+      val order = Seq(0 until h by 8, 4 until h by 8, 2 until h by 4,
+        1 until h by 2).flatten
+      val codes = scala.collection.mutable.ArrayBuffer[Int]()
+      for (y <- order; x <- 0 until w) { codes += 256; codes += px(y * w + x) }
+      codes += 256; codes += 257 // clear, EOI
+      // pack 9-bit codes LSB-first (a clear precedes every literal, so
+      // the dictionary never grows and the code size stays 9)
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var n = 0
+      for (c <- codes) {
+        acc |= c.toLong << n; n += 9
+        while (n >= 8) { bits.write((acc & 0xff).toInt); acc >>>= 8; n -= 8 }
+      }
+      if (n > 0) bits.write((acc & 0xff).toInt)
+      val payload = bits.toByteArray
+      var off = 0
+      while (off < payload.length) {
+        val k = math.min(255, payload.length - off)
+        bos.write(k); bos.write(payload, off, k); off += k
+      }
+      bos.write(0)    // sub-block terminator
+      bos.write(0x3b) // trailer
+      bos.toByteArray
+    }
+    for ((w, h) <- Seq((17, 13), (40, 32), (9, 8))) {
+      val px = Array.fill(w * h)(seeded.nextInt(256))
+      val blob = buildInterlaced(w, h, px)
+      // the JDK reader de-interlaces the same bytes
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+      reader.setInput(iis, false, true)
+      val img = reader.read(0)
+      assert(img.getWidth == w && img.getHeight == h)
+      val got = graft.functions.GifRaster.frames(blob, 4, 16L << 20)
+      assert(got != null && got.length == 1)
+      val f = got(0)
+      assert(f.w == w && f.h == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = img.getRGB(x, y) & 0xff // gray palette: B channel = value
+        assert(f.luma(y * w + x) == want,
+          s"($x,$y): got ${f.luma(y * w + x)}, want $want (raw ${px(y * w + x)})")
+        assert(want == px(y * w + x), s"ImageIO disagrees with the fixture at ($x,$y)")
+      }
+      reader.dispose(); iis.close()
     }
   }
 
