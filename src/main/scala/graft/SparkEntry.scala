@@ -116,6 +116,7 @@ object SparkEntry {
     "mm_dedup_binary", "mm_frames", "mm_meta",
     "mm_dedup_percept", "mm_dedup_percept_jpeg", "mm_dedup_percept_audio",
     "mm_dedup_percept_cross", "mm_dedup_percept_gif",
+    "mm_dedup_percept_bmp_tiff",
     "mm_pipeline_e2e", "mm_pack_multimodal", "mm_exif", "mm_inline_images",
     "mm_vision_tokens", "q_above_custavg",
     "q_filter_eq", "q_filter_range", "q_groupby_having", "q_join_bloom",

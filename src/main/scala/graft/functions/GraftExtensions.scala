@@ -441,6 +441,26 @@ object GraftFunctions {
   def inlineDataUris(c: Column, mime: String): Column =
     GraftBridge.column(InlineDataUris(GraftBridge.expression(c), mime))
 
+  /** 24bpp BI_RGB BMP → 64-bit perceptual dHash (shared hash space) —
+    * see [[BmpDhash]]. */
+  def bmpDhash(c: Column): Column =
+    GraftBridge.column(BmpDhash(GraftBridge.expression(c)))
+
+  /** 8-bit gray uncompressed TIFF → 64-bit perceptual dHash — see
+    * [[TiffDhash]]. */
+  def tiffDhash(c: Column): Column =
+    GraftBridge.column(TiffDhash(GraftBridge.expression(c)))
+
+  /** Deterministic cell-formula BMP (row order alternates by id) — see
+    * [[SynthCellBmp]]. */
+  def synthCellBmp(c: Column): Column =
+    GraftBridge.column(SynthCellBmp(GraftBridge.expression(c)))
+
+  /** Deterministic cell-formula TIFF (endian + strip layout alternate
+    * by id) — see [[SynthCellTiff]]. */
+  def synthCellTiff(c: Column): Column =
+    GraftBridge.column(SynthCellTiff(GraftBridge.expression(c)))
+
   /** Standalone TIFF / BMP header dims → (format, endian, width,
     * height, top_down) struct, null if neither — see [[TiffBmpDims]]. */
   def tiffBmpDims(c: Column): Column =

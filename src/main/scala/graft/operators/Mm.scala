@@ -884,6 +884,16 @@ object Mm {
       .select(col("doc_id"), graft.functions.GraftFunctions.synthCellGif(
         col("doc_id")).as("blob"))
 
+  def synthesizeCellBmps(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.synthCellBmp(
+        col("doc_id")).as("blob"))
+
+  def synthesizeCellTiffs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("bigint").as("doc_id"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.synthCellTiff(
+        col("doc_id")).as("blob"))
+
   /** Deterministic synthetic PCM WAVs with SAMPLE-LEVEL ground truth —
     * the audio counterpart of [[synthesizePixelPngs]]: a real RIFF/WAVE
     * container (constant mono/16-bit/8 kHz header — PCM is uncompressed,
@@ -1163,6 +1173,24 @@ object Mm {
       dedupPercept(synthesizeCellGifs(Tables.documents(s, d), "doc_id"),
         hashOf = graft.functions.GraftFunctions.gifDhash)
         .orderBy("id_a", "id_b")),
+
+    // BMP + TIFF join the one hash space (r12): halves of the corpus
+    // are 24bpp BMP (row order alternating bottom-up/top-down by id)
+    // and 8-bit gray TIFF (endian + strip layout alternating) re-encodes
+    // of the SAME cell-formula content — both lossless, so the
+    // container-blind cell oracle applies unchanged, pairs cross the
+    // container boundary freely, and a decoder mishandling either
+    // row-order or strip walk hash-fails
+    "mm_dedup_percept_bmp_tiff" -> ((s, d) => {
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+      val blobs = synthesizeCellBmps(ids.filter(col("doc_id") % 2 === 0), "doc_id")
+        .unionByName(synthesizeCellTiffs(ids.filter(col("doc_id") % 2 === 1), "doc_id"))
+      dedupPercept(blobs, hashOf = c => coalesce(
+        graft.functions.GraftFunctions.bmpDhash(c),
+        graft.functions.GraftFunctions.tiffDhash(c)))
+        .orderBy("id_a", "id_b")
+    }),
 
     // the perceptual-coverage report over a mixed-container corpus:
     // which payloads the percept decoders can actually see, by container
@@ -1488,6 +1516,7 @@ object Mm {
     // lossless LZW round trip: the identical cell oracle, reached
     // through the ImageIO GIF write + palette decode
     "mm_dedup_percept_gif" -> cellPerceptOracle,
+    "mm_dedup_percept_bmp_tiff" -> cellPerceptOracle,
 
     // per-frame dHash ground truth from (doc_id, frame) alone:
     // F = id%3+2 frames, frame k carries pat_k = (id + 37k) mod 167;

@@ -405,6 +405,54 @@ class SimilaritySpec extends SparkSpec {
     assert(ExifMeta.compute("not a jpeg".getBytes) == null)
   }
 
+  test("bmp/tiff percept: ImageIO parity, cross-container hamming 0, hostile nulls") {
+    import graft.functions.{BmpDhash, TiffDhash, SynthCellBmp, SynthCellTiff, PngDhash, SynthCellPng}
+    def lumaViaImageIO(blob: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      assert(img != null, "ImageIO must read the synthesized container")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        g(y * w + x) =
+          (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) + 29 * (p & 0xff)) >> 8
+      }
+      (w, h, g)
+    }
+    // ids sweep both BMP row orders (id%4==2 → top-down), both TIFF
+    // endians (parity) and both strip layouts (id%4)
+    for (id <- Seq(0L, 1L, 2L, 3L, 166L, 167L, 335L, 670L)) {
+      val bmp = SynthCellBmp.compute(id)
+      val tiff = SynthCellTiff.compute(id)
+      val png = SynthCellPng.compute(id)
+      val want = PngDhash.compute(png).longValue()
+      // same content → same hash in the one percept space
+      assert(BmpDhash.compute(bmp).longValue() == want, s"bmp id=$id")
+      assert(TiffDhash.compute(tiff).longValue() == want, s"tiff id=$id")
+      // the JDK readers agree the containers hold the formula pixels
+      for (blob <- Seq(bmp, tiff)) {
+        val (w, h, g) = lumaViaImageIO(blob)
+        assert(w == 72 && h == 64)
+        assert(graft.functions.PngDhash.dhashOfGray(g, w, h) == want,
+          s"ImageIO luma disagrees for id=$id (${blob.length} bytes)")
+      }
+    }
+    // hostile/profile gates: junk, truncation, wrong profiles → null
+    assert(BmpDhash.compute("not a bmp".getBytes) == null)
+    assert(TiffDhash.compute("not a tiff".getBytes) == null)
+    assert(BmpDhash.compute(SynthCellBmp.compute(5L).take(60)) == null)
+    assert(TiffDhash.compute(SynthCellTiff.compute(5L).take(60)) == null)
+    val gate = SynthCellBmp.compute(7L).clone()
+    gate(28) = 8 // 8bpp: outside the decodable profile → null, not junk
+    assert(BmpDhash.compute(gate) == null)
+    val seeded = new scala.util.Random(86420975L)
+    for (magic <- Seq("BM".getBytes, Array[Byte]('I', 'I', 42, 0),
+        Array[Byte]('M', 'M', 0, 42)); _ <- 1 to 30) {
+      val tail = new Array[Byte](seeded.nextInt(300)); seeded.nextBytes(tail)
+      BmpDhash.compute(magic ++ tail); TiffDhash.compute(magic ++ tail)
+    }
+  }
+
   test("inline images: wrapped base64 decodes into the shared hash space; decoys don't match") {
     val s = spark
     import s.implicits._
