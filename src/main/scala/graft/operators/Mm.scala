@@ -1145,23 +1145,28 @@ object Mm {
         hashOf = graft.functions.GraftFunctions.jpegDhash)
         .orderBy("id_a", "id_b")),
 
-    // CROSS-CONTAINER perceptual dedup: thirds of the corpus are PNG,
-    // JPEG and GIF re-encodes of the SAME cell-formula content family —
-    // a re-encode in any container must collapse with its source, so
-    // the pass coalesces all three decoders into one hash space and
-    // pairs freely cross every container boundary (the oracle is
-    // container-blind: one formula for all docs; a decoder drifting
-    // between containers hash-fails)
+    // CROSS-CONTAINER perceptual dedup: fifths of the corpus are PNG,
+    // JPEG, GIF, BMP and TIFF re-encodes of the SAME cell-formula
+    // content family (r12 widened from thirds when the fifth/sixth
+    // containers landed) — a re-encode in any container must collapse
+    // with its source, so the pass coalesces all five decoders into one
+    // hash space and pairs freely cross every container boundary (the
+    // oracle is container-blind: one formula for all docs; a decoder
+    // drifting between containers hash-fails)
     "mm_dedup_percept_cross" -> ((s, d) => {
       val ids = Tables.documents(s, d)
         .select(col("doc_id").cast("bigint").as("doc_id"))
-      val blobs = synthesizeCellPngs(ids.filter(col("doc_id") % 3 === 0), "doc_id")
-        .unionByName(synthesizeGrayJpegs(ids.filter(col("doc_id") % 3 === 1), "doc_id"))
-        .unionByName(synthesizeCellGifs(ids.filter(col("doc_id") % 3 === 2), "doc_id"))
+      val blobs = synthesizeCellPngs(ids.filter(col("doc_id") % 5 === 0), "doc_id")
+        .unionByName(synthesizeGrayJpegs(ids.filter(col("doc_id") % 5 === 1), "doc_id"))
+        .unionByName(synthesizeCellGifs(ids.filter(col("doc_id") % 5 === 2), "doc_id"))
+        .unionByName(synthesizeCellBmps(ids.filter(col("doc_id") % 5 === 3), "doc_id"))
+        .unionByName(synthesizeCellTiffs(ids.filter(col("doc_id") % 5 === 4), "doc_id"))
       dedupPercept(blobs, hashOf = c => coalesce(
         graft.functions.GraftFunctions.pngDhash(c),
         graft.functions.GraftFunctions.jpegDhash(c),
-        graft.functions.GraftFunctions.gifDhash(c)))
+        graft.functions.GraftFunctions.gifDhash(c),
+        graft.functions.GraftFunctions.bmpDhash(c),
+        graft.functions.GraftFunctions.tiffDhash(c)))
         .orderBy("id_a", "id_b")
     }),
 

@@ -307,15 +307,16 @@ class PlanAuditSpec extends SparkSpec {
       s"GIF decode planned more than once:\n${fg.take(2000)}")
     assert(fg.contains("Reused"), s"no exchange reuse:\n${fg.take(2000)}")
     assert(!fg.contains("CartesianProduct"), fg.take(1500))
-    // the three-container cross query: PushProjectionThroughUnion
-    // legitimately clones the coalesced decode into each of the three
+    // the five-container cross query: PushProjectionThroughUnion
+    // legitimately clones the coalesced decode into each of the five
     // union branches (each ROW still decodes once) — the hazard line is
-    // >3 occurrences, which would mean per-row re-evaluation crept in
+    // >5 occurrences, which would mean per-row re-evaluation crept in
     val dc = run("mm_dedup_percept_cross")
     dc.collect()
     val fc = plan(dc).split("== Initial Plan ==")(0)
-    for (pat <- Seq("pngdhash|PngDhash", "jpegdhash|JpegDhash", "gifdhash|GifDhash"))
-      assert(pat.r.findAllIn(fc).size <= 3,
+    for (pat <- Seq("pngdhash|PngDhash", "jpegdhash|JpegDhash",
+        "gifdhash|GifDhash", "bmpdhash|BmpDhash", "tiffdhash|TiffDhash"))
+      assert(pat.r.findAllIn(fc).size <= 5,
         s"cross: $pat planned more than once per union branch:\n${fc.take(2000)}")
     assert(!fc.contains("CartesianProduct"), fc.take(1500))
   }

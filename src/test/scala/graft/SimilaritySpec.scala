@@ -1470,20 +1470,23 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("mm_dedup_percept_cross: pairs genuinely cross every container boundary") {
-    // The oracle is container-blind, so it alone can't prove the three
+    // The oracle is container-blind, so it alone can't prove the five
     // decoders landed in one hash space for the RIGHT reason — this
-    // pins that PNG (id%3=0), JPEG (id%3=1) and GIF (id%3=2) docs
-    // actually pair up across each boundary
+    // pins that PNG (id%5=0), JPEG (1), GIF (2), BMP (3) and TIFF (4)
+    // docs actually pair up across the boundaries
     val rows = run("mm_dedup_percept_cross").collect()
     assert(rows.nonEmpty)
-    def c(r: org.apache.spark.sql.Row, i: Int) = r.getLong(i) % 3
+    def c(r: org.apache.spark.sql.Row, i: Int) = r.getLong(i) % 5
     val cross = rows.count(r => c(r, 0) != c(r, 1))
     val within = rows.length - cross
     assert(cross > 0, "no cross-container pairs — containers not in one hash space")
     assert(within > 0, "no within-container pairs — corpus structure broken")
-    // GIF must participate in the cross pairs, not just ride along
-    assert(rows.exists(r => (c(r, 0) == 2) != (c(r, 1) == 2)),
-      "no GIF<->PNG/JPEG pairs — GIF decoder not in the shared hash space")
+    // every container must participate in cross pairs, not just ride along
+    for (k <- 0L to 4L) {
+      val name = Seq("PNG", "JPEG", "GIF", "BMP", "TIFF")(k.toInt)
+      assert(rows.exists(r => (c(r, 0) == k) != (c(r, 1) == k)),
+        s"no $name<->other pairs — $name decoder not in the shared hash space")
+    }
     // same-pat cross-container siblings must collapse at hamming 0
     assert(rows.exists(r => c(r, 0) != c(r, 1) && r.getLong(2) == 0L),
       "no exact cross-container collapse")
