@@ -25,6 +25,7 @@ object SparkEntry {
       (Mm.queries, Mm.oracles),
       (Graph.queries, Graph.oracles),
       (Web.queries, Web.oracles),
+      (Pii.queries, Pii.oracles),
       (Link.queries, Link.oracles),
       (Pipelines.queries, Pipelines.oracles),
       (graft.sources.Io.queries, graft.sources.Io.oracles),
@@ -95,6 +96,7 @@ object SparkEntry {
     "src_binary_files", "src_orc_roundtrip", "src_text_files",
     "graph_pagerank", "graph_triangles", "graph_components", "graph_bfs",
     "graph_kcore", "url_canonicalize", "dedup_url",
+    "pii_scrub", "pii_luhn_check", "web_robots_filter",
     "etl_compaction_plan",
     "link_candidates", "link_fuzzy_best", "link_clusters", "link_jaro_rerank",
     "link_incremental",

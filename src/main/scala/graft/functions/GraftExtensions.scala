@@ -228,6 +228,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         requireArity("warc_records", children, 1)
         WarcRecords(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(classOf[PiiScrub].getName, "pii_scrub"),
+      (children: Seq[Expression]) => {
+        requireArity("pii_scrub", children, 1)
+        PiiScrub(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("robots_rules"),
+      new ExpressionInfo(classOf[RobotsRules].getName, "robots_rules"),
+      (children: Seq[Expression]) => {
+        requireArity("robots_rules", children, 2)
+        RobotsRules(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("robots_allowed"),
+      new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
+      (children: Seq[Expression]) => {
+        requireArity("robots_allowed", children, 2)
+        RobotsAllowed(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("luhn_valid"),
+      new ExpressionInfo(classOf[LuhnValid].getName, "luhn_valid"),
+      (children: Seq[Expression]) => {
+        requireArity("luhn_valid", children, 1)
+        LuhnValid(children.head)
+      }))
   }
 }
 
@@ -485,6 +513,28 @@ object GraftFunctions {
     * [[WarcRecords]]. */
   def warcRecords(c: Column): Column =
     GraftBridge.column(WarcRecords(GraftBridge.expression(c)))
+
+  /** robots.txt parse for one crawler identity → ordered (allow,
+    * pattern) rules — see [[RobotsRules]]. */
+  def robotsRules(txt: Column, agent: Column): Column =
+    GraftBridge.column(RobotsRules(
+      GraftBridge.expression(txt), GraftBridge.expression(agent)))
+
+  /** RFC 9309 longest-match verdict for one path — see
+    * [[RobotsAllowed]]. */
+  def robotsAllowed(rules: Column, path: Column): Column =
+    GraftBridge.column(RobotsAllowed(
+      GraftBridge.expression(rules), GraftBridge.expression(path)))
+
+  /** Typed, validated PII scrub → (masked, emails, phones, ips, cards)
+    * struct — see [[PiiScrub]]. */
+  def piiScrub(c: Column): Column =
+    GraftBridge.column(PiiScrub(GraftBridge.expression(c)))
+
+  /** Luhn checksum validation of a card-shaped string — see
+    * [[LuhnValid]]. */
+  def luhnValid(c: Column): Column =
+    GraftBridge.column(LuhnValid(GraftBridge.expression(c)))
 
   /** `v >> n` with a COLUMN shift amount. `functions.shiftright` only takes
     * a constant Int; the underlying Catalyst ShiftRight is two-expression

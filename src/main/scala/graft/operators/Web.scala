@@ -79,6 +79,45 @@ object Web {
       .groupBy(col(urlCol))
       .agg(count(lit(1)).as("n_raw"), min(col(idCol)).as("keeper"))
 
+  /** One robots.txt per site, synthesized by formula — a `*` group
+    * (with a second UA token for s%5==0 sites and comment/blank noise
+    * for even sites), plus a graftbot-specific group for s%3==0 sites
+    * whose presence must EXCLUSIVELY govern (RFC 9309: the exact-agent
+    * group replaces `*`, it does not merge). Key/value case varies with
+    * s so the parser's case folding is on the oracle path. */
+  def synthesizeRobots(df: DataFrame, idCol: String): DataFrame = {
+    val s = expr(s"cast($idCol as bigint) div 5 % 23")
+    val s2 = pmod(s + 1, lit(11)).cast("string")
+    val s3 = pmod(s + 2, lit(11)).cast("string")
+    val txt = concat(
+      when(pmod(s, lit(2)) === 0,
+        concat(lit("# site "), s.cast("string"), lit("\n\n"))).otherwise(lit("")),
+      when(pmod(s, lit(5)) === 0, lit("User-agent: otherbot\n")).otherwise(lit("")),
+      lit("User-agent: *\n"),
+      lit("Disallow: /cat"), s2, lit("/\n"),
+      lit("Allow: /cat"), s2, lit("/item?id=1\n"),
+      lit("Disallow: /private/\n"),
+      when(pmod(s, lit(3)) === 0, concat(
+        when(pmod(s, lit(2)) === 0, lit("User-Agent: GraftBot\n"))
+          .otherwise(lit("user-agent: graftbot\n")),
+        lit("DISALLOW: /cat"), s3, lit("/\n"))).otherwise(lit("")))
+    df.select(s.as("site"), txt.as("robots")).distinct()
+  }
+
+  /** URL gate: canonical URLs joined to their site's parsed rules
+    * (site grain — 23 rows — broadcast), verdict fused into the probe
+    * projection. A site with no robots row coalesces to allow. */
+  def robotsFilter(urls: DataFrame, robots: DataFrame, urlCol: String): DataFrame = {
+    val rules = robots.select(col("site"),
+      GraftFunctions.robotsRules(col("robots"), lit("graftbot")).as("rules"))
+    val withSite = urls
+      .withColumn("site", regexp_extract(col(urlCol), "site([0-9]+)\\.", 1).cast("bigint"))
+      .withColumn("path", regexp_extract(col(urlCol), "^[a-z]+://[^/]+(/.*)$", 1))
+    withSite.join(broadcast(rules), Seq("site"), "left")
+      .withColumn("allowed",
+        coalesce(GraftFunctions.robotsAllowed(col("rules"), col("path")), lit(true)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // raw → canonical per document: the parser vs the formula
     "url_canonicalize" -> ((s, d) =>
@@ -91,7 +130,38 @@ object Web {
       dedupByUrl(
         canonicalize(synthesizeUrls(Tables.documents(s, d), "doc_id"), "raw_url"),
         "url", "doc_id")
-        .orderBy("url"))
+        .orderBy("url")),
+
+    // parsed rule list per site: the parser vs the formula
+    "web_robots_rules" -> ((s, d) =>
+      synthesizeRobots(Tables.documents(s, d), "doc_id")
+        .select(col("site"), posexplode(
+          GraftFunctions.robotsRules(col("robots"), lit("graftbot"))))
+        .select(col("site"), col("pos").as("idx"),
+          col("col.allow").as("allow"), col("col.pattern").as("pattern"))
+        .orderBy("site", "idx")),
+
+    // crawl politeness gate over the canonical corpus
+    "web_robots_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      robotsFilter(
+        canonicalize(synthesizeUrls(docs, "doc_id"), "raw_url"),
+        synthesizeRobots(docs, "doc_id"), "url")
+        .select("doc_id", "url", "allowed")
+        .orderBy("doc_id")
+    }),
+
+    // per-site crawlable share: the politeness report a crawl planner reads
+    "web_robots_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      robotsFilter(
+        canonicalize(synthesizeUrls(docs, "doc_id"), "raw_url"),
+        synthesizeRobots(docs, "doc_id"), "url")
+        .groupBy("site")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+        .orderBy("site")
+    })
   )
 
   /** DuckDB formula replay. `u` states both strings from doc_id alone —
@@ -127,6 +197,46 @@ object Web {
     "dedup_url" ->
       (s"WITH $urlCte " +
         "SELECT url, count(*) AS n_raw, min(doc_id) AS keeper " +
-        "FROM urls GROUP BY url ORDER BY url")
+        "FROM urls GROUP BY url ORDER BY url"),
+
+    "web_robots_rules" ->
+      """WITH sites AS (SELECT DISTINCT doc_id // 5 % 23 AS s FROM documents),
+        |r AS (
+        |  SELECT s, 0 AS idx, false AS allow,
+        |         '/cat' || CAST((s+1) % 11 AS VARCHAR) || '/' AS pattern
+        |  FROM sites WHERE s % 3 <> 0
+        |  UNION ALL SELECT s, 1, true,
+        |         '/cat' || CAST((s+1) % 11 AS VARCHAR) || '/item?id=1'
+        |  FROM sites WHERE s % 3 <> 0
+        |  UNION ALL SELECT s, 2, false, '/private/'
+        |  FROM sites WHERE s % 3 <> 0
+        |  UNION ALL SELECT s, 0, false,
+        |         '/cat' || CAST((s+2) % 11 AS VARCHAR) || '/'
+        |  FROM sites WHERE s % 3 = 0)
+        |SELECT s AS site, idx, allow, pattern FROM r ORDER BY site, idx""".stripMargin,
+
+    "web_robots_filter" ->
+      (s"WITH $urlCte, " +
+        """v AS (SELECT doc_id, url,
+          |  (doc_id // 5) % 23 AS s, (doc_id // 5) % 11 AS p2, (doc_id // 5) % 101 AS q2
+          |  FROM urls)
+          |SELECT doc_id, url,
+          |  CASE WHEN s % 3 = 0 THEN NOT (p2 = (s+2) % 11)
+          |       ELSE NOT (p2 = (s+1) % 11 AND
+          |                 NOT (q2 = 1 OR q2 BETWEEN 10 AND 19 OR q2 = 100))
+          |  END AS allowed
+          |FROM v ORDER BY doc_id""".stripMargin),
+
+    "web_robots_report" ->
+      (s"WITH $urlCte, " +
+        """v AS (SELECT doc_id,
+          |  (doc_id // 5) % 23 AS s, (doc_id // 5) % 11 AS p2, (doc_id // 5) % 101 AS q2
+          |  FROM urls)
+          |SELECT s AS site, count(*) AS n_urls,
+          |  sum(CASE WHEN (CASE WHEN s % 3 = 0 THEN NOT (p2 = (s+2) % 11)
+          |       ELSE NOT (p2 = (s+1) % 11 AND
+          |                 NOT (q2 = 1 OR q2 BETWEEN 10 AND 19 OR q2 = 100)) END)
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_allowed
+          |FROM v GROUP BY s ORDER BY site""".stripMargin)
   )
 }

@@ -111,6 +111,36 @@ object StreamOps {
       .drop("_pkey")
   }
 
+  /** Streaming crawl admission — the live half of the r12 web-ingest
+    * family: raw URLs arriving on a stream are RFC 3986-canonicalized
+    * (Web.canonicalize's expression, scan-fused), gated by their site's
+    * robots.txt verdict (stream-STATIC broadcast join at site grain —
+    * the rules parse once per site, never per URL), and first-seen
+    * deduped on the canonical key ([[streamingDedup]], watermark-
+    * bounded state: one row per live canonical URL). Unparseable URLs
+    * are dropped (no fetchable identity — the batch dedup_url
+    * contract); a site with no robots row crawls by default.
+    */
+  def streamingCrawlAdmission(raw: DataFrame, robots: DataFrame,
+                              ts: String, delay: String): DataFrame = {
+    val rules = robots.select(col("site"),
+      graft.functions.GraftFunctions.robotsRules(
+        col("robots"), lit("graftbot")).as("rules"))
+    val canon = raw.withColumn("url",
+        graft.functions.GraftFunctions.urlCanonical(col("raw_url")))
+      .filter(col("url").isNotNull)
+      .withColumn("site",
+        regexp_extract(col("url"), "site([0-9]+)\\.", 1).cast("bigint"))
+      .withColumn("path",
+        regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1))
+    val gated = canon.join(broadcast(rules), Seq("site"), "left")
+      .filter(coalesce(
+        graft.functions.GraftFunctions.robotsAllowed(col("rules"), col("path")),
+        lit(true)))
+    streamingDedup(gated, ts, delay, Seq("url"))
+      .select("doc_id", "url")
+  }
+
   /** Streaming CDC upsert sink — Etl.mergeUpsert as a live pipeline (the
     * engine-agnostic image of a Delta/Iceberg MERGE): each micro-batch
     * of change rows merges into a maintained keyed snapshot via
@@ -271,6 +301,7 @@ object StreamOps {
 
   case class Reading(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
   case class DirtyRec(record_id: Long, dname: String)
+  case class RawUrl(ts: java.sql.Timestamp, doc_id: Long, raw_url: String)
   case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
   case class LastValue(value: Double)
 

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{robotsAllowed, robotsRules}
+
+/** robots.txt parse + match ([[graft.functions.RobotsRules]] /
+  * [[graft.functions.RobotsAllowed]]): the RFC 9309 semantics the
+  * formula oracle can't reach — group selection, wildcard/anchor
+  * matching, longest-match ties, and the null/empty contracts.
+  */
+class RobotsSpec extends SparkSpec {
+
+  private def rules(txt: String, agent: String): Seq[(Boolean, String)] = {
+    val sp = spark
+    import sp.implicits._
+    Seq(txt).toDF("t")
+      .select(explode(robotsRules(col("t"), lit(agent))).as("r"))
+      .select("r.allow", "r.pattern")
+      .collect().toSeq.map(r => (r.getBoolean(0), r.getString(1)))
+  }
+
+  private def allowed(txt: String, agent: String, path: String): Boolean = {
+    val sp = spark
+    import sp.implicits._
+    Seq(txt).toDF("t")
+      .select(robotsAllowed(robotsRules(col("t"), lit(agent)), lit(path)).as("a"))
+      .collect().head.getBoolean(0)
+  }
+
+  private val basic =
+    """User-agent: *
+      |Disallow: /search
+      |Allow: /search/about
+      |Disallow: /private/
+      |""".stripMargin
+
+  test("parse: rules in file order, comments and blank lines tolerated") {
+    val noisy = "# hello\r\n\r\nUser-agent: *  # trailing comment\r\n" +
+      "Disallow: /a\r\nunknown: x\r\nAllow: /a/b\r\n"
+    assert(rules(noisy, "anybot") == Seq((false, "/a"), (true, "/a/b")))
+  }
+
+  test("group selection: exact agent group replaces *, never merges") {
+    val txt =
+      """User-agent: *
+        |Disallow: /all/
+        |User-agent: graftbot
+        |Disallow: /gb/
+        |""".stripMargin
+    assert(rules(txt, "graftbot") == Seq((false, "/gb/")))
+    assert(rules(txt, "otherbot") == Seq((false, "/all/")))
+    // case-insensitive product token and key
+    assert(rules(txt.replace("graftbot", "GraftBot").replace("User-agent", "USER-AGENT"),
+      "graftbot") == Seq((false, "/gb/")))
+  }
+
+  test("consecutive user-agent lines share one rule set; later UA line starts a new group") {
+    val txt =
+      """User-agent: a
+        |User-agent: b
+        |Disallow: /ab/
+        |User-agent: c
+        |Disallow: /c/
+        |""".stripMargin
+    assert(rules(txt, "a") == Seq((false, "/ab/")))
+    assert(rules(txt, "b") == Seq((false, "/ab/")))
+    assert(rules(txt, "c") == Seq((false, "/c/")))
+  }
+
+  test("two groups naming the same agent contribute all their rules") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /one/
+        |User-agent: other
+        |Disallow: /x/
+        |User-agent: graftbot
+        |Disallow: /two/
+        |""".stripMargin
+    assert(rules(txt, "graftbot") == Seq((false, "/one/"), (false, "/two/")))
+  }
+
+  test("empty Disallow means allow-everything (no rule); orphan rules are dropped") {
+    assert(rules("User-agent: *\nDisallow:\n", "x").isEmpty)
+    assert(rules("Disallow: /orphan/\nUser-agent: *\nDisallow: /a/\n", "x") ==
+      Seq((false, "/a/")))
+  }
+
+  test("match: prefix semantics, longest rule wins, tie resolves to allow") {
+    assert(!allowed(basic, "bot", "/search"))
+    assert(!allowed(basic, "bot", "/search?q=x"))
+    assert(allowed(basic, "bot", "/search/about"))
+    // RFC 9309 matches byte prefixes, not path segments: /search blocks /searching
+    assert(!allowed(basic, "bot", "/searching"))
+    assert(allowed(basic, "bot", "/other"))
+    // tie at equal length -> allow
+    val tie = "User-agent: *\nDisallow: /p/\nAllow: /p/\n"
+    assert(allowed(tie, "bot", "/p/x"))
+  }
+
+  test("wildcard * spans any run; trailing $ anchors; mid-pattern $ is literal") {
+    val txt =
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /tmp*/
+        |Disallow: /lit$eral
+        |""".stripMargin
+    assert(!allowed(txt, "bot", "/docs/a.pdf"))
+    assert(allowed(txt, "bot", "/docs/a.pdf?x=1")) // anchored: query breaks it
+    assert(!allowed(txt, "bot", "/tmp123/file"))
+    assert(allowed(txt, "bot", "/tmp123"))         // '/' after * not matched
+    assert(!allowed(txt, "bot", "/lit$eral/x"))    // literal mid-$
+    assert(allowed(txt, "bot", "/literal/x"))
+  }
+
+  test("no matching group or no matching rule crawls by default; null robots is null") {
+    val sp = spark
+    import sp.implicits._
+    assert(allowed("User-agent: special\nDisallow: /\n", "bot", "/anything"))
+    assert(allowed(basic, "bot", "/"))
+    val r = Seq[(Integer, String)]((1, null)).toDF("id", "t")
+      .select(robotsAllowed(robotsRules(col("t"), lit("bot")), lit("/x")).as("a"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("overlong patterns are dropped, not truncated") {
+    val long = "/" + "a" * 3000
+    assert(rules(s"User-agent: *\nDisallow: $long\n", "bot").isEmpty)
+  }
+
+  test("robots functions are SQL-registered via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT robots_allowed(robots_rules('User-agent: *\nDisallow: /a/', '*'), '/a/x') AS v")
+      .collect().head
+    assert(!r.getBoolean(0))
+  }
+}

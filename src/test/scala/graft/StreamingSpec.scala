@@ -766,4 +766,45 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((2L, "6.cls", "6")))
     } finally q.stop()
   }
+
+  test("streaming crawl admission: canonicalize + robots gate + first-seen dedup equals batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.operators.Web
+    import graft.streaming.StreamOps.RawUrl
+
+    val docs = Tables.documents(s, sfDir).limit(400)
+    val robots = Web.synthesizeRobots(docs, "doc_id")
+    val rawRows = Web.synthesizeUrls(docs, "doc_id").collect()
+      .map(r => RawUrl(new java.sql.Timestamp(1700000000000L + r.getLong(0) * 1000L),
+        r.getLong(0), r.getString(1))).toSeq
+
+    val input = MemoryStream[RawUrl]
+    val admitted = StreamOps.streamingCrawlAdmission(
+      input.toDF(), robots, ts = "ts", delay = "10 minutes")
+    val q = admitted.writeStream.format("memory").queryName("crawl_out")
+      .outputMode("append").start()
+    try {
+      // the five raw variants of one page arrive across BOTH batches:
+      // the canonical key must still admit the page exactly once
+      val (b1, b2) = rawRows.partition(_.doc_id % 2 == 0)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+
+      val got = s.table("crawl_out").select("url").collect()
+        .map(_.getString(0))
+      val batch = Web.robotsFilter(
+          Web.canonicalize(Web.synthesizeUrls(docs, "doc_id"), "raw_url"),
+          robots, "url")
+        .filter(col("allowed")).select("url").distinct()
+        .collect().map(_.getString(0))
+      assert(got.length == got.distinct.length, "a canonical URL was admitted twice")
+      assert(got.toSet == batch.toSet,
+        s"streamed admission diverged: ${got.length} vs ${batch.length}")
+      // exactly one state operator: the watermark-bounded URL dedup
+      val p = q.lastProgress
+      assert(p.stateOperators.length == 1, p.stateOperators.mkString(","))
+    } finally q.stop()
+  }
 }
