@@ -760,10 +760,82 @@ object Relational {
         numBits = numBits, numHashes = numHashes, prebuiltWords = Some(words))
         .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
         .orderBy("o_orderkey")
-    })
+    }),
+
+    // Pearson correlation per group from EXACT decimal product sums (the
+    // Stable contract: order-free sums, then one fixed double expression
+    // tree both engines evaluate identically). Spark's corr() is a
+    // streaming-moment aggregate whose partial-merge order perturbs the
+    // last bits — unusable under a hash compare.
+    "stat_corr" -> ((s, d) =>
+      statMoments(Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // least-squares fit y = slope*x + intercept per group, same exact-sum
+    // shape; r2 is the squared correlation of the fit
+    "stat_regr" -> ((s, d) =>
+      statMoments(Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        .orderBy("l_returnflag"))
   )
 
+  /** Shared moment sums for the stat_* pair: counts plus the five exact
+    * decimal(18,6) product sums as doubles — one partial-aggregable scan
+    * agg (map-side combine, 32-row exchange at any scale). */
+  private def statMoments(df: org.apache.spark.sql.DataFrame,
+                          key: String, xc: String, yc: String) = {
+    val x = col(xc).cast("decimal(18,6)")
+    val y = col(yc).cast("decimal(18,6)")
+    df.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(y * y).cast("double").as("syy"),
+      sum(x * y).cast("double").as("sxy"))
+  }
+
+  /** DuckDB twin of [[statMoments]] — (20,6) for the int128 product path
+    * (see [[Stable.sqlStddevRounded]]); both engines' sums are exact, so
+    * the derived doubles agree bitwise. */
+  private val statMomentsCte = {
+    val x = "CAST(l_quantity AS DECIMAL(20,6))"
+    val y = "CAST(l_extendedprice AS DECIMAL(20,6))"
+    s"""m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum($x)::DOUBLE AS sx, sum($y)::DOUBLE AS sy,
+       |    sum($x * $x)::DOUBLE AS sxx, sum($y * $y)::DOUBLE AS syy,
+       |    sum($x * $y)::DOUBLE AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "stat_corr" ->
+      (s"WITH $statMomentsCte " +
+        "SELECT l_returnflag, n, round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_qty_price " +
+        "FROM m ORDER BY l_returnflag"),
+    "stat_regr" ->
+      (s"WITH $statMomentsCte " +
+        "SELECT l_returnflag, n, " +
+        "round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope, " +
+        "round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept, " +
+        "round(((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2 " +
+        "FROM m ORDER BY l_returnflag"),
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, round(sum(CAST(l_quantity AS DECIMAL(20,6))),2)::DOUBLE AS sum_qty, round(sum(CAST(l_extendedprice AS DECIMAL(20,6))),2)::DOUBLE AS sum_base_price, round(sum(CAST(l_extendedprice AS DECIMAL(20,6)) * (1 - CAST(l_discount AS DECIMAL(20,6)))),2)::DOUBLE AS sum_disc_price, ${Stable.sqlAvgRounded("l_quantity", 4)} AS avg_qty, ${Stable.sqlAvgRounded("l_discount", 4)} AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_filter_eq" ->

@@ -418,4 +418,27 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r3.values.sum - 1000000000000L) < 100L,
       s"mass drifted: ${r3.values.sum}")
   }
+
+  test("stat_corr/stat_regr agree with Spark's own moment aggregates") {
+    // the exact-sum formulation must compute the SAME statistic Spark's
+    // streaming-moment corr/regr aggregates estimate — equal to ~1e-9,
+    // where the built-ins' partial-merge order starts to perturb bits
+    val got = graft.SparkEntry.queries("stat_corr")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        expr("regr_slope(l_extendedprice, l_quantity)").as("sl"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("ic"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val regr = graft.SparkEntry.queries("stat_regr")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((k, (c, sl, ic)) <- ref) {
+      assert(math.abs(got(k) - c) < 1e-6, s"corr($k): ${got(k)} vs $c")
+      val (s2, i2, r2) = regr(k)
+      assert(math.abs(s2 - sl) < 1e-6, s"slope($k): $s2 vs $sl")
+      assert(math.abs(i2 - ic) < 1e-4, s"intercept($k): $i2 vs $ic")
+      assert(math.abs(r2 - c * c) < 1e-6, s"r2($k): $r2 vs ${c * c}")
+    }
+  }
 }
