@@ -229,6 +229,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WarcRecords(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
+      (children: Seq[Expression]) => {
+        requireArity("fix_mojibake", children, 1)
+        FixMojibake(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("pii_scrub"),
       new ExpressionInfo(classOf[PiiScrub].getName, "pii_scrub"),
       (children: Seq[Expression]) => {
@@ -525,6 +532,10 @@ object GraftFunctions {
   def robotsAllowed(rules: Column, path: Column): Column =
     GraftBridge.column(RobotsAllowed(
       GraftBridge.expression(rules), GraftBridge.expression(path)))
+
+  /** Mojibake repair → (fixed, rounds) struct — see [[FixMojibake]]. */
+  def fixMojibake(c: Column): Column =
+    GraftBridge.column(FixMojibake(GraftBridge.expression(c)))
 
   /** Typed, validated PII scrub → (masked, emails, phones, ips, cards)
     * struct — see [[PiiScrub]]. */

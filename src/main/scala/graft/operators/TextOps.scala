@@ -1105,6 +1105,29 @@ object TextOps {
 
   // ---------------------------------------------------------------- queries
 
+  /** (raw-suffix, repaired-suffix, rounds) rows for text_fix_mojibake —
+    * stated as explicit escapes and shared verbatim by the Spark fixture
+    * and the DuckDB oracle, so the ONLY thing under test is the engine's
+    * sloppy-cp1252 round-trip ([[graft.functions.FixMojibake]]). Rows:
+    * clean ASCII, four single-mojibake forms (accents, curly quotes/
+    * dashes via the cp1252 C1 page, incl. the undefined-byte U+009D
+    * path), a double-mojibake form, and a 4-byte-UTF-8 emoji form. */
+  private val mojiVariants: Seq[(String, String, Int)] = Seq(
+    ("plain ascii only",
+      "plain ascii only", 0),
+    ("caf\u00c3\u00a9",
+      "caf\u00e9", 1),
+    ("na\u00c3\u00afve se\u00c3\u00b1or",
+      "na\u00efve se\u00f1or", 1),
+    ("Z\u00c3\u00bcrich\u00e2\u20ac\u201dd\u00c3\u00a9j\u00c3\u00a0 vu",
+      "Z\u00fcrich\u2014d\u00e9j\u00e0 vu", 1),
+    ("I\u00e2\u20ac\u2122m \u00e2\u20ac\u0153fine\u00e2\u20ac\u009d\u00e2\u20ac\u00a6 \u00e2\u20ac\u201c ok\u00e2\u201e\u00a2",
+      "I\u2019m \u201cfine\u201d\u2026 \u2013 ok\u2122", 1),
+    ("caf\u00c3\u0192\u00c2\u00a9",
+      "caf\u00e9", 2),
+    ("\u00f0\u0178\u017d\u2030 party",
+      "\ud83c\udf89 party", 1))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokencount" -> ((s, d) =>
       tokenCount(Tables.documents(s, d).select("doc_id", "text"), "text")
@@ -1265,6 +1288,22 @@ object TextOps {
           length(col("nfc_text")).cast("bigint").as("nfc_len"),
           md5(col("nfc_text")).as("nfc_md5"),
           (col("raw") =!= col("nfc_text")).cast("bigint").as("changed"))
+        .orderBy("doc_id")
+    }),
+
+    // mojibake repair: the native sloppy-cp1252 round-trip vs the
+    // literal table — single, double and emoji mojibake repair; clean
+    // ASCII passes through with rounds=0
+    "text_fix_mojibake" -> ((s, d) => {
+      val v = pmod(col("doc_id"), lit(mojiVariants.length)).cast("int")
+      val raw = concat(lit("Doc "), col("doc_id").cast("string"), lit(": "),
+        element_at(array(mojiVariants.map(t => lit(t._1)): _*), v + 1))
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("bigint").as("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.functions.GraftFunctions.fixMojibake(col("raw")).as("r"))
+        .select(col("doc_id"), col("raw"),
+          col("r.fixed").as("fixed"), col("r.rounds").as("rounds"))
         .orderBy("doc_id")
     }),
 
@@ -1530,6 +1569,22 @@ object TextOps {
       .mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
+    // literal-table replay: the engine must REACH the repaired literal
+    // through the real round-trip; the oracle only restates the table
+    "text_fix_mojibake" -> {
+      def sq(s: String) = s.replace("'", "''")
+      val n = mojiVariants.length
+      val rawCase = mojiVariants.zipWithIndex
+        .map { case ((r, _, _), i) => s"WHEN $i THEN '${sq(r)}'" }.mkString(" ")
+      val fixCase = mojiVariants.zipWithIndex
+        .map { case ((_, f, _), i) => s"WHEN $i THEN '${sq(f)}'" }.mkString(" ")
+      val rndCase = mojiVariants.zipWithIndex
+        .map { case ((_, _, k), i) => s"WHEN $i THEN $k" }.mkString(" ")
+      s"SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || (CASE doc_id % $n $rawCase END) AS raw, " +
+        s"'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || (CASE doc_id % $n $fixCase END) AS fixed, " +
+        s"CAST(CASE doc_id % $n $rndCase END AS INTEGER) AS rounds " +
+        "FROM documents ORDER BY doc_id"
+    },
     "text_tokencount" ->
       raw"""SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens, len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens FROM documents ORDER BY doc_id""",
     "text_quality" -> {
