@@ -237,6 +237,30 @@ object Etl {
     * co-partitioned key-stream pass, and a bounded-dimension side
     * broadcasts under AQE sizing like any other dim join.
     */
+  /** All of one table's row-level expectations in ONE partial-aggregable
+    * scan agg (sum-of-violations per rule + the row count), unpivoted to
+    * (tbl, rule, n_rows, violations) rows. The 100 TB shape: each rule
+    * adds a sum to an existing scan, never a pass. */
+  def expectations(df: DataFrame, tbl: String,
+                   rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.map { case (r, v) =>
+      sum(when(v, 1L).otherwise(0L)).as(r)
+    } :+ count(lit(1)).as("_n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map { case (r, _) =>
+          struct(lit(r).as("rule"), col(r).as("violations"))
+        }: _*)).as("e"), col("_n"))
+      .select(lit(tbl).as("tbl"), col("e.rule"),
+        col("_n").as("n_rows"), col("e.violations"))
+  }
+
+  /** Key-uniqueness expectation: duplicates = rows minus exact distinct
+    * keys — a dedicated agg because uniqueness is not a row predicate. */
+  def uniqueExpectation(df: DataFrame, tbl: String, key: String): DataFrame =
+    df.agg(count(lit(1)).as("_n"), countDistinct(col(key)).as("_d"))
+      .select(lit(tbl).as("tbl"), lit(s"${key}_unique").as("rule"),
+        col("_n").as("n_rows"), (col("_n") - col("_d")).as("violations"))
+
   def fkIntegrity(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(rels.nonEmpty, "fkIntegrity needs at least one relationship")
     rels.map { case (name, fact, fk, dim, pk) =>
@@ -460,6 +484,39 @@ object Etl {
           Tables.customer(s, d), "c_custkey")))
         .orderBy("relationship")),
 
+    // declarative data-quality expectations (the dbt-test /
+    // Great-Expectations surface, and the batch image of the
+    // reference's ProtoModel field validations): one agg pass per
+    // table evaluates every row-level rule, plus key-uniqueness rows —
+    // an answer-sized report at any corpus size
+    "etl_expectations" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val c = Tables.customer(s, d)
+      val parts = Seq(
+        expectations(o, "orders", Seq(
+          "o_custkey_not_null" -> col("o_custkey").isNull,
+          "o_totalprice_range" -> !col("o_totalprice").between(0.0, 1e7),
+          "o_orderstatus_accepted" -> !col("o_orderstatus").isin("O", "F", "P"),
+          "o_orderpriority_tier12" -> !col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          "o_orderdate_bounds" ->
+            !col("o_orderdate").between(lit("1992-01-01").cast("timestamp"),
+              lit("1998-12-31").cast("timestamp")))),
+        expectations(li, "lineitem", Seq(
+          "l_quantity_range" -> !col("l_quantity").between(1.0, 50.0),
+          "l_discount_max5pct" -> (col("l_discount") > 0.05),
+          "l_returnflag_accepted" -> !col("l_returnflag").isin("A", "N", "R"))),
+        expectations(c, "customer", Seq(
+          "c_acctbal_not_null" -> col("c_acctbal").isNull,
+          "c_mktsegment_accepted" -> !col("c_mktsegment").isin(
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))),
+        uniqueExpectation(o, "orders", "o_orderkey"),
+        uniqueExpectation(c, "customer", "c_custkey"))
+      parts.reduce(_.unionAll(_))
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("tbl", "rule")
+    }),
+
     // one-pass profile of orders: nulls / exact distincts / extrema per column
     "data_profile" -> ((s, d) =>
       profileTable(Tables.orders(s, d))
@@ -581,6 +638,34 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_expectations" ->
+      """WITH r AS (
+        |  SELECT 'orders' AS tbl, 'o_custkey_not_null' AS rule, count(*) AS n_rows,
+        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations FROM orders
+        |  UNION ALL SELECT 'orders', 'o_totalprice_range', count(*),
+        |         sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 10000000.0) THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'orders', 'o_orderstatus_accepted', count(*),
+        |         sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'orders', 'o_orderpriority_tier12', count(*),
+        |         sum(CASE WHEN NOT (o_orderpriority IN ('1-URGENT','2-HIGH')) THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'orders', 'o_orderdate_bounds', count(*),
+        |         sum(CASE WHEN NOT (o_orderdate BETWEEN TIMESTAMP '1992-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00') THEN 1 ELSE 0 END)::BIGINT FROM orders
+        |  UNION ALL SELECT 'lineitem', 'l_quantity_range', count(*),
+        |         sum(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'l_discount_max5pct', count(*),
+        |         sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'lineitem', 'l_returnflag_accepted', count(*),
+        |         sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+        |  UNION ALL SELECT 'customer', 'c_acctbal_not_null', count(*),
+        |         sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT FROM customer
+        |  UNION ALL SELECT 'customer', 'c_mktsegment_accepted', count(*),
+        |         sum(CASE WHEN NOT (c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')) THEN 1 ELSE 0 END)::BIGINT FROM customer
+        |  UNION ALL SELECT 'orders', 'o_orderkey_unique', count(*),
+        |         (count(*) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+        |  UNION ALL SELECT 'customer', 'c_custkey_unique', count(*),
+        |         (count(*) - count(DISTINCT c_custkey))::BIGINT FROM customer)
+        |SELECT tbl, rule, n_rows, violations, violations = 0 AS pass
+        |FROM r ORDER BY tbl, rule""".stripMargin,
     // the same v1/v2 construction and hash-compare, stated relationally
     "etl_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS old_hash FROM documents), v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END) AS new_hash FROM documents WHERE n_chars >= 50 UNION ALL SELECT doc_id + 1000000 AS doc_id, md5(text) AS new_hash FROM documents WHERE doc_id < 10) SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, CASE WHEN v1.doc_id IS NULL THEN 'added' WHEN v2.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status, v1.old_hash, v2.new_hash FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.old_hash != v2.new_hash ORDER BY doc_id""",

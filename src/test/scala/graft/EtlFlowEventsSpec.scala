@@ -845,4 +845,25 @@ class EtlFlowEventsSpec extends SparkSpec {
       assert(xavg > 0, "heavy hitters sit above zero of the mean")
     }
   }
+
+  test("expectations: null-flow, range, accepted-values and uniqueness semantics") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Etl
+    val df = Seq[(java.lang.Long, java.lang.Double, String)](
+      (1L, 5.0, "A"), (2L, null, "B"), (2L, 120.0, "X"), (null, 7.0, "A"))
+      .toDF("k", "v", "f")
+    val rows = Etl.expectations(df, "t", Seq(
+        "k_not_null" -> col("k").isNull,
+        "v_range" -> !col("v").between(0.0, 100.0),
+        "f_accepted" -> !col("f").isin("A", "B")))
+      .unionAll(Etl.uniqueExpectation(df, "t", "k"))
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(rows("k_not_null") == 1L)
+    // NULL v flows to "no violation", exactly like SQL's CASE
+    assert(rows("v_range") == 1L)
+    assert(rows("f_accepted") == 1L)
+    // 4 rows, distinct keys {1, 2, null->counted? no: countDistinct skips null} = 2 -> 2 dups
+    assert(rows("k_unique") == 2L)
+  }
 }
