@@ -252,6 +252,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r12 second-session ops keep their scale shapes") {
+    // pii_scrub / text_fix_mojibake / pii_luhn_check: scan-fused
+    // projections — no joins, the corpus-grain range sort is the only
+    // exchange (synthesis + native walk never shuffle)
+    Seq("pii_scrub", "pii_luhn_check", "text_fix_mojibake").foreach { q =>
+      val p = plan(run(q))
+      assert(!p.contains("Join"), s"$q joins:\n${p.take(1200)}")
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q must be sort-only:\n${p.take(1500)}")
+    }
+    // the robots gate broadcasts the 23-row parsed-rules side; the URL
+    // corpus must NEVER sort-merge against it
+    val rf = plan(run("web_robots_filter"))
+    assert(rf.contains("BroadcastHashJoin"), rf.take(1500))
+    assert(!rf.contains("SortMergeJoin"), s"robots rules side got shuffled:\n${rf.take(1500)}")
+    // expectations: rule sums ride ONE partial agg per table (no row
+    // explosion before aggregation), uniqueness adds distinct aggs;
+    // no SortMergeJoin anywhere in an answer-sized report
+    val ex = plan(run("etl_expectations"))
+    assert(!ex.contains("SortMergeJoin"), ex.take(1500))
+    val rs = readSchema(ex)
+    assert(!rs.contains("o_comment") && !rs.contains("c_address"),
+      s"etl_expectations reads unused columns: $rs")
+  }
+
   test("archive queries: fixture assembly is the only data shuffle, parse side scan-fused") {
     // The ingest half of every archive query (codec expression + explode
     // + projection) must be shuffle-free: at 100 TB the fixture groupBy
