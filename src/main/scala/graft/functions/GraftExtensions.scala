@@ -250,6 +250,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RobotsRules(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("robots_sitemaps"),
+      new ExpressionInfo(classOf[RobotsSitemaps].getName, "robots_sitemaps"),
+      (children: Seq[Expression]) => {
+        requireArity("robots_sitemaps", children, 1)
+        RobotsSitemaps(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("robots_allowed"),
       new ExpressionInfo(classOf[RobotsAllowed].getName, "robots_allowed"),
       (children: Seq[Expression]) => {
@@ -526,6 +533,10 @@ object GraftFunctions {
   def robotsRules(txt: Column, agent: Column): Column =
     GraftBridge.column(RobotsRules(
       GraftBridge.expression(txt), GraftBridge.expression(agent)))
+
+  /** Agent-free Sitemap-record discovery — see [[RobotsSitemaps]]. */
+  def robotsSitemaps(txt: Column): Column =
+    GraftBridge.column(RobotsSitemaps(GraftBridge.expression(txt)))
 
   /** RFC 9309 longest-match verdict for one path — see
     * [[RobotsAllowed]]. */

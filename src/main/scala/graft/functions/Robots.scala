@@ -130,6 +130,64 @@ object RobotsRules {
   }
 }
 
+/** Native Catalyst expression: `Sitemap:` discovery from robots.txt.
+  * Sitemap lines are NON-group records (RFC 9309 §2.2.2 "other
+  * records"): they apply regardless of user-agent and may appear
+  * anywhere in the file, so this walk is agent-free and group-blind.
+  * Values are kept verbatim in file order (they are absolute URLs by
+  * spec — canonicalization is the caller's next step), capped at
+  * [[RobotsRules.MaxRules]] entries and [[RobotsRules.MaxPatternBytes]]
+  * bytes each. NULL only for NULL input; a file with no Sitemap lines
+  * yields an empty list.
+  */
+case class RobotsSitemaps(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_sitemaps needs a string child, got ${child.dataType}")
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(txt: Any): Any =
+    RobotsSitemaps.compute(txt.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = graft.functions.RobotsSitemaps.compute($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
+object RobotsSitemaps {
+  /** Never null for non-null input. Called from generated code. */
+  def compute(txt: UTF8String): ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    val lines = txt.toString.split('\n')
+    var i = 0
+    while (i < lines.length && out.size < RobotsRules.MaxRules) {
+      var line = lines(i)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.toLowerCase == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty && v.getBytes("UTF-8").length <= RobotsRules.MaxPatternBytes)
+          out.add(UTF8String.fromString(v))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]))
+  }
+}
+
 /** Native Catalyst expression: RFC 9309 rule matching for one URL path.
   *
   * `robots_allowed(rules, path)` → true iff `path` (the URL's path +

@@ -92,6 +92,16 @@ object Web {
     val txt = concat(
       when(pmod(s, lit(2)) === 0,
         concat(lit("# site "), s.cast("string"), lit("\n\n"))).otherwise(lit("")),
+      // Sitemap records are group-independent (RFC 9309 §2.2.2): stated
+      // at the top, before any group, for s%4==0 sites (+ a second one
+      // on s%8==0)
+      when(pmod(s, lit(4)) === 0, concat(
+        lit("Sitemap: https://www.site"), s.cast("string"),
+        lit(".example.com/sitemap"), pmod(s, lit(7)).cast("string"),
+        lit(".xml\n"))).otherwise(lit("")),
+      when(pmod(s, lit(8)) === 0, concat(
+        lit("sitemap: https://www.site"), s.cast("string"),
+        lit(".example.com/sitemap-news.xml\n"))).otherwise(lit("")),
       when(pmod(s, lit(5)) === 0, lit("User-agent: otherbot\n")).otherwise(lit("")),
       lit("User-agent: *\n"),
       lit("Disallow: /cat"), s2, lit("/\n"),
@@ -139,6 +149,14 @@ object Web {
           GraftFunctions.robotsRules(col("robots"), lit("graftbot"))))
         .select(col("site"), col("pos").as("idx"),
           col("col.allow").as("allow"), col("col.pattern").as("pattern"))
+        .orderBy("site", "idx")),
+
+    // sitemap discovery: the crawl seed list a frontier planner reads
+    "web_sitemaps" -> ((s, d) =>
+      synthesizeRobots(Tables.documents(s, d), "doc_id")
+        .select(col("site"), posexplode(
+          GraftFunctions.robotsSitemaps(col("robots"))))
+        .select(col("site"), col("pos").as("idx"), col("col").as("sitemap"))
         .orderBy("site", "idx")),
 
     // crawl politeness gate over the canonical corpus
@@ -214,6 +232,18 @@ object Web {
         |         '/cat' || CAST((s+2) % 11 AS VARCHAR) || '/'
         |  FROM sites WHERE s % 3 = 0)
         |SELECT s AS site, idx, allow, pattern FROM r ORDER BY site, idx""".stripMargin,
+
+    "web_sitemaps" ->
+      """WITH sites AS (SELECT DISTINCT doc_id // 5 % 23 AS s FROM documents),
+        |m AS (
+        |  SELECT s, 0 AS idx,
+        |    'https://www.site' || CAST(s AS VARCHAR) || '.example.com/sitemap' ||
+        |    CAST(s % 7 AS VARCHAR) || '.xml' AS sitemap
+        |  FROM sites WHERE s % 4 = 0
+        |  UNION ALL SELECT s, 1,
+        |    'https://www.site' || CAST(s AS VARCHAR) || '.example.com/sitemap-news.xml'
+        |  FROM sites WHERE s % 8 = 0)
+        |SELECT s AS site, idx, sitemap FROM m ORDER BY site, idx""".stripMargin,
 
     "web_robots_filter" ->
       (s"WITH $urlCte, " +

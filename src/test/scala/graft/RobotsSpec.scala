@@ -128,6 +128,30 @@ class RobotsSpec extends SparkSpec {
     assert(rules(s"User-agent: *\nDisallow: $long\n", "bot").isEmpty)
   }
 
+  test("sitemap records are group-independent, case-tolerant, kept in order") {
+    val sp = spark
+    import sp.implicits._
+    val txt =
+      """Sitemap: https://a.example/s1.xml
+        |User-agent: special
+        |Disallow: /
+        |SITEMAP: https://a.example/s2.xml  # trailing comment
+        |User-agent: *
+        |sitemap: https://a.example/s3.xml
+        |Sitemap:
+        |""".stripMargin
+    val got = Seq(txt).toDF("t")
+      .select(graft.functions.GraftFunctions.robotsSitemaps(col("t")).as("m"))
+      .collect().head.getSeq[String](0)
+    // all three survive regardless of which group surrounds them; the
+    // empty value is dropped; file order preserved
+    assert(got == Seq("https://a.example/s1.xml", "https://a.example/s2.xml",
+      "https://a.example/s3.xml"))
+    // and their presence does not perturb rule parsing
+    assert(rules(txt, "anybot") == Seq.empty ||
+      rules(txt, "anybot").forall(_._2 != "/"), "the special group leaked into *")
+  }
+
   test("robots functions are SQL-registered via GraftExtensions") {
     val r = spark.sql(
       "SELECT robots_allowed(robots_rules('User-agent: *\nDisallow: /a/', '*'), '/a/x') AS v")
