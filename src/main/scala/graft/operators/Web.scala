@@ -169,6 +169,27 @@ object Web {
         .orderBy("doc_id")
     }),
 
+    // the web-ingest flagship: raw variants → canonical collapse →
+    // robots gate → admitted frontier, with sitemap seed presence —
+    // the family's pieces composed end-to-end into one per-site report
+    "web_ingest_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = robotsFilter(
+        canonicalize(synthesizeUrls(docs, "doc_id"), "raw_url"),
+        synthesizeRobots(docs, "doc_id"), "url")
+      val raw = gated.groupBy("site").agg(count(lit(1)).as("n_raw"))
+      val canon = gated.select("site", "url").distinct()
+        .groupBy("site").agg(count(lit(1)).as("n_canonical"))
+      val adm = gated.filter(col("allowed")).select("site", "url").distinct()
+        .groupBy("site").agg(count(lit(1)).as("n_admitted"))
+      val sm = synthesizeRobots(docs, "doc_id").select(col("site"),
+        (size(GraftFunctions.robotsSitemaps(col("robots"))) > 0).as("has_sitemap"))
+      raw.join(canon, Seq("site")).join(adm, Seq("site"), "left")
+        .na.fill(0L, Seq("n_admitted"))
+        .join(sm, Seq("site"))
+        .orderBy("site")
+    }),
+
     // per-site crawlable share: the politeness report a crawl planner reads
     "web_robots_report" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -256,6 +277,22 @@ object Web {
           |                 NOT (q2 = 1 OR q2 BETWEEN 10 AND 19 OR q2 = 100))
           |  END AS allowed
           |FROM v ORDER BY doc_id""".stripMargin),
+
+    "web_ingest_e2e" ->
+      (s"WITH $urlCte, " +
+        """v AS (SELECT doc_id, url,
+          |  (doc_id // 5) % 23 AS s, (doc_id // 5) % 11 AS p2, (doc_id // 5) % 101 AS q2
+          |  FROM urls),
+          |a AS (SELECT *,
+          |  CASE WHEN s % 3 = 0 THEN NOT (p2 = (s+2) % 11)
+          |       ELSE NOT (p2 = (s+1) % 11 AND
+          |                 NOT (q2 = 1 OR q2 BETWEEN 10 AND 19 OR q2 = 100))
+          |  END AS allowed FROM v)
+          |SELECT s AS site, count(*) AS n_raw,
+          |  count(DISTINCT url) AS n_canonical,
+          |  count(DISTINCT CASE WHEN allowed THEN url END) AS n_admitted,
+          |  s % 4 = 0 AS has_sitemap
+          |FROM a GROUP BY s ORDER BY site""".stripMargin),
 
     "web_robots_report" ->
       (s"WITH $urlCte, " +

@@ -767,6 +767,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming text hygiene: mojibake repair + typed PII scrub are stateless and batch-equal") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.functions.GraftFunctions.{fixMojibake, piiScrub}
+
+    // corrupted + PII-bearing docs, the live half of corpus intake
+    val docs = Seq(
+      (1L, "cafÃ© mail a@b.org"),
+      (2L, "plain call 555-200-3000 now"),
+      (3L, "cafÃƒÂ© card 4111 1111 1111 1111"),
+      (4L, "clean text id 12345"))
+    def hygiene(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("fixed", fixMojibake(col("text")).getField("fixed"))
+      .withColumn("r", piiScrub(col("fixed")))
+      .select(col("doc_id"), col("r.masked").as("masked"),
+        (col("r.emails") + col("r.phones") + col("r.cards")).as("n_pii"))
+
+    val input = MemoryStream[(Long, String)]
+    val q = hygiene(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("hygiene_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("hygiene_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val batch = hygiene(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == batch && got.size == 4)
+      assert(got.contains((1L, "café mail <EMAIL>", 1)))
+      assert(got.contains((3L, "café card <CARD>", 1)))
+      assert(got.contains((4L, "clean text id 12345", 0)))
+      // pure projections: zero streaming state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming crawl admission: canonicalize + robots gate + first-seen dedup equals batch") {
     val s = spark
     import s.implicits._
