@@ -273,6 +273,59 @@ object Dedup {
     * explode + one hash-agg (32 partial sums), then a pure projection packs
     * the signature — linear, one shuffle.
     */
+  /** LSH quality evaluation — the recall/precision audit a production
+    * dedup pipeline runs before trusting its banding config. Ground
+    * truth is exact shingle-set Jaccard ≥ `threshold` over a
+    * DETERMINISTIC probe sample (md5 draw, ~1/probeMod of the exact-
+    * deduped reps): for each probe, true neighbors come from an
+    * inverted shingle index restricted to shingles with document
+    * frequency ≤ `dfCap` (standard blocking — at 100 TB the index join
+    * is bounded per probe-shingle by the cap, and a stop-shingle can
+    * never go quadratic; a ≥0.5-Jaccard pair sharing ONLY >cap
+    * shingles cannot exist at these document lengths). Candidates are
+    * the SAME banded-LSH pair set the dedup family ships, restricted
+    * to pairs touching a probe. Output is one row: probe/truth/
+    * candidate/hit counts + recall and precision, int-ratio-rounded.
+    */
+  def lshEval(docs: DataFrame, id: String, textCol: String,
+              n: Int, k: Int, rowsPerBand: Int,
+              probeMod: Int, dfCap: Int, threshold: Double): DataFrame = {
+    val reps = representatives(docs, id, textCol).select(col(id), col(textCol))
+    val draw = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 4),
+      16, 10).cast("long")
+    val probes = reps.filter(pmod(draw, lit(probeMod)) === 0)
+      .select(col(id).as("probe_id"))
+    val repSh = explodeShingles(reps, id, textCol, n)
+    val rare = repSh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val shr = repSh.join(rare, "sh")
+    val psh = shr.join(probes, shr(id) === probes("probe_id"))
+      .select(col("probe_id"), col("sh"))
+    val rawPairs = psh.join(shr, "sh")
+      .filter(col("probe_id") =!= col(id))
+      .select(least(col("probe_id"), col(id)).as("id_a"),
+        greatest(col("probe_id"), col(id)).as("id_b"))
+      .distinct()
+    val truth = ngramJaccardOnPairs(rawPairs, reps, id, textCol, n, threshold)
+      .select("id_a", "id_b")
+    val cand = minhashPairsOfReps(reps, id, textCol, n, k, rowsPerBand)
+      .select("id_a", "id_b")
+    val candP = cand.join(probes.select(col("probe_id").as("id_a")), Seq("id_a"), "left_semi")
+      .unionAll(cand.join(probes.select(col("probe_id").as("id_b")), Seq("id_b"), "left_semi")
+        .select("id_a", "id_b"))
+      .distinct()
+    val hits = truth.join(candP, Seq("id_a", "id_b"), "left_semi")
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(candP.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_probes"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0,
+          Stable.ratioRounded(col("n_hit"), col("n_truth"), 4)).as("recall"),
+        when(col("n_cand") > 0,
+          Stable.ratioRounded(col("n_hit"), col("n_cand"), 4)).as("precision"))
+  }
+
   def simhash32(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame = {
     val sh = explodeShingles(docs, id, textCol, n)
     val v = graft.functions.GraftFunctions.md5PrefixLong(col("sh"), 0, "")
@@ -1021,6 +1074,13 @@ object Dedup {
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2)
         .orderBy("id_a", "id_b")),
 
+    // the banding config's quality audit: LSH recall/precision vs
+    // exact-Jaccard ground truth on a deterministic probe sample
+    "dedup_lsh_eval" -> ((s, d) =>
+      lshEval(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 8, rowsPerBand = 2,
+        probeMod = 16, dfCap = 64, threshold = 0.5)),
+
     // character-level verify over the same shared LSH candidate index
     "dedup_edit_verify" -> ((s, d) =>
       editVerifyOnPairs(pairsOf(s, d).select("id_a", "id_b"),
@@ -1430,6 +1490,12 @@ object Dedup {
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
       s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id) SELECT c.id_a, c.id_b, $jac AS jaccard FROM cand c JOIN shs x ON c.id_a = x.doc_id JOIN shs y ON c.id_b = y.doc_id WHERE $jac >= 0.5 ORDER BY id_a, id_b"""
     },
+    "dedup_lsh_eval" -> {
+      val jac = graft.operators.Stable.sqlRatioRounded(
+        "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, probes AS (SELECT doc_id FROM reps WHERE ${sqlDraw("doc_id")} % 16 = 0), dfok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)), psh AS (SELECT shr.doc_id AS probe_id, shr.s FROM shr JOIN probes ON shr.doc_id = probes.doc_id), rp AS (SELECT DISTINCT least(p.probe_id, r.doc_id) AS id_a, greatest(p.probe_id, r.doc_id) AS id_b FROM psh p JOIN shr r ON p.s = r.s AND p.probe_id != r.doc_id), tr AS (SELECT rp.id_a, rp.id_b FROM rp JOIN shs x ON rp.id_a = x.doc_id JOIN shs y ON rp.id_b = y.doc_id WHERE $jac >= 0.5), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), candp AS (SELECT id_a, id_b FROM cand WHERE id_a IN (SELECT doc_id FROM probes) OR id_b IN (SELECT doc_id FROM probes)), hit AS (SELECT t.id_a FROM tr t JOIN candp c ON t.id_a = c.id_a AND t.id_b = c.id_b), m AS (SELECT (SELECT count(*) FROM probes) AS n_probes, (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM candp) AS n_cand, (SELECT count(*) FROM hit) AS n_hit) SELECT n_probes, n_truth, n_cand, n_hit, CASE WHEN n_truth > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_truth", 4)} END AS recall, CASE WHEN n_cand > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_cand", 4)} END AS precision FROM m"""
+    },
+
     // same tiny count agg + sqrt rate + md5 draw, stated relationally;
     // the NUL-sentinel coalesce mirrors mixTemperatureHalf so NULL
     // langs group (and survive) identically in both engines
