@@ -125,36 +125,40 @@ object PiiScrub {
   }
 
   /** End (exclusive) of an email starting at `i`, or -1. `i` must sit
-    * at a word boundary with `b(i)` in the local-part set. */
+    * at a word boundary with `b(i)` in the local-part set.
+    *
+    * The domain accepts the LONGEST PREFIX whose final label is a valid
+    * TLD (alphabetic, len >= 2, >= 2 labels up to there) — the greedy-
+    * with-backtracking semantics of the standard email regex. This is
+    * also what makes the scrubber IDEMPOTENT: "a@b.com.10.1.2.3" must
+    * match "a@b.com" regardless of whether the trailing dotted digits
+    * are later masked, so a neighbor's replacement can never flip an
+    * email verdict on a re-scan (property-pinned in PropertySpec). */
   private def tryEmail(b: Array[Byte], n: Int, i: Int): Int = {
     var j = i
     while (j < n && isLocal(b(j))) j += 1
     if (j == i || j >= n || b(j) != '@') return -1
-    // domain: labels of [A-Za-z0-9-] starting alnum, >= 2 labels,
-    // final label alphabetic len >= 2
     var k = j + 1
     var labels = 0
-    var lastStart = -1
+    var bestEnd = -1 // end of the last label that closes a valid email
     var ok = true
     while (ok) {
       if (k >= n || !isAlnum(b(k))) { ok = false }
       else {
-        lastStart = k
-        while (k < n && (isAlnum(b(k)) || b(k) == '-')) k += 1
+        val start = k
+        var alpha = true
+        while (k < n && (isAlnum(b(k)) || b(k) == '-')) {
+          if (!isAlpha(b(k))) alpha = false
+          k += 1
+        }
         labels += 1
+        if (labels >= 2 && alpha && k - start >= 2) bestEnd = k
         // consume the dot only when another label follows
         if (k + 1 < n && b(k) == '.' && isAlnum(b(k + 1))) k += 1
         else ok = false
       }
     }
-    if (labels < 2 || lastStart < 0) return -1
-    // final label must be alphabetic, len >= 2, and end at a boundary
-    val tldLen = k - lastStart
-    if (tldLen < 2) return -1
-    var t = lastStart
-    while (t < k) { if (!isAlpha(b(t))) return -1; t += 1 }
-    if (k < n && (isAlnum(b(k)) || b(k) == '-')) return -1
-    k
+    bestEnd
   }
 
   /** Scanned number token. `end` excludes any unconsumed trailer. */

@@ -673,4 +673,98 @@ class PropertySpec extends SparkSpec {
     // empty-side convention (DuckDB parity): always 0, even both-empty
     assert(jw("", "") == 0.0 && jw("", "abc") == 0.0 && jw("abc", "") == 0.0)
   }
+
+  test("PiiScrub is idempotent and total on seeded random + hostile text") {
+    import graft.functions.PiiScrub
+    val seeded = new scala.util.Random(8675309L)
+    val words = Seq("alpha", "beta9", "x", "mail", "2026-08-16", "v1.2.3",
+      "a@b.com", "+1-555-200-3000", "4111111111111111", "10.1.2.3",
+      "(555) 200-3000", "café", "日本", "#", "..", "+", "(", ")")
+    def randText(): String =
+      Seq.fill(1 + seeded.nextInt(20))(words(seeded.nextInt(words.length)))
+        .mkString(Seq(" ", "  ", ",", ".", "\n")(seeded.nextInt(5)))
+    for (_ <- 0 until 400) {
+      val s = randText()
+      val r1 = PiiScrub.compute(UTF8String.fromString(s))
+      val m1 = r1.getUTF8String(0).toString
+      // idempotence: the scrubbed text contains nothing left to scrub
+      val r2 = PiiScrub.compute(UTF8String.fromString(m1))
+      assert(r2.getUTF8String(0).toString == m1, s"not idempotent on: $s -> $m1")
+      assert((1 to 4).forall(i => r2.getInt(i) == 0), s"rescrub found PII in: $m1")
+      // totality bound: each match shrinks or keeps length (placeholders <= 7 bytes)
+      assert(m1.length <= s.length + 7 * (1 to 4).map(r1.getInt).sum + 7)
+    }
+    // pure-noise bytes (valid UTF-8 strings of random ASCII) never crash
+    for (_ <- 0 until 200) {
+      val s = new String(Array.fill(seeded.nextInt(64))((32 + seeded.nextInt(95)).toChar))
+      PiiScrub.compute(UTF8String.fromString(s))
+    }
+  }
+
+  test("FixMojibake round-trips seeded mojibake of Latin-1-alphabet text; fixpoint is stable") {
+    import graft.functions.FixMojibake
+    val seeded = new scala.util.Random(1357911L)
+    val accents = "éèàüñçößâêîôû—…“”’™€"
+    def randClean(): String =
+      Array.fill(3 + seeded.nextInt(30))(
+        if (seeded.nextInt(4) == 0) accents(seeded.nextInt(accents.length))
+        else (97 + seeded.nextInt(26)).toChar).mkString
+    // the exact corruption FixMojibake inverts: utf-8 bytes mis-decoded
+    // through SLOPPY cp1252 — Java's strict decoder maps the five
+    // undefined bytes (81 8D 8F 90 9D) to U+FFFD, so the harness takes
+    // the latin-1 fallback for those itself (independent of the
+    // expression's own table)
+    def corrupt(s: String): String =
+      s.getBytes("UTF-8").map { b =>
+        val v = b & 0xff
+        if (v < 0x80 || v >= 0xa0) v.toChar
+        else if (v == 0x81 || v == 0x8d || v == 0x8f || v == 0x90 || v == 0x9d) v.toChar
+        else new String(Array[Byte](v.toByte), "windows-1252").charAt(0)
+      }.mkString
+    var repaired = 0
+    for (_ <- 0 until 300) {
+      val clean = randClean()
+      val moji = corrupt(clean)
+      val r = FixMojibake.compute(UTF8String.fromString(moji))
+      val fixed = r.getUTF8String(0).toString
+      // the inversion claim only holds when the CLEAN text is not itself
+      // mojibake-shaped (e.g. "é——" re-encodes to valid UTF-8 — the
+      // inherent ambiguity every repairer shares); such cleans repair
+      // one level deeper, which is correct behavior, not a failure
+      val cleanAmbiguous =
+        FixMojibake.compute(UTF8String.fromString(clean)).getInt(1) > 0
+      if (moji != clean && !cleanAmbiguous) {
+        assert(fixed == clean, s"repair failed: '$clean' -> '$moji' -> '$fixed'")
+        if (r.getInt(1) > 0) repaired += 1
+      }
+      // fixpoint: a second pass never changes the output
+      val r2 = FixMojibake.compute(r.getUTF8String(0))
+      assert(r2.getUTF8String(0).toString == fixed && (r2.getInt(1) == 0 || r.getInt(1) == FixMojibake.MaxRounds))
+    }
+    assert(repaired > 100, s"generator produced too few repair cases: $repaired")
+  }
+
+  test("RobotsRules/RobotsAllowed are total and bounded on seeded random robots text") {
+    import graft.functions.{RobotsAllowed, RobotsRules}
+    val seeded = new scala.util.Random(4242424L)
+    val frags = Seq("User-agent: *", "User-agent: graftbot", "Disallow: /a",
+      "Allow: /a/b", "Disallow:", "Sitemap: https://x.example/s.xml",
+      "# comment", "", "garbage line", "Disallow: /*.pdf$", "allow: /x",
+      "USER-AGENT: other", "Disallow /nocolon", ": empty-key", "a:b")
+    for (_ <- 0 until 300) {
+      val txt = Seq.fill(seeded.nextInt(25))(frags(seeded.nextInt(frags.length)))
+        .mkString("\n")
+      val rules = RobotsRules.compute(
+        UTF8String.fromString(txt), UTF8String.fromString("graftbot"))
+      assert(rules.numElements() <= RobotsRules.MaxRules)
+      var i = 0
+      while (i < rules.numElements()) {
+        assert(rules.getStruct(i, 2).getUTF8String(1).numBytes() > 0)
+        i += 1
+      }
+      // every parsed rule set yields a total verdict for arbitrary paths
+      for (p <- Seq("/", "/a/b/c", "", "/x?q=1", "/a.pdf"))
+        RobotsAllowed.compute(rules, UTF8String.fromString(p))
+    }
+  }
 }
