@@ -1014,6 +1014,37 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN quality audit: IVF recall@5 vs the brute-force truth — the
+    // similarity-family sibling of dedup_lsh_eval. Both sides reuse the
+    // SAME helpers/caches as the queries they audit, and the oracle
+    // composes the two committed replay chains, so the audit cannot
+    // drift from the audited configs.
+    "sim_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val truth = simTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id")
+      val cents = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
+        _ => kmeansCentroids(normalized(e, "vec_id", "embedding"),
+          "vec_id", c = ivfC, iters = ivfIters))
+      val nrmI = normalized(e, "vec_id", "embedding")
+      val lists = cachedIndex(s"$d|ivf_lists|$ivfC|$ivfIters")(
+        ivfListsTable(nrmI, "vec_id", cents, euclid = true))
+      val ann = simIvfAnn(e, "vec_id", "embedding", cents,
+        queryPred = col("vec_id") < 10, nProbe = 2, k = 5, euclid = true,
+        prebuiltLists = Some(lists))
+        .select("query_id", "neighbor_id")
+      val perQ = truth.join(ann.withColumn("h", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("t"), sum(coalesce(col("h"), lit(0L))).as("h"))
+      perQ.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("t")).as("n_truth"),
+        sum(col("h")).as("n_hit"),
+        Stable.ratioRounded(sum(col("h")), sum(col("t")), 4).as("recall"),
+        min(Stable.ratioRounded(col("h"), col("t"), 4)).as("min_recall"))
+    }),
+
     "sim_lsh_ann" -> ((s, d) =>
       simLshAnn(Tables.embeddings(s, d).select("vec_id", "embedding"),
         "vec_id", "embedding", col("vec_id") < 10, annTabs, k = 5,
@@ -1488,7 +1519,7 @@ object Similarity {
   private lazy val knnRepOracle: String =
     s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings), reps AS (SELECT min(vec_id) AS vec_id, embedding FROM corpus GROUP BY embedding), ${bucketsCte(dupTabs, "reps")}, ${normCteFor("reps")}, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS rep_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT rep_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON rep_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT rep_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY rep_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p), base AS (SELECT rep_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3), copies AS (SELECT c.vec_id AS query_id, rp.vec_id AS rep_id FROM corpus c JOIN reps rp ON c.embedding = rp.embedding) SELECT cp.query_id, cp.rep_id, b.neighbor_id, b.cos_sim, b.rank FROM copies cp JOIN base b USING (rep_id) ORDER BY query_id, rank"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "emb_profile" ->
       s"""SELECT label::BIGINT AS label, count(*) AS n_vecs, min(len(embedding))::BIGINT AS min_dims, max(len(embedding))::BIGINT AS max_dims, min(n2) AS min_norm2, max(n2) AS max_norm2, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_nan_vecs FROM (SELECT label, embedding, CASE WHEN isnan(n2r) THEN NULL ELSE n2r END AS n2, bad FROM (SELECT label, embedding, ${sqlDot("embedding", "embedding")} AS n2r, len(list_filter(embedding, x -> isnan(x))) > 0 AS bad FROM embeddings)) GROUP BY label ORDER BY label""",
     "sim_topk" ->
@@ -1559,4 +1590,14 @@ object Similarity {
     "sim_ivf_ann" ->
       s"""WITH $normCte, $kmeansCtes, fs AS (SELECT n.vec_id, c.cid, ${sqlDotRaw("n.ne", "c.ce")} - ${sqlDotRaw("c.ce", "c.ce")} / 2 AS score FROM nrm n CROSS JOIN c$ivfIters c), fr AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY 2.0 - score ASC, cid ASC) AS crank FROM fs), lists AS (SELECT vec_id AS neighbor_id, cid FROM fr WHERE crank = 1), probes AS (SELECT vec_id AS query_id, cid FROM fr WHERE vec_id < 10 AND crank <= 2), cand AS (SELECT DISTINCT p.query_id, l.neighbor_id FROM probes p JOIN lists l USING (cid) WHERE p.query_id != l.neighbor_id), scored2 AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored2) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
   )
+
+  /** The recall audit's oracle COMPOSES the two committed replay chains
+    * (brute-force truth, IVF result) as nested-WITH CTEs and joins them
+    * — one source of each chain's SQL, so the audit can never drift
+    * from the queries it audits. */
+  val oracles: Map[String, String] = oraclesBase + ("sim_recall_eval" -> {
+    val tru = oraclesBase("sim_topk")
+    val ann = oraclesBase("sim_ivf_ann")
+    s"""WITH tru AS ($tru), annr AS ($ann), pq AS (SELECT t.query_id, count(*) AS t, sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS h FROM tru t LEFT JOIN annr a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id GROUP BY t.query_id) SELECT count(*) AS n_queries, sum(t)::BIGINT AS n_truth, sum(h)::BIGINT AS n_hit, ${Stable.sqlRatioRounded("sum(h)", "sum(t)", 4)} AS recall, min(${Stable.sqlRatioRounded("h", "t", 4)}) AS min_recall FROM pq"""
+  })
 }
