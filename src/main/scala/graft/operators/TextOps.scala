@@ -1246,6 +1246,19 @@ object TextOps {
         .select("doc_id", "en_hits", "es_hits", "fr_hits", "lang_pred")
         .orderBy("doc_id")),
 
+    // langid accuracy audit: the predictor's confusion matrix against
+    // the corpus's ground-truth lang column — an answer-sized report
+    // (|langs|² cells) at any corpus size
+    "text_langid_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      langId(docs.select("doc_id", "text"), "text")
+        .select("doc_id", "lang_pred")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       fingerprint(Tables.documents(s, d).select("doc_id", "text"), "text")
         .select("doc_id", "fp")
@@ -1568,7 +1581,9 @@ object TextOps {
       s"((strpos('0123456789abcdef', substr(md5($inner), $j, 1)) - 1)::BIGINT * ${1L << (4 * (8 - j))})")
       .mkString("(", " + ", ")")
 
-  val oracles: Map[String, String] = Map(
+  /** See the `oracles` assembly at the end of this map for the
+    * composed-audit entries (text_langid_eval wraps text_langid). */
+  private val oraclesBase: Map[String, String] = Map(
     // literal-table replay: the engine must REACH the repaired literal
     // through the real round-trip; the oracle only restates the table
     "text_fix_mojibake" -> {
@@ -1767,4 +1782,12 @@ object TextOps {
     "text_pipeline_e2e" ->
       raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk, string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents), h AS (SELECT doc_id, text, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, text, len(tk)::BIGINT AS n_tokens FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), m AS (SELECT doc_id, n_tokens, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM g), r AS (SELECT doc_id, clean, n_tokens, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn FROM m) SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(clean)), '\s+'))), ' ')) AS fp, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
   )
+
+  /** Composed audit: the confusion matrix wraps the committed langid
+    * replay as a nested-WITH CTE, so the audit cannot drift from the
+    * predictor it audits. */
+  val oracles: Map[String, String] = oraclesBase + ("text_langid_eval" -> {
+    val pred = oraclesBase("text_langid")
+    s"""WITH p AS ($pred) SELECT d.lang, p.lang_pred, count(*) AS n FROM p JOIN documents d USING (doc_id) GROUP BY d.lang, p.lang_pred ORDER BY lang, lang_pred"""
+  })
 }
