@@ -130,7 +130,7 @@ object SparkEntry {
     "src_tar_roundtrip", "mm_webdataset", "src_zip_roundtrip",
     "src_gzip_roundtrip", "src_warc_records", "src_warc_gz_e2e",
     "src_zst_roundtrip", "mm_webdataset_zst", "text_nfc_normalize",
-    "text_fix_mojibake",
+    "text_fix_mojibake", "mm_detect_encoding",
     "mm_decode_tiff_bmp", "src_warc_zst_e2e",
     "text_bpe_encode",
     "text_chunks", "text_classifier_gate", "text_dedup_sentences",

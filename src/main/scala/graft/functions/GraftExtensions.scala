@@ -229,6 +229,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WarcRecords(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("detect_encoding"),
+      new ExpressionInfo(classOf[DetectEncoding].getName, "detect_encoding"),
+      (children: Seq[Expression]) => {
+        requireArity("detect_encoding", children, 1)
+        DetectEncoding(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("fix_mojibake"),
       new ExpressionInfo(classOf[FixMojibake].getName, "fix_mojibake"),
       (children: Seq[Expression]) => {
@@ -543,6 +550,11 @@ object GraftFunctions {
   def robotsAllowed(rules: Column, path: Column): Column =
     GraftBridge.column(RobotsAllowed(
       GraftBridge.expression(rules), GraftBridge.expression(path)))
+
+  /** Charset classification of raw ingest bytes — see
+    * [[DetectEncoding]]. */
+  def detectEncoding(c: Column): Column =
+    GraftBridge.column(DetectEncoding(GraftBridge.expression(c)))
 
   /** Mojibake repair → (fixed, rounds) struct — see [[FixMojibake]]. */
   def fixMojibake(c: Column): Column =

@@ -1255,6 +1255,29 @@ object Mm {
         .orderBy("doc_id")
     }),
 
+    // charset gate over raw ingest bytes: five byte-level classes
+    // (ascii / utf-8 / latin-1 / BOM'd utf-16le / NUL-bearing binary)
+    // synthesized by formula — the 00 00 FF prefix pins the binary
+    // class deterministically: NULs at BOTH parities rule out the
+    // alternating-NUL utf-16 heuristic for ANY following payload, and
+    // 0xFF can never open a valid UTF-8 sequence
+    "mm_detect_encoding" -> ((s, d) => {
+      val id = col("doc_id").cast("bigint")
+      val v = pmod(id, lit(5))
+      val ds = id.cast("string")
+      val blob = when(v === 0, encode(concat(lit("Doc "), ds, lit(" plain")), "UTF-8"))
+        .when(v === 1, encode(concat(lit("Doc "), ds, lit(" café—…")), "UTF-8"))
+        .when(v === 2, encode(concat(lit("Doc "), ds, lit(" café")), "ISO-8859-1"))
+        .when(v === 3, concat(unhex(lit("FFFE")),
+          encode(concat(lit("Doc "), ds), "UTF-16LE")))
+        .otherwise(concat(unhex(lit("0000FF")), unhex(md5(concat(lit("b"), ds)))))
+      Tables.documents(s, d)
+        .select(id.as("doc_id"), blob.as("blob"))
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.detectEncoding(col("blob")).as("enc"))
+        .orderBy("doc_id")
+    }),
+
     "mm_decode_meta" -> ((s, d) =>
       decodeImageMeta(synthesizeMedia(Tables.documents(s, d), "doc_id", "text"))
         .orderBy("doc_id")),
@@ -1417,6 +1440,8 @@ object Mm {
     s"""WITH cells AS (SELECT doc_id, cy, cx, (((doc_id % 167) * 31 + cy * 7 + cx * 13) % 97) % 8 AS gv FROM documents, generate_series(0, 7) g1(cy), generate_series(0, 8) g2(cx)), bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS idx, CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1 WHERE a.cx < 8), bands AS (SELECT doc_id, idx // 16 AS b, string_agg(bit::VARCHAR, '' ORDER BY idx) AS s FROM bits GROUP BY doc_id, idx // 16), bandc AS (SELECT doc_id, b, s FROM (SELECT *, row_number() OVER (PARTITION BY b, s ORDER BY doc_id) AS _rn FROM bands) WHERE _rn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bandc a JOIN bandc b ON a.b = b.b AND a.s = b.s AND a.doc_id < b.doc_id), ham AS (SELECT c.id_a, c.id_b, sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)::BIGINT AS hamming FROM cand c JOIN bits x ON x.doc_id = c.id_a JOIN bits y ON y.doc_id = c.id_b AND y.idx = x.idx GROUP BY c.id_a, c.id_b) SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
   val oracles: Map[String, String] = Map(
+    "mm_detect_encoding" ->
+      """SELECT doc_id, CASE doc_id % 5 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8' WHEN 2 THEN 'latin-1' WHEN 3 THEN 'utf-16le' ELSE 'binary' END AS enc FROM documents ORDER BY doc_id""",
     // md5-grain collapse + the FakeDecoder dim-bucket arithmetic
     "mm_dedup_binary" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS blob_bytes, md5(text) AS blob_md5 FROM documents) SELECT blob_md5, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies, min(blob_bytes) AS blob_bytes, min((64 + blob_bytes % 512) * 1024 + (64 + (blob_bytes * 7) % 512)) AS phash_bucket FROM m GROUP BY blob_md5 ORDER BY blob_md5""",

@@ -248,4 +248,32 @@ class ExpressionSpec extends SparkSpec {
     }
     assert(arity.getCondition.startsWith("WRONG_NUM_ARGS"))
   }
+
+  test("detect_encoding: rule ladder on hostile byte shapes") {
+    import graft.functions.DetectEncoding.{compute => enc}
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    assert(enc(Array.empty[Byte]).toString == "empty")
+    assert(enc("plain".getBytes("UTF-8")).toString == "ascii")
+    assert(enc("café—".getBytes("UTF-8")).toString == "utf-8")
+    assert(enc("café".getBytes("ISO-8859-1")).toString == "latin-1")
+    // BOMs win over content
+    assert(enc(b(0xff, 0xfe) ++ "hi".getBytes("UTF-16LE")).toString == "utf-16le")
+    assert(enc(b(0xfe, 0xff) ++ "hi".getBytes("UTF-16BE")).toString == "utf-16be")
+    assert(enc(b(0xef, 0xbb, 0xbf) ++ "x".getBytes).toString == "utf-8")
+    // BOM-less utf-16: the alternating-NUL heuristic
+    assert(enc("hello world".getBytes("UTF-16LE")).toString == "utf-16le")
+    assert(enc("hello world".getBytes("UTF-16BE")).toString == "utf-16be")
+    // NULs at both parities, or sparse NULs, are payload
+    assert(enc(b(0, 0, 0xff, 65, 66)).toString == "binary")
+    assert(enc(("a" * 40).getBytes :+ 0.toByte).toString == "binary")
+    // overlong / truncated / surrogate utf-8 all fall to latin-1
+    assert(enc(b(0xc0, 0x80)).toString == "latin-1")       // overlong NUL
+    assert(enc(b(0xe9, 0x20)).toString == "latin-1")       // bare latin-1 é
+    assert(enc(b(0xed, 0xa0, 0x80)).toString == "latin-1") // surrogate
+    assert(enc(b(0xf0, 0x9f)).toString == "latin-1")       // truncated 4-byte
+    // SQL registration
+    val r = spark.sql("SELECT detect_encoding(CAST('ok' AS BINARY)) AS e")
+      .collect().head
+    assert(r.getString(0) == "ascii")
+  }
 }
