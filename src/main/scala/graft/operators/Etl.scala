@@ -517,6 +517,28 @@ object Etl {
         .orderBy("tbl", "rule")
     }),
 
+    // deterministic pseudonymization (GDPR-style): natural keys replaced
+    // by keyed-hash surrogate tokens on EVERY table that carries them,
+    // so referential integrity survives without the identity — proven
+    // here by joining orders to customers purely through the tokens.
+    // The pepper is a fixed literal (a deployment passes a secret); the
+    // token is a pure projection, so at 100 TB this is scan-fused and
+    // the join shape is unchanged from the natural-key plan.
+    "etl_pseudonymize" -> ((s, d) => {
+      def token(c: Column): Column =
+        substring(md5(concat(lit("pepper|"), c.cast("string"))), 1, 16)
+      val cust = Tables.customer(s, d)
+        .select(token(col("c_custkey")).as("cust_token"), col("c_mktsegment"))
+      val ords = Tables.orders(s, d)
+        .select(token(col("o_custkey")).as("cust_token"), col("o_totalprice"))
+      ords.join(cust, "cust_token")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("cust_token")).as("n_customers"),
+          Stable.sumRounded(col("o_totalprice"), 2).as("sum_val"))
+        .orderBy("c_mktsegment")
+    }),
+
     // one-pass profile of orders: nulls / exact distincts / extrema per column
     "data_profile" -> ((s, d) =>
       profileTable(Tables.orders(s, d))
@@ -638,6 +660,12 @@ object Etl {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_pseudonymize" ->
+      """WITH c AS (SELECT substr(md5('pepper|' || CAST(c_custkey AS VARCHAR)), 1, 16) AS cust_token, c_mktsegment FROM customer),
+        |o AS (SELECT substr(md5('pepper|' || CAST(o_custkey AS VARCHAR)), 1, 16) AS cust_token, o_totalprice FROM orders)
+        |SELECT c_mktsegment, count(*) AS n_orders, count(DISTINCT o.cust_token)::BIGINT AS n_customers,
+        |  round(sum(CAST(o_totalprice AS DECIMAL(20,6))), 2)::DOUBLE AS sum_val
+        |FROM o JOIN c USING (cust_token) GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "etl_expectations" ->
       """WITH r AS (
         |  SELECT 'orders' AS tbl, 'o_custkey_not_null' AS rule, count(*) AS n_rows,
