@@ -111,6 +111,26 @@ object StreamOps {
       .drop("_pkey")
   }
 
+  /** Streaming data-quality expectations — the live twin of
+    * Etl.expectations: every row-level rule evaluated as a sum inside
+    * ONE watermarked windowed aggregation (per window: row count +
+    * violations per rule). The monitoring shape a production intake
+    * runs: rules ride the window agg that already exists, adding
+    * partial-agg sums and ZERO extra state beyond the window's.
+    */
+  def streamingExpectations(df: DataFrame, ts: String, delay: String,
+                            win: String,
+                            rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggs = rules.map { case (r, v) =>
+      sum(when(v, 1L).otherwise(0L)).as(r)
+    } :+ count(lit(1)).as("_n")
+    df.withWatermark(ts, delay)
+      .groupBy(window(col(ts), win))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("win_start") +:
+        col("_n").as("n_rows") +: rules.map(r => col(r._1)): _*)
+  }
+
   /** Streaming crawl admission — the live half of the r12 web-ingest
     * family: raw URLs arriving on a stream are RFC 3986-canonicalized
     * (Web.canonicalize's expression, scan-fused), gated by their site's

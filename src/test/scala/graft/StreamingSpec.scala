@@ -767,6 +767,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming expectations: per-window rule violations equal the batch agg") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val rules = Seq(
+      "value_range" -> (col("value") < 0.0 || col("value") > 1000.0),
+      "user_known" -> col("user_id").isNull)
+    val input = MemoryStream[Reading]
+    val agg = StreamOps.streamingExpectations(
+      input.toDF(), ts = "ts", delay = "1 hour", win = "1 hour", rules = rules)
+    val q = agg.writeStream.format("memory").queryName("expect_out")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = eventRows.splitAt(eventRows.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = s.table("expect_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = eventRows.toDF()
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(rules.head._2, 1L).otherwise(0L)).as("v1"),
+          sum(when(rules(1)._2, 1L).otherwise(0L)).as("v2"))
+        .select(col("window.start"), col("n"), col("v1"), col("v2"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == batch && got.nonEmpty)
+      // one state operator: the window agg itself — the rules add none
+      assert(q.lastProgress.stateOperators.length == 1)
+    } finally q.stop()
+  }
+
   test("streaming text hygiene: mojibake repair + typed PII scrub are stateless and batch-equal") {
     val s = spark
     import s.implicits._
