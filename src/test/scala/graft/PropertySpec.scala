@@ -744,6 +744,28 @@ class PropertySpec extends SparkSpec {
     assert(repaired > 100, s"generator produced too few repair cases: $repaired")
   }
 
+  test("DetectEncoding is total and stable on seeded random bytes") {
+    import graft.functions.DetectEncoding
+    val seeded = new scala.util.Random(24681012L)
+    val labels = Set("empty", "ascii", "utf-8", "latin-1", "utf-16le", "utf-16be", "binary")
+    for (_ <- 0 until 500) {
+      val n = seeded.nextInt(80)
+      val b = new Array[Byte](n)
+      seeded.nextBytes(b)
+      val l1 = DetectEncoding.compute(b).toString
+      assert(labels(l1), s"unknown label $l1")
+      // deterministic: same bytes, same verdict
+      assert(DetectEncoding.compute(b.clone()).toString == l1)
+      // classification invariants on the verdict
+      l1 match {
+        case "ascii" => assert(b.forall(x => x >= 0 && x != 0))
+        case "latin-1" => assert(b.exists(_ < 0) && !b.contains(0.toByte))
+        case "binary" => assert(b.contains(0.toByte))
+        case _ =>
+      }
+    }
+  }
+
   test("RobotsRules/RobotsAllowed are total and bounded on seeded random robots text") {
     import graft.functions.{RobotsAllowed, RobotsRules}
     val seeded = new scala.util.Random(4242424L)
