@@ -17,12 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - lines split on LF (CR stripped), `#` comments removed, fields are
   *    `key: value` with a case-insensitive key;
   *  - consecutive `User-agent` lines form one group's agent set; the
-  *    first rule line closes the set, and a later `User-agent` line
-  *    starts a NEW group (RFC 9309 §2.2.1 grouping);
+  *    first RULE line (`Allow`/`Disallow`) closes the set, and a later
+  *    `User-agent` line starts a NEW group (RFC 9309 §2.2.1 grouping).
+  *    Non-rule records (`Sitemap`, unknown keys) are NEUTRAL — §2.2.4
+  *    says other records must not interfere with group parsing, so a
+  *    UA run split by a `Crawl-delay` line still forms one group;
   *  - group selection: all groups naming `agent` (case-insensitive
-  *    product-token equality) if any exist, else all `*` groups — the
+  *    product-token equality) if any EXIST, else all `*` groups — the
   *    RFC's most-specific-match collapsed to the exact/wildcard split,
-  *    since graft crawls under a single product token;
+  *    since graft crawls under a single product token. Existence, not
+  *    rule-list emptiness, decides: `User-agent: bot` + `Disallow:`
+  *    (the allow-everything idiom) REPLACES the `*` group with an
+  *    empty rule list rather than falling back to it;
   *  - `Allow`/`Disallow` values are kept in file order; an EMPTY
   *    Disallow value is the RFC's "allow everything" idiom and yields
   *    no rule; unknown keys are ignored (the RFC demands tolerance).
@@ -87,6 +93,7 @@ object RobotsRules {
     val star = new java.util.ArrayList[AnyRef]()
     var groupHasExact = false
     var groupHasStar = false
+    var sawExactGroup = false // a group naming `want` EXISTS (even rule-less)
     var inAgentRun = false
     var i = 0
     while (i < lines.length) {
@@ -106,7 +113,7 @@ object RobotsRules {
               }
               val v = value.toLowerCase
               if (v == "*") groupHasStar = true
-              else if (v == want) groupHasExact = true
+              else if (v == want) { groupHasExact = true; sawExactGroup = true }
             case "allow" | "disallow" =>
               inAgentRun = false
               val allow = key == "allow"
@@ -119,13 +126,19 @@ object RobotsRules {
                 if (groupHasExact && exact.size < MaxRules) exact.add(row)
                 if (groupHasStar && star.size < MaxRules) star.add(row)
               }
-            case _ => inAgentRun = false // unknown key: tolerated, sealed
+            // non-rule records (sitemap, crawl-delay, unknown keys) are
+            // NEUTRAL to grouping (RFC 9309 §2.2.4): they neither seal
+            // the agent run nor start a group
+            case _ =>
           }
         }
       }
       i += 1
     }
-    val chosen = if (!exact.isEmpty) exact else star
+    // a PRESENT exact-agent group replaces `*` even when its rule list
+    // is empty (the `Disallow:` allow-everything idiom) — select on
+    // group EXISTENCE, never on rule-list emptiness
+    val chosen = if (sawExactGroup) exact else star
     new GenericArrayData(chosen.toArray(Array.empty[AnyRef]))
   }
 }
@@ -246,6 +259,10 @@ object RobotsAllowed {
     var pEnd = pat.length
     val anchored = pEnd > 0 && pat(pEnd - 1) == '$'
     if (anchored) pEnd -= 1
+    // empty unanchored pattern is a prefix of everything; the scan loop
+    // below only detects prefix exhaustion AFTER a consume, so short-
+    // circuit here (an anchored "$" still requires the empty path)
+    if (pEnd == 0 && !anchored) return true
     var pi = 0      // pattern index
     var si = 0      // path index
     var starPi = -1 // pattern index after the last '*'

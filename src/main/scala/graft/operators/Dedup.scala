@@ -277,15 +277,25 @@ object Dedup {
     * dedup pipeline runs before trusting its banding config. Ground
     * truth is exact shingle-set Jaccard ≥ `threshold` over a
     * DETERMINISTIC probe sample (md5 draw, ~1/probeMod of the exact-
-    * deduped reps): for each probe, true neighbors come from an
+    * deduped reps): for each probe, truth-pair GENERATION comes from an
     * inverted shingle index restricted to shingles with document
-    * frequency ≤ `dfCap` (standard blocking — at 100 TB the index join
-    * is bounded per probe-shingle by the cap, and a stop-shingle can
-    * never go quadratic; a ≥0.5-Jaccard pair sharing ONLY >cap
-    * shingles cannot exist at these document lengths). Candidates are
-    * the SAME banded-LSH pair set the dedup family ships, restricted
-    * to pairs touching a probe. Output is one row: probe/truth/
-    * candidate/hit counts + recall and precision, int-ratio-rounded.
+    * frequency ≤ `dfCap` (standard df-bounded blocking — at 100 TB the
+    * index join is bounded per probe-shingle by the cap, and a
+    * stop-shingle can never go quadratic). Truth is therefore
+    * df-BOUNDED exact Jaccard: a qualifying pair whose overlap is
+    * EXCLUSIVELY >cap stop-shingles is outside the generated block and
+    * invisible to the audit — the documented residual approximation.
+    * The count-bound prune between generation and the exact verify is
+    * SOUND (r13): a pair survives when
+    * `3·(shared_rare + min(common_a, common_b)) ≥ |A|+|B|`, the
+    * loosest bound consistent with `jac ≥ ½ ⟹ 3·|A∩B| ≥ |A|+|B|`
+    * given only the rare-subset count, so the prune can never evict a
+    * pair the full intersection would keep. Shared-rare counts are
+    * taken per DIRECTED (probe, other) pair so probe–probe pairs are
+    * not double-counted (r12 advice). Candidates are the SAME
+    * banded-LSH pair set the dedup family ships, restricted to pairs
+    * touching a probe. Output is one row: probe/truth/candidate/hit
+    * counts + recall and precision, int-ratio-rounded.
     */
   def lshEval(docs: DataFrame, id: String, textCol: String,
               n: Int, k: Int, rowsPerBand: Int,
@@ -304,25 +314,34 @@ object Dedup {
     val shr = repSh.join(rare, "sh")
     val psh = shr.join(probes, shr(id) === probes("probe_id"))
       .select(col("probe_id"), col("sh"))
-    // count shared RARE shingles per pair instead of materializing a
-    // distinct pair list: jac >= 1/2 implies |A∩B| >= (|A|+|B|)/3, and
-    // shared_rare <= |A∩B|, so pairs failing the count bound on the
-    // rare subset can be pruned BEFORE any array-Jaccard work (the
-    // exact verify runs only on survivors — this is what keeps the
-    // audit linear-ish; the bound is mirrored verbatim in the oracle,
-    // so the truth definition cannot drift between engines)
+    // count shared RARE shingles per DIRECTED (probe, other) pair — one
+    // row per shared shingle per direction, so a probe-probe pair's two
+    // directions each carry the TRUE count and the unordered collapse
+    // below can't double it (r12 advice). The prune is SOUND: with
+    // common_x = |X| - |X ∩ rare| the full intersection is bounded by
+    // shared_rare + min(common_a, common_b), so jac >= 1/2 (which
+    // implies 3·|A∩B| >= |A|+|B|) can only hold for survivors of
+    // 3·(shared + min(ca, cb)) >= na + nb — the exact verify runs only
+    // on those (this keeps the audit linear-ish; the bound is mirrored
+    // verbatim in the oracle, so truth cannot drift between engines)
     val sharedCnt = psh.join(shr, "sh")
       .filter(col("probe_id") =!= col(id))
-      .select(least(col("probe_id"), col(id)).as("id_a"),
-        greatest(col("probe_id"), col(id)).as("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .groupBy(col("probe_id"), col(id)).agg(count(lit(1)).as("shared"))
     val nsh = reps.select(col(id),
       size(shingles(col(textCol), n)).as("nsh"))
+    val nshr = shr.groupBy(col(id)).agg(count(lit(1)).as("nshr"))
+    val szs = nsh.join(nshr, id)
+      .select(col(id), col("nsh"), (col("nsh") - col("nshr")).as("ncom"))
     val pruned = sharedCnt
-      .join(nsh.select(col(id).as("id_a"), col("nsh").as("na")), "id_a")
-      .join(nsh.select(col(id).as("id_b"), col("nsh").as("nb")), "id_b")
-      .filter(col("shared") * 3 >= col("na") + col("nb"))
-      .select("id_a", "id_b")
+      .join(szs.select(col(id).as("probe_id"),
+        col("nsh").as("na"), col("ncom").as("ca")), "probe_id")
+      .join(szs.select(col(id),
+        col("nsh").as("nb"), col("ncom").as("cb")), id)
+      .filter((col("shared") + least(col("ca"), col("cb"))) * 3 >=
+        col("na") + col("nb"))
+      .select(least(col("probe_id"), col(id)).as("id_a"),
+        greatest(col("probe_id"), col(id)).as("id_b"))
+      .distinct()
     val truth = ngramJaccardOnPairs(pruned, reps, id, textCol, n, threshold)
       .select("id_a", "id_b")
     val cand = prebuiltPairs.getOrElse(
@@ -1515,7 +1534,7 @@ object Dedup {
     "dedup_lsh_eval" -> {
       val jac = graft.operators.Stable.sqlRatioRounded(
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
-      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, probes AS (SELECT doc_id FROM reps WHERE ${sqlDraw("doc_id")} % 16 = 0), dfok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)), psh AS (SELECT shr.doc_id AS probe_id, shr.s FROM shr JOIN probes ON shr.doc_id = probes.doc_id), rpc AS (SELECT least(p.probe_id, r.doc_id) AS id_a, greatest(p.probe_id, r.doc_id) AS id_b, count(*) AS shared FROM psh p JOIN shr r ON p.s = r.s AND p.probe_id != r.doc_id GROUP BY 1, 2), nsz AS (SELECT doc_id, len(sh) AS nsh FROM shs), rp AS (SELECT rpc.id_a, rpc.id_b FROM rpc JOIN nsz a ON rpc.id_a = a.doc_id JOIN nsz b ON rpc.id_b = b.doc_id WHERE rpc.shared * 3 >= a.nsh + b.nsh), tr AS (SELECT rp.id_a, rp.id_b FROM rp JOIN shs x ON rp.id_a = x.doc_id JOIN shs y ON rp.id_b = y.doc_id WHERE $jac >= 0.5), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), candp AS (SELECT id_a, id_b FROM cand WHERE id_a IN (SELECT doc_id FROM probes) OR id_b IN (SELECT doc_id FROM probes)), hit AS (SELECT t.id_a FROM tr t JOIN candp c ON t.id_a = c.id_a AND t.id_b = c.id_b), m AS (SELECT (SELECT count(*) FROM probes) AS n_probes, (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM candp) AS n_cand, (SELECT count(*) FROM hit) AS n_hit) SELECT n_probes, n_truth, n_cand, n_hit, CASE WHEN n_truth > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_truth", 4)} END AS recall, CASE WHEN n_cand > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_cand", 4)} END AS precision FROM m"""
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, probes AS (SELECT doc_id FROM reps WHERE ${sqlDraw("doc_id")} % 16 = 0), dfok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)), psh AS (SELECT shr.doc_id AS probe_id, shr.s FROM shr JOIN probes ON shr.doc_id = probes.doc_id), rpc AS (SELECT p.probe_id, r.doc_id, count(*) AS shared FROM psh p JOIN shr r ON p.s = r.s AND p.probe_id != r.doc_id GROUP BY 1, 2), nsz AS (SELECT doc_id, len(sh) AS nsh FROM shs), nrz AS (SELECT doc_id, count(*) AS nshr FROM shr GROUP BY doc_id), szs AS (SELECT n.doc_id, n.nsh, n.nsh - r.nshr AS ncom FROM nsz n JOIN nrz r USING (doc_id)), rp AS (SELECT DISTINCT least(rpc.probe_id, rpc.doc_id) AS id_a, greatest(rpc.probe_id, rpc.doc_id) AS id_b FROM rpc JOIN szs a ON rpc.probe_id = a.doc_id JOIN szs b ON rpc.doc_id = b.doc_id WHERE (rpc.shared + least(a.ncom, b.ncom)) * 3 >= a.nsh + b.nsh), tr AS (SELECT rp.id_a, rp.id_b FROM rp JOIN shs x ON rp.id_a = x.doc_id JOIN shs y ON rp.id_b = y.doc_id WHERE $jac >= 0.5), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), candp AS (SELECT id_a, id_b FROM cand WHERE id_a IN (SELECT doc_id FROM probes) OR id_b IN (SELECT doc_id FROM probes)), hit AS (SELECT t.id_a FROM tr t JOIN candp c ON t.id_a = c.id_a AND t.id_b = c.id_b), m AS (SELECT (SELECT count(*) FROM probes) AS n_probes, (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM candp) AS n_cand, (SELECT count(*) FROM hit) AS n_hit) SELECT n_probes, n_truth, n_cand, n_hit, CASE WHEN n_truth > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_truth", 4)} END AS recall, CASE WHEN n_cand > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_cand", 4)} END AS precision FROM m"""
     },
 
     // same tiny count agg + sqrt rate + md5 draw, stated relationally;

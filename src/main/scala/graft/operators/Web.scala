@@ -84,11 +84,21 @@ object Web {
     * for even sites), plus a graftbot-specific group for s%3==0 sites
     * whose presence must EXCLUSIVELY govern (RFC 9309: the exact-agent
     * group replaces `*`, it does not merge). Key/value case varies with
-    * s so the parser's case folding is on the oracle path. */
+    * s so the parser's case folding is on the oracle path.
+    *
+    * Two further site classes pin the r12-verdict RFC paths:
+    *  - s%7==3: a graftbot UA run INTERRUPTED by a non-rule record
+    *    (`Crawl-delay`) before a second UA token — §2.2.4 says other
+    *    records don't seal the run, so graftbot and extrabot share the
+    *    group and graftbot inherits its `/cat{(s+3)%11}/` disallow;
+    *  - s%7==5: the empty-Disallow idiom under an exact graftbot
+    *    group — the group's EXISTENCE replaces `*` (allow everything),
+    *    it must not fall back to the `*` rules. */
   def synthesizeRobots(df: DataFrame, idCol: String): DataFrame = {
     val s = expr(s"cast($idCol as bigint) div 5 % 23")
     val s2 = pmod(s + 1, lit(11)).cast("string")
     val s3 = pmod(s + 2, lit(11)).cast("string")
+    val s4 = pmod(s + 3, lit(11)).cast("string")
     val txt = concat(
       when(pmod(s, lit(2)) === 0,
         concat(lit("# site "), s.cast("string"), lit("\n\n"))).otherwise(lit("")),
@@ -110,7 +120,15 @@ object Web {
       when(pmod(s, lit(3)) === 0, concat(
         when(pmod(s, lit(2)) === 0, lit("User-Agent: GraftBot\n"))
           .otherwise(lit("user-agent: graftbot\n")),
-        lit("DISALLOW: /cat"), s3, lit("/\n"))).otherwise(lit("")))
+        lit("DISALLOW: /cat"), s3, lit("/\n"))).otherwise(lit("")),
+      when(pmod(s, lit(7)) === 3, concat(
+        lit("User-agent: graftbot\n"),
+        lit("Crawl-delay: 5\n"),
+        lit("User-agent: extrabot\n"),
+        lit("Disallow: /cat"), s4, lit("/\n"))).otherwise(lit("")),
+      when(pmod(s, lit(7)) === 5, concat(
+        lit("User-agent: graftbot\n"),
+        lit("Disallow:\n"))).otherwise(lit("")))
     df.select(s.as("site"), txt.as("robots")).distinct()
   }
 
@@ -238,20 +256,28 @@ object Web {
         "SELECT url, count(*) AS n_raw, min(doc_id) AS keeper " +
         "FROM urls GROUP BY url ORDER BY url"),
 
+    // exact graftbot groups exist for s%3==0 (rule group), s%7==3
+    // (UA run split by Crawl-delay, merged with extrabot's disallow)
+    // and s%7==5 (the rule-less empty-Disallow idiom); any of them
+    // replaces the `*` group. File order: the s%3 rule precedes the
+    // s%7==3 rule.
     "web_robots_rules" ->
       """WITH sites AS (SELECT DISTINCT doc_id // 5 % 23 AS s FROM documents),
         |r AS (
         |  SELECT s, 0 AS idx, false AS allow,
+        |         '/cat' || CAST((s+2) % 11 AS VARCHAR) || '/' AS pattern
+        |  FROM sites WHERE s % 3 = 0
+        |  UNION ALL SELECT s, CASE WHEN s % 3 = 0 THEN 1 ELSE 0 END, false,
+        |         '/cat' || CAST((s+3) % 11 AS VARCHAR) || '/'
+        |  FROM sites WHERE s % 7 = 3
+        |  UNION ALL SELECT s, 0, false,
         |         '/cat' || CAST((s+1) % 11 AS VARCHAR) || '/' AS pattern
-        |  FROM sites WHERE s % 3 <> 0
+        |  FROM sites WHERE s % 3 <> 0 AND s % 7 <> 3 AND s % 7 <> 5
         |  UNION ALL SELECT s, 1, true,
         |         '/cat' || CAST((s+1) % 11 AS VARCHAR) || '/item?id=1'
-        |  FROM sites WHERE s % 3 <> 0
+        |  FROM sites WHERE s % 3 <> 0 AND s % 7 <> 3 AND s % 7 <> 5
         |  UNION ALL SELECT s, 2, false, '/private/'
-        |  FROM sites WHERE s % 3 <> 0
-        |  UNION ALL SELECT s, 0, false,
-        |         '/cat' || CAST((s+2) % 11 AS VARCHAR) || '/'
-        |  FROM sites WHERE s % 3 = 0)
+        |  FROM sites WHERE s % 3 <> 0 AND s % 7 <> 3 AND s % 7 <> 5)
         |SELECT s AS site, idx, allow, pattern FROM r ORDER BY site, idx""".stripMargin,
 
     "web_sitemaps" ->
@@ -272,7 +298,9 @@ object Web {
           |  (doc_id // 5) % 23 AS s, (doc_id // 5) % 11 AS p2, (doc_id // 5) % 101 AS q2
           |  FROM urls)
           |SELECT doc_id, url,
-          |  CASE WHEN s % 3 = 0 THEN NOT (p2 = (s+2) % 11)
+          |  CASE WHEN s % 3 = 0 OR s % 7 = 3 OR s % 7 = 5
+          |       THEN NOT ((s % 3 = 0 AND p2 = (s+2) % 11) OR
+          |                 (s % 7 = 3 AND p2 = (s+3) % 11))
           |       ELSE NOT (p2 = (s+1) % 11 AND
           |                 NOT (q2 = 1 OR q2 BETWEEN 10 AND 19 OR q2 = 100))
           |  END AS allowed
@@ -284,7 +312,9 @@ object Web {
           |  (doc_id // 5) % 23 AS s, (doc_id // 5) % 11 AS p2, (doc_id // 5) % 101 AS q2
           |  FROM urls),
           |a AS (SELECT *,
-          |  CASE WHEN s % 3 = 0 THEN NOT (p2 = (s+2) % 11)
+          |  CASE WHEN s % 3 = 0 OR s % 7 = 3 OR s % 7 = 5
+          |       THEN NOT ((s % 3 = 0 AND p2 = (s+2) % 11) OR
+          |                 (s % 7 = 3 AND p2 = (s+3) % 11))
           |       ELSE NOT (p2 = (s+1) % 11 AND
           |                 NOT (q2 = 1 OR q2 BETWEEN 10 AND 19 OR q2 = 100))
           |  END AS allowed FROM v)
@@ -300,7 +330,9 @@ object Web {
           |  (doc_id // 5) % 23 AS s, (doc_id // 5) % 11 AS p2, (doc_id // 5) % 101 AS q2
           |  FROM urls)
           |SELECT s AS site, count(*) AS n_urls,
-          |  sum(CASE WHEN (CASE WHEN s % 3 = 0 THEN NOT (p2 = (s+2) % 11)
+          |  sum(CASE WHEN (CASE WHEN s % 3 = 0 OR s % 7 = 3 OR s % 7 = 5
+          |       THEN NOT ((s % 3 = 0 AND p2 = (s+2) % 11) OR
+          |                 (s % 7 = 3 AND p2 = (s+3) % 11))
           |       ELSE NOT (p2 = (s+1) % 11 AND
           |                 NOT (q2 = 1 OR q2 BETWEEN 10 AND 19 OR q2 = 100)) END)
           |      THEN 1 ELSE 0 END)::BIGINT AS n_allowed

@@ -121,8 +121,10 @@ object StreamOps {
   def streamingExpectations(df: DataFrame, ts: String, delay: String,
                             win: String,
                             rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    // coalesce mirrors Etl.expectations' empty-input contract (a window
+    // only forms with rows, so this is defensive consistency here)
     val aggs = rules.map { case (r, v) =>
-      sum(when(v, 1L).otherwise(0L)).as(r)
+      coalesce(sum(when(v, 1L).otherwise(0L)), lit(0L)).as(r)
     } :+ count(lit(1)).as("_n")
     df.withWatermark(ts, delay)
       .groupBy(window(col(ts), win))

@@ -866,4 +866,23 @@ class EtlFlowEventsSpec extends SparkSpec {
     // 4 rows, distinct keys {1, 2, null->counted? no: countDistinct skips null} = 2 -> 2 dups
     assert(rows("k_unique") == 2L)
   }
+
+  test("expectations over an empty table report zero violations, not NULL") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Etl
+    val empty = Seq.empty[(java.lang.Long, java.lang.Double)].toDF("k", "v")
+    val rows = Etl.expectations(empty, "t", Seq(
+        "k_not_null" -> col("k").isNull,
+        "v_range" -> !col("v").between(0.0, 100.0)))
+      .unionAll(Etl.uniqueExpectation(empty, "t", "k"))
+      .withColumn("pass", col("violations") === 0L)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) == 0L, s"violations null/nonzero: $r")
+      assert(r.getBoolean(4), s"pass must be true on empty input: $r")
+      assert(r.getLong(2) == 0L)
+    }
+  }
 }

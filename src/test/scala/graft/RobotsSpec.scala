@@ -152,6 +152,58 @@ class RobotsSpec extends SparkSpec {
       rules(txt, "anybot").forall(_._2 != "/"), "the special group leaked into *")
   }
 
+  test("empty exact-agent group replaces *, does not fall back to it") {
+    // RFC 9309: a PRESENT group for the agent governs even when its
+    // rule list is empty (the `Disallow:` allow-everything idiom) —
+    // falling back to `*` here would block the whole site
+    val txt =
+      """User-agent: graftbot
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(rules(txt, "graftbot").isEmpty)
+    assert(allowed(txt, "graftbot", "/anything"))
+    assert(!allowed(txt, "otherbot", "/anything"))
+    // even a RULE-LESS group (UA line sealed by EOF) replaces *
+    val eof = "User-agent: *\nDisallow: /\nUser-agent: graftbot\n"
+    assert(rules(eof, "graftbot").isEmpty)
+    assert(allowed(eof, "graftbot", "/x"))
+  }
+
+  test("non-rule records do not seal a user-agent run (RFC 9309 §2.2.4)") {
+    // Sitemap / unknown keys between UA lines must leave the run open:
+    // a and b share one group and both get the disallow
+    val txt =
+      """User-agent: a
+        |Sitemap: https://x.example/s.xml
+        |User-agent: b
+        |Crawl-delay: 5
+        |User-agent: c
+        |Disallow: /x/
+        |""".stripMargin
+    for (agent <- Seq("a", "b", "c"))
+      assert(rules(txt, agent) == Seq((false, "/x/")), s"agent $agent")
+    // but a rule line DOES seal: d is a new group
+    val sealed2 = txt + "User-agent: d\nDisallow: /d/\n"
+    assert(rules(sealed2, "a") == Seq((false, "/x/")))
+    assert(rules(sealed2, "d") == Seq((false, "/d/")))
+  }
+
+  test("empty unanchored pattern matches every path; anchored $ only the empty path") {
+    // unreachable via robots_rules (empty values dropped) but
+    // robots_allowed is SQL-registered and takes arbitrary rule arrays
+    val sp = spark
+    def gate(pattern: String, path: String): Boolean = sp.sql(
+      s"SELECT robots_allowed(array(named_struct('allow', false, 'pattern', '$pattern')), '$path') AS v")
+      .collect().head.getBoolean(0)
+    assert(!gate("", "/any/path")) // empty prefix matches -> disallowed
+    assert(!gate("", ""))
+    assert(gate("$", "/any/path")) // anchored empty: full-path match only
+    assert(!gate("$", ""))
+  }
+
   test("robots functions are SQL-registered via GraftExtensions") {
     val r = spark.sql(
       "SELECT robots_allowed(robots_rules('User-agent: *\nDisallow: /a/', '*'), '/a/x') AS v")
