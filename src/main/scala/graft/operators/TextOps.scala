@@ -1064,6 +1064,99 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact-substring span dedup WITH REMOVAL — the ExactSubstr pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"), the standard stage production corpus prep runs
+    * between near-dup doc dedup and sentence dedup: any token span of
+    * length ≥ `k` that occurs MORE THAN ONCE across the corpus (cross-
+    * document or repeated within one document) is removed everywhere
+    * except its first occurrence, and each document's surviving tokens
+    * are reassembled in order.
+    *
+    * Semantics (token-grain, deterministic): a token position is
+    * removed iff some k-gram covering it is a NON-FIRST occurrence of
+    * that k-gram, where "first" is the minimum (doc, pos) over all
+    * occurrences corpus-wide. A duplicated span of length L ≥ k is
+    * covered by exactly its L−k+1 duplicated k-grams, so maximal
+    * duplicated spans are removed as wholes and overlapping spans
+    * union naturally; the first occurrence keeps every token because
+    * all of ITS covering k-grams are first occurrences. Keep-first
+    * ties cannot occur ((doc, pos) is unique per occurrence).
+    *
+    * Scale shape: token arrays are built ONCE per doc (scan-fused
+    * projection); k-gram keys are md5 digests so the corpus-wide
+    * shuffle carries fixed-width keys, never k-token strings. First-
+    * occurrence detection is a single window min over the k-gram
+    * exchange (one shuffle, no self-join); covered positions are
+    * emitted as an EXACT interval union over the per-doc sorted
+    * removal starts (each start contributes only its newly-covered
+    * suffix), so the covered stream is |removed tokens| rows — never
+    * k·|removals| — even when nearly the whole corpus is duplicated;
+    * the reassembly is the dedupSentences join+agg shape at token
+    * grain. Nothing is driver-side; every stage is a hash exchange on
+    * (gram) or (doc, pos).
+    *
+    * Fidelity caveat (same as [[dedupSentences]]): `clean_text` is
+    * whitespace-NORMALIZED (tokens rejoined with single spaces); a
+    * byte-preserving pipeline should use (n_removed > 0) as the edit
+    * signal and splice original bytes. Docs shorter than `k` tokens
+    * carry no k-gram and are kept verbatim.
+    */
+  def dedupSpansRemoval(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // token arrays once; 0-based positions; the split runs once per
+    // consumer of the checkpointed relation (kg, tok, final widths)
+    val tk = graft.CacheScope.register(
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol),
+          filter(tokens(col(textCol)), t => t =!= "").as("t"))
+        .localCheckpoint(true))
+    // k-gram occurrences: (doc, pos, md5(gram)); unit-separator join so
+    // token boundaries cannot alias; docs shorter than k emit none
+    val kg = tk.filter(size(col("t")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("t")) - k),
+          i => md5(concat_ws("\u001F", slice(col("t"), i + 1, lit(k)))))))
+      .select(col(idCol), col("pos"), col("col").as("g"))
+    // non-first occurrences: one window min over the gram exchange
+    val firstOcc = min(struct(col(idCol), col("pos")))
+      .over(Window.partitionBy("g"))
+    val removals = kg.withColumn("_first", firstOcc)
+      .filter(!(col(idCol) === col("_first")(idCol) &&
+        col("pos") === col("_first")("pos")))
+      .select(col(idCol), col("pos"))
+    // covered token positions as an EXACT interval union: removal
+    // starts sorted per doc, each emits only its newly-covered range
+    // max(pos, prev+k)..pos+k-1 (always non-empty for pos > prev), so
+    // the emitted set IS the union — no k-fold explode, no distinct.
+    // Under heavy duplication (the ExactSubstr hot case) this emits
+    // |covered| rows instead of k·|removals|.
+    val prev = lag(col("pos"), 1).over(
+      Window.partitionBy(col(idCol)).orderBy(col("pos")))
+    val covered = removals.withColumn("_prev", prev)
+      .select(col(idCol), explode(sequence(
+        when(col("_prev").isNull, col("pos"))
+          .otherwise(greatest(col("pos"), col("_prev") + k)),
+        col("pos") + (k - 1))).as("tpos"))
+      .withColumn("_rm", lit(1))
+    val tok = tk.select(col(idCol), posexplode(col("t")))
+      .select(col(idCol), col("pos").as("tpos"), col("col").as("token"))
+    val agg = tok.join(covered, Seq(idCol, "tpos"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_rm").isNull,
+            struct(col("tpos"), col("token"))))),
+          x => x("token")), " ").as("clean_text"))
+    tk.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-trained bigram language-model quality score — the cheap
     * stand-in for a perplexity filter: train add-one-smoothed token
     * bigram probabilities on the corpus itself (one pass), then score
@@ -1355,6 +1448,15 @@ object TextOps {
           .select(col("doc_id"),
             regexp_replace(col("text"), " table ", " table. ").as("text")),
         "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // the ExactSubstr pass (Lee et al. 2022): every >=8-token span
+    // duplicated anywhere in the corpus (cross-doc or within-doc) is
+    // removed everywhere except its first (doc, pos) occurrence, and
+    // each doc's surviving tokens reassemble into a cleaned corpus
+    "text_dedup_spans_removal" -> ((s, d) =>
+      dedupSpansRemoval(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", "text", k = 8)
         .orderBy("doc_id")),
 
     // events.props carries digits, so the mask is non-vacuous there
@@ -1728,6 +1830,12 @@ object TextOps {
       raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2), s AS (SELECT doc_id, (i - 1)::BIGINT AS sent_idx, ss[i] AS sentence FROM (SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM sp)), ds AS (SELECT DISTINCT doc_id, sentence FROM s), fr AS (SELECT sentence, count(*) AS n_docs, min(doc_id) AS first_doc FROM ds GROUP BY sentence HAVING count(*) >= 2), k AS (SELECT s.doc_id, s.sent_idx, s.sentence, (fr.sentence IS NULL OR s.doc_id = fr.first_doc) AS keep FROM s LEFT JOIN fr USING (sentence)), agg AS (SELECT doc_id, count(*) AS n_sents, sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept, coalesce(string_agg(CASE WHEN keep THEN sentence END, '. ' ORDER BY sent_idx), '') AS clean_text FROM k GROUP BY doc_id) SELECT d.doc_id, coalesce(a.n_sents, 0)::BIGINT AS n_sents, coalesce(a.n_kept, 0)::BIGINT AS n_kept, coalesce(a.clean_text, '') AS clean_text FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""",
     "text_boilerplate" ->
       raw"""WITH d2 AS (SELECT doc_id, regexp_replace(text, ' table ', ' table. ', 'g') AS text FROM documents), sp AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '[.!?]+(\s+|$$)'), s -> trim(s)), s -> s != '') AS ss FROM d2), ds AS (SELECT DISTINCT doc_id, unnest(ss) AS sentence FROM sp) SELECT sentence, count(*) AS n_docs FROM ds GROUP BY sentence HAVING count(*) >= 2 ORDER BY n_docs DESC, sentence ASC LIMIT 100""",
+    // the ExactSubstr replay: 8-gram occurrences keyed by md5 of the
+    // chr(31)-joined window, first (doc, pos) per gram via row_number,
+    // non-first occurrences explode their covered positions, tokens
+    // LEFT JOIN the cover and re-concat in position order
+    "text_dedup_spans_removal" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS t FROM documents), kg AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], chr(31))) AS g FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tk WHERE len(t) >= 8)), rm AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM kg) WHERE rn > 1), cov AS (SELECT DISTINCT doc_id, tpos FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tpos FROM rm)), tok AS (SELECT doc_id, i - 1 AS tpos, t[i] AS token FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)), ag AS (SELECT t.doc_id, count(*) AS n_tokens, sum(CASE WHEN c.tpos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed, coalesce(string_agg(CASE WHEN c.tpos IS NULL THEN t.token END, ' ' ORDER BY t.tpos), '') AS clean_text FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos GROUP BY t.doc_id) SELECT k.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens, coalesce(a.n_removed, 0)::BIGINT AS n_removed, coalesce(a.clean_text, '') AS clean_text FROM tk k LEFT JOIN ag a USING (doc_id) ORDER BY k.doc_id""",
     // same two-pass shape: bigram model CTEs, then per-doc quantized sums
     "text_lm_score" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '') AS t FROM documents), uc AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w), vv AS (SELECT count(*) AS v FROM uc), db AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM (SELECT doc_id, t, unnest(range(2, len(t) + 1)) AS i FROM tk WHERE len(t) >= 2)), bc AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY w1, w2), s AS (SELECT db.doc_id, CAST(floor(ln((bc.c12 + 1)::DOUBLE / (uc.c1 + vv.v)::DOUBLE) * 10000) AS BIGINT) AS li FROM db JOIN bc USING (w1, w2) JOIN uc ON db.w1 = uc.w CROSS JOIN vv) SELECT doc_id, sum(li)::BIGINT AS logp_q4, count(*) AS n_bigrams, sum(li)::DOUBLE / (count(*)::DOUBLE * 10000.0) AS avg_logp FROM s GROUP BY doc_id ORDER BY doc_id""",

@@ -1255,4 +1255,69 @@ class TextDedupSpec extends SparkSpec {
     assert(run("decon_bloom_persisted").collect().map(_.toSeq).toSeq == fresh.toSeq)
     assert(run("decon_bloom_screen").collect().map(_.toSeq).toSeq == fresh.toSeq)
   }
+
+  test("text_dedup_spans_removal: keep-first, span union, sub-k docs untouched") {
+    val s = spark
+    import s.implicits._
+    val k = 4
+    // doc 0: the original. doc 1: exact copy (every token covered by a
+    // duplicated k-gram -> fully removed). doc 2: shares a 5-token span
+    // (= 2 overlapping 4-grams whose covers must UNION to 5 tokens, not
+    // 8). doc 3: unique but shorter than k (no k-gram -> kept verbatim).
+    // doc 4: an internal repeat of a 4-token run (second occurrence
+    // removed, first kept).
+    val corpus = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),
+      (2L, "x1 x2 c d e f g y1 y2"),
+      (3L, "u v w"),
+      (4L, "p q r s m1 m2 p q r s")).toDF("doc_id", "text")
+    val out = TextOps.dedupSpansRemoval(corpus, "doc_id", "text", k = k)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // keep-first: doc 0 is untouched (lossless whitespace-normalized)
+    assert(out(0) == ((0L, 8L, 0L, "a b c d e f g h")))
+    // exact copy: fully removed
+    assert(out(1) == ((1L, 8L, 8L, "")))
+    // overlapping duplicated 4-grams (c d e f), (d e f g) union to the
+    // 5-token span c..g; the doc-unique flanks survive
+    assert(out(2) == ((2L, 9L, 5L, "x1 x2 y1 y2")))
+    // shorter than k: no k-gram, kept verbatim
+    assert(out(3) == ((3L, 3L, 0L, "u v w")))
+    // within-doc repeat: first occurrence of (p q r s) kept, second removed
+    assert(out(4) == ((4L, 10L, 4L, "p q r s m1 m2")))
+  }
+
+  test("text_dedup_spans_removal: duplicate-free corpus reassembles losslessly") {
+    val s = spark
+    import s.implicits._
+    // every 8-gram unique corpus-wide -> nothing removed anywhere and
+    // clean_text equals the whitespace-normalized original
+    val corpus = Seq(
+      (0L, "  t00 t01   t02 t03 t04 t05 t06 t07 t08 t09 "),
+      (1L, "t10 t11 t12 t13 t14 t15 t16 t17"),
+      (2L, "t20 t21")).toDF("doc_id", "text")
+    val out = TextOps.dedupSpansRemoval(corpus, "doc_id", "text", k = 8)
+      .orderBy("doc_id").collect()
+    out.foreach { r => assert(r.getLong(2) == 0L, s"spurious removal: $r") }
+    assert(out.map(_.getString(3)).toSeq == Seq(
+      (0 to 9).map(i => f"t0$i").mkString(" "),
+      (0 to 7).map(i => f"t1$i").mkString(" "),
+      "t20 t21"))
+  }
+
+  test("text_dedup_spans_removal: registered query is non-empty and consistent") {
+    val rows = run("text_dedup_spans_removal").collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val (n, rem, clean) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(rem >= 0 && rem <= n)
+      val keptTokens =
+        if (clean.isEmpty) 0 else clean.split(" ", -1).length
+      assert(keptTokens == n - rem,
+        s"clean_text token count ${keptTokens} != n_tokens - n_removed (${n - rem}) for $r")
+    }
+    // the sf0.001 corpus carries exact duplicates: something must be removed
+    assert(rows.map(_.getLong(2)).sum > 0, "corpus has dupes but nothing was removed")
+  }
 }
