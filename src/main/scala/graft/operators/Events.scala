@@ -446,6 +446,75 @@ object Events {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Generic state-machine replay — the batch image of the reference's
+    * xstate automations (protolib/src/bundles/stateMachines/
+    * stateMachines/stateMachine.ts:28-30, `createMachine(definition)`):
+    * a DECLARED (state, event) → state transition table replayed per
+    * key over that key's events in (ts, tiebreak) order. An event with
+    * no matching rule leaves the state unchanged and is not counted;
+    * a matching rule (including explicit self-loops) counts as a
+    * transition. Generalizes [[graft.streaming.StreamOps
+    * .thresholdAutomation]] (a 2-state instance) and
+    * [[patternWithin]] (an a-then-b instance) to arbitrary tables.
+    *
+    * Output grain per key: (n_events, n_transitions, final_state) and
+    * the ordered list of TAKEN rules (`path`, "from|event|to" labels)
+    * for the rule-count rollup. Scale shape: the fold is ONE hash
+    * exchange on the key + a codegen'd higher-order `aggregate` over
+    * the sorted in-group array — the transition table rides along as a
+    * literal map expression (answer-sized, no join, no driver loop);
+    * per-key state is a constant-width struct plus the taken-rule list
+    * (bounded by the key's own event count, the same bound
+    * sessionization carries).
+    */
+  def stateMachineReplay(df: DataFrame, key: String, typeCol: String,
+                         tsCol: String, tiebreak: String, initial: String,
+                         table: Seq[(String, String, String)]): DataFrame = {
+    val tmap = map(table.flatMap { case (f, e, t) =>
+      Seq(lit(s"$f|$e"), lit(t)) }: _*)
+    val evs = array_sort(collect_list(struct(col(tsCol), col(tiebreak),
+      col(typeCol).as("_et"))))
+    val zero = struct(lit(initial).as("st"),
+      array().cast("array<string>").as("path"))
+    val folded = aggregate(evs, zero, (acc, ev) => {
+      val nxt = element_at(tmap, concat_ws("|", acc("st"), ev("_et")))
+      struct(coalesce(nxt, acc("st")).as("st"),
+        when(nxt.isNotNull, concat(acc("path"),
+            array(concat_ws("|", acc("st"), ev("_et"), nxt))))
+          .otherwise(acc("path")).as("path"))
+    })
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"), folded.as("m"))
+      .select(col(key), col("n_events"),
+        size(col("m.path")).cast("long").as("n_transitions"),
+        col("m.st").as("final_state"), col("m.path").as("path"))
+  }
+
+  /** The machine's rule-usage rollup: how often each declared rule
+    * fired corpus-wide — answer-sized (≤ |table| rows at any corpus
+    * size); the explode feeds one map-side-combinable hash agg. */
+  def stateMachineRuleCounts(replayed: DataFrame): DataFrame =
+    replayed.select(explode(col("path")).as("t"))
+      .select(split(col("t"), "\\|").as("p"))
+      .select(col("p")(0).as("from_state"), col("p")(1).as("event_type"),
+        col("p")(2).as("to_state"))
+      .groupBy("from_state", "event_type", "to_state")
+      .agg(count(lit(1)).as("n_fired"))
+
+  /** The session-intent machine the registered queries replay: five
+    * states over the five corpus event types, with deliberate
+    * no-rule holes (e.g. idle+click) so "unmatched stays" is on the
+    * oracle path. */
+  val intentMachine: Seq[(String, String, String)] = Seq(
+    ("idle", "signup", "browsing"),
+    ("idle", "view", "browsing"),
+    ("browsing", "click", "engaged"),
+    ("engaged", "purchase", "converted"),
+    ("converted", "view", "browsing"),
+    ("browsing", "error", "idle"),
+    ("engaged", "error", "idle"),
+    ("converted", "error", "idle"))
+
   /** Windowed top-k: the k most frequent event types per time bucket
     * (the "trending now" monitoring panel). Counts collapse to
     * (bucket, type) FIRST — one map-side-combined hash agg is the only
@@ -845,6 +914,23 @@ object Events {
         tsCol = "ts", tiebreak = "event_id")
         .orderBy("from_type", "to_type")),
 
+    // the xstate-shape automation replay: declared transition table,
+    // per-user fold in event order → final state + transitions taken
+    "events_state_machine" -> ((s, d) =>
+      stateMachineReplay(Tables.events(s, d), key = "user_id",
+        typeCol = "event_type", tsCol = "ts", tiebreak = "event_id",
+        initial = "idle", table = intentMachine)
+        .select("user_id", "n_events", "n_transitions", "final_state")
+        .orderBy("user_id")),
+
+    // which declared rules actually fire, corpus-wide (answer-sized)
+    "events_state_rule_counts" -> ((s, d) =>
+      stateMachineRuleCounts(
+        stateMachineReplay(Tables.events(s, d), key = "user_id",
+          typeCol = "event_type", tsCol = "ts", tiebreak = "event_id",
+          initial = "idle", table = intentMachine))
+        .orderBy("from_state", "event_type", "to_state")),
+
     // per-type value histogram, 10 bins of width 50 (data spans 0..~500)
     "events_histogram" -> ((s, d) =>
       histogram(Tables.events(s, d).select("event_type", "value"),
@@ -874,7 +960,45 @@ object Events {
         .orderBy("user_id", "event_id"))
   )
 
+  /** The [[intentMachine]] as a VALUES relation + the per-user event
+    * ordering shared by both state-machine oracles: DuckDB replays the
+    * fold as a recursive CTE stepping one event per iteration (depth =
+    * max per-user event count), LEFT JOIN against the declared rules —
+    * the plain statement of the semantics the engine reaches through
+    * the codegen'd higher-order fold. */
+  private val smCtes =
+    """e AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+      |n AS (SELECT user_id, max(rn) AS ne FROM e GROUP BY user_id),
+      |tr(fs, et, tos) AS (VALUES ('idle','signup','browsing'), ('idle','view','browsing'), ('browsing','click','engaged'), ('engaged','purchase','converted'), ('converted','view','browsing'), ('browsing','error','idle'), ('engaged','error','idle'), ('converted','error','idle'))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "events_state_machine" ->
+      (s"WITH RECURSIVE $smCtes, " +
+        """step(user_id, rn, st, ntr) AS (
+          |  SELECT user_id, 0::BIGINT, 'idle', 0::BIGINT FROM n
+          |  UNION ALL
+          |  SELECT s.user_id, s.rn + 1, coalesce(t.tos, s.st),
+          |         s.ntr + CASE WHEN t.tos IS NULL THEN 0 ELSE 1 END
+          |  FROM step s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+          |  LEFT JOIN tr t ON t.fs = s.st AND t.et = e.event_type)
+          |SELECT s.user_id AS user_id, n.ne AS n_events, s.ntr AS n_transitions, s.st AS final_state
+          |FROM step s JOIN n ON s.user_id = n.user_id AND s.rn = n.ne
+          |ORDER BY s.user_id""".stripMargin),
+
+    "events_state_rule_counts" ->
+      (s"WITH RECURSIVE $smCtes, " +
+        """step(user_id, rn, st, tf, te, tt) AS (
+          |  SELECT user_id, 0::BIGINT, 'idle', NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR FROM n
+          |  UNION ALL
+          |  SELECT s.user_id, s.rn + 1, coalesce(t.tos, s.st),
+          |         CASE WHEN t.tos IS NULL THEN NULL ELSE s.st END,
+          |         CASE WHEN t.tos IS NULL THEN NULL ELSE e.event_type END,
+          |         t.tos
+          |  FROM step s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+          |  LEFT JOIN tr t ON t.fs = s.st AND t.et = e.event_type)
+          |SELECT tf AS from_state, te AS event_type, tt AS to_state, count(*) AS n_fired
+          |FROM step WHERE tt IS NOT NULL
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
     "events_heatmap" ->
       """SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hod, count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))), 2)::DOUBLE AS sum_value FROM events GROUP BY dow, hod ORDER BY dow, hod""",
     // 2^floor(log2(n)) = 1 << (significant bits - 1): exact bit

@@ -322,6 +322,11 @@ object StreamOps {
     }.start()
 
   case class Reading(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double)
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                        event_type: String)
+  case class SmState(st: String, ntr: Long, ne: Long)
+  case class SmUpdate(user_id: Long, n_events: Long, n_transitions: Long,
+                      final_state: String)
   case class DirtyRec(record_id: Long, dname: String)
   case class RawUrl(ts: java.sql.Timestamp, doc_id: Long, raw_url: String)
   case class Edge(user_id: Long, event_id: Long, value: Double, rising: Boolean)
@@ -402,6 +407,37 @@ object StreamOps {
           }
           state.update(AutoState(armed))
           out.iterator
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Events.stateMachineReplay]] —
+    * the live half of the reference's xstate automations: the SAME
+    * declared (state, event) → state table replayed per key as events
+    * arrive, with [[thresholdAutomation]] being the 2-state instance
+    * this generalizes. Per-key state is a CONSTANT-width struct
+    * (current state + two counters) in the state store — bounded at
+    * any key cardinality; each batch folds its rows in (ts, event_id)
+    * order and emits the updated per-key snapshot, so the last emission
+    * per key equals the batch replay when batches respect event-time
+    * order (the spec's split-on-a-time-boundary contract, same as
+    * [[edgeDetector]]).
+    */
+  def stateMachineStream(events: Dataset[TypedEvent], initial: String,
+                         table: Seq[(String, String, String)]): Dataset[SmUpdate] = {
+    import events.sparkSession.implicits._
+    val tmap = table.map { case (f, e, t) => (f, e) -> t }.toMap
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SmState, SmUpdate](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[SmState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+          var cur = state.getOption.getOrElse(SmState(initial, 0L, 0L))
+          sorted.foreach { r =>
+            val nxt = tmap.get((cur.st, r.event_type))
+            cur = SmState(nxt.getOrElse(cur.st),
+              cur.ntr + (if (nxt.isDefined) 1L else 0L), cur.ne + 1L)
+          }
+          state.update(cur)
+          Iterator.single(SmUpdate(uid, cur.ne, cur.ntr, cur.st))
       }
   }
 

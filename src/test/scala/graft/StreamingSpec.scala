@@ -655,6 +655,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stateMachineStream: last per-key snapshot equals the batch replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.StreamOps.TypedEvent
+
+    val rows = Tables.events(s, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+      .filter(col("user_id") < 20)
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => TypedEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .toSeq
+
+    val input = MemoryStream[TypedEvent]
+    val updates = StreamOps.stateMachineStream(input.toDS(),
+      initial = "idle", table = graft.operators.Events.intentMachine)
+    val q = updates.writeStream.format("memory").queryName("sm_out")
+      .outputMode("append").start()
+    try {
+      // split on time boundaries so per-key order across batches matches
+      // the batch operator's (ts, event_id) order; three batches prove
+      // the state store carries (st, counters) across triggers
+      val t1 = rows(rows.length / 3).ts
+      val t2 = rows(2 * rows.length / 3).ts
+      val b1 = rows.filter(_.ts.compareTo(t1) <= 0)
+      val b2 = rows.filter(r => r.ts.compareTo(t1) > 0 && r.ts.compareTo(t2) <= 0)
+      val b3 = rows.filter(_.ts.compareTo(t2) > 0)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+      // multiple snapshots per key (one per touched batch): the LAST one
+      // (max n_events per key) is the final state
+      val got = s.table("sm_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+        .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).maxBy(_._1) }
+
+      val batch = graft.operators.Events.stateMachineReplay(rows.toDF(),
+        key = "user_id", typeCol = "event_type", tsCol = "ts",
+        tiebreak = "event_id", initial = "idle",
+        table = graft.operators.Events.intentMachine)
+        .select("user_id", "n_events", "n_transitions", "final_state")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == batch)
+      assert(got.nonEmpty)
+      // the machine actually moves: someone left the initial state
+      assert(got.values.exists(_._3 != "idle"))
+      // intermediate snapshots exist (state carried across batches)
+      assert(s.table("sm_out").count() > got.size)
+    } finally q.stop()
+  }
+
   test("streaming edgeDetector matches batch rising edges across batches") {
     val s = spark
     import s.implicits._
