@@ -280,8 +280,70 @@ object Archive {
       .orderBy("shard", "mi")
   }
 
+  /** The WRITE half of the WebDataset story (r12 verdict gap: packing
+    * existed, the export a training job consumes did not): the corpus
+    * is split (train/val/test on the doc_id residue — the hash-split
+    * operators own real split policy) and sharded, each (split, shard)
+    * group becomes ONE `.tar.zst` object ([[graft.functions.TarBuild]]
+    * → [[graft.functions.ZstdBytes]], the layout WebDataset publishes),
+    * written to a real directory via [[Io.writeBlobFiles]], then read
+    * BACK through the production ingest path (`binaryFile` →
+    * checksum-verified zstd frame decode → tar header walk) and
+    * emitted member-by-member — so a green row proves writer + reader
+    * are lossless end-to-end through the filesystem, mirroring
+    * [[tarRoundtrip]].
+    *
+    * Scale shape: one shuffle groups members into shards (the same
+    * exchange any repartition-by-shard write pays); each task then
+    * builds and writes its own shard objects — no driver involvement,
+    * no cross-shard state; shard size is bounded by the grouping key,
+    * the knob a deployment sizes to its object store.
+    */
+  def webdatasetSink(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${Io.scratch}/wds"
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id").cast("bigint").as("doc_id"), col("text"),
+      when(pmod(col("doc_id"), lit(10)) < 8, "train")
+        .when(pmod(col("doc_id"), lit(10)) === 8, "val")
+        .otherwise("test").as("split"),
+      expr("CAST(doc_id AS BIGINT) div 16").as("shard"))
+    val members = docs.select(col("split"), col("shard"),
+      explode(array(
+        struct(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(".cls")).as("name"),
+          expr("CAST(CAST(doc_id % 10 AS STRING) AS BINARY)").as("payload")),
+        struct(col("doc_id"),
+          concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+          col("text").cast("binary").as("payload")))).as("m"))
+      .groupBy("split", "shard")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(col("split"), col("shard"),
+        expr("transform(ms, x -> x.name)").as("names"),
+        expr("transform(ms, x -> x.payload)").as("payloads"))
+    val blobs = members.select(
+      concat(col("split"), lit("-"), col("shard").cast("string"),
+        lit(".tar.zst")).as("fname"),
+      GraftFunctions.zstdBytes(
+        GraftFunctions.tarBuild(col("names"), col("payloads"))).as("blob"))
+    Io.writeBlobFiles(blobs, out, col("fname"), col("blob"))
+    Io.readBinaryFiles(s, out, "*.tar.zst")
+      .select(
+        regexp_extract(col("path"), "([a-z]+)-[0-9]+\\.tar\\.zst$", 1).as("split"),
+        regexp_extract(col("path"), "-([0-9]+)\\.tar\\.zst$", 1)
+          .cast("bigint").as("shard"),
+        GraftFunctions.unzstdBytes(col("content")).as("tar"))
+      .select(col("split"), col("shard"), col("tar"),
+        explode(GraftFunctions.tarEntries(col("tar"))).as("e"))
+      .select(col("split"), col("shard"), col("e.name").as("name"),
+        col("e.off").as("off"), col("e.size").as("size"),
+        md5(expr("substring(tar, CAST(e.off AS INT) + 1, CAST(e.size AS INT))"))
+          .as("payload_md5"))
+      .orderBy("split", "shard", "off")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_tar_roundtrip" -> ((s, d) => tarRoundtrip(s, d)),
+    "sink_webdataset" -> ((s, d) => webdatasetSink(s, d)),
     "mm_webdataset" -> ((s, d) => webdatasetSamples(s, d)),
     "src_zst_roundtrip" -> ((s, d) => zstRoundtrip(s, d)),
     "mm_webdataset_zst" -> ((s, d) => webdatasetZstSamples(s, d)),
@@ -309,6 +371,32 @@ object Archive {
       |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the tarMembers statement re-keyed by (split, shard): the split is
+    // the doc_id residue, offsets are the same 512-block arithmetic
+    // inside each (split, shard) object's DECOMPRESSED bytes (the zstd
+    // layer contributes only its verified round trip, like
+    // mm_webdataset_zst)
+    "sink_webdataset" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |              WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |         doc_id // 16 AS shard, doc_id,
+        |         doc_id::VARCHAR || '.cls' AS name,
+        |         octet_length(encode((doc_id % 10)::VARCHAR))::BIGINT AS size,
+        |         md5((doc_id % 10)::VARCHAR) AS payload_md5 FROM documents
+        |  UNION ALL
+        |  SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |              WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END,
+        |         doc_id // 16, doc_id, doc_id::VARCHAR || '.txt',
+        |         octet_length(encode(text))::BIGINT, md5(text) FROM documents),
+        |p AS (SELECT split, shard, name, size, payload_md5,
+        |  (512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
+        |     OVER (PARTITION BY split, shard ORDER BY doc_id, name
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
+        |  FROM m)
+        |SELECT split, shard, name, off, size, payload_md5 FROM p
+        |ORDER BY split, shard, off""".stripMargin,
+
     "src_tar_roundtrip" -> (tarMembers +
       """, p AS (SELECT shard, name, size, payload_md5,
         |  (512 + coalesce(sum(512 + ((size + 511) // 512) * 512)

@@ -436,4 +436,42 @@ class ArchiveSpec extends SparkSpec {
     val wzs = run("src_warc_zst_e2e").collect()
     assert(wzs.length == 500 && wzs.forall(_.getString(2) == "response"))
   }
+
+  test("sink_webdataset: written shard files are readable by system zstd + tar") {
+    // run the sink (writes /tmp/graft_io/wds and round-trips internally)
+    val rows = run("sink_webdataset").collect()
+    assert(rows.length == 1000, s"2 members per doc: ${rows.length}")
+    // every (split, shard) wrote exactly one .tar.zst object on disk
+    val dir = new java.io.File("/tmp/graft_io/wds")
+    val files = dir.listFiles().filter(_.getName.endsWith(".tar.zst"))
+    val groups = rows.map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(files.length == groups.size, s"${files.length} files vs ${groups.size} groups")
+    assert(files.map(_.getName).toSet ==
+      groups.map { case (sp, sh) => s"$sp-$sh.tar.zst" })
+    // the production consumer's view: system zstd decodes a shard, GNU
+    // tar lists and extracts it, extracted bytes hash to the row's md5
+    val f = files.minBy(_.getName)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wds").toFile
+    val tarF = new java.io.File(tmp, "s.tar")
+    val (rc0, _) = sh("sh", "-c",
+      s"zstd -dc ${f.getAbsolutePath} > ${tarF.getAbsolutePath}")
+    assert(rc0 == 0)
+    val (rc1, listing) = sh("tar", "-tf", tarF.getAbsolutePath)
+    assert(rc1 == 0, listing)
+    val (sp, sh0) = {
+      val m = "([a-z]+)-([0-9]+)\\.tar\\.zst".r.findFirstMatchIn(f.getName).get
+      (m.group(1), m.group(2).toLong)
+    }
+    val want = rows.filter(r => r.getString(0) == sp && r.getLong(1) == sh0)
+    assert(listing.split("\n").filter(_.nonEmpty).toSeq.sorted ==
+      want.map(_.getString(2)).toSeq.sorted)
+    val (rc2, _) = sh("tar", "-xf", tarF.getAbsolutePath, "-C", tmp.getAbsolutePath)
+    assert(rc2 == 0)
+    want.foreach { r =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(tmp, r.getString(2)).toPath)
+      assert(bytes.length == r.getLong(4), s"size mismatch for ${r.getString(2)}")
+      assert(md5hex(bytes) == r.getString(5), s"md5 mismatch for ${r.getString(2)}")
+    }
+  }
 }
