@@ -119,6 +119,38 @@ object TextOps {
   /** n-gram-free language ID: stopword hit votes per language, argmax with
     * deterministic tie order (en > es > fr), 'und' when no list hits.
     */
+  /** Label-aligned language fixture for the langid audit: per doc_id a
+    * true lang (doc_id%4 → en/es/fr/und) and a text of 1 + doc_id%3
+    * stopwords UNAMBIGUOUS to that language ("la"/"de" sit in both the
+    * es and fr lists and are deliberately avoided), two non-stopword
+    * noise tokens, and — for doc_id%5==0 — ONE contaminating stopword
+    * chosen so the k==1 classes flip on the tie rules (es→en because
+    * the en branch wins ties, fr→es because es≥fr, und→en) while k≥2
+    * classes stay diagonal. Everything derives from doc_id arithmetic
+    * so the DuckDB oracle replays the fixture AND the classifier. */
+  def synthesizeLangDocs(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("bigint")
+    val m4 = pmod(id, lit(4))
+    val m3 = pmod(id, lit(3))
+    val lang = when(m4 === 0, "en").when(m4 === 1, "es")
+      .when(m4 === 2, "fr").otherwise("und")
+    def pick(w: Seq[String]): Column =
+      when(m3 === 0, w(0)).when(m3 === 1, s"${w(0)} ${w(1)}")
+        .otherwise(s"${w(0)} ${w(1)} ${w(2)}")
+    val base = when(m4 === 0, pick(Seq("the", "and", "of")))
+      .when(m4 === 1, pick(Seq("el", "que", "los")))
+      .when(m4 === 2, pick(Seq("le", "et", "les")))
+      .otherwise("")
+    val noise = concat(lit(" tok"), pmod(id, lit(7)).cast("string"),
+      lit(" zz"), pmod(id, lit(11)).cast("string"))
+    val cont = when(pmod(id, lit(5)) === 0,
+        when(m4 === 0, " el").when(m4 === 1, " the")
+          .when(m4 === 2, " el").otherwise(" the"))
+      .otherwise("")
+    df.select(id.as("doc_id"), lang.as("lang"),
+      trim(concat(base, noise, cont)).as("text"))
+  }
+
   def langId(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(lower(col(textCol)))
     val en = hitCount(toks, stopEn)
@@ -1339,14 +1371,22 @@ object TextOps {
         .select("doc_id", "en_hits", "es_hits", "fr_hits", "lang_pred")
         .orderBy("doc_id")),
 
-    // langid accuracy audit: the predictor's confusion matrix against
-    // the corpus's ground-truth lang column — an answer-sized report
-    // (|langs|² cells) at any corpus size
+    // langid accuracy audit: the predictor's confusion matrix over a
+    // fixture whose text is SYNTHESIZED to match its label (r13; the
+    // r12 round honestly reported the corpus's lang column does not
+    // track its text, so the old matrix measured label noise, not the
+    // classifier). The Web-family formula-fixture contract: labels and
+    // text both derive from doc_id, the engine must reach the matrix
+    // through the real classifier, and the deterministic contamination
+    // classes put KNOWN off-diagonal cells (es→en, fr→es, und→en tie
+    // flips at doc_id%15/%20 density) on the oracle path while the
+    // diagonal stays dominant — a langid regression MOVES this matrix.
+    // Answer-sized (|langs|² cells) at any corpus size.
     "text_langid_eval" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      langId(docs.select("doc_id", "text"), "text")
+      val fix = synthesizeLangDocs(Tables.documents(s, d), "doc_id")
+      langId(fix.select("doc_id", "text"), "text")
         .select("doc_id", "lang_pred")
-        .join(docs.select("doc_id", "lang"), "doc_id")
+        .join(fix.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "lang_pred")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")
@@ -1891,11 +1931,28 @@ object TextOps {
       raw"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS tk, string_split_regex(trim(lower(text)), '\s+') AS lt FROM documents), h AS (SELECT doc_id, text, tk, len(list_filter(lt, x -> x IN ($enIn))) AS en_hits, len(list_filter(lt, x -> x IN ($esIn))) AS es_hits, len(list_filter(lt, x -> x IN ($frIn))) AS fr_hits FROM t), g AS (SELECT doc_id, text, len(tk)::BIGINT AS n_tokens FROM h WHERE len(tk) >= 20 AND NOT (en_hits = 0 AND es_hits = 0 AND fr_hits = 0) AND en_hits >= es_hits AND en_hits >= fr_hits), m AS (SELECT doc_id, n_tokens, regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g') AS clean FROM g), r AS (SELECT doc_id, clean, n_tokens, row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn FROM m) SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower(clean)), '\s+'))), ' ')) AS fp, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id"""
   )
 
-  /** Composed audit: the confusion matrix wraps the committed langid
-    * replay as a nested-WITH CTE, so the audit cannot drift from the
-    * predictor it audits. */
-  val oracles: Map[String, String] = oraclesBase + ("text_langid_eval" -> {
-    val pred = oraclesBase("text_langid")
-    s"""WITH p AS ($pred) SELECT d.lang, p.lang_pred, count(*) AS n FROM p JOIN documents d USING (doc_id) GROUP BY d.lang, p.lang_pred ORDER BY lang, lang_pred"""
-  })
+  /** Composed audit: the fixture formula (label-aligned synthesized
+    * text, see [[synthesizeLangDocs]]) feeds the SAME langid replay the
+    * text_langid oracle states, so the audit cannot drift from the
+    * predictor it audits — and the matrix now measures the CLASSIFIER,
+    * not the corpus's label noise (r13). */
+  val oracles: Map[String, String] = oraclesBase + ("text_langid_eval" ->
+    raw"""WITH ld AS (SELECT doc_id,
+         |  CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' ELSE 'und' END AS lang,
+         |  trim(
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN CASE doc_id % 3 WHEN 0 THEN 'the' WHEN 1 THEN 'the and' ELSE 'the and of' END
+         |      WHEN 1 THEN CASE doc_id % 3 WHEN 0 THEN 'el' WHEN 1 THEN 'el que' ELSE 'el que los' END
+         |      WHEN 2 THEN CASE doc_id % 3 WHEN 0 THEN 'le' WHEN 1 THEN 'le et' ELSE 'le et les' END
+         |      ELSE '' END
+         |    || ' tok' || (doc_id % 7)::VARCHAR || ' zz' || (doc_id % 11)::VARCHAR
+         |    || CASE WHEN doc_id % 5 = 0 THEN
+         |         CASE doc_id % 4 WHEN 0 THEN ' el' WHEN 1 THEN ' the' WHEN 2 THEN ' el' ELSE ' the' END
+         |       ELSE '' END) AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM ld),
+         |h AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($enIn)))::BIGINT AS en_hits, len(list_filter(tk, x -> x IN ($esIn)))::BIGINT AS es_hits, len(list_filter(tk, x -> x IN ($frIn)))::BIGINT AS fr_hits FROM t),
+         |p AS (SELECT doc_id, CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 THEN 'und' WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_pred FROM h)
+         |SELECT d.lang, p.lang_pred, count(*) AS n FROM p JOIN ld d USING (doc_id)
+         |GROUP BY d.lang, p.lang_pred ORDER BY lang, lang_pred""".stripMargin)
 }

@@ -1256,6 +1256,26 @@ class TextDedupSpec extends SparkSpec {
     assert(run("decon_bloom_screen").collect().map(_.toSeq).toSeq == fresh.toSeq)
   }
 
+  test("text_langid_eval: diagonal-dominant confusion matrix with the designed flips") {
+    val cells = run("text_langid_eval").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val langs = Seq("en", "es", "fr", "und")
+    // diagonal floor: >= 80% of each true lang predicts itself (the
+    // contamination classes are 1/60 for es/fr and 1/20 for und by
+    // construction — a classifier regression moves this)
+    langs.foreach { l =>
+      val row = cells.collect { case ((t, _), n) if t == l => n }.sum
+      val diag = cells.getOrElse((l, l), 0L)
+      assert(row > 0, s"no rows for true lang $l")
+      assert(diag.toDouble / row >= 0.8, s"$l diagonal ${diag}/${row} < 0.8")
+    }
+    // en never confuses (it wins every tie); the flips land exactly on
+    // the tie-designed cells
+    assert(!cells.keys.exists { case (t, p) => t == "en" && p != "en" })
+    assert(cells.contains(("es", "en")) && cells.contains(("fr", "es")) &&
+      cells.contains(("und", "en")), s"designed off-diagonal cells missing: $cells")
+  }
+
   test("text_dedup_spans_removal: keep-first, span union, sub-k docs untouched") {
     val s = spark
     import s.implicits._
