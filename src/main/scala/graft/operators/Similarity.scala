@@ -1002,6 +1002,148 @@ object Similarity {
         .replaceAll("[^A-Za-z0-9.]", "_")
   }
 
+  /** Approximate k-NN GRAPH construction by NN-Descent (Dong et al.,
+    * WWW'11) — the third ANN index family real systems ship (the
+    * HNSW/NSW class: HNSW's layer 0 IS a navigable k-NN graph; full
+    * HNSW's insert loop is inherently sequential, and NN-Descent is the
+    * established DISTRIBUTED construction for the same search
+    * structure). Init: capped LSH bucket-mates (the dedup family's
+    * skew-proof blocking — a flood costs O(bucket×cap), never
+    * quadratic) scored exactly and pruned to the k best per node
+    * (rounded-cosine desc, id asc — the family's deterministic rank).
+    * Each round then follows the NN-Descent exchange: candidates =
+    * neighbors-of-neighbors over the SYMMETRIZED current graph
+    * (forward ∪ reverse — a node locates itself through nodes that
+    * point at it), union the standing edges, re-score, keep k. Fan-out
+    * per round is n·k² rows of bare int pairs — linear in the corpus,
+    * independent of skew; vectors join back only for the score, so the
+    * candidate shuffles stay narrow (the lshScoredCandidates shape).
+    * Rounds are localCheckpoint-materialized (2 rounds; lazy
+    * composition would re-execute the init per reference — the
+    * components-loop contract).
+    */
+  def knnGraph(df: DataFrame, id: String, emb: String, k: Int, rounds: Int,
+               tabs: Seq[Seq[Seq[Double]]],
+               bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val nrm = normalized(df, id, emb)
+    def topK(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(nrm.select(col(id).as("src"), col("ne").as("se")), "src")
+        .join(nrm.select(col(id).as("dst"), col("ne").as("de")), "dst")
+        .select(col("src"), col("dst"),
+          round(dotD(col("se"), col("de")), 4).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= k)
+    }
+    val bkt = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    val capped = bkt.withColumn("bn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("t", "bucket").orderBy(col(id))))
+      .filter(col("bn") <= bucketCap)
+      .select(col(id).as("nb"), col("t"), col("bucket"))
+    val cand0 = bkt.join(capped, Seq("t", "bucket"))
+      .filter(col(id) =!= col("nb"))
+      .select(col(id).as("src"), col("nb").as("dst")).distinct()
+    var g = graft.CacheScope.register(topK(cand0).localCheckpoint(true))
+    (1 to rounds).foreach { _ =>
+      val u = g.select(col("src"), col("dst"))
+        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val c1 = u.as("ga").join(u.as("gb"), col("ga.dst") === col("gb.src"))
+        .filter(col("gb.dst") =!= col("ga.src"))
+        .select(col("ga.src").as("src"), col("gb.dst").as("dst"))
+      val cand = c1.unionByName(g.select("src", "dst")).distinct()
+      g = graft.CacheScope.register(topK(cand).localCheckpoint(true))
+    }
+    g
+  }
+
+  /** NSW-style BEAM SEARCH over the [[knnGraph]] structure: per query,
+    * the beam seeds from the query's own (capped) LSH bucket-mates plus
+    * the global-minimum entry node (multi-entry seeding — how real
+    * deployments bootstrap a navigable-graph search), then `hops`
+    * rounds of expand-through-neighbors → exact-score → keep the
+    * `beam` best (rounded-cosine desc, id asc), and the final beam
+    * yields top-k with the query's own node excluded. Every hop is one
+    * join of the |Q|·beam frontier against the edge table + one window
+    * prune — query-side work is |Q|-bounded at any corpus size, and
+    * the graph (an index artifact) is built once per corpus and served
+    * from the session index cache.
+    */
+  def graphSearch(df: DataFrame, id: String, emb: String, g: DataFrame,
+                  queryPred: Column, beam: Int, hops: Int, k: Int,
+                  tabs: Seq[Seq[Seq[Double]]],
+                  bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
+    val nrm = normalized(df, id, emb)
+    val q = broadcast(nrm.filter(queryPred)
+      .select(col(id).as("query_id"), col("ne").as("qe")))
+    def prune(b: DataFrame, width: Int): DataFrame = {
+      val scored = b
+        .join(nrm.select(col(id).as("node"), col("ne").as("ce")), "node")
+        .join(q, "query_id")
+        .select(col("query_id"), col("node"),
+          round(dotD(col("qe"), col("ce")), 4).as("cos_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos_sim").desc, col("node").asc)
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= width)
+    }
+    val bkt = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    val capped = bkt.withColumn("bn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("t", "bucket").orderBy(col(id))))
+      .filter(col("bn") <= bucketCap)
+      .select(col(id).as("nb"), col("t"), col("bucket"))
+    val entry = nrm.agg(min(col(id)).as("node"))
+    val seeds = bkt.filter(queryPred).join(capped, Seq("t", "bucket"))
+      .filter(col(id) =!= col("nb"))
+      .select(col(id).as("query_id"), col("nb").as("node"))
+      .unionByName(q.select(col("query_id")).crossJoin(broadcast(entry)))
+      .distinct()
+    var beamDf = prune(seeds, beam)
+    (1 to hops).foreach { _ =>
+      val expanded = beamDf
+        .select(col("query_id"), col("node"))
+        .join(g.select(col("src").as("node"), col("dst")), "node")
+        .select(col("query_id"), col("dst").as("node"))
+        .unionByName(beamDf.select("query_id", "node"))
+        .distinct()
+      beamDf = prune(expanded, beam)
+    }
+    val fin = beamDf.filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    fin.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** knn-graph family config, shared by queries and generated oracles.
+    * Init uses the ANN-tuned 12×4-bit tables (annTabs): on this
+    * corpus's shallow cosine gaps the 6-bit dup tables bucket cos≈0.5
+    * neighbors with P≈0.09/table and the graph never sees them —
+    * measured graph recall@5 0.44 under dupTabs init vs 0.82 under
+    * annTabs at (k=8, rounds=2, beam=12, hops=3, cap=48) — rounds=3
+    * and hops=4 both measured flat (graph and search converge), so the
+    * residual misses are init-bucket recall, the same bound the
+    * sibling ANN families carry. */
+  val graphK = 8
+  val graphRounds = 2
+  val graphBeam = 12
+  val graphHops = 3
+  val graphTopK = 5
+  val graphInitCap = 48
+
+  /** The session-cached graph index the family's queries share. */
+  private def graphOf(s: SparkSession, d: String): DataFrame =
+    cachedIndex(s"$d|knngraph|$graphK|$graphRounds") {
+      knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = graphK, rounds = graphRounds, tabs = annTabs,
+        bucketCap = graphInitCap)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_profile" -> ((s, d) =>
       embProfile(Tables.embeddings(s, d), "label", "embedding")
@@ -1034,6 +1176,48 @@ object Similarity {
         prebuiltLists = Some(lists))
         .select("query_id", "neighbor_id")
       val perQ = truth.join(ann.withColumn("h", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("t"), sum(coalesce(col("h"), lit(0L))).as("h"))
+      perQ.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("t")).as("n_truth"),
+        sum(col("h")).as("n_hit"),
+        Stable.ratioRounded(sum(col("h")), sum(col("t")), 4).as("recall"),
+        min(Stable.ratioRounded(col("h"), col("t"), 4)).as("min_recall"))
+    }),
+
+    // the HNSW-class index family: NN-Descent k-NN graph construction
+    // (capped-LSH init, 2 neighbor-of-neighbor rounds) — the navigable
+    // graph a beam search routes over
+    "sim_knn_graph" -> ((s, d) =>
+      graphOf(s, d)
+        .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
+          col("cos_sim"), col("rank"))
+        .orderBy("vec_id", "rank")),
+
+    // NSW beam search over the session-cached graph: LSH-seeded
+    // multi-entry beam, 3 expand/score/prune hops, top-5 emitted
+    "sim_graph_search" -> ((s, d) =>
+      graphSearch(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", graphOf(s, d), col("vec_id") < 10,
+        beam = graphBeam, hops = graphHops, k = graphTopK,
+        tabs = annTabs, bucketCap = graphInitCap)
+        .orderBy("query_id", "rank")),
+
+    // the family's recall audit vs brute-force truth — same composed-
+    // chain contract as sim_recall_eval: both sides run the committed
+    // graph build + search, so the audit cannot drift from the config
+    "sim_graph_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val truth = simTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = graphTopK)
+        .select("query_id", "neighbor_id")
+      val got = graphSearch(e, "vec_id", "embedding", graphOf(s, d),
+        col("vec_id") < 10, beam = graphBeam, hops = graphHops,
+        k = graphTopK, tabs = annTabs, bucketCap = graphInitCap)
+        .select("query_id", "neighbor_id")
+      val perQ = truth.join(got.withColumn("h", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(count(lit(1)).as("t"), sum(coalesce(col("h"), lit(0L))).as("h"))
@@ -1519,7 +1703,38 @@ object Similarity {
   private lazy val knnRepOracle: String =
     s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings), reps AS (SELECT min(vec_id) AS vec_id, embedding FROM corpus GROUP BY embedding), ${bucketsCte(dupTabs, "reps")}, ${normCteFor("reps")}, capped AS (SELECT tid, bucket, vec_id FROM (SELECT tid, bucket, vec_id, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= ${Dedup.defaultBucketCap}), cand AS (SELECT DISTINCT a.vec_id AS rep_id, b.vec_id AS neighbor_id FROM bkt a JOIN capped b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT rep_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON rep_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT rep_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY rep_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p), base AS (SELECT rep_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 3), copies AS (SELECT c.vec_id AS query_id, rp.vec_id AS rep_id FROM corpus c JOIN reps rp ON c.embedding = rp.embedding) SELECT cp.query_id, cp.rep_id, b.neighbor_id, b.cos_sim, b.rank FROM copies cp JOIN base b USING (rep_id) ORDER BY query_id, rank"""
 
+  /** One exact-score + keep-k stage of the knn-graph replay: `cand`
+    * must expose (src, dst); emits `out`(src, dst, cos_sim, rank). */
+  private def graphTopKSql(cand: String, out: String, k: Int): String =
+    s"""$out AS MATERIALIZED (SELECT src, dst, cos_sim, rank FROM (SELECT p.src, p.dst, p.cos_sim, row_number() OVER (PARTITION BY p.src ORDER BY p.cos_sim DESC, p.dst) AS rank FROM (SELECT c.src AS src, c.dst AS dst, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM $cand c JOIN nrm x ON c.src = x.vec_id JOIN nrm y ON c.dst = y.vec_id) p) WHERE rank <= $k)"""
+
+  /** One NN-Descent round: symmetrize g(i-1), neighbor-of-neighbor
+    * candidates ∪ standing edges, re-score, keep k → g$i. */
+  private def graphRoundSql(gIn: String, i: Int, k: Int): String =
+    s"""u$i AS MATERIALIZED (SELECT src, dst FROM $gIn UNION SELECT dst AS src, src AS dst FROM $gIn), x$i AS MATERIALIZED (SELECT a.src AS src, b.dst AS dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE b.dst != a.src UNION SELECT src, dst FROM $gIn), ${graphTopKSql(s"x$i", s"g$i", k)}"""
+
+  /** The full knn-graph construction replay: capped-LSH init + the
+    * configured NN-Descent rounds; the final graph is g$graphRounds. */
+  private lazy val graphCtes: String =
+    s"""${bucketsCte(annTabs)}, $normCte, cap AS MATERIALIZED (SELECT vec_id AS nb, tid, bucket FROM (SELECT vec_id, tid, bucket, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= $graphInitCap), c0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.nb AS dst FROM bkt a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb), ${graphTopKSql("c0", "g0", graphK)}, ${(1 to graphRounds).map(i => graphRoundSql(s"g${i - 1}", i, graphK)).mkString(", ")}"""
+
+  /** One beam prune stage of the search replay: `in`(query_id, node) →
+    * `out`(query_id, node, cos_sim) keeping the `width` best. */
+  private def beamPruneSql(in: String, out: String, width: Int): String =
+    s"""$out AS MATERIALIZED (SELECT query_id, node, cos_sim FROM (SELECT p.query_id, p.node, p.cos_sim, row_number() OVER (PARTITION BY p.query_id ORDER BY p.cos_sim DESC, p.node) AS rk FROM (SELECT s.query_id AS query_id, s.node AS node, round(${sqlDotRaw("q.qe", "n.ne")}, 4) AS cos_sim FROM $in s JOIN qs q ON s.query_id = q.query_id JOIN nrm n ON s.node = n.vec_id) p) WHERE rk <= $width)"""
+
+  private def beamHopSql(i: Int, gFinal: String, width: Int): String =
+    s"""e$i AS MATERIALIZED (SELECT s.query_id AS query_id, g.dst AS node FROM b${i - 1} s JOIN $gFinal g ON s.node = g.src UNION SELECT query_id, node FROM b${i - 1}), ${beamPruneSql(s"e$i", s"b$i", width)}"""
+
   private val oraclesBase: Map[String, String] = Map(
+    "sim_knn_graph" ->
+      s"""WITH $graphCtes SELECT src AS vec_id, dst AS neighbor_id, cos_sim, rank FROM g$graphRounds ORDER BY vec_id, rank""",
+
+    "sim_graph_search" -> {
+      val gf = s"g$graphRounds"
+      s"""WITH $graphCtes, qs AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE vec_id < 10), ent AS (SELECT min(vec_id) AS node FROM nrm), sd AS (SELECT a.vec_id AS query_id, b.nb AS node FROM bkt a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb WHERE a.vec_id < 10 UNION SELECT q.query_id, e.node FROM qs q CROSS JOIN ent e), ${beamPruneSql("sd", "b0", graphBeam)}, ${(1 to graphHops).map(i => beamHopSql(i, gf, graphBeam)).mkString(", ")}, fin AS (SELECT query_id, node AS neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rank FROM b$graphHops WHERE node != query_id) SELECT query_id, neighbor_id, cos_sim, rank FROM fin WHERE rank <= $graphTopK ORDER BY query_id, rank"""
+    },
+
     "emb_profile" ->
       s"""SELECT label::BIGINT AS label, count(*) AS n_vecs, min(len(embedding))::BIGINT AS min_dims, max(len(embedding))::BIGINT AS max_dims, min(n2) AS min_norm2, max(n2) AS max_norm2, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_nan_vecs FROM (SELECT label, embedding, CASE WHEN isnan(n2r) THEN NULL ELSE n2r END AS n2, bad FROM (SELECT label, embedding, ${sqlDot("embedding", "embedding")} AS n2r, len(list_filter(embedding, x -> isnan(x))) > 0 AS bad FROM embeddings)) GROUP BY label ORDER BY label""",
     "sim_topk" ->
@@ -1599,5 +1814,11 @@ object Similarity {
     val tru = oraclesBase("sim_topk")
     val ann = oraclesBase("sim_ivf_ann")
     s"""WITH tru AS ($tru), annr AS ($ann), pq AS (SELECT t.query_id, count(*) AS t, sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS h FROM tru t LEFT JOIN annr a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id GROUP BY t.query_id) SELECT count(*) AS n_queries, sum(t)::BIGINT AS n_truth, sum(h)::BIGINT AS n_hit, ${Stable.sqlRatioRounded("sum(h)", "sum(t)", 4)} AS recall, min(${Stable.sqlRatioRounded("h", "t", 4)}) AS min_recall FROM pq"""
+  }) + ("sim_graph_recall_eval" -> {
+    // same composed-chain contract: truth = the committed brute-force
+    // replay, got = the committed graph-build + beam-search replay
+    val tru = oraclesBase("sim_topk")
+    val got = oraclesBase("sim_graph_search")
+    s"""WITH tru AS ($tru), gotr AS ($got), pq AS (SELECT t.query_id, count(*) AS t, sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS h FROM tru t LEFT JOIN gotr a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id GROUP BY t.query_id) SELECT count(*) AS n_queries, sum(t)::BIGINT AS n_truth, sum(h)::BIGINT AS n_hit, ${Stable.sqlRatioRounded("sum(h)", "sum(t)", 4)} AS recall, min(${Stable.sqlRatioRounded("h", "t", 4)}) AS min_recall FROM pq"""
   })
 }

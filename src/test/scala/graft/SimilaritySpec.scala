@@ -1515,4 +1515,37 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
     assert(autoSet == raw, "raw-route auto rows diverge from simKnnJoin")
   }
+
+  test("sim_knn_graph: a well-formed directed k-NN graph") {
+    import graft.operators.Similarity
+    val rows = run("sim_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, n, cos, _) =>
+      assert(v != n, s"self edge at $v")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    // per node: <= k neighbors, distinct, ranks contiguous from 1,
+    // scores non-increasing in rank
+    rows.groupBy(_._1).foreach { case (v, ns) =>
+      assert(ns.length <= Similarity.graphK, s"node $v has ${ns.length} > k")
+      assert(ns.map(_._2).distinct.length == ns.length, s"dup neighbor at $v")
+      val byRank = ns.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to ns.length).toSeq, s"rank gap at $v")
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.reverse.toSeq,
+        s"rank order not score order at $v")
+    }
+  }
+
+  test("sim_graph_recall_eval: beam search clears the family's recall floor") {
+    val r = run("sim_graph_recall_eval").collect().head
+    val (nq, recall, minRecall) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
+    assert(nq > 0)
+    // sf0.1 measured 0.82 / 0.4 at (k=8, rounds=2, beam=12, hops=3,
+    // cap=48); floors pinned below the measured point like the
+    // sibling ANN families (rounds=3 and hops=4 measured flat — the
+    // residue is init-bucket recall, not search depth)
+    assert(recall >= 0.55, s"recall $recall below floor")
+    assert(minRecall >= 0.15, s"min per-query recall $minRecall below floor")
+  }
 }
