@@ -1026,10 +1026,19 @@ object Similarity {
                tabs: Seq[Seq[Seq[Double]]],
                bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
     val nrm = normalized(df, id, emb)
+    // the candidate stream is n·tables·cap DIRECTED pairs — broadcast
+    // the node-grain vector table (|n| rows) so pairs score MAP-SIDE
+    // and never shuffle 64-double payloads (the sf10 smoke measured the
+    // unhinted shape shuffling ~59 GB of vectors at 200k nodes; past
+    // driver memory the durable analog is a bucketed vector table
+    // co-partitioned with the pair stream, pageRank's documented shape)
+    val bc =
+      if (nrm.count() <= (4L << 20)) (x: DataFrame) => broadcast(x)
+      else (x: DataFrame) => x
     def topK(cand: DataFrame): DataFrame = {
       val scored = cand
-        .join(nrm.select(col(id).as("src"), col("ne").as("se")), "src")
-        .join(nrm.select(col(id).as("dst"), col("ne").as("de")), "dst")
+        .join(bc(nrm.select(col(id).as("src"), col("ne").as("se"))), "src")
+        .join(bc(nrm.select(col(id).as("dst"), col("ne").as("de"))), "dst")
         .select(col("src"), col("dst"),
           round(dotD(col("se"), col("de")), 4).as("cos_sim"))
       val w = org.apache.spark.sql.expressions.Window
@@ -1048,9 +1057,24 @@ object Similarity {
       .select(col(id).as("src"), col("nb").as("dst")).distinct()
     var g = graft.CacheScope.register(topK(cand0).localCheckpoint(true))
     (1 to rounds).foreach { _ =>
-      val u = g.select(col("src"), col("dst"))
-        .unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
+      // REVERSE edges are in-degree-unbounded (a popular node — e.g.
+      // every copy in a duplicate flood pointing at the cluster head —
+      // collects arbitrarily many), and the neighbor-of-neighbor fan is
+      // indeg×outdeg, so cap the reverse contribution per node at k
+      // (NN-Descent's reverse sampling, Dong et al. §3.2): u's degree
+      // is then ≤ 2k and the round fan ≤ 4k² per node — linear in n,
+      // skew-proof (the sf10 duplicate-replicated smoke measured the
+      // uncapped shape superlinear). Deterministic: keep the k
+      // BEST-SCORED reverse neighbors (cos desc, id asc) — smallest-id
+      // sampling measured recall 0.62 vs 0.82; score-ranked keeps the
+      // links that matter.
+      val rev = g.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos_sim"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("src").orderBy(col("cos_sim").desc, col("dst"))))
+        .filter(col("rn") <= k).select("src", "dst")
+      val u = g.select(col("src"), col("dst")).unionByName(rev).distinct()
       val c1 = u.as("ga").join(u.as("gb"), col("ga.dst") === col("gb.src"))
         .filter(col("gb.dst") =!= col("ga.src"))
         .select(col("ga.src").as("src"), col("gb.dst").as("dst"))
@@ -1079,8 +1103,10 @@ object Similarity {
     val nrm = normalized(df, id, emb)
     val q = broadcast(nrm.filter(queryPred)
       .select(col(id).as("query_id"), col("ne").as("qe")))
+    // frontier rows are |Q|·beam·k — tiny; broadcast THEM against the
+    // corpus-sized vector table so scoring is one scan, no shuffle
     def prune(b: DataFrame, width: Int): DataFrame = {
-      val scored = b
+      val scored = broadcast(b)
         .join(nrm.select(col(id).as("node"), col("ne").as("ce")), "node")
         .join(q, "query_id")
         .select(col("query_id"), col("node"),
@@ -1711,7 +1737,7 @@ object Similarity {
   /** One NN-Descent round: symmetrize g(i-1), neighbor-of-neighbor
     * candidates ∪ standing edges, re-score, keep k → g$i. */
   private def graphRoundSql(gIn: String, i: Int, k: Int): String =
-    s"""u$i AS MATERIALIZED (SELECT src, dst FROM $gIn UNION SELECT dst AS src, src AS dst FROM $gIn), x$i AS MATERIALIZED (SELECT a.src AS src, b.dst AS dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE b.dst != a.src UNION SELECT src, dst FROM $gIn), ${graphTopKSql(s"x$i", s"g$i", k)}"""
+    s"""r$i AS MATERIALIZED (SELECT rsrc AS src, rdst AS dst FROM (SELECT dst AS rsrc, src AS rdst, row_number() OVER (PARTITION BY dst ORDER BY cos_sim DESC, src) AS rn FROM $gIn) WHERE rn <= $k), u$i AS MATERIALIZED (SELECT src, dst FROM $gIn UNION SELECT src, dst FROM r$i), x$i AS MATERIALIZED (SELECT a.src AS src, b.dst AS dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE b.dst != a.src UNION SELECT src, dst FROM $gIn), ${graphTopKSql(s"x$i", s"g$i", k)}"""
 
   /** The full knn-graph construction replay: capped-LSH init + the
     * configured NN-Descent rounds; the final graph is g$graphRounds. */
