@@ -140,7 +140,10 @@ object SparkEntry {
     "text_oov_rate", "text_pack_bpe", "text_pack_sequences", "text_pii_mask",
     "text_pipeline_e2e", "text_quality", "text_quality_band",
     "text_repetition", "text_sentences", "text_tfidf_top", "text_tokencount",
-    "text_winnow_fingerprint", "training_data_decon_e2e", "training_data_e2e")
+    "text_winnow_fingerprint", "training_data_decon_e2e", "training_data_e2e",
+    // r14 (the r13 ADVICE finding): 2 rows/doc and 1 row/user — both
+    // linear in a base table even though flat-or-small at the tiniest SFs
+    "sink_webdataset", "sink_webdataset_sized", "events_state_machine")
 
   /** One entry per implemented operator from SURVEY.md §2.
     *

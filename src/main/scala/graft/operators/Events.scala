@@ -470,17 +470,21 @@ object Events {
   def stateMachineReplay(df: DataFrame, key: String, typeCol: String,
                          tsCol: String, tiebreak: String, initial: String,
                          table: Seq[(String, String, String)]): DataFrame = {
+    // \u001F (unit separator) keys and labels — a state or event type
+    // containing '|' must not silently alias another rule (the
+    // dedupSpansRemoval gram-join precedent); control characters are
+    // the one class a declared state table never carries
     val tmap = map(table.flatMap { case (f, e, t) =>
-      Seq(lit(s"$f|$e"), lit(t)) }: _*)
+      Seq(lit(s"$f\u001F$e"), lit(t)) }: _*)
     val evs = array_sort(collect_list(struct(col(tsCol), col(tiebreak),
       col(typeCol).as("_et"))))
     val zero = struct(lit(initial).as("st"),
       array().cast("array<string>").as("path"))
     val folded = aggregate(evs, zero, (acc, ev) => {
-      val nxt = element_at(tmap, concat_ws("|", acc("st"), ev("_et")))
+      val nxt = element_at(tmap, concat_ws("\u001F", acc("st"), ev("_et")))
       struct(coalesce(nxt, acc("st")).as("st"),
         when(nxt.isNotNull, concat(acc("path"),
-            array(concat_ws("|", acc("st"), ev("_et"), nxt))))
+            array(concat_ws("\u001F", acc("st"), ev("_et"), nxt))))
           .otherwise(acc("path")).as("path"))
     })
     df.groupBy(col(key))
@@ -495,7 +499,7 @@ object Events {
     * size); the explode feeds one map-side-combinable hash agg. */
   def stateMachineRuleCounts(replayed: DataFrame): DataFrame =
     replayed.select(explode(col("path")).as("t"))
-      .select(split(col("t"), "\\|").as("p"))
+      .select(split(col("t"), "\\u001F").as("p"))
       .select(col("p")(0).as("from_state"), col("p")(1).as("event_type"),
         col("p")(2).as("to_state"))
       .groupBy("from_state", "event_type", "to_state")

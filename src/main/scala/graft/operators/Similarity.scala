@@ -104,10 +104,10 @@ object Similarity {
     * reproducible across engines.
     */
   def simTopK(corpus: DataFrame, queriesDf: DataFrame, id: String, emb: String,
-              k: Int): DataFrame = {
+              k: Int, prebuiltNrm: Option[DataFrame] = None): DataFrame = {
     val q = broadcast(normalized(queriesDf, id, emb)
       .select(col(id).as("query_id"), col("ne").as("qe")))
-    val c = normalized(corpus, id, emb)
+    val c = prebuiltNrm.getOrElse(normalized(corpus, id, emb))
       .select(col(id).as("neighbor_id"), col("ne").as("ce"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -141,19 +141,24 @@ object Similarity {
     * the candidates⋈queries intermediate) so the corpus vectors are
     * scanned, never shuffled — same shape as rerankExact.
     */
+  /** The bucket string plus its `bits` hamming-1 variants (one sign
+    * flipped) — the multi-probe LSH fan shared by the query-set family,
+    * the knn-graph init and the beam-search seeds. */
+  private[operators] def hamming1Variants(bits: Int): Seq[Column] =
+    col("bucket") +: (0 until bits).map { i =>
+      concat(substring(col("bucket"), 1, i),
+        when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), i + 2, bits))
+    }
+
   private def lshScoredCandidates(df: DataFrame, id: String, emb: String,
                                   queryPred: Column, tabs: Seq[Seq[Seq[Double]]],
                                   multiProbe: Boolean): DataFrame = {
     val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
     val qOwn = b.filter(queryPred)
     val q = (if (!multiProbe) qOwn else {
-      val bits = tabs.head.size
-      val variants = col("bucket") +: (0 until bits).map { i =>
-        concat(substring(col("bucket"), 1, i),
-          when(substring(col("bucket"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-          substring(col("bucket"), i + 2, bits))
-      }
-      qOwn.withColumn("bucket", explode(array(variants: _*)))
+      qOwn.withColumn("bucket",
+        explode(array(hamming1Variants(tabs.head.size): _*)))
     }).select(col(id).as("query_id"), col("t"), col("bucket"))
     val c = b.select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
     val cand = q.join(c, col("t") === col("t2") && col("bucket") === col("bucket2") &&
@@ -1024,16 +1029,29 @@ object Similarity {
     */
   def knnGraph(df: DataFrame, id: String, emb: String, k: Int, rounds: Int,
                tabs: Seq[Seq[Seq[Double]]],
-               bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
-    val nrm = normalized(df, id, emb)
+               bucketCap: Int = Dedup.defaultBucketCap,
+               prebuiltNrm: Option[DataFrame] = None): DataFrame = {
+    // the normalized vector table is scored against once per topK pass
+    // (init + every round) — materialize it up front when the caller has
+    // not already supplied the session-cached copy, so counting and the
+    // repeated scoring joins read blocks, not a re-normalizing scan
+    val nrm = prebuiltNrm.getOrElse(
+      graft.CacheScope.register(normalized(df, id, emb).localCheckpoint(true)))
     // the candidate stream is n·tables·cap DIRECTED pairs — broadcast
     // the node-grain vector table (|n| rows) so pairs score MAP-SIDE
     // and never shuffle 64-double payloads (the sf10 smoke measured the
     // unhinted shape shuffling ~59 GB of vectors at 200k nodes; past
     // driver memory the durable analog is a bucketed vector table
-    // co-partitioned with the pair stream, pageRank's documented shape)
+    // co-partitioned with the pair stream, pageRank's documented shape).
+    // Gate on estimated broadcast BYTES, not row count: 4M 64-dim double
+    // rows is ~2 GB serialized — past any sane driver/executor broadcast
+    // budget long before a row cutoff bites. rows × (8·dims + 32 struct
+    // overhead) ≤ 256 MB keeps the built relation comfortably inside the
+    // JVM defaults and both sides of every topK join under it.
+    val n = nrm.count()
+    val d0 = if (n == 0) 0 else nrm.select(size(col("ne"))).head.getInt(0)
     val bc =
-      if (nrm.count() <= (4L << 20)) (x: DataFrame) => broadcast(x)
+      if (n * (8L * d0 + 32L) <= (256L << 20)) (x: DataFrame) => broadcast(x)
       else (x: DataFrame) => x
     def topK(cand: DataFrame): DataFrame = {
       val scored = cand
@@ -1052,7 +1070,16 @@ object Similarity {
           .partitionBy("t", "bucket").orderBy(col(id))))
       .filter(col("bn") <= bucketCap)
       .select(col(id).as("nb"), col("t"), col("bucket"))
-    val cand0 = bkt.join(capped, Seq("t", "bucket"))
+    // multi-probe the INIT: each node also probes its hamming-1 buckets
+    // (one sign flipped) — the sim_lsh_ann lift (0.78 → 1.00) applied to
+    // graph construction, where init-bucket recall was the measured
+    // residual (rounds/hops were flat). Fan is (bits+1)× on the probe
+    // side only; candidates stay n·tables·(bits+1)·cap bare int pairs —
+    // linear in the corpus, and the capped side is unchanged so a
+    // flooded bucket still costs O(bucket×cap).
+    val probes = bkt.withColumn("bucket",
+      explode(array(hamming1Variants(tabs.head.size): _*)))
+    val cand0 = probes.join(capped, Seq("t", "bucket"))
       .filter(col(id) =!= col("nb"))
       .select(col(id).as("src"), col("nb").as("dst")).distinct()
     var g = graft.CacheScope.register(topK(cand0).localCheckpoint(true))
@@ -1099,8 +1126,14 @@ object Similarity {
   def graphSearch(df: DataFrame, id: String, emb: String, g: DataFrame,
                   queryPred: Column, beam: Int, hops: Int, k: Int,
                   tabs: Seq[Seq[Seq[Double]]],
-                  bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
-    val nrm = normalized(df, id, emb)
+                  bucketCap: Int = Dedup.defaultBucketCap,
+                  prebuiltNrm: Option[DataFrame] = None): DataFrame = {
+    // every prune hop joins the frontier against the normalized vector
+    // table — without a prebuilt (session-index) copy that is hops+1
+    // full normalize-scans of the corpus per search batch; the query
+    // sites pass the family-shared cached table so each hop probes
+    // materialized blocks instead
+    val nrm = prebuiltNrm.getOrElse(normalized(df, id, emb))
     val q = broadcast(nrm.filter(queryPred)
       .select(col(id).as("query_id"), col("ne").as("qe")))
     // frontier rows are |Q|·beam·k — tiny; broadcast THEM against the
@@ -1123,7 +1156,13 @@ object Similarity {
       .filter(col("bn") <= bucketCap)
       .select(col(id).as("nb"), col("t"), col("bucket"))
     val entry = nrm.agg(min(col(id)).as("node"))
-    val seeds = bkt.filter(queryPred).join(capped, Seq("t", "bucket"))
+    // multi-probe the seeds: the query side also probes every hamming-1
+    // bucket — (bits+1)× fanout on the |Q|-bounded side only, zero extra
+    // corpus cost (the sim_lsh_ann precedent); better seeds are the
+    // measured recall lever since hops beyond 3 were flat
+    val seeds = bkt.filter(queryPred)
+      .withColumn("bucket", explode(array(hamming1Variants(tabs.head.size): _*)))
+      .join(capped, Seq("t", "bucket"))
       .filter(col(id) =!= col("nb"))
       .select(col(id).as("query_id"), col("nb").as("node"))
       .unionByName(q.select(col("query_id")).crossJoin(broadcast(entry)))
@@ -1151,24 +1190,41 @@ object Similarity {
     * corpus's shallow cosine gaps the 6-bit dup tables bucket cos≈0.5
     * neighbors with P≈0.09/table and the graph never sees them —
     * measured graph recall@5 0.44 under dupTabs init vs 0.82 under
-    * annTabs at (k=8, rounds=2, beam=12, hops=3, cap=48) — rounds=3
-    * and hops=4 both measured flat (graph and search converge), so the
-    * residual misses are init-bucket recall, the same bound the
-    * sibling ANN families carry. */
-  val graphK = 8
+    * annTabs at (k=8, rounds=2, beam=12). Degree and beam were then
+    * set by the r14 GraphAnnProbe sweep at sf0.1: search recall
+    * saturates at the graph's truth-edge coverage (beam=12 recall 0.76
+    * vs edge recall 0.74 at k=8), so DEGREE is the lever — k 8→16
+    * lifts edge recall 0.74→0.88 and search to 0.92/0.60 at beam=16,
+    * 0.94/0.60 at beam=24 (rounds=3 and hops=4 measured flat at every
+    * k). k=16 is also the HNSW-standard M; round fan stays ≤4k² per
+    * node — linear in the corpus. */
+  val graphK = 16
   val graphRounds = 2
-  val graphBeam = 12
+  val graphBeam = 24
   val graphHops = 3
   val graphTopK = 5
   val graphInitCap = 48
 
+  /** The session-cached NORMALIZED vector table the sim family shares:
+    * every ANN build and every beam-search hop scores against it, so it
+    * is an index artifact in its own right (FAISS keeps exactly this
+    * table resident). IndexCache is not re-entrant — resolve this
+    * BEFORE any enclosing cachedIndex builder (pass it in). */
+  private def nrmOf(s: SparkSession, d: String): DataFrame =
+    cachedIndex(s"$d|nrm") {
+      normalized(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+
   /** The session-cached graph index the family's queries share. */
-  private def graphOf(s: SparkSession, d: String): DataFrame =
+  private def graphOf(s: SparkSession, d: String): DataFrame = {
+    val nrm = nrmOf(s, d) // resolve OUTSIDE the builder (re-entrancy)
     cachedIndex(s"$d|knngraph|$graphK|$graphRounds") {
       knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = graphK, rounds = graphRounds, tabs = annTabs,
-        bucketCap = graphInitCap)
+        bucketCap = graphInitCap, prebuiltNrm = Some(nrm))
     }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_profile" -> ((s, d) =>
@@ -1177,7 +1233,8 @@ object Similarity {
 
     "sim_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      simTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      simTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          prebuiltNrm = Some(nrmOf(s, d)))
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -1189,7 +1246,8 @@ object Similarity {
     // drift from the audited configs.
     "sim_recall_eval" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val truth = simTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val truth = simTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, prebuiltNrm = Some(nrmOf(s, d)))
         .select("query_id", "neighbor_id")
       val cents = kmeansCache.computeIfAbsent(s"$d|$ivfC|$ivfIters",
         _ => kmeansCentroids(normalized(e, "vec_id", "embedding"),
@@ -1228,7 +1286,8 @@ object Similarity {
       graphSearch(Tables.embeddings(s, d).select("vec_id", "embedding"),
         "vec_id", "embedding", graphOf(s, d), col("vec_id") < 10,
         beam = graphBeam, hops = graphHops, k = graphTopK,
-        tabs = annTabs, bucketCap = graphInitCap)
+        tabs = annTabs, bucketCap = graphInitCap,
+        prebuiltNrm = Some(nrmOf(s, d)))
         .orderBy("query_id", "rank")),
 
     // the family's recall audit vs brute-force truth — same composed-
@@ -1237,11 +1296,12 @@ object Similarity {
     "sim_graph_recall_eval" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val truth = simTopK(e, e.filter(col("vec_id") < 10), "vec_id",
-        "embedding", k = graphTopK)
+        "embedding", k = graphTopK, prebuiltNrm = Some(nrmOf(s, d)))
         .select("query_id", "neighbor_id")
       val got = graphSearch(e, "vec_id", "embedding", graphOf(s, d),
         col("vec_id") < 10, beam = graphBeam, hops = graphHops,
-        k = graphTopK, tabs = annTabs, bucketCap = graphInitCap)
+        k = graphTopK, tabs = annTabs, bucketCap = graphInitCap,
+        prebuiltNrm = Some(nrmOf(s, d)))
         .select("query_id", "neighbor_id")
       val perQ = truth.join(got.withColumn("h", lit(1)),
           Seq("query_id", "neighbor_id"), "left")
@@ -1717,6 +1777,12 @@ object Similarity {
       pqTail
   }
 
+  /** DuckDB list of the bucket string plus its hamming-1 variants —
+    * mirrors [[hamming1Variants]]; shared by every multi-probe replay. */
+  private def flipsSql(bits: Int): String =
+    ("bucket" +: (0 until bits).map(i =>
+      s"substr(bucket, 1, $i) || (CASE WHEN substr(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 2}, $bits)")).mkString("[", ", ", "]")
+
   /** bucket per (vec, table): ordered sign concat — mirrors bucketSig. */
   private def bucketsCte(tabs: Seq[Seq[Seq[Double]]], rel: String = "embeddings"): String =
     s"""pl(tid, pid, w) AS (SELECT * FROM (VALUES ${planesValues(tabs)})), """ +
@@ -1742,7 +1808,7 @@ object Similarity {
   /** The full knn-graph construction replay: capped-LSH init + the
     * configured NN-Descent rounds; the final graph is g$graphRounds. */
   private lazy val graphCtes: String =
-    s"""${bucketsCte(annTabs)}, $normCte, cap AS MATERIALIZED (SELECT vec_id AS nb, tid, bucket FROM (SELECT vec_id, tid, bucket, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= $graphInitCap), c0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.nb AS dst FROM bkt a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb), ${graphTopKSql("c0", "g0", graphK)}, ${(1 to graphRounds).map(i => graphRoundSql(s"g${i - 1}", i, graphK)).mkString(", ")}"""
+    s"""${bucketsCte(annTabs)}, $normCte, cap AS MATERIALIZED (SELECT vec_id AS nb, tid, bucket FROM (SELECT vec_id, tid, bucket, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= $graphInitCap), qp AS MATERIALIZED (SELECT vec_id, tid, unnest(${flipsSql(annTabs.head.size)}) AS bucket FROM bkt), c0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.nb AS dst FROM qp a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb), ${graphTopKSql("c0", "g0", graphK)}, ${(1 to graphRounds).map(i => graphRoundSql(s"g${i - 1}", i, graphK)).mkString(", ")}"""
 
   /** One beam prune stage of the search replay: `in`(query_id, node) →
     * `out`(query_id, node, cos_sim) keeping the `width` best. */
@@ -1758,7 +1824,7 @@ object Similarity {
 
     "sim_graph_search" -> {
       val gf = s"g$graphRounds"
-      s"""WITH $graphCtes, qs AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE vec_id < 10), ent AS (SELECT min(vec_id) AS node FROM nrm), sd AS (SELECT a.vec_id AS query_id, b.nb AS node FROM bkt a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb WHERE a.vec_id < 10 UNION SELECT q.query_id, e.node FROM qs q CROSS JOIN ent e), ${beamPruneSql("sd", "b0", graphBeam)}, ${(1 to graphHops).map(i => beamHopSql(i, gf, graphBeam)).mkString(", ")}, fin AS (SELECT query_id, node AS neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rank FROM b$graphHops WHERE node != query_id) SELECT query_id, neighbor_id, cos_sim, rank FROM fin WHERE rank <= $graphTopK ORDER BY query_id, rank"""
+      s"""WITH $graphCtes, qs AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE vec_id < 10), ent AS (SELECT min(vec_id) AS node FROM nrm), sd AS (SELECT a.vec_id AS query_id, b.nb AS node FROM (SELECT vec_id, tid, unnest(${flipsSql(annTabs.head.size)}) AS bucket FROM bkt WHERE vec_id < 10) a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb UNION SELECT q.query_id, e.node FROM qs q CROSS JOIN ent e), ${beamPruneSql("sd", "b0", graphBeam)}, ${(1 to graphHops).map(i => beamHopSql(i, gf, graphBeam)).mkString(", ")}, fin AS (SELECT query_id, node AS neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rank FROM b$graphHops WHERE node != query_id) SELECT query_id, neighbor_id, cos_sim, rank FROM fin WHERE rank <= $graphTopK ORDER BY query_id, rank"""
     },
 
     "emb_profile" ->
@@ -1768,18 +1834,14 @@ object Similarity {
     "sim_lsh_ann" -> {
       // multi-probe: the query side also probes every hamming-1 bucket
       // (one sign flipped) — mirrors simLshAnn(multiProbe = true)
-      val bits = annTabs.head.size
-      val flips = ("bucket" +: (0 until bits).map(i =>
-        s"substr(bucket, 1, $i) || (CASE WHEN substr(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 2}, $bits)")).mkString("[", ", ", "]")
+      val flips = flipsSql(annTabs.head.size)
       s"""WITH ${bucketsCte(annTabs)}, $normCte, qb AS (SELECT vec_id, tid, unnest($flips) AS bucket FROM bkt WHERE vec_id < 10), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM qb a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id), r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM p) SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
     },
     "dedup_embedding" ->
       s"""WITH ${bucketsCte(dupTabs)}, $normCte, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bkt a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT id_a, id_b, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id) SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""",
     // the lsh-ann oracle minus the rank stage: threshold, not top-k
     "sim_range_search" -> {
-      val bits = annTabs.head.size
-      val flips = ("bucket" +: (0 until bits).map(i =>
-        s"substr(bucket, 1, $i) || (CASE WHEN substr(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, ${i + 2}, $bits)")).mkString("[", ", ", "]")
+      val flips = flipsSql(annTabs.head.size)
       s"""WITH ${bucketsCte(annTabs)}, $normCte, qb AS (SELECT vec_id, tid, unnest($flips) AS bucket FROM bkt WHERE vec_id < 10), cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id FROM qb a JOIN bkt b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.vec_id), p AS (SELECT query_id, neighbor_id, round(${sqlDotRaw("x.ne", "y.ne")}, 4) AS cos_sim FROM cand JOIN nrm x ON query_id = x.vec_id JOIN nrm y ON neighbor_id = y.vec_id) SELECT query_id, neighbor_id, cos_sim FROM p WHERE cos_sim >= 0.25 ORDER BY query_id, neighbor_id"""
     },
     // the dedup_embedding pair CTEs feeding the same recursive min-label

@@ -1151,10 +1151,17 @@ object TextOps {
         transform(sequence(lit(0), size(col("t")) - k),
           i => md5(concat_ws("\u001F", slice(col("t"), i + 1, lit(k)))))))
       .select(col(idCol), col("pos"), col("col").as("g"))
-    // non-first occurrences: one window min over the gram exchange
-    val firstOcc = min(struct(col(idCol), col("pos")))
-      .over(Window.partitionBy("g"))
-    val removals = kg.withColumn("_first", firstOcc)
+    // non-first occurrences: per-gram min(struct) as a GROUPED AGG +
+    // join-back, not a gram-partitioned window — min is duplicate-
+    // insensitive so the agg combines MAP-SIDE (a boilerplate gram in
+    // 10^8 docs reduces to one row per input partition before the
+    // exchange), and the join-back probe side is a plain equi-join AQE
+    // can skew-split; a window over partitionBy(g) would sort the
+    // hottest gram's entire occurrence list in ONE task — the exact
+    // case (heavy duplication) this operator exists for
+    val firstOcc = kg.groupBy("g")
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    val removals = kg.join(firstOcc, Seq("g"))
       .filter(!(col(idCol) === col("_first")(idCol) &&
         col("pos") === col("_first")("pos")))
       .select(col(idCol), col("pos"))

@@ -297,16 +297,85 @@ object Archive {
     * exchange any repartition-by-shard write pays); each task then
     * builds and writes its own shard objects — no driver involvement,
     * no cross-shard state; shard size is bounded by the grouping key,
-    * the knob a deployment sizes to its object store.
+    * the knob a deployment sizes to its object store. CEILING: each
+    * shard materializes as ONE in-memory tar byte array, so the
+    * fixed-count knob can silently cross the JVM's ~2 GiB array limit
+    * — [[wdsBuild]] checks the 512-block arithmetic per shard BEFORE
+    * building and fails loudly; [[webdatasetSinkSized]] is the sink
+    * that stays away from the ceiling BY CONSTRUCTION.
     */
   def webdatasetSink(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${Io.scratch}/wds"
     val docs = Tables.documents(s, dir).select(
       col("doc_id").cast("bigint").as("doc_id"), col("text"),
       when(pmod(col("doc_id"), lit(10)) < 8, "train")
         .when(pmod(col("doc_id"), lit(10)) === 8, "val")
         .otherwise("test").as("split"),
       expr("CAST(doc_id AS BIGINT) div 16").as("shard"))
+    wdsBuild(s, docs, wdsScratch(dir, "wds"))
+  }
+
+  /** Size-TARGETED WebDataset sharding — real training exports target
+    * ~1 GB shards BY BYTES, not by document count (doc sizes vary by
+    * orders of magnitude). Sharding is the `compactionPlan` next-fit
+    * prefix-sum discipline applied to each doc's exact on-disk tar
+    * contribution (512-byte headers + 512-padded payloads): bin =
+    * prior-bytes div target, the only bin packing that is a pure
+    * window with no iteration or driver state. The prefix sum runs per
+    * (split, block of `block` docs) — NOT per split alone, which would
+    * funnel the whole train corpus through one window task — so each
+    * window partition is bounded at `block` rows: the per-writer-task
+    * binning real exporters do. The trade is at most one short
+    * (unclosed) trailing bin per block; CLOSED bins carry next-fit's
+    * bound of target ± one max-doc. Shard id = block_id·block + bin
+    * (bins per block ≤ block since every bin holds ≥ 1 doc), so ids
+    * are deterministic and collision-free without any global pass.
+    */
+  def webdatasetSinkSized(s: SparkSession, dir: String,
+                          targetBytes: Long = wdsSizedTarget,
+                          block: Int = wdsSizedBlock): DataFrame = {
+    require(targetBytes > 0 && block > 0, "target and block must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("_grp")).orderBy(col("doc_id"))
+    val docs = Tables.documents(s, dir).select(
+        col("doc_id").cast("bigint").as("doc_id"), col("text"),
+        when(pmod(col("doc_id"), lit(10)) < 8, "train")
+          .when(pmod(col("doc_id"), lit(10)) === 8, "val")
+          .otherwise("test").as("split"))
+      .withColumn("_grp", expr(s"doc_id div $block"))
+      // exact tar contribution: .cls = 512 header + 512-padded 1-byte
+      // payload; .txt = 512 header + 512-padded UTF-8 byte length
+      .withColumn("_bytes", expr(
+        "CAST(1024 + 512 + ((octet_length(text) + 511) div 512) * 512 AS BIGINT)"))
+      .withColumn("_prior", sum(col("_bytes")).over(w) - col("_bytes"))
+      .withColumn("shard",
+        col("_grp") * block + expr(s"_prior div $targetBytes"))
+      .select(col("doc_id"), col("text"), col("split"), col("shard"))
+    wdsBuild(s, docs, wdsScratch(dir, "wds_sized"))
+  }
+
+  /** Registered sized-sink config: 16 KiB shard target over 512-doc
+    * blocks — scaled to the test corpora (a deployment passes ~1 GB). */
+  val wdsSizedTarget = 16384L
+  val wdsSizedBlock = 512
+
+  /** A shard's decompressed tar must fit one JVM byte array; stop well
+    * short of 2^31 so zstd/tar overheads can't push past it. */
+  val wdsShardCeiling = 2000000000L
+
+  /** Per-dataset scratch dir (md5 of the dataset path, the cachedIndex
+    * keying) — two datasets (or an sf1/sf10 pair in one session) must
+    * never read back each other's shards (r13 ADVICE race). */
+  private[graft] def wdsScratch(dir: String, tag: String): String =
+    s"${Io.scratch}/${tag}_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  /** Shared build half of both WebDataset sinks: (split, shard, doc_id,
+    * text) in; `.tar.zst` shard objects written, then read back through
+    * the production ingest path and emitted member-by-member. Each
+    * shard's decompressed size is checked against [[wdsShardCeiling]]
+    * from the payload lengths BEFORE any tar bytes are allocated. */
+  private[graft] def wdsBuild(s: SparkSession, docs: DataFrame, out: String,
+                              ceiling: Long = wdsShardCeiling): DataFrame = {
     val members = docs.select(col("split"), col("shard"),
       explode(array(
         struct(col("doc_id"),
@@ -320,11 +389,20 @@ object Archive {
       .select(col("split"), col("shard"),
         expr("transform(ms, x -> x.name)").as("names"),
         expr("transform(ms, x -> x.payload)").as("payloads"))
+    val tarBytes = expr("aggregate(payloads, CAST(1024 AS BIGINT), " +
+      "(a, p) -> a + 512 + ((octet_length(p) + 511) div 512) * 512)")
     val blobs = members.select(
       concat(col("split"), lit("-"), col("shard").cast("string"),
         lit(".tar.zst")).as("fname"),
-      GraftFunctions.zstdBytes(
-        GraftFunctions.tarBuild(col("names"), col("payloads"))).as("blob"))
+      when(tarBytes > lit(ceiling),
+          raise_error(concat(lit("webdataset shard "), col("split"),
+            lit("-"), col("shard").cast("string"),
+            lit(" would materialize "), tarBytes.cast("string"),
+            lit(" tar bytes — over the in-memory shard ceiling; lower " +
+              "the shard size knob or use webdatasetSinkSized")))
+            .cast("binary"))
+        .otherwise(GraftFunctions.zstdBytes(
+          GraftFunctions.tarBuild(col("names"), col("payloads")))).as("blob"))
     Io.writeBlobFiles(blobs, out, col("fname"), col("blob"))
     Io.readBinaryFiles(s, out, "*.tar.zst")
       .select(
@@ -344,6 +422,7 @@ object Archive {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_tar_roundtrip" -> ((s, d) => tarRoundtrip(s, d)),
     "sink_webdataset" -> ((s, d) => webdatasetSink(s, d)),
+    "sink_webdataset_sized" -> ((s, d) => webdatasetSinkSized(s, d)),
     "mm_webdataset" -> ((s, d) => webdatasetSamples(s, d)),
     "src_zst_roundtrip" -> ((s, d) => zstRoundtrip(s, d)),
     "mm_webdataset_zst" -> ((s, d) => webdatasetZstSamples(s, d)),
@@ -389,6 +468,39 @@ object Archive {
         |              WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END,
         |         doc_id // 16, doc_id, doc_id::VARCHAR || '.txt',
         |         octet_length(encode(text))::BIGINT, md5(text) FROM documents),
+        |p AS (SELECT split, shard, name, size, payload_md5,
+        |  (512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
+        |     OVER (PARTITION BY split, shard ORDER BY doc_id, name
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS off
+        |  FROM m)
+        |SELECT split, shard, name, off, size, payload_md5 FROM p
+        |ORDER BY split, shard, off""".stripMargin,
+
+    // the sized sink's oracle replays the next-fit binning: per-doc
+    // exact tar bytes, prefix sum per (split, 512-doc block) in doc_id
+    // order, shard = block·512 + prior div 16384; members + offsets
+    // then follow the sink_webdataset arithmetic
+    "sink_webdataset_sized" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |              WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |         doc_id // ${wdsSizedBlock} AS grp,
+        |         (1024 + 512 + ((octet_length(encode(text)) + 511) // 512) * 512)::BIGINT AS bytes
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text, split,
+        |         (grp * ${wdsSizedBlock} +
+        |           (coalesce(sum(bytes) OVER (PARTITION BY split, grp ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${wdsSizedTarget}))::BIGINT AS shard
+        |  FROM d),
+        |m AS (
+        |  SELECT split, shard, doc_id, doc_id::VARCHAR || '.cls' AS name,
+        |         octet_length(encode((doc_id % 10)::VARCHAR))::BIGINT AS size,
+        |         md5((doc_id % 10)::VARCHAR) AS payload_md5 FROM b
+        |  UNION ALL
+        |  SELECT split, shard, doc_id, doc_id::VARCHAR || '.txt',
+        |         octet_length(encode(text))::BIGINT, md5(text) FROM b),
         |p AS (SELECT split, shard, name, size, payload_md5,
         |  (512 + coalesce(sum(512 + ((size + 511) // 512) * 512)
         |     OVER (PARTITION BY split, shard ORDER BY doc_id, name

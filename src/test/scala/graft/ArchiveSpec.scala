@@ -438,11 +438,12 @@ class ArchiveSpec extends SparkSpec {
   }
 
   test("sink_webdataset: written shard files are readable by system zstd + tar") {
-    // run the sink (writes /tmp/graft_io/wds and round-trips internally)
+    // run the sink (writes the dataset-keyed scratch dir and
+    // round-trips internally)
     val rows = run("sink_webdataset").collect()
     assert(rows.length == 1000, s"2 members per doc: ${rows.length}")
     // every (split, shard) wrote exactly one .tar.zst object on disk
-    val dir = new java.io.File("/tmp/graft_io/wds")
+    val dir = new java.io.File(graft.sources.Archive.wdsScratch(sfDir, "wds"))
     val files = dir.listFiles().filter(_.getName.endsWith(".tar.zst"))
     val groups = rows.map(r => (r.getString(0), r.getLong(1))).toSet
     assert(files.length == groups.size, s"${files.length} files vs ${groups.size} groups")
@@ -473,5 +474,71 @@ class ArchiveSpec extends SparkSpec {
       assert(bytes.length == r.getLong(4), s"size mismatch for ${r.getString(2)}")
       assert(md5hex(bytes) == r.getString(5), s"md5 mismatch for ${r.getString(2)}")
     }
+  }
+
+  test("sink_webdataset_sized: next-fit shards hold the byte-budget bounds") {
+    import graft.sources.Archive
+    val target = Archive.wdsSizedTarget
+    val block = Archive.wdsSizedBlock
+    val rows = run("sink_webdataset_sized").collect()
+    assert(rows.length == 1000, s"2 members per doc: ${rows.length}")
+    // reconstruct each shard's decompressed tar bytes and each doc's
+    // contribution from the emitted member sizes (512-block arithmetic)
+    def pad(sz: Long) = 512L + ((sz + 511L) / 512L) * 512L
+    val docBytes = rows.groupBy(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split("\\.")(0).toLong))
+      .map { case (_, ms) => ms.map(r => pad(r.getLong(4))).sum }
+    val maxDoc = docBytes.max
+    assert(maxDoc < target / 2,
+      s"fixture docs too large for the budget claims: $maxDoc vs $target")
+    val shardBytes = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, ms) => k -> (1024L + ms.map(r => pad(r.getLong(4))).sum) }
+    // next-fit bounds: every shard ≤ target + one max doc; every CLOSED
+    // shard (not the last bin of its (split, block) group) ≥ target −
+    // one max doc. The last bin per group is the documented waste.
+    shardBytes.foreach { case (k, b) =>
+      assert(b <= target + maxDoc, s"shard $k overflows: $b")
+    }
+    val lastPerGroup = shardBytes.keys
+      .groupBy { case (sp, sh) => (sp, sh / block) }
+      .map { case (_, ks) => ks.maxBy(_._2) }.toSet
+    val closed = shardBytes.filterNot { case (k, _) => lastPerGroup(k) }
+    assert(closed.nonEmpty, "fixture produced no closed bins — raise corpus or lower target")
+    closed.foreach { case (k, b) =>
+      assert(b >= target - maxDoc, s"closed shard $k underfull: $b")
+    }
+    // shard ids stay inside their block's namespace (≤ block bins/group)
+    rows.foreach { r =>
+      val sh = r.getLong(1)
+      assert(sh % block < block, s"bin index escaped its block: $sh")
+    }
+  }
+
+  test("webdataset sinks refuse a shard over the in-memory tar ceiling") {
+    // the guard computes from payload LENGTHS before any tar bytes are
+    // allocated, so crossing the ceiling is a clear raise_error — not a
+    // negative-size array allocation mid-task. Exercised with a tiny
+    // ceiling (materializing 2 GiB in a unit test is not practical);
+    // the arithmetic is the same expression production runs.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq((0L, "x" * 64), (1L, "y" * 64))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("train").as("split"),
+        lit(0L).as("shard"))
+    val scratch = graft.sources.Archive.wdsScratch("spec_tiny", "wds_guard")
+    // under the ceiling: builds and round-trips
+    val ok = graft.sources.Archive.wdsBuild(s, docs, scratch)
+    assert(ok.count() == 4L)
+    // over a (mock) ceiling: fails loudly with the guard's message
+    val ex = intercept[Exception] {
+      graft.sources.Archive.wdsBuild(s, docs, scratch, ceiling = 1024L).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("in-memory shard ceiling"))),
+      s"guard did not fire: $ex")
   }
 }

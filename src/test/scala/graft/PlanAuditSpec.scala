@@ -364,17 +364,29 @@ class PlanAuditSpec extends SparkSpec {
     // on the documented sf0.01->sf0.1 growth evidence instead.
     val sf001 = "/root/testdata/sf0.001"
     val sf01 = "/root/testdata/sf0.01"
+    val sf1 = "/root/testdata/sf0.1"
     // only NON-members can be missing, so only they need measuring —
-    // ~70 queries instead of 2×186 executions
+    // ~70 queries instead of 2×186 executions. BOTH decades are
+    // measured (r13 ADVICE): a table that is flat from sf0.001 to
+    // sf0.01 (documents: 500→500) exonerated linear-grain queries under
+    // the first decade alone — sink_webdataset (2 rows/doc) and
+    // events_state_machine (1 row/user, 150 users at sf0.01) only show
+    // their growth from sf0.01 to sf0.1. The second decade measures
+    // queries with ≥ 100 rows at sf0.01 and flags ≥ 3× growth landing
+    // ≥ 1000 rows at sf0.1.
     val missing = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.corpusGrainQueries)
       .flatMap { q =>
         val n01 = SparkEntry.queries(q)(spark, sf01).count()
-        if (n01 < 200) None
-        else {
+        val firstDecade = n01 >= 200 && {
           val n001 = SparkEntry.queries(q)(spark, sf001).count()
-          if (n01 >= 3 * n001) Some(q) else None
+          n01 >= 3 * n001
         }
+        val secondDecade = n01 >= 100 && {
+          val n1 = SparkEntry.queries(q)(spark, sf1).count()
+          n1 >= 1000 && n1 >= 3 * n01
+        }
+        if (firstDecade || secondDecade) Some(q) else None
       }
     assert(missing.isEmpty,
       s"measured corpus-grain queries missing from corpusGrainQueries " +

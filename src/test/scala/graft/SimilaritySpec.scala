@@ -1541,11 +1541,14 @@ class SimilaritySpec extends SparkSpec {
     val r = run("sim_graph_recall_eval").collect().head
     val (nq, recall, minRecall) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
     assert(nq > 0)
-    // sf0.1 measured 0.82 / 0.4 at (k=8, rounds=2, beam=12, hops=3,
-    // cap=48); floors pinned below the measured point like the
-    // sibling ANN families (rounds=3 and hops=4 measured flat — the
-    // residue is init-bucket recall, not search depth)
-    assert(recall >= 0.55, s"recall $recall below floor")
-    assert(minRecall >= 0.15, s"min per-query recall $minRecall below floor")
+    // sf0.1 measured 0.94 / 0.6 and sf0.01 1.0 / 1.0 at (k=16,
+    // rounds=2, beam=24, hops=3, cap=48, hamming-1 multi-probed init +
+    // seeds) — the r14 GraphAnnProbe sweep showed search recall
+    // saturates at the graph's truth-edge coverage, so degree (k 8→16)
+    // was the lever; floors pinned one band below the measured point
+    // like the sibling ANN families, now at/above their grades
+    // (LSH 0.9, PQ 0.7, IVF 0.6)
+    assert(recall >= 0.75, s"recall $recall below floor")
+    assert(minRecall >= 0.5, s"min per-query recall $minRecall below floor")
   }
 }

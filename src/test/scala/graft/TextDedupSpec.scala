@@ -1326,6 +1326,44 @@ class TextDedupSpec extends SparkSpec {
       "t20 t21"))
   }
 
+  test("text_dedup_spans_removal: single-hot-gram flood — no gram-partitioned window, first kept") {
+    val s = spark
+    import s.implicits._
+    // ONE 8-gram boilerplate in 50% of a 40k-doc corpus — the exact
+    // case ExactSubstr exists for. The first-occurrence reduction must
+    // be a map-side-combinable grouped min + join-back: a window
+    // partitioned by gram would sort the hot gram's entire occurrence
+    // list (20k rows here, corpus-scale in production) in ONE task.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = (0 until 40000).map { i =>
+      if (i % 2 == 0) (i.toLong, s"$boiler u${i}x u${i}y")
+      else (i.toLong, (0 to 9).map(j => s"q${i}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.dedupSpansRemoval(corpus, "doc_id", "text", k = 8)
+    // plan shape: the only Window nodes are the per-doc interval-union
+    // lag — nothing partitions by the gram column
+    val p = plan(out)
+    assert(!p.contains("windowspecdefinition(g#") &&
+      !p.contains("windowspecdefinition(g,"),
+      s"first-occurrence pass regressed to a gram-partitioned window")
+    val t0 = System.nanoTime()
+    val rows = out.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, s"hot-gram flood took ${secs}s")
+    assert(rows.length == 40000)
+    val byId = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // keep-first: doc 0 holds the boilerplate verbatim
+    assert(byId(0L) == ((10L, 0L, s"$boiler u0x u0y")))
+    // every later flooded doc loses exactly the 8 boilerplate tokens
+    (2 until 40000 by 2).take(50).foreach { i =>
+      assert(byId(i.toLong) == ((10L, 8L, s"u${i}x u${i}y")), s"doc $i")
+    }
+    // unique docs untouched
+    (1 until 40000 by 2).take(50).foreach { i =>
+      assert(byId(i.toLong)._2 == 0L, s"unique doc $i lost tokens")
+    }
+  }
+
   test("text_dedup_spans_removal: registered query is non-empty and consistent") {
     val rows = run("text_dedup_spans_removal").collect()
     assert(rows.length == docs.count())
