@@ -104,7 +104,7 @@ object SparkEntry {
     "decon_spans", "dedup_components", "dedup_components_persisted",
     "dedup_exact", "dedup_keep_best", "dedup_normalized",
     "dedup_pipeline_e2e", "emb_outliers", "emb_quantize_error",
-    "text_dedup_spans_removal", "sim_knn_graph",
+    "text_dedup_spans_removal", "sim_knn_graph", "sim_graph_append",
     "etl_dedup_merge", "etl_jsonlines", "etl_quarantine",
     "etl_rename_normalize", "etl_sanitize", "etl_scd2", "events_anomaly",
     "events_asof_join", "events_gap_fill", "events_ohlc", "events_rolling_1h",

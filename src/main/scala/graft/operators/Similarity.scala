@@ -1027,6 +1027,37 @@ object Similarity {
     * composition would re-execute the init per reference — the
     * components-loop contract).
     */
+  /** Broadcast the node-grain vector table only while its estimated
+    * serialized size fits comfortably in the JVM defaults — gate on
+    * BYTES, not row count: 4M 64-dim double rows is ~2 GB serialized,
+    * past any sane driver/executor broadcast budget long before a row
+    * cutoff bites. rows × (8·dims + 32 struct overhead) ≤ 256 MB. */
+  private def vectorBroadcastGate(nrm: DataFrame): DataFrame => DataFrame = {
+    val n = nrm.count()
+    val d0 = if (n == 0) 0 else nrm.select(size(col("ne"))).head.getInt(0)
+    if (n * (8L * d0 + 32L) <= (256L << 20)) (x: DataFrame) => broadcast(x)
+    else (x: DataFrame) => x
+  }
+
+  /** Exact-score a bare (src, dst) candidate stream against the
+    * normalized vector table and keep each src's k best (rounded-cosine
+    * desc, dst asc — the family's deterministic rank): the shared rank
+    * stage of knn-graph construction rounds and append splices. `bc`
+    * wraps the vector-table sides (broadcast under the byte gate) so
+    * candidate pairs score map-side and never shuffle vector payloads. */
+  private def graphTopK(nrm: DataFrame, id: String, cand: DataFrame, k: Int,
+                        bc: DataFrame => DataFrame): DataFrame = {
+    val scored = cand
+      .join(bc(nrm.select(col(id).as("src"), col("ne").as("se"))), "src")
+      .join(bc(nrm.select(col(id).as("dst"), col("ne").as("de"))), "dst")
+      .select(col("src"), col("dst"),
+        round(dotD(col("se"), col("de")), 4).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   def knnGraph(df: DataFrame, id: String, emb: String, k: Int, rounds: Int,
                tabs: Seq[Seq[Seq[Double]]],
                bucketCap: Int = Dedup.defaultBucketCap,
@@ -1042,28 +1073,9 @@ object Similarity {
     // and never shuffle 64-double payloads (the sf10 smoke measured the
     // unhinted shape shuffling ~59 GB of vectors at 200k nodes; past
     // driver memory the durable analog is a bucketed vector table
-    // co-partitioned with the pair stream, pageRank's documented shape).
-    // Gate on estimated broadcast BYTES, not row count: 4M 64-dim double
-    // rows is ~2 GB serialized — past any sane driver/executor broadcast
-    // budget long before a row cutoff bites. rows × (8·dims + 32 struct
-    // overhead) ≤ 256 MB keeps the built relation comfortably inside the
-    // JVM defaults and both sides of every topK join under it.
-    val n = nrm.count()
-    val d0 = if (n == 0) 0 else nrm.select(size(col("ne"))).head.getInt(0)
-    val bc =
-      if (n * (8L * d0 + 32L) <= (256L << 20)) (x: DataFrame) => broadcast(x)
-      else (x: DataFrame) => x
-    def topK(cand: DataFrame): DataFrame = {
-      val scored = cand
-        .join(bc(nrm.select(col(id).as("src"), col("ne").as("se"))), "src")
-        .join(bc(nrm.select(col(id).as("dst"), col("ne").as("de"))), "dst")
-        .select(col("src"), col("dst"),
-          round(dotD(col("se"), col("de")), 4).as("cos_sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
-      scored.withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= k)
-    }
+    // co-partitioned with the pair stream, pageRank's documented shape)
+    val bc = vectorBroadcastGate(nrm)
+    def topK(cand: DataFrame): DataFrame = graphTopK(nrm, id, cand, k, bc)
     val bkt = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
     val capped = bkt.withColumn("bn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1127,7 +1139,8 @@ object Similarity {
                   queryPred: Column, beam: Int, hops: Int, k: Int,
                   tabs: Seq[Seq[Seq[Double]]],
                   bucketCap: Int = Dedup.defaultBucketCap,
-                  prebuiltNrm: Option[DataFrame] = None): DataFrame = {
+                  prebuiltNrm: Option[DataFrame] = None,
+                  corpusPred: Column = lit(true)): DataFrame = {
     // every prune hop joins the frontier against the normalized vector
     // table — without a prebuilt (session-index) copy that is hops+1
     // full normalize-scans of the corpus per search batch; the query
@@ -1150,12 +1163,15 @@ object Similarity {
         .filter(col("rank") <= width)
     }
     val bkt = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
-    val capped = bkt.withColumn("bn", row_number().over(
+    // seed candidates and the entry node come from the CORPUS side only
+    // (corpusPred; default = whole df) — graphAppend searches a frozen
+    // BASE graph, so its seeds must never be other batch nodes
+    val capped = bkt.filter(corpusPred).withColumn("bn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("t", "bucket").orderBy(col(id))))
       .filter(col("bn") <= bucketCap)
       .select(col(id).as("nb"), col("t"), col("bucket"))
-    val entry = nrm.agg(min(col(id)).as("node"))
+    val entry = nrm.filter(corpusPred).agg(min(col(id)).as("node"))
     // multi-probe the seeds: the query side also probes every hamming-1
     // bucket — (bits+1)× fanout on the |Q|-bounded side only, zero extra
     // corpus cost (the sim_lsh_ann precedent); better seeds are the
@@ -1183,6 +1199,44 @@ object Similarity {
       .partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     fin.withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
+  }
+
+  /** INCREMENTAL graph maintenance — the online insert step the r13
+    * verdict named as the family's missing half (the `sim_ivfpq_append`
+    * contract applied to the HNSW class): a new batch joins an EXISTING
+    * k-NN graph with BATCH-sized work, no corpus rescan, no rebuild.
+    * Each new vector beam-searches the frozen base graph for its k
+    * nearest base nodes (its forward edges — exactly how HNSW inserts
+    * route), and each found base node then re-ranks its standing edge
+    * list against the arriving reverse edge (the splice), keeping k.
+    * Untouched base rows pass through unmodified. Work: |batch| beams
+    * (each |Q|-bounded) + ≤ |batch|·k re-ranks; the batch-vs-base
+    * simplification (new nodes do not link to EACH OTHER) is the
+    * documented trade — sequential-insert semantics recover them on the
+    * next batch, and the recall audit prices the effect. */
+  def graphAppend(df: DataFrame, id: String, emb: String, g: DataFrame,
+                  batchPred: Column, k: Int, beam: Int, hops: Int,
+                  tabs: Seq[Seq[Seq[Double]]],
+                  bucketCap: Int = Dedup.defaultBucketCap,
+                  prebuiltNrm: Option[DataFrame] = None): DataFrame = {
+    val nrm = prebuiltNrm.getOrElse(
+      graft.CacheScope.register(normalized(df, id, emb).localCheckpoint(true)))
+    val found = graphSearch(df, id, emb, g, batchPred, beam, hops, k,
+      tabs, bucketCap, prebuiltNrm = Some(nrm), corpusPred = !batchPred)
+    val fwd = found.select(col("query_id").as("src"),
+      col("neighbor_id").as("dst"), col("cos_sim"), col("rank"))
+    // reverse splice: candidate edges toward the new nodes, re-ranked
+    // against each touched base node's standing list — bare int pairs,
+    // vectors join back only inside graphTopK under the broadcast gate
+    val revc = found.select(col("neighbor_id").as("src"),
+      col("query_id").as("dst"))
+    val touched = revc.select("src").distinct()
+    val cand = g.join(touched, Seq("src")).select("src", "dst")
+      .unionByName(revc).distinct()
+    val reRanked = graphTopK(nrm, id, cand, k, vectorBroadcastGate(nrm))
+    val untouched = g.join(touched, Seq("src"), "left_anti")
+      .select("src", "dst", "cos_sim", "rank")
+    untouched.unionByName(reRanked).unionByName(fwd)
   }
 
   /** knn-graph family config, shared by queries and generated oracles.
@@ -1223,6 +1277,21 @@ object Similarity {
       knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = graphK, rounds = graphRounds, tabs = annTabs,
         bucketCap = graphInitCap, prebuiltNrm = Some(nrm))
+    }
+  }
+
+  /** The append family's frozen BASE graph: built over the corpus MINUS
+    * the arriving batch (vec_id ≡ 7 mod 10 — the sim_ivfpq_append batch
+    * convention), session-cached like every index artifact. */
+  val graphBatchMod = 7
+  private def graphBaseOf(s: SparkSession, d: String): DataFrame = {
+    val nrm = nrmOf(s, d) // resolve OUTSIDE the builder (re-entrancy)
+    cachedIndex(s"$d|knngraph_base|$graphK|$graphRounds") {
+      knnGraph(
+        Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= graphBatchMod),
+        "vec_id", "embedding", k = graphK, rounds = graphRounds,
+        tabs = annTabs, bucketCap = graphInitCap,
+        prebuiltNrm = Some(nrm.filter(col("vec_id") % 10 =!= graphBatchMod)))
     }
   }
 
@@ -1289,6 +1358,20 @@ object Similarity {
         tabs = annTabs, bucketCap = graphInitCap,
         prebuiltNrm = Some(nrmOf(s, d)))
         .orderBy("query_id", "rank")),
+
+    // incremental maintenance: a 10% batch splices into the frozen base
+    // graph with batch-sized work (beam-search forward edges + reverse
+    // re-ranks) — the online-insert half of the family; the oracle
+    // replays base build + batch beams + splice definitionally
+    "sim_graph_append" -> ((s, d) =>
+      graphAppend(Tables.embeddings(s, d).select("vec_id", "embedding"),
+        "vec_id", "embedding", graphBaseOf(s, d),
+        batchPred = col("vec_id") % 10 === graphBatchMod, k = graphK,
+        beam = graphBeam, hops = graphHops, tabs = annTabs,
+        bucketCap = graphInitCap, prebuiltNrm = Some(nrmOf(s, d)))
+        .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
+          col("cos_sim"), col("rank"))
+        .orderBy("vec_id", "rank")),
 
     // the family's recall audit vs brute-force truth — same composed-
     // chain contract as sim_recall_eval: both sides run the committed
@@ -1807,8 +1890,18 @@ object Similarity {
 
   /** The full knn-graph construction replay: capped-LSH init + the
     * configured NN-Descent rounds; the final graph is g$graphRounds. */
-  private lazy val graphCtes: String =
-    s"""${bucketsCte(annTabs)}, $normCte, cap AS MATERIALIZED (SELECT vec_id AS nb, tid, bucket FROM (SELECT vec_id, tid, bucket, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bkt) WHERE bn <= $graphInitCap), qp AS MATERIALIZED (SELECT vec_id, tid, unnest(${flipsSql(annTabs.head.size)}) AS bucket FROM bkt), c0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.nb AS dst FROM qp a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb), ${graphTopKSql("c0", "g0", graphK)}, ${(1 to graphRounds).map(i => graphRoundSql(s"g${i - 1}", i, graphK)).mkString(", ")}"""
+  private def graphCtesFor(baseCond: String): String =
+    s"""${bucketsCte(annTabs)}, $normCte, bktb AS (SELECT * FROM bkt WHERE $baseCond), cap AS MATERIALIZED (SELECT vec_id AS nb, tid, bucket FROM (SELECT vec_id, tid, bucket, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bktb) WHERE bn <= $graphInitCap), qp AS MATERIALIZED (SELECT vec_id, tid, unnest(${flipsSql(annTabs.head.size)}) AS bucket FROM bktb), c0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.nb AS dst FROM qp a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb), ${graphTopKSql("c0", "g0", graphK)}, ${(1 to graphRounds).map(i => graphRoundSql(s"g${i - 1}", i, graphK)).mkString(", ")}"""
+
+  private lazy val graphCtes: String = graphCtesFor("TRUE")
+
+  /** The beam-search replay CTE block (seeds → b0..bH → ranked fin):
+    * queries from `qCond` rows, seeds/entry restricted to `corpusCond`
+    * (TRUE for the plain search; the base side for the append). */
+  private def beamCtes(qCond: String, corpusCond: String): String = {
+    val gf = s"g$graphRounds"
+    s"""qs AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE $qCond), ent AS (SELECT min(vec_id) AS node FROM nrm WHERE $corpusCond), sd AS (SELECT a.vec_id AS query_id, b.nb AS node FROM (SELECT vec_id, tid, unnest(${flipsSql(annTabs.head.size)}) AS bucket FROM bkt WHERE $qCond) a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb UNION SELECT q.query_id, e.node FROM qs q CROSS JOIN ent e), ${beamPruneSql("sd", "b0", graphBeam)}, ${(1 to graphHops).map(i => beamHopSql(i, gf, graphBeam)).mkString(", ")}, fin AS (SELECT query_id, node AS neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rank FROM b$graphHops WHERE node != query_id)"""
+  }
 
   /** One beam prune stage of the search replay: `in`(query_id, node) →
     * `out`(query_id, node, cos_sim) keeping the `width` best. */
@@ -1822,10 +1915,14 @@ object Similarity {
     "sim_knn_graph" ->
       s"""WITH $graphCtes SELECT src AS vec_id, dst AS neighbor_id, cos_sim, rank FROM g$graphRounds ORDER BY vec_id, rank""",
 
-    "sim_graph_search" -> {
-      val gf = s"g$graphRounds"
-      s"""WITH $graphCtes, qs AS (SELECT vec_id AS query_id, ne AS qe FROM nrm WHERE vec_id < 10), ent AS (SELECT min(vec_id) AS node FROM nrm), sd AS (SELECT a.vec_id AS query_id, b.nb AS node FROM (SELECT vec_id, tid, unnest(${flipsSql(annTabs.head.size)}) AS bucket FROM bkt WHERE vec_id < 10) a JOIN cap b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb UNION SELECT q.query_id, e.node FROM qs q CROSS JOIN ent e), ${beamPruneSql("sd", "b0", graphBeam)}, ${(1 to graphHops).map(i => beamHopSql(i, gf, graphBeam)).mkString(", ")}, fin AS (SELECT query_id, node AS neighbor_id, cos_sim, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, node) AS rank FROM b$graphHops WHERE node != query_id) SELECT query_id, neighbor_id, cos_sim, rank FROM fin WHERE rank <= $graphTopK ORDER BY query_id, rank"""
-    },
+    "sim_graph_search" ->
+      s"""WITH $graphCtes, ${beamCtes("vec_id < 10", "TRUE")} SELECT query_id, neighbor_id, cos_sim, rank FROM fin WHERE rank <= $graphTopK ORDER BY query_id, rank""",
+
+    // base graph over vec_id % 10 != 7, batch beams seeded from the
+    // base side only, forward edges + reverse splice re-rank — the
+    // committed replay of graphAppend, stage for stage
+    "sim_graph_append" ->
+      s"""WITH ${graphCtesFor(s"vec_id % 10 != $graphBatchMod")}, ${beamCtes(s"vec_id % 10 = $graphBatchMod", s"vec_id % 10 != $graphBatchMod")}, fwd AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst, cos_sim, rank FROM fin WHERE rank <= $graphK), revc AS (SELECT dst AS src, src AS dst FROM fwd), tch AS (SELECT DISTINCT src FROM revc), candt AS (SELECT g.src, g.dst FROM g$graphRounds g JOIN tch USING (src) UNION SELECT src, dst FROM revc), ${graphTopKSql("candt", "gt", graphK)}, unt AS (SELECT src, dst, cos_sim, rank FROM g$graphRounds WHERE src NOT IN (SELECT src FROM tch)) SELECT src AS vec_id, dst AS neighbor_id, cos_sim, rank FROM (SELECT * FROM unt UNION ALL SELECT * FROM gt UNION ALL SELECT * FROM fwd) ORDER BY vec_id, rank""",
 
     "emb_profile" ->
       s"""SELECT label::BIGINT AS label, count(*) AS n_vecs, min(len(embedding))::BIGINT AS min_dims, max(len(embedding))::BIGINT AS max_dims, min(n2) AS min_norm2, max(n2) AS max_norm2, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_nan_vecs FROM (SELECT label, embedding, CASE WHEN isnan(n2r) THEN NULL ELSE n2r END AS n2, bad FROM (SELECT label, embedding, ${sqlDot("embedding", "embedding")} AS n2r, len(list_filter(embedding, x -> isnan(x))) > 0 AS bad FROM embeddings)) GROUP BY label ORDER BY label""",

@@ -1537,6 +1537,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_graph_append: batch splices in, untouched base rows preserved") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val rows = run("sim_graph_append").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def isBatch(v: Long) = v % 10 == Similarity.graphBatchMod
+    // well-formed: ≤ k distinct ranked edges per node, no self edges,
+    // scores non-increasing in rank
+    rows.foreach { case (v, n, _, _) => assert(v != n, s"self edge at $v") }
+    rows.groupBy(_._1).foreach { case (v, ns) =>
+      assert(ns.length <= Similarity.graphK, s"node $v has ${ns.length} > k")
+      assert(ns.map(_._2).distinct.length == ns.length, s"dup neighbor at $v")
+      val byRank = ns.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to ns.length).toSeq, s"rank gap at $v")
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.reverse.toSeq,
+        s"rank order not score order at $v")
+    }
+    // every batch node got forward edges, and they point at BASE only
+    // (the documented batch-vs-base simplification)
+    val batchRows = rows.filter(r => isBatch(r._1))
+    assert(batchRows.nonEmpty, "no batch node received edges")
+    batchRows.foreach { case (v, n, _, _) =>
+      assert(!isBatch(n), s"batch->batch edge $v -> $n") }
+    // base rows whose edge list the splice did not touch must be the
+    // frozen base graph's rows VERBATIM — the no-rebuild contract
+    val e = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val base = Similarity.knnGraph(
+      e.filter(col("vec_id") % 10 =!= Similarity.graphBatchMod),
+      "vec_id", "embedding", k = Similarity.graphK,
+      rounds = Similarity.graphRounds, tabs = Similarity.annTabs,
+      bucketCap = Similarity.graphInitCap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val touched = batchRows.map(_._2).toSet
+    val untouchedOut = rows.filter(r => !isBatch(r._1) && !touched(r._1)).toSet
+    val untouchedBase = base.filter(r => !touched(r._1)).toSet
+    assert(untouchedOut == untouchedBase,
+      "untouched base rows diverged from the frozen base graph")
+  }
+
   test("sim_graph_recall_eval: beam search clears the family's recall floor") {
     val r = run("sim_graph_recall_eval").collect().head
     val (nq, recall, minRecall) = (r.getLong(0), r.getDouble(3), r.getDouble(4))
