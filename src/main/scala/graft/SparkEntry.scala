@@ -143,7 +143,8 @@ object SparkEntry {
     "text_winnow_fingerprint", "training_data_decon_e2e", "training_data_e2e",
     // r14 (the r13 ADVICE finding): 2 rows/doc and 1 row/user — both
     // linear in a base table even though flat-or-small at the tiniest SFs
-    "sink_webdataset", "sink_webdataset_sized", "events_state_machine")
+    "sink_webdataset", "sink_webdataset_sized", "events_state_machine",
+    "events_state_machine_chunked")
 
   /** One entry per implemented operator from SURVEY.md §2.
     *

@@ -494,6 +494,75 @@ object Events {
         col("m.st").as("final_state"), col("m.path").as("path"))
   }
 
+  /** BOUNDED-CHUNK state-machine replay — [[stateMachineReplay]] without
+    * its one unbounded buffer (the per-key collect_list: a hot key
+    * owning 10^8 events is one task's array there). The classic
+    * parallel-prefix trick over a FINITE machine: because the state set
+    * is answer-sized, each (key, time-chunk) can be folded from EVERY
+    * possible start state in one pass (a transfer map start→final,
+    * |S| nested folds per chunk), chunks then stitch per key at CHUNK
+    * grain (days, not events), and a second chunk-level fold with the
+    * now-known start states produces exact transition counts. Buffers:
+    * max(events per (key, chunk), chunks per key) — never a key's whole
+    * history. Emits (key, n_events, n_transitions, final_state) — the
+    * per-event `path` column is itself per-key unbounded, so the
+    * chunked variant deliberately does not carry it (rule counts read
+    * the chunk-grain paths instead).
+    */
+  def stateMachineReplayChunked(df: DataFrame, key: String, typeCol: String,
+                                tsCol: String, tiebreak: String,
+                                initial: String,
+                                table: Seq[(String, String, String)],
+                                granularity: String = "day"): DataFrame = {
+    val sep = "\u001F"
+    val tmap = map(table.flatMap { case (f, e, t) =>
+      Seq(lit(s"$f$sep$e"), lit(t)) }: _*)
+    val states = (initial +: table.flatMap { case (f, _, t) => Seq(f, t) })
+      .distinct.sorted
+    val statesArr = array(states.map(lit): _*)
+    val evs = array_sort(collect_list(struct(col(tsCol), col(tiebreak),
+      col(typeCol).as("_et"))))
+    def step(st: Column, ev: Column): Column =
+      coalesce(element_at(tmap, concat_ws(sep, st, ev("_et"))), st)
+    // stage 1 — per (key, chunk): the transfer table start→final, one
+    // bounded fold per possible start state (|S| is table-sized). The
+    // tables ride as ARRAYS aligned with the literal `states` order
+    // (maps are not orderable inside array_sort), indexed later via
+    // array_position over the same literal.
+    val chunks = df
+      .withColumn("_ck", date_trunc(granularity, col(tsCol)))
+      .groupBy(col(key), col("_ck"))
+      .agg(count(lit(1)).as("_ne"),
+        transform(statesArr, s0 => aggregate(evs, s0, step)).as("_tr"),
+        // transitions taken from each possible start (a fold to a count,
+        // not a path — constant width per start state)
+        transform(statesArr, s0 =>
+          aggregate(evs,
+            struct(s0.as("st"), lit(0L).as("nt")),
+            (acc, ev) => {
+              val nxt = element_at(tmap, concat_ws(sep, acc("st"), ev("_et")))
+              struct(coalesce(nxt, acc("st")).as("st"),
+                (acc("nt") + when(nxt.isNotNull, 1L).otherwise(0L)).as("nt"))
+            })("nt")).as("_ntm"))
+    // stage 2 — per key at CHUNK grain: stitch transfer tables in chunk
+    // order from `initial`, reading each chunk's actual start state and
+    // its transition count at that start; fold state is (current state,
+    // running total) — constant width
+    def at(arr: Column, st: Column): Column =
+      element_at(arr, array_position(statesArr, st).cast("int"))
+    chunks.groupBy(col(key))
+      .agg(sum(col("_ne")).as("n_events"),
+        aggregate(
+          array_sort(collect_list(struct(col("_ck"), col("_tr"), col("_ntm")))),
+          struct(lit(initial).as("st"), lit(0L).as("nt")),
+          (acc, c) => struct(
+            at(c("_tr"), acc("st")).as("st"),
+            (acc("nt") + at(c("_ntm"), acc("st"))).as("nt"))).as("_m"))
+      .select(col(key), col("n_events"),
+        col("_m")("nt").as("n_transitions"),
+        col("_m")("st").as("final_state"))
+  }
+
   /** The machine's rule-usage rollup: how often each declared rule
     * fired corpus-wide — answer-sized (≤ |table| rows at any corpus
     * size); the explode feeds one map-side-combinable hash agg. */
@@ -927,6 +996,15 @@ object Events {
         .select("user_id", "n_events", "n_transitions", "final_state")
         .orderBy("user_id")),
 
+    // the hot-key-safe replay: per-(user, day) transfer-map folds
+    // stitched at chunk grain — identical answer, bounded buffers
+    "events_state_machine_chunked" -> ((s, d) =>
+      stateMachineReplayChunked(Tables.events(s, d), key = "user_id",
+        typeCol = "event_type", tsCol = "ts", tiebreak = "event_id",
+        initial = "idle", table = intentMachine)
+        .select("user_id", "n_events", "n_transitions", "final_state")
+        .orderBy("user_id")),
+
     // which declared rules actually fire, corpus-wide (answer-sized)
     "events_state_rule_counts" -> ((s, d) =>
       stateMachineRuleCounts(
@@ -977,6 +1055,21 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_state_machine" ->
+      (s"WITH RECURSIVE $smCtes, " +
+        """step(user_id, rn, st, ntr) AS (
+          |  SELECT user_id, 0::BIGINT, 'idle', 0::BIGINT FROM n
+          |  UNION ALL
+          |  SELECT s.user_id, s.rn + 1, coalesce(t.tos, s.st),
+          |         s.ntr + CASE WHEN t.tos IS NULL THEN 0 ELSE 1 END
+          |  FROM step s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+          |  LEFT JOIN tr t ON t.fs = s.st AND t.et = e.event_type)
+          |SELECT s.user_id AS user_id, n.ne AS n_events, s.ntr AS n_transitions, s.st AS final_state
+          |FROM step s JOIN n ON s.user_id = n.user_id AND s.rn = n.ne
+          |ORDER BY s.user_id""".stripMargin),
+
+    // the chunked replay computes the IDENTICAL answer by construction
+    // (a state machine's fold is associative over chunks) — one oracle
+    "events_state_machine_chunked" ->
       (s"WITH RECURSIVE $smCtes, " +
         """step(user_id, rn, st, ntr) AS (
           |  SELECT user_id, 0::BIGINT, 'idle', 0::BIGINT FROM n

@@ -885,4 +885,42 @@ class EtlFlowEventsSpec extends SparkSpec {
       assert(r.getLong(2) == 0L)
     }
   }
+
+  test("stateMachineReplayChunked equals the unchunked replay, incl. a hot key") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Events
+    // real corpus: chunked (per-user-day transfer folds stitched at
+    // chunk grain) must equal the unchunked fold row for row
+    val base = Events.stateMachineReplay(Tables.events(s, sfDir),
+        key = "user_id", typeCol = "event_type", tsCol = "ts",
+        tiebreak = "event_id", initial = "idle", table = Events.intentMachine)
+      .select("user_id", "n_events", "n_transitions", "final_state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val chunked = run("events_state_machine_chunked").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(chunked == base, "chunked replay diverged from the unchunked fold")
+    // hot key: ONE user owning 40k events across 60 days — the case the
+    // chunked fold exists for (the unchunked per-key array). Events
+    // cycle through the machine's whole alphabet so every chunk
+    // boundary crosses live state; equality is vs the unchunked fold.
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    val hot = (0 until 40000).map { i =>
+      (7L, new java.sql.Timestamp(1700000000000L + (i / 667) * 86400000L +
+        (i % 667) * 1000L), i.toLong, types(i % types.size))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val want = Events.stateMachineReplay(hot, "user_id", "event_type",
+        "ts", "event_id", "idle", Events.intentMachine)
+      .select("user_id", "n_events", "n_transitions", "final_state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val got = Events.stateMachineReplayChunked(hot, "user_id", "event_type",
+        "ts", "event_id", "idle", Events.intentMachine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == want, s"hot-key chunked $got != $want")
+    assert(want.head._2 == 40000L)
+    assert(want.head._3 > 0L, "hot-key machine never moved")
+  }
 }
