@@ -645,6 +645,110 @@ object TextOps {
       .select(col(id), col("logit"))
   }
 
+  /** TRAIN the quality/language filter IN-ENGINE — the missing half of
+    * [[classifierFilter]] (fixed weights): a LOGISTIC regression fit by
+    * two Newton/IRLS steps whose per-iteration normal equations are
+    * EXACT integer sums (the stat_regr Stable contract, generalized to
+    * a 3×3 solve). Features are 1e4-scaled integer ratios (round-half-up
+    * in pure integer arithmetic), so every Σ w·fᵢ·fⱼ and Σ (y−p)·fᵢ is
+    * an order-free decimal(38) sum; the 3×3 Cramer solve then runs the
+    * IDENTICAL double expression tree in both engines on identical
+    * inputs. Iteration 1 starts at β=0 where p is exactly ½ (w exactly
+    * ¼) — fully exact; iteration 2 quantizes the sigmoid to 1e-6 by
+    * floor (the lmScore log-quantization precedent: a 1-ulp exp()
+    * divergence only matters ON a quantum boundary, and the final
+    * coefficients are rounded to 4dp on top). Scale shape: each
+    * iteration is ONE map-side-combined scan agg to 9 numbers + a 1-row
+    * projection — no driver loop, no collect; the two corpus passes are
+    * the whole cost at any size.
+    */
+  def logitTrain(df: DataFrame, y: Column, x1: Column, x2: Column,
+                 ridge: Double = 0.01): DataFrame = {
+    // integer feature vector F = (1e4, x1, x2) — f_i = F_i / 1e4
+    val base = df.select(y.cast("long").as("y"),
+      x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+    val S = 10000L
+    def f(i: Int): Column = i match {
+      case 0 => lit(S); case 1 => col("x1"); case 2 => col("x2")
+    }
+    val idx = Seq(0, 1, 2)
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    // Cramer 3×3: delta = A⁻¹ g, written once and reused verbatim by the
+    // SQL mirror (same multiply/divide tree)
+    def solve(a: Map[(Int, Int), Column], g: Seq[Column]): Seq[Column] = {
+      def m2(p: Column, q: Column, r: Column, s: Column) = p * q - r * s
+      val det = a(0, 0) * m2(a(1, 1), a(2, 2), a(1, 2), a(2, 1)) -
+        a(0, 1) * m2(a(1, 0), a(2, 2), a(1, 2), a(2, 0)) +
+        a(0, 2) * m2(a(1, 0), a(2, 1), a(1, 1), a(2, 0))
+      val d0 = g(0) * m2(a(1, 1), a(2, 2), a(1, 2), a(2, 1)) -
+        a(0, 1) * m2(g(1), a(2, 2), a(1, 2), g(2)) +
+        a(0, 2) * m2(g(1), a(2, 1), a(1, 1), g(2))
+      val d1 = a(0, 0) * m2(g(1), a(2, 2), a(1, 2), g(2)) -
+        g(0) * m2(a(1, 0), a(2, 2), a(1, 2), a(2, 0)) +
+        a(0, 2) * m2(a(1, 0), g(2), g(1), a(2, 0))
+      val d2 = a(0, 0) * m2(a(1, 1), g(2), g(1), a(2, 1)) -
+        a(0, 1) * m2(a(1, 0), g(2), g(1), a(2, 0)) +
+        g(0) * m2(a(1, 0), a(2, 1), a(1, 1), a(2, 0))
+      Seq(d0 / det, d1 / det, d2 / det)
+    }
+    // iteration 1 (β = 0): p = 1/2 and w = 1/4 EXACTLY; A_ij =
+    // 0.25·ΣFᵢFⱼ/1e8, g_i = Σ(2y−1)Fᵢ/2e4 — every sum exact
+    val aggs1: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("y")).as("n_pos")) ++
+        (for (i <- idx; j <- idx if j >= i)
+          yield dec(f(i) * f(j)).as(s"s$i$j")) ++
+        idx.map(i => dec((col("y") * 2 - 1) * f(i)).as(s"g$i"))
+    val it1 = base.agg(aggs1.head, aggs1.tail: _*)
+    // RIDGE-regularized normal equations (lambda*n on the diagonal,
+    // lambda*n*beta off the gradient): a constant feature or a linearly
+    // separable corpus makes the unregularized A singular/divergent --
+    // the standard IRLS failure every real trainer guards against
+    val lamN = lit(ridge) * col("n")
+    val a1 = idx.flatMap(i => idx.map(j => (i, j) -> {
+      val base = lit(0.25) * (col(s"s${math.min(i, j)}${math.max(i, j)}") / lit(1.0e8))
+      if (i == j) base + lamN else base
+    })).toMap
+    val g1 = idx.map(i => col(s"g$i") / lit(2.0e4))
+    val b1 = solve(a1, g1)
+    val beta1 = it1.select(col("n"), col("n_pos"),
+      b1(0).as("b0"), b1(1).as("b1"), b1(2).as("b2"))
+    // iteration 2: one scan agg with β₁ broadcast in; sigmoid quantized
+    // to 1e-6 by floor, w = p(1−p) in the same integer quantum
+    val t = col("b0") + col("b1") * (col("x1").cast("double") / lit(10000.0)) +
+      col("b2") * (col("x2").cast("double") / lit(10000.0))
+    val scored = base.crossJoin(broadcast(beta1))
+      .withColumn("pq", floor(lit(1000000.0) / (lit(1.0) + exp(-t))).cast("long"))
+      .withColumn("wq", expr("(pq * (1000000 - pq)) div 1000000"))
+    val M = 1000000L
+    val aggs2: Seq[Column] =
+      (for (i <- idx; j <- idx if j >= i)
+        yield dec(col("wq") * f(i) * f(j)).as(s"s$i$j")) ++
+        idx.map(i => dec((col("y") * M - col("pq")) * f(i)).as(s"g$i"))
+    val it2 = scored.groupBy(col("n"), col("n_pos"), col("b0"), col("b1"), col("b2"))
+      .agg(aggs2.head, aggs2.tail: _*)
+    val a2 = idx.flatMap(i => idx.map(j => (i, j) -> {
+      val base = col(s"s${math.min(i, j)}${math.max(i, j)}") / lit(1.0e14)
+      if (i == j) base + lamN else base
+    })).toMap
+    val betas = Seq(col("b0"), col("b1"), col("b2"))
+    val g2 = idx.map(i => col(s"g$i") / lit(1.0e10) - lamN * betas(i))
+    val d = solve(a2, g2)
+    val beta2 = it2.select(col("n"), col("n_pos"),
+      (col("b0") + d(0)).as("b0"), (col("b1") + d(1)).as("b1"),
+      (col("b2") + d(2)).as("b2"))
+    // third pass: train accuracy of the fitted model — prediction is
+    // floor(t·1e6) > 0 (p > ½ up to the documented quantum)
+    val hits = base.crossJoin(broadcast(beta2))
+      .withColumn("hit",
+        (floor(t * lit(1000000.0)) > 0).cast("long") === col("y"))
+      .groupBy(col("n"), col("n_pos"), col("b0"), col("b1"), col("b2"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("nh"))
+    hits.select(col("n"), col("n_pos"),
+      round(col("b0"), 4).as("b0"), round(col("b1"), 4).as("b1"),
+      round(col("b2"), 4).as("b2"),
+      Stable.ratioRounded(col("nh"), col("n"), 4).as("train_acc"))
+  }
+
   /** Exact dedup by content hash: one hash-agg groupBy (map-side combine,
     * one shuffle on the 128-bit key — uniform, skew-free at any scale),
     * keep-first = min doc id per hash.
@@ -1281,6 +1385,37 @@ object TextOps {
         intercept = -0.5, theta = 1.7)
         .orderBy("doc_id")),
 
+    // TRAIN the filter in-engine: ridge-logistic fit (2 Newton steps on
+    // exact integer sums) DISTILLING the fixed-weight gate — y is the
+    // committed text_classifier_gate decision, the student sees only
+    // the punct-ratio + capped-length features (the cheap subset), and
+    // train_acc reports how much of the hand gate the learned filter
+    // reproduces. The DCLM/fastText "train the classifier in the
+    // pipeline" story without leaving the engine.
+    "text_classifier_train" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      val t = col("text")
+      val toks = tokens(t)
+      val feats0 = doc.select(
+        greatest(length(t), lit(1)).cast("long").as("ln"),
+        length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long").as("alpha"),
+        length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("long").as("punct"),
+        greatest(size(toks), lit(1)).cast("long").as("ntok"),
+        hitCount(toks, stopEn).cast("long").as("stops"))
+      // teacher = the gate's exact logit expression (same rounded
+      // ratios); student features are 1e4-scaled integers
+      val teacher = lit(-0.5) +
+        lit(2.0) * Stable.ratioRounded(col("alpha"), col("ln"), 4) +
+        lit(-3.0) * Stable.ratioRounded(col("punct"), col("ln"), 4) +
+        lit(1.5) * Stable.ratioRounded(col("stops"), col("ntok"), 4) +
+        lit(0.8) * least(col("ntok").cast("double") / 100.0, lit(1.0))
+      val feats = feats0.select(
+        (teacher >= 1.7).cast("long").as("y"),
+        expr("(20000 * punct + ln) div (2 * ln)").as("x1"),
+        (least(col("ntok"), lit(100L)) * 100L).as("x2"))
+      logitTrain(feats, col("y"), col("x1"), col("x2"))
+    }),
+
     // 3-epoch anneal: epoch 1 sees everything, epoch 3 keeps 10% low /
     // 50% mid / all high — band thresholds fixed at the corpus logit
     // terciles (1.55 / 1.8), corpus-independent by contract
@@ -1760,6 +1895,48 @@ object TextOps {
     // identical feature CTEs + the identical left-to-right IEEE fold of
     // the linear head; the unrounded logit matches BITWISE (shared fold,
     // SURVEY §6), so no rounding detour is needed
+    // the logit-train replay: identical integer feature quanta, exact
+    // HUGEINT normal-equation sums, and the VERBATIM Cramer double tree
+    // (generated by the same local builder shape as the Scala solve)
+    "text_classifier_train" -> {
+      def m2(p: String, q: String, r: String, z: String) =
+        s"($p * $q - $r * $z)"
+      // Cramer over names a00..a22 / g0..g2 — mirrors logitTrain.solve
+      def solveSql(a: (Int, Int) => String, g: Int => String): Seq[String] = {
+        val det = s"(${a(0, 0)} * ${m2(a(1, 1), a(2, 2), a(1, 2), a(2, 1))} - ${a(0, 1)} * ${m2(a(1, 0), a(2, 2), a(1, 2), a(2, 0))} + ${a(0, 2)} * ${m2(a(1, 0), a(2, 1), a(1, 1), a(2, 0))})"
+        val d0 = s"(${g(0)} * ${m2(a(1, 1), a(2, 2), a(1, 2), a(2, 1))} - ${a(0, 1)} * ${m2(g(1), a(2, 2), a(1, 2), g(2))} + ${a(0, 2)} * ${m2(g(1), a(2, 1), a(1, 1), g(2))})"
+        val d1 = s"(${a(0, 0)} * ${m2(g(1), a(2, 2), a(1, 2), g(2))} - ${g(0)} * ${m2(a(1, 0), a(2, 2), a(1, 2), a(2, 0))} + ${a(0, 2)} * ${m2(a(1, 0), g(2), g(1), a(2, 0))})"
+        val d2 = s"(${a(0, 0)} * ${m2(a(1, 1), g(2), g(1), a(2, 1))} - ${a(0, 1)} * ${m2(a(1, 0), g(2), g(1), a(2, 0))} + ${g(0)} * ${m2(a(1, 0), a(2, 1), a(1, 1), a(2, 0))})"
+        Seq(s"($d0 / $det)", s"($d1 / $det)", s"($d2 / $det)")
+      }
+      def sn(i: Int, j: Int) = s"s${math.min(i, j)}${math.max(i, j)}"
+      def fv(i: Int) = Seq("10000", "x1", "x2")(i)
+      val sums1 = (for (i <- 0 to 2; j <- i to 2)
+        yield s"sum(${fv(i)} * ${fv(j)})::DOUBLE AS ${sn(i, j)}") ++
+        (0 to 2).map(i => s"sum((2 * y - 1) * ${fv(i)})::DOUBLE AS g$i")
+      def diag(i: Int, j: Int, base: String) =
+        if (i == j) s"($base + (0.01 * n))" else base
+      val b1s = solveSql((i, j) => diag(i, j, s"(0.25 * (${sn(i, j)} / 100000000.0))"), i => s"(g$i / 20000.0)")
+      val sums2 = (for (i <- 0 to 2; j <- i to 2)
+        yield s"sum(wq * ${fv(i)} * ${fv(j)})::DOUBLE AS ${sn(i, j)}") ++
+        (0 to 2).map(i => s"sum((y * 1000000 - pq) * ${fv(i)})::DOUBLE AS g$i")
+      val ds = solveSql((i, j) => diag(i, j, s"(${sn(i, j)} / 100000000000000.0)"), i => s"((g$i / 10000000000.0) - (0.01 * n) * b$i)")
+      def tOf(b: String): String =
+        s"(${b}0 + ${b}1 * (x1 / 10000.0) + ${b}2 * (x2 / 10000.0))"
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      raw"""WITH f AS (SELECT CASE WHEN (-0.5) + 2.0 * $alphaR + (-3.0) * $punctR + 1.5 * $stopR + 0.8 * least(ntok / 100.0, 1.0) >= 1.7 THEN 1 ELSE 0 END AS y, (20000 * punct + ln) // (2 * ln) AS x1, least(ntok, 100) * 100 AS x2 FROM (SELECT greatest(length(text), 1) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, greatest(len(string_split_regex(trim(text), '\s+')), 1) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents)), """ +
+        s"""i1 AS (SELECT count(*) AS n, sum(y) AS n_pos, ${sums1.mkString(", ")} FROM f), """ +
+        s"""bb1 AS (SELECT n, n_pos, ${b1s(0)} AS b0, ${b1s(1)} AS b1, ${b1s(2)} AS b2 FROM i1), """ +
+        s"""sc AS (SELECT f.y, f.x1, f.x2, bb1.n, bb1.n_pos, bb1.b0, bb1.b1, bb1.b2, (floor(1000000.0 / (1.0 + exp(-${tOf("b")})))) ::BIGINT AS pq FROM f CROSS JOIN bb1), """ +
+        s"""sc2 AS (SELECT *, (pq * (1000000 - pq)) // 1000000 AS wq FROM sc), """ +
+        s"""i2 AS (SELECT n, n_pos, b0, b1, b2, ${sums2.mkString(", ")} FROM sc2 GROUP BY n, n_pos, b0, b1, b2), """ +
+        s"""bb2 AS (SELECT n, n_pos, b0 + ${ds(0)} AS c0, b1 + ${ds(1)} AS c1, b2 + ${ds(2)} AS c2 FROM i2), """ +
+        s"""ht AS (SELECT bb2.n, bb2.n_pos, bb2.c0, bb2.c1, bb2.c2, sum(CASE WHEN (CASE WHEN floor(${tOf("c")} * 1000000.0) > 0 THEN 1 ELSE 0 END) = f.y THEN 1 ELSE 0 END) AS nh FROM f CROSS JOIN bb2 GROUP BY bb2.n, bb2.n_pos, bb2.c0, bb2.c1, bb2.c2) """ +
+        s"""SELECT n::BIGINT AS n, n_pos::BIGINT AS n_pos, round(c0, 4) AS b0, round(c1, 4) AS b1, round(c2, 4) AS b2, ${graft.operators.Stable.sqlRatioRounded("nh", "n", 4)} AS train_acc FROM ht"""
+    },
+
     "text_classifier_gate" -> {
       val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
       val punctR = Stable.sqlRatioRounded("punct", "ln", 4)

@@ -752,6 +752,37 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan(df).contains("hashpartitioning"))
   }
 
+  test("text_classifier_train: distilled gate clears the accuracy floor; ridge keeps separable fits finite") {
+    val s = spark
+    import s.implicits._
+    // registered query: 2-step ridge-IRLS distillation of the committed
+    // gate — the student must reproduce most of the teacher from the
+    // cheap feature subset, with a meaningful positive class
+    val r = run("text_classifier_train").collect().head
+    val (n, nPos, b0, b1, b2, acc) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n == docs.count())
+    assert(nPos > 0 && nPos < n, "degenerate teacher labels")
+    assert(acc >= 0.85, s"distilled gate accuracy $acc below floor")
+    // the gate's decision is length-driven on this corpus: the length
+    // coefficient must be positive and dominant
+    assert(b2 > 0, s"length coefficient $b2 not positive")
+    assert(math.abs(b2) > math.abs(b1), s"unexpected dominance: b1=$b1 b2=$b2")
+    assert(b0 < 0, s"intercept $b0 should gate short docs out")
+    // PERFECTLY SEPARABLE fixture: unregularized IRLS diverges (weights
+    // -> infinity, singular A); the ridge term must keep the fit finite
+    // and still classify the fixture perfectly
+    val sep = (0 until 200).map { i =>
+      val y = i % 2
+      (y.toLong, if (y == 1) 9000L + (i % 7) else 1000L + (i % 7), 5000L)
+    }.toDF("y", "x1", "x2")
+    val fit = TextOps.logitTrain(sep, col("y"), col("x1"), col("x2")).collect().head
+    val (fb0, fb1, facc) = (fit.getDouble(2), fit.getDouble(3), fit.getDouble(5))
+    assert(!fb0.isNaN && !fb1.isNaN && math.abs(fb1) < 1e6,
+      s"separable fit diverged: b0=$fb0 b1=$fb1")
+    assert(facc == 1.0, s"separable fixture not fully classified: $facc")
+  }
+
   test("dedup_scoped: pairs never cross the scope boundary, per-scope reps") {
     val rows = run("dedup_scoped").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
