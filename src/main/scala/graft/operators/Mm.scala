@@ -1064,7 +1064,12 @@ object Mm {
     */
   def pipelineE2e(corpus: DataFrame, packBudget: Long = 2048L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // 1. exact dedup: keep each byte-identical group's min doc
+    // 1. exact dedup: keep each byte-identical group's min doc. NOT
+    // checkpointed: kept1's three consumers already share the _md5
+    // window's exchange through AQE exchange reuse, so the synthesis
+    // runs once — an eager localCheckpoint here measured SLOWER (3.1 vs
+    // 2.6 s at sf0.1, r14 probe window) because it pays a blocking
+    // materialization the reuse already avoids
     val wMd5 = Window.partitionBy("_md5")
     val kept1 = corpus.withColumn("_md5", md5(col("blob")))
       .withColumn("n_copies", count(lit(1)).over(wMd5))
