@@ -1183,7 +1183,12 @@ object Similarity {
       .select(col(id).as("query_id"), col("nb").as("node"))
       .unionByName(q.select(col("query_id")).crossJoin(broadcast(entry)))
       .distinct()
-    var beamDf = prune(seeds, beam)
+    // each hop references the previous beam TWICE (expand ∪ carry) — a
+    // lazy chain doubles the plan per hop and re-executes hop 0 up to
+    // 2^hops times; the frontier is |Q|·beam rows, so materialize each
+    // hop (the knnGraph rounds contract applied to the search side)
+    var beamDf = graft.CacheScope.register(
+      prune(seeds, beam).localCheckpoint(true))
     (1 to hops).foreach { _ =>
       val expanded = beamDf
         .select(col("query_id"), col("node"))
@@ -1191,7 +1196,8 @@ object Similarity {
         .select(col("query_id"), col("dst").as("node"))
         .unionByName(beamDf.select("query_id", "node"))
         .distinct()
-      beamDf = prune(expanded, beam)
+      beamDf = graft.CacheScope.register(
+        prune(expanded, beam).localCheckpoint(true))
     }
     val fin = beamDf.filter(col("node") =!= col("query_id"))
       .select(col("query_id"), col("node").as("neighbor_id"), col("cos_sim"))
@@ -1221,8 +1227,14 @@ object Similarity {
                   prebuiltNrm: Option[DataFrame] = None): DataFrame = {
     val nrm = prebuiltNrm.getOrElse(
       graft.CacheScope.register(normalized(df, id, emb).localCheckpoint(true)))
-    val found = graphSearch(df, id, emb, g, batchPred, beam, hops, k,
-      tabs, bucketCap, prebuiltNrm = Some(nrm), corpusPred = !batchPred)
+    // `found` feeds the forward edges, the reverse splice AND the
+    // touched-node set — materialize the batch-sized result once (the
+    // r14 GraphAppendProbe measured the lazy shape re-running the whole
+    // beam search per consumer: 11.4 s vs 5.1 s for the search alone)
+    val found = graft.CacheScope.register(
+      graphSearch(df, id, emb, g, batchPred, beam, hops, k,
+        tabs, bucketCap, prebuiltNrm = Some(nrm), corpusPred = !batchPred)
+        .localCheckpoint(true))
     val fwd = found.select(col("query_id").as("src"),
       col("neighbor_id").as("dst"), col("cos_sim"), col("rank"))
     // reverse splice: candidate edges toward the new nodes, re-ranked
