@@ -49,6 +49,19 @@ object GraphAppendProbe {
     med3("registered query (incl. presentation sort)") {
       noop(S.queries("sim_graph_append")(spark, sfDir))
     }
+
+    // appended-node recall@5: forward edges vs brute-force truth of the
+    // batch against the base corpus
+    val out = S.graphAppend(e, "vec_id", "embedding", g, batch,
+      k = S.graphK, beam = S.graphBeam, hops = S.graphHops,
+      tabs = S.annTabs, bucketCap = S.graphInitCap,
+      prebuiltNrm = Some(nrm))
+      .filter(col("src") % 10 === S.graphBatchMod && col("rank") <= 5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = S.simTopK(e.filter(!batch), e.filter(batch),
+      "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"appended-node recall@5: ${(truth & out).size.toDouble / truth.size}%.3f")
     spark.stop()
   }
 }

@@ -1575,6 +1575,19 @@ class SimilaritySpec extends SparkSpec {
     val untouchedBase = base.filter(r => !touched(r._1)).toSet
     assert(untouchedOut == untouchedBase,
       "untouched base rows diverged from the frozen base graph")
+    // QUALITY of the insert: the batch nodes' forward edges must find
+    // most of their true nearest base neighbors (brute-force truth) —
+    // the appended-node recall the online-insert contract is for
+    val truth = Similarity.simTopK(
+      e.filter(col("vec_id") % 10 =!= Similarity.graphBatchMod),
+      e.filter(col("vec_id") % 10 === Similarity.graphBatchMod),
+      "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fwdTop5 = batchRows.filter(_._4 <= 5L).map(r => (r._1, r._2)).toSet
+    // measured 0.859 at sf0.1 (GraphAppendProbe) — one band below,
+    // matching the family floor discipline
+    val recall = (truth & fwdTop5).size.toDouble / truth.size
+    assert(recall >= 0.7, s"appended-node recall@5 $recall below floor")
   }
 
   test("sim_graph_recall_eval: beam search clears the family's recall floor") {
