@@ -458,8 +458,10 @@ object Events {
     * [[patternWithin]] (an a-then-b instance) to arbitrary tables.
     *
     * Output grain per key: (n_events, n_transitions, final_state) and
-    * the ordered list of TAKEN rules (`path`, "from|event|to" labels)
-    * for the rule-count rollup. Scale shape: the fold is ONE hash
+    * the ordered list of TAKEN rules (`path`; each label is
+    * from/event/to joined with U+001F, the unit separator that
+    * [[stateMachineRuleCounts]] splits on — states/events may contain
+    * `|`) for the rule-count rollup. Scale shape: the fold is ONE hash
     * exchange on the key + a codegen'd higher-order `aggregate` over
     * the sorted in-group array — the transition table rides along as a
     * literal map expression (answer-sized, no join, no driver loop);

@@ -1915,12 +1915,15 @@ object TextOps {
         yield s"sum(${fv(i)} * ${fv(j)})::DOUBLE AS ${sn(i, j)}") ++
         (0 to 2).map(i => s"sum((2 * y - 1) * ${fv(i)})::DOUBLE AS g$i")
       def diag(i: Int, j: Int, base: String) =
-        if (i == j) s"($base + (0.01 * n))" else base
+        // CAST keeps the verbatim double tree: bare 0.01 is DECIMAL in
+        // DuckDB ((0.01*n) = exact n/100 rounded once) while Spark's
+        // lit(0.01)*n multiplies two doubles — 1-ulp apart for some n
+        if (i == j) s"($base + (CAST(0.01 AS DOUBLE) * n))" else base
       val b1s = solveSql((i, j) => diag(i, j, s"(0.25 * (${sn(i, j)} / 100000000.0))"), i => s"(g$i / 20000.0)")
       val sums2 = (for (i <- 0 to 2; j <- i to 2)
         yield s"sum(wq * ${fv(i)} * ${fv(j)})::DOUBLE AS ${sn(i, j)}") ++
         (0 to 2).map(i => s"sum((y * 1000000 - pq) * ${fv(i)})::DOUBLE AS g$i")
-      val ds = solveSql((i, j) => diag(i, j, s"(${sn(i, j)} / 100000000000000.0)"), i => s"((g$i / 10000000000.0) - (0.01 * n) * b$i)")
+      val ds = solveSql((i, j) => diag(i, j, s"(${sn(i, j)} / 100000000000000.0)"), i => s"((g$i / 10000000000.0) - (CAST(0.01 AS DOUBLE) * n) * b$i)")
       def tOf(b: String): String =
         s"(${b}0 + ${b}1 * (x1 / 10000.0) + ${b}2 * (x2 / 10000.0))"
       val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)

@@ -328,7 +328,12 @@ object Archive {
     * (unclosed) trailing bin per block; CLOSED bins carry next-fit's
     * bound of target ± one max-doc. Shard id = block_id·block + bin
     * (bins per block ≤ block since every bin holds ≥ 1 doc), so ids
-    * are deterministic and collision-free without any global pass.
+    * are deterministic and collision-free without any global pass —
+    * PROVIDED no single doc exceeds `targetBytes`: a doc larger than
+    * the target would push its block's bin index past block-1 and
+    * collide with the next block's namespace, so the sink refuses such
+    * a doc with `raise_error` (mirrored in the oracle) rather than
+    * silently merging bins across blocks.
     */
   def webdatasetSinkSized(s: SparkSession, dir: String,
                           targetBytes: Long = wdsSizedTarget,
@@ -346,6 +351,17 @@ object Archive {
       // payload; .txt = 512 header + 512-padded UTF-8 byte length
       .withColumn("_bytes", expr(
         "CAST(1024 + 512 + ((octet_length(text) + 511) div 512) * 512 AS BIGINT)"))
+      // collision guard (r14 ADVICE): a doc over the byte target would
+      // push bin = prior div target past block-1 and alias the next
+      // block's shard ids — refuse loudly, the id scheme's one premise
+      .withColumn("_bytes",
+        when(col("_bytes") <= lit(targetBytes), col("_bytes"))
+          .otherwise(raise_error(concat(lit("webdataset doc "),
+            col("doc_id").cast("string"), lit(" needs "),
+            col("_bytes").cast("string"),
+            lit(s" tar bytes > targetBytes=$targetBytes — raise the " +
+              "shard byte target above the largest single document")))
+            .cast("bigint")))
       .withColumn("_prior", sum(col("_bytes")).over(w) - col("_bytes"))
       .withColumn("shard",
         col("_grp") * block + expr(s"_prior div $targetBytes"))
@@ -486,14 +502,19 @@ object Archive {
         |         CASE WHEN doc_id % 10 < 8 THEN 'train'
         |              WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
         |         doc_id // ${wdsSizedBlock} AS grp,
-        |         (1024 + 512 + ((octet_length(encode(text)) + 511) // 512) * 512)::BIGINT AS bytes
+        |         (1024 + 512 + ((octet_length(encode(text)) + 511) // 512) * 512)::BIGINT AS bytes0
         |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, text, split, grp,
+        |         CASE WHEN bytes0 <= ${wdsSizedTarget} THEN bytes0
+        |              ELSE error('webdataset doc over targetBytes — bin ids would collide') END AS bytes
+        |  FROM d),
         |b AS (
         |  SELECT doc_id, text, split,
         |         (grp * ${wdsSizedBlock} +
         |           (coalesce(sum(bytes) OVER (PARTITION BY split, grp ORDER BY doc_id
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // ${wdsSizedTarget}))::BIGINT AS shard
-        |  FROM d),
+        |  FROM dg),
         |m AS (
         |  SELECT split, shard, doc_id, doc_id::VARCHAR || '.cls' AS name,
         |         octet_length(encode((doc_id % 10)::VARCHAR))::BIGINT AS size,

@@ -26,6 +26,12 @@ class ArchiveSpec extends SparkSpec {
     (p.waitFor(), out)
   }
 
+  /** The zstd CLI cross-checks only run where the binary exists — the
+    * engine-side round trips (ZstdBytes ↔ UnzstdBytes, checksum and bomb
+    * gates) are asserted unconditionally in the other tests either way. */
+  private lazy val zstdCli: Boolean =
+    try sh("sh", "-c", "command -v zstd")._1 == 0 catch { case _: Exception => false }
+
   // ---------------------------------------------------------------- tar
 
   test("tar: GNU tar lists and extracts TarBuild output byte-for-byte") {
@@ -302,6 +308,7 @@ class ArchiveSpec extends SparkSpec {
   // --------------------------------------------------------------- zstd
 
   test("zstd: CLI round-trips both directions, including unknown-content-size frames") {
+    assume(zstdCli, "zstd CLI not installed on this host")
     val data = ("zstd cross validation body " * 20).getBytes("UTF-8")
     val dir = java.nio.file.Files.createTempDirectory("graft_zst").toFile
     // engine → CLI
@@ -359,6 +366,7 @@ class ArchiveSpec extends SparkSpec {
     for ((p, i) <- parts.zipWithIndex)
       assert(java.util.Arrays.equals(ms.getBinary(i), p))
     // the zstd CLI agrees the concatenation (incl. skippable) is valid
+    assume(zstdCli, "zstd CLI not installed on this host")
     val dir = java.nio.file.Files.createTempDirectory("graft_zstm").toFile
     val f = new java.io.File(dir, "cat.zst")
     java.nio.file.Files.write(f.toPath, cat)
@@ -451,6 +459,7 @@ class ArchiveSpec extends SparkSpec {
       groups.map { case (sp, sh) => s"$sp-$sh.tar.zst" })
     // the production consumer's view: system zstd decodes a shard, GNU
     // tar lists and extracts it, extracted bytes hash to the row's md5
+    assume(zstdCli, "zstd CLI not installed on this host")
     val f = files.minBy(_.getName)
     val tmp = java.nio.file.Files.createTempDirectory("graft_wds").toFile
     val tarF = new java.io.File(tmp, "s.tar")
@@ -507,10 +516,16 @@ class ArchiveSpec extends SparkSpec {
     closed.foreach { case (k, b) =>
       assert(b >= target - maxDoc, s"closed shard $k underfull: $b")
     }
-    // shard ids stay inside their block's namespace (≤ block bins/group)
+    // shard ids stay inside the EMITTING doc's block namespace: shard =
+    // grp*block + bin with bin < block, so sh / block must equal the
+    // doc's own doc_id / block (r14 ADVICE: sh % block < block was
+    // vacuously true for every long)
     rows.foreach { r =>
       val sh = r.getLong(1)
-      assert(sh % block < block, s"bin index escaped its block: $sh")
+      val docId = r.getString(2).split("\\.")(0).toLong
+      assert(sh / block == docId / block,
+        s"shard $sh escaped doc $docId's block namespace " +
+          s"(expected block ${docId / block}, got ${sh / block})")
     }
   }
 
