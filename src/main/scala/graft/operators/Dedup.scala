@@ -295,7 +295,12 @@ object Dedup {
     * not double-counted (r12 advice). Candidates are the SAME
     * banded-LSH pair set the dedup family ships, restricted to pairs
     * touching a probe. Output is one row: probe/truth/candidate/hit
-    * counts + recall and precision, int-ratio-rounded.
+    * counts + recall and precision, int-ratio-rounded, PLUS the
+    * blind-spot bound (r15): `n_exposed`/`exposure_bound` count the
+    * probes whose stop-shingle mass alone could reach the threshold
+    * (jac of any invisible pair vs probe a is ≤ ncom(a)/nsh(a)), i.e.
+    * the only probes whose truth set could be undercounted — the
+    * recall number ships with its own quantified caveat.
     */
   def lshEval(docs: DataFrame, id: String, textCol: String,
               n: Int, k: Int, rowsPerBand: Int,
@@ -352,15 +357,35 @@ object Dedup {
         .select("id_a", "id_b"))
       .distinct()
     val hits = truth.join(candP, Seq("id_a", "id_b"), "left_semi")
+    // BLIND-SPOT BOUND (r15): a truth pair invisible to the audit must
+    // overlap EXCLUSIVELY in >dfCap stop-shingles, so against probe a
+    // its intersection is ≤ ncom(a) while its union is ≥ nsh(a) — jac ≤
+    // ncom/nsh. A probe with ncom/nsh < threshold therefore PROVABLY
+    // has no invisible qualifying pair; the audit now emits the exposed
+    // count/fraction so the recall figure carries a QUANTIFIED caveat
+    // instead of a prose one. Threshold compares as 1e4-quantized
+    // integers (exact for the shipped 0.5; portable for any 4dp value).
+    // Probes with ZERO rare shingles (absent from the inner-joined size
+    // table) are the fully blind case — the LEFT join keeps them.
+    val thrQ = math.round(threshold * 10000)
+    val exposed = nsh.join(probes, nsh(id) === probes("probe_id"), "left_semi")
+      .join(nshr, Seq(id), "left")
+      .filter((col("nsh") - coalesce(col("nshr"), lit(0L))) * 10000L >=
+        lit(thrQ) * col("nsh"))
     probes.agg(count(lit(1)).as("n_probes"))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
       .crossJoin(candP.agg(count(lit(1)).as("n_cand")))
       .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(exposed.agg(count(lit(1)).as("n_exposed")))
       .select(col("n_probes"), col("n_truth"), col("n_cand"), col("n_hit"),
         when(col("n_truth") > 0,
           Stable.ratioRounded(col("n_hit"), col("n_truth"), 4)).as("recall"),
         when(col("n_cand") > 0,
-          Stable.ratioRounded(col("n_hit"), col("n_cand"), 4)).as("precision"))
+          Stable.ratioRounded(col("n_hit"), col("n_cand"), 4)).as("precision"),
+        col("n_exposed"),
+        when(col("n_probes") > 0,
+          Stable.ratioRounded(col("n_exposed"), col("n_probes"), 4))
+          .as("exposure_bound"))
   }
 
   def simhash32(docs: DataFrame, id: String, textCol: String, n: Int): DataFrame = {
@@ -1534,7 +1559,7 @@ object Dedup {
     "dedup_lsh_eval" -> {
       val jac = graft.operators.Stable.sqlRatioRounded(
         "len(list_intersect(x.sh, y.sh))", "len(list_distinct(list_concat(x.sh, y.sh)))", 4)
-      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, probes AS (SELECT doc_id FROM reps WHERE ${sqlDraw("doc_id")} % 16 = 0), dfok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)), psh AS (SELECT shr.doc_id AS probe_id, shr.s FROM shr JOIN probes ON shr.doc_id = probes.doc_id), rpc AS (SELECT p.probe_id, r.doc_id, count(*) AS shared FROM psh p JOIN shr r ON p.s = r.s AND p.probe_id != r.doc_id GROUP BY 1, 2), nsz AS (SELECT doc_id, len(sh) AS nsh FROM shs), nrz AS (SELECT doc_id, count(*) AS nshr FROM shr GROUP BY doc_id), szs AS (SELECT n.doc_id, n.nsh, n.nsh - r.nshr AS ncom FROM nsz n JOIN nrz r USING (doc_id)), rp AS (SELECT DISTINCT least(rpc.probe_id, rpc.doc_id) AS id_a, greatest(rpc.probe_id, rpc.doc_id) AS id_b FROM rpc JOIN szs a ON rpc.probe_id = a.doc_id JOIN szs b ON rpc.doc_id = b.doc_id WHERE (rpc.shared + least(a.ncom, b.ncom)) * 3 >= a.nsh + b.nsh), tr AS (SELECT rp.id_a, rp.id_b FROM rp JOIN shs x ON rp.id_a = x.doc_id JOIN shs y ON rp.id_b = y.doc_id WHERE $jac >= 0.5), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), candp AS (SELECT id_a, id_b FROM cand WHERE id_a IN (SELECT doc_id FROM probes) OR id_b IN (SELECT doc_id FROM probes)), hit AS (SELECT t.id_a FROM tr t JOIN candp c ON t.id_a = c.id_a AND t.id_b = c.id_b), m AS (SELECT (SELECT count(*) FROM probes) AS n_probes, (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM candp) AS n_cand, (SELECT count(*) FROM hit) AS n_hit) SELECT n_probes, n_truth, n_cand, n_hit, CASE WHEN n_truth > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_truth", 4)} END AS recall, CASE WHEN n_cand > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_cand", 4)} END AS precision FROM m"""
+      s"""WITH $repsCte, $tkCte, $shListCte, $shCte, $sigCte, $bkCte, $bkcCte, probes AS (SELECT doc_id FROM reps WHERE ${sqlDraw("doc_id")} % 16 = 0), dfok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64), shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfok USING (s)), psh AS (SELECT shr.doc_id AS probe_id, shr.s FROM shr JOIN probes ON shr.doc_id = probes.doc_id), rpc AS (SELECT p.probe_id, r.doc_id, count(*) AS shared FROM psh p JOIN shr r ON p.s = r.s AND p.probe_id != r.doc_id GROUP BY 1, 2), nsz AS (SELECT doc_id, len(sh) AS nsh FROM shs), nrz AS (SELECT doc_id, count(*) AS nshr FROM shr GROUP BY doc_id), szs AS (SELECT n.doc_id, n.nsh, n.nsh - r.nshr AS ncom FROM nsz n JOIN nrz r USING (doc_id)), rp AS (SELECT DISTINCT least(rpc.probe_id, rpc.doc_id) AS id_a, greatest(rpc.probe_id, rpc.doc_id) AS id_b FROM rpc JOIN szs a ON rpc.probe_id = a.doc_id JOIN szs b ON rpc.doc_id = b.doc_id WHERE (rpc.shared + least(a.ncom, b.ncom)) * 3 >= a.nsh + b.nsh), tr AS (SELECT rp.id_a, rp.id_b FROM rp JOIN shs x ON rp.id_a = x.doc_id JOIN shs y ON rp.id_b = y.doc_id WHERE $jac >= 0.5), cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bkc a JOIN bkc b ON a.band_key = b.band_key AND a.doc_id < b.doc_id), candp AS (SELECT id_a, id_b FROM cand WHERE id_a IN (SELECT doc_id FROM probes) OR id_b IN (SELECT doc_id FROM probes)), hit AS (SELECT t.id_a FROM tr t JOIN candp c ON t.id_a = c.id_a AND t.id_b = c.id_b), exz AS (SELECT n.doc_id FROM nsz n LEFT JOIN nrz r USING (doc_id) WHERE n.doc_id IN (SELECT doc_id FROM probes) AND (n.nsh - coalesce(r.nshr, 0)) * 10000 >= 5000 * n.nsh), m AS (SELECT (SELECT count(*) FROM probes) AS n_probes, (SELECT count(*) FROM tr) AS n_truth, (SELECT count(*) FROM candp) AS n_cand, (SELECT count(*) FROM hit) AS n_hit, (SELECT count(*) FROM exz) AS n_exposed) SELECT n_probes, n_truth, n_cand, n_hit, CASE WHEN n_truth > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_truth", 4)} END AS recall, CASE WHEN n_cand > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_hit", "n_cand", 4)} END AS precision, n_exposed, CASE WHEN n_probes > 0 THEN ${graft.operators.Stable.sqlRatioRounded("n_exposed", "n_probes", 4)} END AS exposure_bound FROM m"""
     },
 
     // same tiny count agg + sqrt rate + md5 draw, stated relationally;

@@ -363,6 +363,63 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** INCREMENTAL retention maintenance — [[retention]] re-stated as a
+    * maintained aggregate (the [[graft.operators.Etl.aggMaintain]] /
+    * sketch-maintain fold applied to the family's unbounded-history
+    * read): at 100 TB the daily re-scan of the full events history is
+    * the first cost a deployment refuses, so the state a fold carries
+    * is the COMPACTED activity aggregate, never raw events:
+    *
+    *  - `days`  — the distinct (user, day) table (users × active-days
+    *    rows: the 1000×-smaller distinct-aggregate of the event log)
+    *  - `cohorts` — per-user min(day), an ASSOCIATIVE min-merge like
+    *    aggMaintain's (n, sum) pairs — late-arriving history that
+    *    predates a user's standing cohort simply wins the min, so
+    *    out-of-order delta batches fold correctly
+    *
+    * One fold costs O(|delta| + |delta's users| state rows touched):
+    * the delta collapses to its own distinct day pairs (map-side
+    * combined), anti-joins the standing days table on the
+    * co-partitioned user key (no payload, no history rewrite), and the
+    * cohort merge is a delta-keyed min re-agg. The cell matrix
+    * ([[retentionFromState]]) is a state-grain read — raw history is
+    * touched exactly once, by the fold that ingested it. The oracle IS
+    * the invariant: a from-scratch [[retention]] rebuild over all
+    * events must equal the folded state's read (the aggMaintain
+    * contract), which the spec chains over out-of-order delta batches.
+    */
+  def retentionMaintain(days: DataFrame, cohorts: DataFrame,
+                        delta: DataFrame, user: String,
+                        tsCol: String): (DataFrame, DataFrame) = {
+    val dd = delta
+      .select(col(user), date_trunc("day", col(tsCol)).as("_day")).distinct()
+    val newPairs = dd.join(days, Seq(user, "_day"), "left_anti")
+    val mergedDays = days.unionByName(newPairs)
+    val mergedCohorts = cohorts
+      .unionByName(dd.groupBy(col(user)).agg(min(col("_day")).as("cohort_day")))
+      .groupBy(col(user)).agg(min(col("cohort_day")).as("cohort_day"))
+    (mergedDays, mergedCohorts)
+  }
+
+  /** The state shape [[retentionMaintain]] folds into, from one batch. */
+  def retentionStateOf(batch: DataFrame, user: String,
+                       tsCol: String): (DataFrame, DataFrame) = {
+    val days = batch
+      .select(col(user), date_trunc("day", col(tsCol)).as("_day")).distinct()
+    (days, days.groupBy(col(user)).agg(min(col("_day")).as("cohort_day")))
+  }
+
+  /** The retention read over maintained state: same cell matrix as
+    * [[retention]], but joining the compacted (days, cohorts) state
+    * instead of re-deriving both from raw history. */
+  def retentionFromState(days: DataFrame, cohorts: DataFrame,
+                         user: String): DataFrame =
+    days.join(cohorts, user)
+      .select(col("cohort_day"),
+        datediff(col("_day"), col("cohort_day")).cast("bigint").as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Ordered-funnel detection: for each user, the first time each stage of
     * an ordered sequence (e.g. view → click → purchase) was reached, where
     * stage i+1 only counts STRICTLY AFTER stage i was first reached — the
@@ -971,6 +1028,26 @@ object Events {
       retention(Tables.events(s, d), user = "user_id", tsCol = "ts")
         .orderBy("cohort_day", "day_offset")),
 
+    // incremental twin of events_retention: three OUT-OF-ORDER delta
+    // batches (event_id % 3 — late batches carry earlier days, so
+    // cohort minima genuinely move) fold into the compacted
+    // (days, cohorts) state; the emitted read must equal the oracle's
+    // from-scratch rebuild over ALL events — the aggMaintain contract
+    "events_retention_maintain" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      def batch(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      var st = retentionStateOf(batch(0), "user_id", "ts")
+      (1 to 2).foreach { i =>
+        // each fold references the standing state twice (anti-join +
+        // union) — materialize per round, the components-loop contract
+        st = (graft.CacheScope.register(st._1.localCheckpoint(true)),
+          graft.CacheScope.register(st._2.localCheckpoint(true)))
+        st = retentionMaintain(st._1, st._2, batch(i), "user_id", "ts")
+      }
+      retentionFromState(st._1, st._2, "user_id")
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "events_anomaly" -> ((s, d) =>
       anomalies(Tables.events(s, d).select("event_id", "event_type", "value"),
         key = "event_type", v = "value", zMax = 2.5)
@@ -1160,6 +1237,12 @@ object Events {
     "events_range_join" ->
       """WITH f AS (SELECT user_id, ts, event_id, CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 3600000000 THEN 1 ELSE 0 END AS is_new FROM (SELECT user_id, ts, event_id, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events WHERE user_id < 3)), sx AS (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM f), w AS (SELECT user_id AS w_user, session_seq AS w_seq, min(ts) AS session_start, max(ts) AS session_end FROM sx GROUP BY 1, 2) SELECT e.event_id, w.w_user, w.w_seq FROM events e JOIN w ON e.ts >= w.session_start AND e.ts <= w.session_end ORDER BY e.event_id, w.w_user, w.w_seq""",
     "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id) SELECT cohort_day, date_diff('day', cohort_day, day)::BIGINT AS day_offset, count(*) AS n_users FROM days JOIN cohorts USING (user_id) GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
+
+    // the oracle IS the invariant (the aggMaintain precedent): a
+    // from-scratch rebuild over ALL events must equal the state folded
+    // incrementally from the three out-of-order delta batches
+    "events_retention_maintain" ->
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id) SELECT cohort_day, date_diff('day', cohort_day, day)::BIGINT AS day_offset, count(*) AS n_users FROM days JOIN cohorts USING (user_id) GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""",
     "events_anomaly" ->
       s"""WITH st AS (SELECT event_type, ${Stable.sqlAvgRounded("value", 4)} AS m, ${Stable.sqlStddevRounded("value", 4)} AS sd FROM events GROUP BY event_type) SELECT event_id, e.event_type, value, round((value - m) / sd, 4) AS z FROM events e JOIN st USING (event_type) WHERE sd > 0 AND abs((value - m) / sd) > 2.5 ORDER BY event_id""",

@@ -1027,16 +1027,150 @@ object Similarity {
     * composition would re-execute the init per reference — the
     * components-loop contract).
     */
-  /** Broadcast the node-grain vector table only while its estimated
-    * serialized size fits comfortably in the JVM defaults — gate on
-    * BYTES, not row count: 4M 64-dim double rows is ~2 GB serialized,
-    * past any sane driver/executor broadcast budget long before a row
-    * cutoff bites. rows × (8·dims + 32 struct overhead) ≤ 256 MB. */
-  private def vectorBroadcastGate(nrm: DataFrame): DataFrame => DataFrame = {
+  /** Scoring-strategy knobs (runtime-settable so the spec and sf-decade
+    * probes can force either path): `spark.graft.graph.scoring` ∈
+    * auto (default — broadcast under the 256 MB byte gate, grid past
+    * it) | broadcast | grid; `spark.graft.graph.gridBlockBytes` sizes
+    * one grid block (default 64 MiB — a deployment raises it toward
+    * executor memory so the grid side stays small). */
+  private[graft] val scoringModeKey = "spark.graft.graph.scoring"
+  private[graft] val gridBlockBytesKey = "spark.graft.graph.gridBlockBytes"
+
+  /** Pick the scoring strategy for a normalized vector table: broadcast
+    * the node-grain table only while its estimated serialized size fits
+    * comfortably in the JVM defaults — gate on BYTES, not row count: 4M
+    * 64-dim double rows is ~2 GB serialized, past any sane driver/
+    * executor broadcast budget long before a row cutoff bites
+    * (rows × (8·dims + 32 struct overhead) ≤ 256 MB). PAST the gate the
+    * scorer switches to the grid block-nested-loop path ([[gridTopK]])
+    * instead of an unhinted join — a pair-stream join would re-shuffle
+    * a 64-double payload per candidate pair per round (the ~59 GB shape
+    * the sf10 smoke measured at 200k nodes before the broadcast hint).
+    */
+  private[graft] def scoreTopK(nrm: DataFrame, id: String): (DataFrame, Int) => DataFrame = {
+    val s = nrm.sparkSession
+    val mode = s.conf.get(scoringModeKey, "auto")
     val n = nrm.count()
     val d0 = if (n == 0) 0 else nrm.select(size(col("ne"))).head.getInt(0)
-    if (n * (8L * d0 + 32L) <= (256L << 20)) (x: DataFrame) => broadcast(x)
-    else (x: DataFrame) => x
+    val useBroadcast = mode == "broadcast" ||
+      (mode != "grid" && n * (8L * d0 + 32L) <= (256L << 20))
+    if (useBroadcast)
+      (cand: DataFrame, k: Int) =>
+        graphTopK(nrm, id, cand, k, (x: DataFrame) => broadcast(x))
+    else {
+      val g = gridIndexOf(nrm, id, n, d0)
+      (cand: DataFrame, k: Int) => gridTopK(g, cand, k)
+    }
+  }
+
+  /** The 100 TB scoring path: a REPLICATED, CELL-PARTITIONED vector
+    * table served like every other session index. The table is split
+    * into `side` blocks by id (block = floorMod(id, side)); cell (i, j)
+    * of the side² grid holds block i tagged src-side and block j tagged
+    * dst-side, so a candidate pair (src, dst) meets BOTH its vectors in
+    * exactly one cell with zero per-pair payload movement.
+    *
+    * Why a grid and not a join: exact scoring as two sequential equi-
+    * joins must carry one vector payload across the second exchange —
+    * per-PAIR bytes (n·4k² pairs × 8·dims each round, the named
+    * scale-killer). The grid ships vector payloads only at REPLICATION
+    * (2·side·n rows, ONCE per session — independent of pair count and
+    * of round count), and every per-round scoring shuffle is bare
+    * (cell, src, dst) longs. Cost model at 100 TB: side = tableBytes /
+    * gridBlockBytes with the block target sized to executor memory
+    * (two blocks resident per task), so a 512 GB vector table at 8 GB
+    * blocks is side=64 → 4096 cells and a one-time 2·64·n replication —
+    * while the per-round pair stream (the part that multiplies by
+    * rounds × fan) stays integer-narrow forever. */
+  private[graft] final case class GridIndex(
+      rep: org.apache.spark.rdd.RDD[(Int, (Boolean, Long, Array[Double]))],
+      side: Int)
+
+  private val gridCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GridIndex]()
+
+  private[graft] def gridIndexOf(nrm: DataFrame, id: String,
+                                 n: Long, dims: Int): GridIndex = {
+    val s = nrm.sparkSession
+    val blockBytes =
+      s.conf.get(gridBlockBytesKey, (64L << 20).toString).toLong
+    val bytes = n * (8L * dims + 32L)
+    val side = math.min(64L, math.max(2L,
+      (bytes + blockBytes - 1) / blockBytes)).toInt
+    val key = nrm.queryExecution.analyzed.semanticHash().toString + "|" + side
+    gridCache.computeIfAbsent(key, _ => {
+      val part = new org.apache.spark.HashPartitioner(side * side)
+      val rep = nrm.select(col(id).cast("long"), col("ne")).rdd.flatMap { r =>
+        val vid = r.getLong(0)
+        val vec = r.getSeq[Double](1).toArray
+        val b = java.lang.Math.floorMod(vid, side.toLong).toInt
+        val out = new Array[(Int, (Boolean, Long, Array[Double]))](2 * side)
+        var j = 0
+        while (j < side) {
+          out(2 * j) = (b * side + j, (true, vid, vec))
+          out(2 * j + 1) = (j * side + b, (false, vid, vec))
+          j += 1
+        }
+        out
+      }.partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      rep.count() // materialize once; session-lifetime, like IndexCache
+      GridIndex(rep, side)
+    })
+  }
+
+  /** Spark `round(_, 4)` replica for the grid scorer: the same
+    * BigDecimal.valueOf(double) HALF_UP quantization Catalyst's Round
+    * generates, so grid scores are bit-identical to the join path. */
+  private def roundHalfUp4(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Score a bare (src, dst) candidate stream against the grid index
+    * and keep each src's k best — the post-gate twin of [[graphTopK]].
+    * Pairs route to cell (block(src), block(dst)) as bare longs and
+    * zip against the resident vector blocks; the dot is the identical
+    * ArrayDot left fold and the rank the shared [[rankTopK]], so the
+    * two strategies are interchangeable bit-for-bit (SimilaritySpec
+    * pins equality and pins this plan payload-shuffle-free). */
+  private[graft] def gridTopK(g: GridIndex, cand: DataFrame, k: Int): DataFrame = {
+    val s = cand.sparkSession
+    val side = g.side
+    val srcT = cand.schema("src").dataType
+    val dstT = cand.schema("dst").dataType
+    val part = new org.apache.spark.HashPartitioner(side * side)
+    val pairs = cand.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        val cell = java.lang.Math.floorMod(a, side.toLong).toInt * side +
+          java.lang.Math.floorMod(b, side.toLong).toInt
+        (cell, (a, b))
+      }.partitionBy(part)
+    val scored = g.rep.zipPartitions(pairs) { (vit, pit) =>
+      val sm = new java.util.HashMap[java.lang.Long, Array[Double]]()
+      val dm = new java.util.HashMap[java.lang.Long, Array[Double]]()
+      vit.foreach { case (_, (isSrc, vid, vec)) =>
+        if (isSrc) sm.put(vid, vec) else dm.put(vid, vec)
+      }
+      pit.flatMap { case (_, (a, b)) =>
+        val se = sm.get(a); val de = dm.get(b)
+        if (se == null || de == null) Iterator.empty // the inner-join drop
+        else {
+          // ArrayDot's left fold from 0.0 — same IEEE sum, same result
+          var acc = 0.0; var i = 0
+          while (i < se.length) { acc += se(i) * de(i); i += 1 }
+          Iterator(org.apache.spark.sql.Row(a, b, roundHalfUp4(acc)))
+        }
+      }
+    }
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val df = s.createDataFrame(scored, StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType),
+        StructField("cos_sim", DoubleType))))
+      .select(col("src").cast(srcT).as("src"),
+        col("dst").cast(dstT).as("dst"), col("cos_sim"))
+    rankTopK(df, k)
   }
 
   /** Exact-score a bare (src, dst) candidate stream against the
@@ -1052,6 +1186,12 @@ object Similarity {
       .join(bc(nrm.select(col(id).as("dst"), col("ne").as("de"))), "dst")
       .select(col("src"), col("dst"),
         round(dotD(col("se"), col("de")), 4).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** The family's deterministic rank, shared by both scoring strategies:
+    * each src keeps its k best by (rounded-cosine desc, dst asc). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("cos_sim").desc, col("dst").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -1068,14 +1208,15 @@ object Similarity {
     // repeated scoring joins read blocks, not a re-normalizing scan
     val nrm = prebuiltNrm.getOrElse(
       graft.CacheScope.register(normalized(df, id, emb).localCheckpoint(true)))
-    // the candidate stream is n·tables·cap DIRECTED pairs — broadcast
-    // the node-grain vector table (|n| rows) so pairs score MAP-SIDE
-    // and never shuffle 64-double payloads (the sf10 smoke measured the
-    // unhinted shape shuffling ~59 GB of vectors at 200k nodes; past
-    // driver memory the durable analog is a bucketed vector table
-    // co-partitioned with the pair stream, pageRank's documented shape)
-    val bc = vectorBroadcastGate(nrm)
-    def topK(cand: DataFrame): DataFrame = graphTopK(nrm, id, cand, k, bc)
+    // the candidate stream is n·tables·cap DIRECTED pairs — under the
+    // byte gate, broadcast the node-grain vector table (|n| rows) so
+    // pairs score MAP-SIDE and never shuffle 64-double payloads (the
+    // sf10 smoke measured the unhinted shape shuffling ~59 GB of
+    // vectors at 200k nodes); PAST the gate, scoreTopK routes to the
+    // replicated cell-partitioned grid ([[gridTopK]]) where per-round
+    // shuffles stay bare longs and vector bytes move once per session
+    val scorer = scoreTopK(nrm, id)
+    def topK(cand: DataFrame): DataFrame = scorer(cand, k)
     val bkt = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
     val capped = bkt.withColumn("bn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1216,10 +1357,16 @@ object Similarity {
     * route), and each found base node then re-ranks its standing edge
     * list against the arriving reverse edge (the splice), keeping k.
     * Untouched base rows pass through unmodified. Work: |batch| beams
-    * (each |Q|-bounded) + ≤ |batch|·k re-ranks; the batch-vs-base
-    * simplification (new nodes do not link to EACH OTHER) is the
-    * documented trade — sequential-insert semantics recover them on the
-    * next batch, and the recall audit prices the effect. */
+    * (each |Q|-bounded) + ≤ |batch|·k re-ranks + |batch|·tables·cap
+    * batch-batch candidates.
+    *
+    * Sequential-insert fidelity (r15): nodes arriving in the same batch
+    * link to EACH OTHER — their capped multi-probed LSH bucket-mate
+    * pairs (the graph-init candidate shape restricted to the batch,
+    * symmetrized) join the beam-found base candidates before the
+    * forward top-k. The r14 batch-vs-base-only trade cost appended-node
+    * recall 0.859 vs the base build's 0.94 — a rolling-ingest user
+    * accumulated that deficit every batch. */
   def graphAppend(df: DataFrame, id: String, emb: String, g: DataFrame,
                   batchPred: Column, k: Int, beam: Int, hops: Int,
                   tabs: Seq[Seq[Seq[Double]]],
@@ -1227,28 +1374,53 @@ object Similarity {
                   prebuiltNrm: Option[DataFrame] = None): DataFrame = {
     val nrm = prebuiltNrm.getOrElse(
       graft.CacheScope.register(normalized(df, id, emb).localCheckpoint(true)))
-    // `found` feeds the forward edges, the reverse splice AND the
-    // touched-node set — materialize the batch-sized result once (the
-    // r14 GraphAppendProbe measured the lazy shape re-running the whole
-    // beam search per consumer: 11.4 s vs 5.1 s for the search alone)
-    val found = graft.CacheScope.register(
-      graphSearch(df, id, emb, g, batchPred, beam, hops, k,
-        tabs, bucketCap, prebuiltNrm = Some(nrm), corpusPred = !batchPred)
-        .localCheckpoint(true))
-    val fwd = found.select(col("query_id").as("src"),
-      col("neighbor_id").as("dst"), col("cos_sim"), col("rank"))
+    val found = graphSearch(df, id, emb, g, batchPred, beam, hops, k,
+      tabs, bucketCap, prebuiltNrm = Some(nrm), corpusPred = !batchPred)
+    // batch-batch candidates: the knnGraph init shape (hamming-1
+    // multi-probe against capped buckets) over BATCH rows only —
+    // |batch|·tables·(bits+1)·cap bare pairs, symmetrized because
+    // caps trim asymmetrically
+    val bktQ = lshBuckets(df, id, emb, tabs)
+      .filter(batchPred).select(col(id), col("t"), col("bucket"))
+    val capQ = bktQ.withColumn("bn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("t", "bucket").orderBy(col(id))))
+      .filter(col("bn") <= bucketCap)
+      .select(col(id).as("nb"), col("t"), col("bucket"))
+    val bb0 = bktQ.withColumn("bucket",
+        explode(array(hamming1Variants(tabs.head.size): _*)))
+      .join(capQ, Seq("t", "bucket"))
+      .filter(col(id) =!= col("nb"))
+      .select(col(id).as("src"), col("nb").as("dst"))
+    val bbs = bb0.unionByName(
+      bb0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // forward edges: top-k per batch node over beam-found base
+    // candidates ∪ batch-batch candidates, re-scored by the gated
+    // scorer. `fwd` feeds the output, the reverse splice AND the
+    // touched set — materialize once (the r14 lazy-reexecution fix)
+    val scorer = scoreTopK(nrm, id)
+    val candF = found.select(col("query_id").as("src"),
+        col("neighbor_id").as("dst"))
+      .unionByName(bbs).distinct()
+    val fwd = graft.CacheScope.register(
+      scorer(candF, k).localCheckpoint(true))
     // reverse splice: candidate edges toward the new nodes, re-ranked
-    // against each touched base node's standing list — bare int pairs,
-    // vectors join back only inside graphTopK under the broadcast gate
-    val revc = found.select(col("neighbor_id").as("src"),
-      col("query_id").as("dst"))
+    // against each touched BASE node's standing list — bare int pairs,
+    // vectors join back only inside the gated scorer (broadcast under
+    // the byte gate, the session grid index past it). Batch-side
+    // reverse edges need no splice: bbs is symmetric, so the batch
+    // already saw them before its forward top-k.
+    val batchIds = df.filter(batchPred).select(col(id).as("dst"))
+    val revc = fwd.join(batchIds, Seq("dst"), "left_anti")
+      .select(col("dst").as("src"), col("src").as("dst"))
     val touched = revc.select("src").distinct()
     val cand = g.join(touched, Seq("src")).select("src", "dst")
       .unionByName(revc).distinct()
-    val reRanked = graphTopK(nrm, id, cand, k, vectorBroadcastGate(nrm))
+    val reRanked = scorer(cand, k)
     val untouched = g.join(touched, Seq("src"), "left_anti")
       .select("src", "dst", "cos_sim", "rank")
-    untouched.unionByName(reRanked).unionByName(fwd)
+    untouched.unionByName(reRanked)
+      .unionByName(fwd.select("src", "dst", "cos_sim", "rank"))
   }
 
   /** knn-graph family config, shared by queries and generated oracles.
@@ -1934,7 +2106,7 @@ object Similarity {
     // base side only, forward edges + reverse splice re-rank — the
     // committed replay of graphAppend, stage for stage
     "sim_graph_append" ->
-      s"""WITH ${graphCtesFor(s"vec_id % 10 != $graphBatchMod")}, ${beamCtes(s"vec_id % 10 = $graphBatchMod", s"vec_id % 10 != $graphBatchMod")}, fwd AS MATERIALIZED (SELECT query_id AS src, neighbor_id AS dst, cos_sim, rank FROM fin WHERE rank <= $graphK), revc AS (SELECT dst AS src, src AS dst FROM fwd), tch AS (SELECT DISTINCT src FROM revc), candt AS (SELECT g.src, g.dst FROM g$graphRounds g JOIN tch USING (src) UNION SELECT src, dst FROM revc), ${graphTopKSql("candt", "gt", graphK)}, unt AS (SELECT src, dst, cos_sim, rank FROM g$graphRounds WHERE src NOT IN (SELECT src FROM tch)) SELECT src AS vec_id, dst AS neighbor_id, cos_sim, rank FROM (SELECT * FROM unt UNION ALL SELECT * FROM gt UNION ALL SELECT * FROM fwd) ORDER BY vec_id, rank""",
+      s"""WITH ${graphCtesFor(s"vec_id % 10 != $graphBatchMod")}, ${beamCtes(s"vec_id % 10 = $graphBatchMod", s"vec_id % 10 != $graphBatchMod")}, bktq AS (SELECT * FROM bkt WHERE vec_id % 10 = $graphBatchMod), capq AS (SELECT vec_id AS nb, tid, bucket FROM (SELECT vec_id, tid, bucket, row_number() OVER (PARTITION BY tid, bucket ORDER BY vec_id) AS bn FROM bktq) WHERE bn <= $graphInitCap), qpq AS (SELECT vec_id, tid, unnest(${flipsSql(annTabs.head.size)}) AS bucket FROM bktq), bb0 AS (SELECT DISTINCT a.vec_id AS src, b.nb AS dst FROM qpq a JOIN capq b ON a.tid = b.tid AND a.bucket = b.bucket AND a.vec_id != b.nb), bbs AS (SELECT src, dst FROM bb0 UNION SELECT dst AS src, src AS dst FROM bb0), candf AS (SELECT query_id AS src, neighbor_id AS dst FROM fin WHERE rank <= $graphK UNION SELECT src, dst FROM bbs), ${graphTopKSql("candf", "fwd", graphK)}, revc AS (SELECT dst AS src, src AS dst FROM fwd WHERE dst % 10 != $graphBatchMod), tch AS (SELECT DISTINCT src FROM revc), candt AS (SELECT g.src, g.dst FROM g$graphRounds g JOIN tch USING (src) UNION SELECT src, dst FROM revc), ${graphTopKSql("candt", "gt", graphK)}, unt AS (SELECT src, dst, cos_sim, rank FROM g$graphRounds WHERE src NOT IN (SELECT src FROM tch)) SELECT src AS vec_id, dst AS neighbor_id, cos_sim, rank FROM (SELECT * FROM unt UNION ALL SELECT * FROM gt UNION ALL SELECT * FROM fwd) ORDER BY vec_id, rank""",
 
     "emb_profile" ->
       s"""SELECT label::BIGINT AS label, count(*) AS n_vecs, min(len(embedding))::BIGINT AS min_dims, max(len(embedding))::BIGINT AS max_dims, min(n2) AS min_norm2, max(n2) AS max_norm2, sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_nan_vecs FROM (SELECT label, embedding, CASE WHEN isnan(n2r) THEN NULL ELSE n2r END AS n2, bad FROM (SELECT label, embedding, ${sqlDot("embedding", "embedding")} AS n2r, len(list_filter(embedding, x -> isnan(x))) > 0 AS bad FROM embeddings)) GROUP BY label ORDER BY label""",

@@ -749,6 +749,138 @@ object TextOps {
       Stable.ratioRounded(col("nh"), col("n"), 4).as("train_acc"))
   }
 
+  /** Unrolled pivot-free Gauss elimination over NAMED one-row columns:
+    * the (m × m) system whose entries are the SQL texts `a0`/`g0` is
+    * eliminated into dependency LAYERS of (name, sqlExpr) steps (no
+    * step references another in its own layer), solution columns
+    * `<pre>0..<pre>{m-1}`. No pivoting is needed and the order is
+    * deterministic: the ridge normal matrix is symmetric positive
+    * definite (λn bounds the smallest eigenvalue away from 0), so
+    * every leading principal minor — hence every pivot — is positive.
+    * Both engines parse the IDENTICAL strings (Spark `expr`, DuckDB
+    * chained CTEs), so the cross-engine double tree is verbatim BY
+    * CONSTRUCTION — the property the 3×3 Cramer mirror maintained by
+    * hand, now generated. Every double literal in the texts must be
+    * binary-exact or CAST (the 0.01 ridge lesson).
+    */
+  private[operators] def gaussLayers(m: Int, pre: String,
+                                     a0: (Int, Int) => String,
+                                     g0: Int => String): Seq[Seq[(String, String)]] = {
+    val a = Array.tabulate(m, m + 1)((r, c) => if (c < m) a0(r, c) else g0(r))
+    val layers = scala.collection.mutable.Buffer[Seq[(String, String)]]()
+    for (p <- 0 until m - 1) {
+      layers += (for (r <- p + 1 until m)
+        yield (s"${pre}f${p}_$r", s"(${a(r)(p)} / ${a(p)(p)})"))
+      layers += (for (r <- p + 1 until m; c <- p + 1 to m) yield {
+        val nm = s"${pre}e${p}_${r}_$c"
+        val ex = s"(${a(r)(c)} - ${pre}f${p}_$r * ${a(p)(c)})"
+        a(r)(c) = nm
+        (nm, ex)
+      })
+    }
+    for (i <- (m - 1) to 0 by -1) {
+      val rhs = ((i + 1) until m).foldLeft(a(i)(m)) {
+        (acc, j) => s"($acc - ${a(i)(j)} * $pre$j)"
+      }
+      layers += Seq((s"$pre$i", s"($rhs / ${a(i)(i)})"))
+    }
+    layers.toSeq
+  }
+
+  /** Evaluate elimination layers as chained one-row projections (each
+    * column computed ONCE; the multi-reference CollapseProject guard
+    * keeps Catalyst from inlining the chain into an exponential tree). */
+  private def applyLayers(df: DataFrame,
+                          layers: Seq[Seq[(String, String)]]): DataFrame =
+    layers.foldLeft(df) { (d, layer) =>
+      d.select(col("*") +: layer.map { case (nm, ex) => expr(ex).as(nm) }: _*)
+    }
+
+  /** The same layers as DuckDB CTE text: `<pre>0 AS (SELECT *, … FROM
+    * <from>), …`; the last CTE is `<pre>{layers-1}`. */
+  private[operators] def layersSql(from: String, pre: String,
+                                   layers: Seq[Seq[(String, String)]]): (String, String) = {
+    val ctes = layers.zipWithIndex.map { case (layer, i) =>
+      val src = if (i == 0) from else s"$pre${i - 1}"
+      s"$pre$i AS (SELECT *, ${layer.map { case (nm, ex) => s"$ex AS $nm" }.mkString(", ")} FROM $src)"
+    }
+    (ctes.mkString(", "), s"$pre${layers.size - 1}")
+  }
+
+  /** Shared solve texts for [[logitTrainK]] and its oracle — every
+    * double literal binary-exact except the ridge, which rides
+    * CAST(0.01 AS DOUBLE) in both engines (the r14 advice lesson). */
+  private[operators] def trainKSn(i: Int, j: Int) =
+    s"s${math.min(i, j)}${math.max(i, j)}"
+  private def trainKRidged(s: String) =
+    s"($s + (CAST(0.01 AS DOUBLE) * n))"
+  private[operators] def trainKSolve1(m: Int): Seq[Seq[(String, String)]] =
+    gaussLayers(m, "b", (i, j) => {
+      val b = s"(0.25 * (${trainKSn(i, j)} / 100000000.0))"
+      if (i == j) trainKRidged(b) else b
+    }, i => s"(g$i / 20000.0)")
+  private[operators] def trainKSolve2(m: Int): Seq[Seq[(String, String)]] =
+    gaussLayers(m, "d", (i, j) => {
+      val b = s"(${trainKSn(i, j)} / 100000000000000.0)"
+      if (i == j) trainKRidged(b) else b
+    }, i => s"((g$i / 10000000000.0) - (CAST(0.01 AS DOUBLE) * n) * b$i)")
+  private[operators] def trainKTS(k: Int): String =
+    (1 to k).map(i => s"b$i * (CAST(x$i AS DOUBLE) / 10000.0)")
+      .foldLeft("b0")((acc, t) => s"($acc + $t)")
+
+  /** K-FEATURE trainer — [[logitTrain]] widened past the 3×3 Cramer
+    * ceiling (real quality filters carry 5-15 features; a fully
+    * expanded Cramer at 6×6 is 720-term determinants): the two
+    * ridge-IRLS steps are unchanged — exact DECIMAL/HUGEINT normal-
+    * equation sums, β=0 first step (w exactly ¼), 1e-6 floor-quantized
+    * sigmoid second step — and each solve is [[gaussLayers]] unrolled
+    * Gauss elimination whose step texts BOTH engines parse verbatim.
+    * Scale shape identical to [[logitTrain]]: each iteration is ONE
+    * map-side-combined corpus scan to (k+1)(k+2)/2 + (k+1) numbers,
+    * then answer-sized 1-row elimination layers; no driver loop, no
+    * collect, features ride as integer quanta (1e4 scale).
+    */
+  def logitTrainK(df: DataFrame, y: Column, xs: Seq[Column]): DataFrame = {
+    val k = xs.size
+    val m = k + 1
+    val idx = 0 until m
+    val base = df.select(y.cast("long").as("y") +:
+      xs.zipWithIndex.map { case (x, i) => x.cast("long").as(s"x${i + 1}") }: _*)
+    def f(i: Int): Column = if (i == 0) lit(10000L) else col(s"x$i")
+    def sn(i: Int, j: Int) = s"s${math.min(i, j)}${math.max(i, j)}"
+    def dec(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")
+    val aggs1: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("y")).as("n_pos")) ++
+        (for (i <- idx; j <- idx if j >= i) yield dec(f(i) * f(j)).as(sn(i, j))) ++
+        idx.map(i => dec((col("y") * 2 - 1) * f(i)).as(s"g$i"))
+    val it1 = base.agg(aggs1.head, aggs1.tail: _*)
+    val beta1 = applyLayers(it1, trainKSolve1(m))
+      .select(col("n") +: col("n_pos") +: idx.map(i => col(s"b$i")): _*)
+    val tS = trainKTS(k)
+    val scored = base.crossJoin(broadcast(beta1))
+      .withColumn("pq",
+        expr(s"CAST(floor(1000000.0 / (1.0 + exp(-$tS))) AS BIGINT)"))
+      .withColumn("wq", expr("(pq * (1000000 - pq)) div 1000000"))
+    val M = 1000000L
+    val aggs2: Seq[Column] =
+      (for (i <- idx; j <- idx if j >= i)
+        yield dec(col("wq") * f(i) * f(j)).as(sn(i, j))) ++
+        idx.map(i => dec((col("y") * M - col("pq")) * f(i)).as(s"g$i"))
+    val keys = col("n") +: col("n_pos") +: idx.map(i => col(s"b$i"))
+    val it2 = scored.groupBy(keys: _*).agg(aggs2.head, aggs2.tail: _*)
+    val beta2 = applyLayers(it2, trainKSolve2(m))
+      .select(col("n") +: col("n_pos") +:
+        idx.map(i => expr(s"(b$i + d$i)").as(s"b$i")): _*)
+    val hits = base.crossJoin(broadcast(beta2))
+      .withColumn("hit",
+        expr(s"CAST(floor($tS * 1000000.0) AS BIGINT) > 0").cast("long") === col("y"))
+      .groupBy(keys: _*)
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("nh"))
+    hits.select(col("n") +: col("n_pos") +:
+      (idx.map(i => round(col(s"b$i"), 4).as(s"b$i")) :+
+        Stable.ratioRounded(col("nh"), col("n"), 4).as("train_acc")): _*)
+  }
+
   /** Exact dedup by content hash: one hash-agg groupBy (map-side combine,
     * one shuffle on the 128-bit key — uniform, skew-free at any scale),
     * keep-first = min doc id per hash.
@@ -1416,6 +1548,38 @@ object TextOps {
       logitTrain(feats, col("y"), col("x1"), col("x2"))
     }),
 
+    // the k-feature widening (r15): same distilled-gate teacher, but
+    // the student sees the FULL fastText-class feature set — alpha /
+    // punct / stopword / digit ratios + capped length, 5 features +
+    // intercept solved by generated Gauss elimination (the 3×3 Cramer
+    // ceiling removed); same bit-reproducible two-step IRLS contract
+    "text_classifier_train_k" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      val t = col("text")
+      val toks = tokens(t)
+      val feats0 = doc.select(
+        greatest(length(t), lit(1)).cast("long").as("ln"),
+        length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long").as("alpha"),
+        length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("long").as("punct"),
+        length(regexp_replace(t, "[^0-9]", "")).cast("long").as("digits"),
+        greatest(size(toks), lit(1)).cast("long").as("ntok"),
+        hitCount(toks, stopEn).cast("long").as("stops"))
+      val teacher = lit(-0.5) +
+        lit(2.0) * Stable.ratioRounded(col("alpha"), col("ln"), 4) +
+        lit(-3.0) * Stable.ratioRounded(col("punct"), col("ln"), 4) +
+        lit(1.5) * Stable.ratioRounded(col("stops"), col("ntok"), 4) +
+        lit(0.8) * least(col("ntok").cast("double") / 100.0, lit(1.0))
+      val feats = feats0.select(
+        (teacher >= 1.7).cast("long").as("y"),
+        expr("(20000 * alpha + ln) div (2 * ln)").as("x1"),
+        expr("(20000 * punct + ln) div (2 * ln)").as("x2"),
+        expr("(20000 * stops + ntok) div (2 * ntok)").as("x3"),
+        (least(col("ntok"), lit(100L)) * 100L).as("x4"),
+        expr("(20000 * digits + ln) div (2 * ln)").as("x5"))
+      logitTrainK(feats, col("y"),
+        Seq(col("x1"), col("x2"), col("x3"), col("x4"), col("x5")))
+    }),
+
     // 3-epoch anneal: epoch 1 sees everything, epoch 3 keeps 10% low /
     // 50% mid / all high — band thresholds fixed at the corpus logit
     // terciles (1.55 / 1.8), corpus-independent by contract
@@ -1938,6 +2102,39 @@ object TextOps {
         s"""bb2 AS (SELECT n, n_pos, b0 + ${ds(0)} AS c0, b1 + ${ds(1)} AS c1, b2 + ${ds(2)} AS c2 FROM i2), """ +
         s"""ht AS (SELECT bb2.n, bb2.n_pos, bb2.c0, bb2.c1, bb2.c2, sum(CASE WHEN (CASE WHEN floor(${tOf("c")} * 1000000.0) > 0 THEN 1 ELSE 0 END) = f.y THEN 1 ELSE 0 END) AS nh FROM f CROSS JOIN bb2 GROUP BY bb2.n, bb2.n_pos, bb2.c0, bb2.c1, bb2.c2) """ +
         s"""SELECT n::BIGINT AS n, n_pos::BIGINT AS n_pos, round(c0, 4) AS b0, round(c1, 4) AS b1, round(c2, 4) AS b2, ${graft.operators.Stable.sqlRatioRounded("nh", "n", 4)} AS train_acc FROM ht"""
+    },
+
+    // the k-feature replay: the SAME generated Gauss-elimination step
+    // texts the Scala side evaluates (trainKSolve1/2 — verbatim double
+    // tree by construction), chained as one-row CTE layers; sums are
+    // exact HUGEINT, features identical integer quanta
+    "text_classifier_train_k" -> {
+      val k = 5
+      val m = k + 1
+      def fv(i: Int) = if (i == 0) "10000" else s"x$i"
+      val sums1 = (for (i <- 0 until m; j <- i until m)
+        yield s"sum(${fv(i)} * ${fv(j)})::DOUBLE AS ${trainKSn(i, j)}") ++
+        (0 until m).map(i => s"sum((2 * y - 1) * ${fv(i)})::DOUBLE AS g$i")
+      val sums2 = (for (i <- 0 until m; j <- i until m)
+        yield s"sum(wq * ${fv(i)} * ${fv(j)})::DOUBLE AS ${trainKSn(i, j)}") ++
+        (0 until m).map(i => s"sum((y * 1000000 - pq) * ${fv(i)})::DOUBLE AS g$i")
+      val (ctes1, last1) = layersSql("i1", "t1_", trainKSolve1(m))
+      val (ctes2, last2) = layersSql("i2", "t2_", trainKSolve2(m))
+      val tS = trainKTS(k)
+      val bCols = (0 until m).map(i => s"b$i").mkString(", ")
+      val xCols = (1 to k).map(i => s"f.x$i").mkString(", ")
+      val alphaR = Stable.sqlRatioRounded("alpha", "ln", 4)
+      val punctR = Stable.sqlRatioRounded("punct", "ln", 4)
+      val stopR = Stable.sqlRatioRounded("stops", "ntok", 4)
+      raw"""WITH f AS (SELECT CASE WHEN (-0.5) + 2.0 * $alphaR + (-3.0) * $punctR + 1.5 * $stopR + 0.8 * least(ntok / 100.0, 1.0) >= 1.7 THEN 1 ELSE 0 END AS y, (20000 * alpha + ln) // (2 * ln) AS x1, (20000 * punct + ln) // (2 * ln) AS x2, (20000 * stops + ntok) // (2 * ntok) AS x3, least(ntok, 100) * 100 AS x4, (20000 * digits + ln) // (2 * ln) AS x5 FROM (SELECT greatest(length(text), 1) AS ln, length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha, length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct, length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits, greatest(len(string_split_regex(trim(text), '\s+')), 1) AS ntok, len(list_filter(string_split_regex(trim(text), '\s+'), t -> t IN ($enIn))) AS stops FROM documents)), """ +
+        s"""i1 AS (SELECT count(*) AS n, sum(y) AS n_pos, ${sums1.mkString(", ")} FROM f), """ +
+        s"""$ctes1, bb1 AS (SELECT n, n_pos, $bCols FROM $last1), """ +
+        s"""sc AS (SELECT f.y, $xCols, bb1.n, bb1.n_pos, $bCols, CAST(floor(1000000.0 / (1.0 + exp(-$tS))) AS BIGINT) AS pq FROM f CROSS JOIN bb1), """ +
+        s"""sc2 AS (SELECT *, (pq * (1000000 - pq)) // 1000000 AS wq FROM sc), """ +
+        s"""i2 AS (SELECT n, n_pos, $bCols, ${sums2.mkString(", ")} FROM sc2 GROUP BY n, n_pos, $bCols), """ +
+        s"""$ctes2, bb2 AS (SELECT n, n_pos, ${(0 until m).map(i => s"b$i + d$i AS b$i").mkString(", ")} FROM $last2), """ +
+        s"""ht AS (SELECT bb2.n, bb2.n_pos, $bCols, sum(CASE WHEN (CASE WHEN CAST(floor($tS * 1000000.0) AS BIGINT) > 0 THEN 1 ELSE 0 END) = f.y THEN 1 ELSE 0 END) AS nh FROM f CROSS JOIN bb2 GROUP BY bb2.n, bb2.n_pos, $bCols) """ +
+        s"""SELECT n::BIGINT AS n, n_pos::BIGINT AS n_pos, ${(0 until m).map(i => s"round(b$i, 4) AS b$i").mkString(", ")}, ${graft.operators.Stable.sqlRatioRounded("nh", "n", 4)} AS train_acc FROM ht"""
     },
 
     "text_classifier_gate" -> {

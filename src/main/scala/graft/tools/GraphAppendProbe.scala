@@ -51,17 +51,22 @@ object GraphAppendProbe {
     }
 
     // appended-node recall@5: forward edges vs brute-force truth of the
-    // batch against the base corpus
+    // batch against the FULL corpus (base ∪ other batch nodes — since
+    // r15 inserts link batch-mates too, the truth set must include them)
     val out = S.graphAppend(e, "vec_id", "embedding", g, batch,
       k = S.graphK, beam = S.graphBeam, hops = S.graphHops,
       tabs = S.annTabs, bucketCap = S.graphInitCap,
       prebuiltNrm = Some(nrm))
       .filter(col("src") % 10 === S.graphBatchMod && col("rank") <= 5)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = S.simTopK(e.filter(!batch), e.filter(batch),
+    val truth = S.simTopK(e, e.filter(batch),
       "vec_id", "embedding", k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"appended-node recall@5: ${(truth & out).size.toDouble / truth.size}%.3f")
+    val truthBase = S.simTopK(e.filter(!batch), e.filter(batch),
+      "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"vs base-only truth (r14 metric): ${(truthBase & out).size.toDouble / truthBase.size}%.3f")
     spark.stop()
   }
 }

@@ -609,6 +609,35 @@ class EtlFlowEventsSpec extends SparkSpec {
     }
   }
 
+  test("events_retention_maintain: chained out-of-order folds == full rebuild at every prefix") {
+    import graft.operators.Events
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Any, Long), Long] =
+      df.collect().map(r => (r.get(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // OUT-OF-ORDER deltas: event_id % 4 interleaves days, so later
+    // batches carry days EARLIER than a user's standing cohort and the
+    // min-merge must genuinely move cohorts (the late-data case)
+    val parts = (0 to 3).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i))
+    var st = Events.retentionStateOf(parts.head, "user_id", "ts")
+    var seen = parts.head
+    parts.tail.foreach { delta =>
+      st = (st._1.localCheckpoint(true), st._2.localCheckpoint(true))
+      st = Events.retentionMaintain(st._1, st._2, delta, "user_id", "ts")
+      seen = seen.unionByName(delta)
+      // fold == rebuild at EVERY prefix, not just the final state
+      val got = cells(Events.retentionFromState(st._1, st._2, "user_id"))
+      val want = cells(Events.retention(seen, "user_id", "ts"))
+      assert(got == want, s"prefix diverged: ${got.toSet.diff(want.toSet).take(3)} vs ${want.toSet.diff(got.toSet).take(3)}")
+    }
+    // an empty delta batch changes nothing
+    val empty = ev.filter(lit(false))
+    val st2 = Events.retentionMaintain(
+      st._1.localCheckpoint(true), st._2.localCheckpoint(true),
+      empty, "user_id", "ts")
+    assert(cells(Events.retentionFromState(st2._1, st2._2, "user_id")) ==
+      cells(Events.retentionFromState(st._1, st._2, "user_id")))
+  }
+
   test("etl_fk_integrity: orphan counts match direct anti-join counts, TPC-H edges clean") {
     val rows = run("etl_fk_integrity").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

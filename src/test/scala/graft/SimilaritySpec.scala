@@ -1555,12 +1555,14 @@ class SimilaritySpec extends SparkSpec {
       assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.reverse.toSeq,
         s"rank order not score order at $v")
     }
-    // every batch node got forward edges, and they point at BASE only
-    // (the documented batch-vs-base simplification)
+    // every batch node got forward edges; since r15 they may point at
+    // base AND at batch-mates (sequential-insert fidelity) — and the
+    // batch-mate channel must actually fire on this corpus (duplicate
+    // pairs inside the batch land in shared LSH buckets)
     val batchRows = rows.filter(r => isBatch(r._1))
     assert(batchRows.nonEmpty, "no batch node received edges")
-    batchRows.foreach { case (v, n, _, _) =>
-      assert(!isBatch(n), s"batch->batch edge $v -> $n") }
+    assert(batchRows.exists { case (_, n, _, _) => isBatch(n) },
+      "no batch-batch edge surfaced — the r15 batch-mate linking is dead")
     // base rows whose edge list the splice did not touch must be the
     // frozen base graph's rows VERBATIM — the no-rebuild contract
     val e = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
@@ -1576,18 +1578,19 @@ class SimilaritySpec extends SparkSpec {
     assert(untouchedOut == untouchedBase,
       "untouched base rows diverged from the frozen base graph")
     // QUALITY of the insert: the batch nodes' forward edges must find
-    // most of their true nearest base neighbors (brute-force truth) —
-    // the appended-node recall the online-insert contract is for
-    val truth = Similarity.simTopK(
-      e.filter(col("vec_id") % 10 =!= Similarity.graphBatchMod),
+    // most of their true nearest neighbors in the FULL corpus (base ∪
+    // other batch nodes — r15 inserts link batch-mates too), the
+    // appended-node recall the online-insert contract is for
+    val truth = Similarity.simTopK(e,
       e.filter(col("vec_id") % 10 === Similarity.graphBatchMod),
       "vec_id", "embedding", k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fwdTop5 = batchRows.filter(_._4 <= 5L).map(r => (r._1, r._2)).toSet
-    // measured 0.859 at sf0.1 (GraphAppendProbe) — one band below,
-    // matching the family floor discipline
+    // measured 0.911 at sf0.1 post batch-mate linking (GraphAppendProbe;
+    // 0.859 batch-vs-base-only before) — floor one band below, matching
+    // the family floor discipline
     val recall = (truth & fwdTop5).size.toDouble / truth.size
-    assert(recall >= 0.7, s"appended-node recall@5 $recall below floor")
+    assert(recall >= 0.75, s"appended-node recall@5 $recall below floor")
   }
 
   test("sim_graph_recall_eval: beam search clears the family's recall floor") {
@@ -1603,5 +1606,67 @@ class SimilaritySpec extends SparkSpec {
     // (LSH 0.9, PQ 0.7, IVF 0.6)
     assert(recall >= 0.75, s"recall $recall below floor")
     assert(minRecall >= 0.5, s"min per-query recall $minRecall below floor")
+  }
+
+  test("grid scorer == broadcast scorer bit-for-bit; grid plan ships no vector payload") {
+    val e = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val nrm = Similarity.normalized(e, "vec_id", "embedding").localCheckpoint(true)
+    val n = nrm.count()
+    val dims = nrm.select(size(col("ne"))).head.getInt(0)
+    // candidate stream: a dense pair block over a 40-node slice — every
+    // (block(src), block(dst)) grid cell is hit for side ≤ 6
+    val ids = nrm.select(col("vec_id")).orderBy("vec_id").limit(40)
+    val cand = ids.select(col("vec_id").as("src"))
+      .crossJoin(ids.select(col("vec_id").as("dst")))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    try {
+      spark.conf.set(Similarity.scoringModeKey, "broadcast")
+      val viaBroadcast = Similarity.scoreTopK(nrm, "vec_id")(cand, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      spark.conf.set(Similarity.scoringModeKey, "grid")
+      spark.conf.set(Similarity.gridBlockBytesKey, "8192") // force a real split
+      val g = Similarity.gridIndexOf(nrm, "vec_id", n, dims)
+      assert(g.side >= 2 && g.rep.getNumPartitions == g.side * g.side)
+      val gridDf = Similarity.scoreTopK(nrm, "vec_id")(cand, 5)
+      // the post-gate contract: the scoring path's SQL plan is the RDD
+      // scan + ONE integer-narrow exchange (the shared rank window on
+      // src) — no join, and no exchange schema wider than
+      // (src, dst, cos_sim), so no vector payload can ride a shuffle.
+      // The RDD side shuffles (cell, src, dst) longs by construction;
+      // vector bytes moved once, at the session-index replication.
+      val p = plan(gridDf)
+      assert(p.contains("ExistingRDD"), p.take(1500))
+      assert(!p.contains("Join"), p.take(1500))
+      assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+      val viaGrid = gridDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(viaGrid.nonEmpty)
+      // bit-for-bit: same fold, same HALF_UP rounding, same rank
+      assert(viaGrid.toSet == viaBroadcast.toSet,
+        s"grid/broadcast diverge: ${viaGrid.toSet.diff(viaBroadcast.toSet).take(5)} vs ${viaBroadcast.toSet.diff(viaGrid.toSet).take(5)}")
+    } finally {
+      spark.conf.unset(Similarity.scoringModeKey)
+      spark.conf.unset(Similarity.gridBlockBytesKey)
+    }
+  }
+
+  test("knnGraph under forced grid scoring == broadcast build (whole graph)") {
+    val e = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    def build(): Set[(Long, Long, Double, Long)] =
+      Similarity.knnGraph(e, "vec_id", "embedding", k = Similarity.graphK,
+          rounds = Similarity.graphRounds, tabs = Similarity.annTabs,
+          bucketCap = Similarity.graphInitCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaBroadcast = build() // sf0.001 table is far under the byte gate
+    try {
+      spark.conf.set(Similarity.scoringModeKey, "grid")
+      spark.conf.set(Similarity.gridBlockBytesKey, "8192")
+      val viaGrid = build()
+      assert(viaGrid == viaBroadcast,
+        s"forced-grid graph diverged: ${viaGrid.diff(viaBroadcast).take(5)} vs ${viaBroadcast.diff(viaGrid).take(5)}")
+    } finally {
+      spark.conf.unset(Similarity.scoringModeKey)
+      spark.conf.unset(Similarity.gridBlockBytesKey)
+    }
   }
 }

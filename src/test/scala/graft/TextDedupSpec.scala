@@ -752,6 +752,47 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan(df).contains("hashpartitioning"))
   }
 
+  test("text_classifier_train_k: 5-feature Gauss solve distills the gate; k=2 agrees with Cramer") {
+    val s = spark
+    import s.implicits._
+    val r = run("text_classifier_train_k").collect().head
+    val n = r.getLong(0); val nPos = r.getLong(1)
+    val acc = r.getDouble(8)
+    assert(n == Tables.documents(spark, sfDir).count())
+    assert(nPos > 0 && nPos < n, "degenerate teacher labels")
+    // the 5-feature student sees every teacher feature family (alpha /
+    // punct / stop / capped length) plus digits — it must distill the
+    // linear teacher nearly perfectly (measured 1.0 at sf0.001)
+    assert(acc >= 0.9, s"k-feature distillation accuracy $acc below floor")
+    (2 to 7).foreach(i => assert(!r.getDouble(i).isNaN, s"beta ${i - 2} NaN"))
+    // CONSISTENCY with the hand-rolled Cramer path: on the same two
+    // features the generated Gauss elimination must reproduce
+    // logitTrain's betas (different but equivalent double trees — equal
+    // to well under the 4dp output rounding)
+    val feats = (0 until 300).map { i =>
+      (if (i % 3 == 0) 1L else 0L, (i % 50) * 200L, ((i * 7) % 100) * 100L)
+    }.toDF("y", "x1", "x2")
+    val viaCramer = TextOps.logitTrain(feats, col("y"), col("x1"), col("x2"))
+      .collect().head
+    val viaGauss = TextOps.logitTrainK(feats, col("y"), Seq(col("x1"), col("x2")))
+      .collect().head
+    (2 to 4).foreach { i =>
+      assert(math.abs(viaCramer.getDouble(i) - viaGauss.getDouble(i)) <= 1e-3,
+        s"beta ${i - 2} diverged: cramer=${viaCramer.getDouble(i)} gauss=${viaGauss.getDouble(i)}")
+    }
+    assert(viaCramer.getDouble(5) == viaGauss.getDouble(5), "train_acc diverged")
+    // separable fixture stays finite under the ridge (the IRLS guard)
+    val sep = (0 until 200).map { i =>
+      val y = i % 2
+      (y.toLong, if (y == 1) 9000L + (i % 7) else 1000L + (i % 7), 5000L)
+    }.toDF("y", "x1", "x2")
+    val fit = TextOps.logitTrainK(sep, col("y"), Seq(col("x1"), col("x2")))
+      .collect().head
+    assert(!fit.getDouble(2).isNaN && math.abs(fit.getDouble(3)) < 1e6,
+      "separable k-fit diverged")
+    assert(fit.getDouble(5) == 1.0, "separable fixture not fully classified")
+  }
+
   test("text_classifier_train: distilled gate clears the accuracy floor; ridge keeps separable fits finite") {
     val s = spark
     import s.implicits._
