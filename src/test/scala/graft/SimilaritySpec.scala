@@ -1586,9 +1586,9 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fwdTop5 = batchRows.filter(_._4 <= 5L).map(r => (r._1, r._2)).toSet
-    // measured 0.911 at sf0.1 post batch-mate linking (GraphAppendProbe;
-    // 0.859 batch-vs-base-only before) — floor one band below, matching
-    // the family floor discipline
+    // measured 0.882 at sf0.1 post batch-mate linking (GraphAppendProbe;
+    // 0.859 batch-vs-base-only before, on the easier base-only truth) —
+    // floor one band below, matching the family floor discipline
     val recall = (truth & fwdTop5).size.toDouble / truth.size
     assert(recall >= 0.75, s"appended-node recall@5 $recall below floor")
   }
