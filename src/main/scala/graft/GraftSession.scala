@@ -74,7 +74,18 @@ object GraftSession {
       // locality and GC. The conservative default stays; if anything, the
       // sort fallback IS the scale path here.
       .config("spark.ui.enabled", "false")
-    if (m.startsWith("local-cluster")) clusterConfigs(base) else base
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — deployment/experiment overrides
+    // applied LAST so any default above can be re-pointed without a
+    // rebuild (cluster-side the same keys arrive via --conf; this keeps
+    // the local surface parameterised the same way). Static SQL confs
+    // (codegen cache size etc.) still require a fresh JVM to take.
+    val withEnv = sys.env.get("SPARK_GRAFT_CONF").iterator
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(base) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
+    if (m.startsWith("local-cluster")) clusterConfigs(withEnv) else withEnv
   }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -316,7 +316,12 @@ object Dedup {
     val repSh = explodeShingles(reps, id, textCol, n)
     val rare = repSh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("sh")
-    val shr = repSh.join(rare, "sh")
+    // the df-bounded inverted index is referenced THREE times below
+    // (probe restriction, the shared-count self-join, per-doc rare
+    // sizes) — a lazy plan re-runs the shingle explode + df join per
+    // reference; materialize it once (narrow (id, sh) rows; r15)
+    val shr = graft.CacheScope.register(
+      repSh.join(rare, "sh").localCheckpoint(true))
     val psh = shr.join(probes, shr(id) === probes("probe_id"))
       .select(col("probe_id"), col("sh"))
     // count shared RARE shingles per DIRECTED (probe, other) pair — one
@@ -347,15 +352,21 @@ object Dedup {
       .select(least(col("probe_id"), col(id)).as("id_a"),
         greatest(col("probe_id"), col(id)).as("id_b"))
       .distinct()
-    val truth = ngramJaccardOnPairs(pruned, reps, id, textCol, n, threshold)
-      .select("id_a", "id_b")
+    // truth and candP are each consumed twice (their count agg + the
+    // hit semi-join) — both are answer-small pair lists, checkpoint
+    // them so the exact-Jaccard verify and the banded-pair restriction
+    // run once (r15)
+    val truth = graft.CacheScope.register(
+      ngramJaccardOnPairs(pruned, reps, id, textCol, n, threshold)
+        .select("id_a", "id_b").localCheckpoint(true))
     val cand = prebuiltPairs.getOrElse(
       minhashPairsOfReps(reps, id, textCol, n, k, rowsPerBand))
       .select("id_a", "id_b")
-    val candP = cand.join(probes.select(col("probe_id").as("id_a")), Seq("id_a"), "left_semi")
-      .unionAll(cand.join(probes.select(col("probe_id").as("id_b")), Seq("id_b"), "left_semi")
-        .select("id_a", "id_b"))
-      .distinct()
+    val candP = graft.CacheScope.register(
+      cand.join(probes.select(col("probe_id").as("id_a")), Seq("id_a"), "left_semi")
+        .unionAll(cand.join(probes.select(col("probe_id").as("id_b")), Seq("id_b"), "left_semi")
+          .select("id_a", "id_b"))
+        .distinct().localCheckpoint(true))
     val hits = truth.join(candP, Seq("id_a", "id_b"), "left_semi")
     // BLIND-SPOT BOUND (r15): a truth pair invisible to the audit must
     // overlap EXCLUSIVELY in >dfCap stop-shingles, so against probe a

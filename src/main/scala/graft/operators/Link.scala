@@ -132,24 +132,67 @@ object Link {
     * equi-join between the dirty index and the [[nameReps]]-collapsed
     * clean index, deduped. Names ride along so no corpus re-join.
     *
-    * The join carries an explicit SHUFFLE_HASH hint: the dirty side is
-    * corpus-grain, and Catalyst's size estimate does not scale through
-    * the Generate (explode) nodes, so the ~len+1× index amplification is
-    * invisible to the planner — at sf0.01 it happily BROADCASTS the
-    * dirty index (estimated at the few-MB customer scan), and at sf1
-    * that mis-plan ships a ~600 MB build side to every task (measured:
-    * the sf1 smoke crawled past 16 min before being killed; with the
-    * hint the whole family runs in seconds). A shuffled hash join on the
-    * variant key is the right shape at every scale: no sort, per-task
-    * build = one partition of the (name-collapsed, smaller) clean
-    * index, skew bounded by cross-NAME variant collisions only. */
+    * Join strategy (r15, guide §3.1): the CLEAN variant index is
+    * distinct-NAME grain — sublinear in the corpus (Heaps-like; fixed
+    * 7429 names on this synthetic corpus at every SF) at ~(len+2) rows
+    * of ≈100 B per name — so under [[broadcastNameLimit]] it is
+    * BROADCAST and the corpus-grain dirty index never shuffles at all:
+    * the only exchange left in the candidates stage is the distinct
+    * over MATCHED pairs (candidate mass, orders of magnitude below the
+    * ~(len+2)×|records| index rows the old shuffle carried); see
+    * OPTIMIZATION_r15.md for the measured per-query deltas.
+    *
+    * PAST the gate the join keeps its explicit SHUFFLE_HASH hint: the
+    * dirty side is corpus-grain, and Catalyst's size estimate does not
+    * scale through the Generate (explode) nodes, so the ~len+1× index
+    * amplification is invisible to the planner — at sf0.01 it happily
+    * BROADCASTS the dirty index (estimated at the few-MB customer
+    * scan), and at sf1 that mis-plan ships a ~600 MB build side to
+    * every task (measured: the sf1 smoke crawled past 16 min before
+    * being killed; with the hint the whole family runs in seconds). A
+    * shuffled hash join on the variant key is the right fallback shape:
+    * no sort, per-task build = one partition of the (name-collapsed,
+    * smaller) clean index, skew bounded by cross-NAME variant
+    * collisions only. The gate count is one agg over the name-collapsed
+    * projection, checkpointed so the gate pass doubles as the index
+    * build (the graph family's hintIf pattern). */
   def candidates(dirty: DataFrame, clean: DataFrame): DataFrame = {
-    val dv = deletionIndex(dirty, "dname", Seq("record_id", "dname"))
-    val cv = deletionIndex(nameReps(clean), "cname", Seq("e", "cname"))
-    dv.join(cv.hint("shuffle_hash"), "variant")
-      .select("record_id", "dname", "e", "cname")
+    // Under the broadcast gate the WHOLE probe chain (deletion explode →
+    // hash probe → levenshtein verify → partial agg) fuses into the
+    // dirty side's SCAN tasks — and a record corpus read from one small
+    // file is ONE task doing 17×|records| explodes plus every verify
+    // single-threaded (measured: link_fuzzy_best 1.4 → 2.4 s at sf0.1
+    // when the BHJ landed on the 1-partition customer scan). Guide §2.5
+    // (input parallelism starved by an unsplittable/tiny read):
+    // repartition the RECORD-grain side right after the read — |records|
+    // narrow rows, strictly less than the ~(len+2)×|records| index rows
+    // the old shuffle_hash exchange carried — but only when the scan's
+    // own parallelism is degenerate (a real deployment's corpus scan
+    // arrives with thousands of splits and must NOT pay a gratuitous
+    // corpus shuffle).
+    val sc = dirty.sparkSession.sparkContext
+    val want = sc.defaultParallelism
+    val dvIn =
+      if (dirty.rdd.getNumPartitions * 2 < want)
+        dirty.repartition(want, col("record_id"))
+      else dirty
+    val dv = deletionIndex(dvIn, "dname", Seq("record_id", "dname"))
+    val reps = graft.CacheScope.register(nameReps(clean).localCheckpoint(true))
+    val cv = deletionIndex(reps, "cname", Seq("e", "cname"))
+    val joined =
+      if (reps.count() <= broadcastNameLimit) dv.join(broadcast(cv), "variant")
+      else dv.join(cv.hint("shuffle_hash"), "variant")
+    joined.select("record_id", "dname", "e", "cname")
       .distinct()
   }
+
+  /** Broadcast gate for the clean variant index, in distinct NAMES:
+    * ~(len+2) ≈ 17 index rows per name × ≈100 B built-row bytes keeps
+    * 150k names ≈ 2.6M rows under a ~256 MB broadcast budget (the
+    * graph family's byte-modeled ceiling). Distinct-name growth is
+    * sublinear in any real corpus, so most deployments sit under the
+    * gate; past it the shuffle_hash hint is the durable shape. */
+  private[operators] val broadcastNameLimit = 150000L
 
   /** Levenshtein-verified best match per record: threshold lev <= 2, then
     * argmin on (lev, e) — BIT-PACKED into one BIGINT (lev·2^48 + e; lev ≤ 2

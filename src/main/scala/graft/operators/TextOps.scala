@@ -664,9 +664,19 @@ object TextOps {
     */
   def logitTrain(df: DataFrame, y: Column, x1: Column, x2: Column,
                  ridge: Double = 0.01): DataFrame = {
-    // integer feature vector F = (1e4, x1, x2) — f_i = F_i / 1e4
-    val base = df.select(y.cast("long").as("y"),
-      x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+    // integer feature vector F = (1e4, x1, x2) — f_i = F_i / 1e4.
+    // CHECKPOINTED (r15): the three sequential passes (it1 agg, the
+    // β₁-scored second agg, the train-accuracy agg) each reference
+    // `base`, and a lazy plan re-executes the caller's feature
+    // projection per pass — for the shipped queries that is 2-3
+    // regexp_replace + a tokenize over the whole corpus text, 3× the
+    // dominant cost. The feature table is 3 longs/row; the IRLS passes
+    // then scan materialized blocks (guide §5: reuse ⇒ persist the
+    // cheap narrow intermediate, not the text).
+    val base = graft.CacheScope.register(
+      df.select(y.cast("long").as("y"),
+        x1.cast("long").as("x1"), x2.cast("long").as("x2"))
+        .localCheckpoint(true))
     val S = 10000L
     def f(i: Int): Column = i match {
       case 0 => lit(S); case 1 => col("x1"); case 2 => col("x2")
@@ -844,8 +854,12 @@ object TextOps {
     val k = xs.size
     val m = k + 1
     val idx = 0 until m
-    val base = df.select(y.cast("long").as("y") +:
-      xs.zipWithIndex.map { case (x, i) => x.cast("long").as(s"x${i + 1}") }: _*)
+    // checkpointed for the same 3-pass reuse as [[logitTrain]] (r15):
+    // (k+1) longs/row vs re-running the regex feature projection per pass
+    val base = graft.CacheScope.register(
+      df.select(y.cast("long").as("y") +:
+        xs.zipWithIndex.map { case (x, i) => x.cast("long").as(s"x${i + 1}") }: _*)
+        .localCheckpoint(true))
     def f(i: Int): Column = if (i == 0) lit(10000L) else col(s"x$i")
     def sn(i: Int, j: Int) = s"s${math.min(i, j)}${math.max(i, j)}"
     def dec(c: Column): Column = sum(c.cast("decimal(38,0)")).cast("double")

@@ -97,16 +97,36 @@ class LinkSpec extends SparkSpec {
   }
 
   test("plan: argmin is a HashAggregate pair, join is equi (no cartesian), scan prunes to c_custkey") {
-    val p = plan(run("link_fuzzy_best"))
+    val df = run("link_fuzzy_best")
+    val p = plan(df)
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("SortAggregate"), "struct-min SortAggregate regressed:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
-    // the variant join must NOT broadcast either index: both are
-    // corpus-grain, and the explode amplification is invisible to the
-    // planner's size estimate (the sf1 smoke measured the mis-plan at
-    // >16 min vs seconds) — the shuffle_hash hint pins the shape
-    assert(p.contains("ShuffledHashJoin"), p.take(2000))
-    assert(!p.contains("BroadcastHashJoin"), "corpus-grain index broadcast regressed:\n" + p.take(2000))
+    // r15: under the name-count gate the variant join BROADCASTS the
+    // name-collapsed clean index (bounded, distinct-name grain) so the
+    // corpus-grain dirty index never shuffles. The mis-plan this family
+    // guards against is broadcasting the CORPUS side (the sf1 smoke
+    // measured it at >16 min vs seconds) — so pin: the join is a
+    // BroadcastHashJoin AND its build subtree contains NO file scan
+    // (the parquet corpus must only ever appear on the probe side).
+    assert(p.contains("BroadcastHashJoin"),
+      "gated clean-index broadcast regressed to a shuffle:\n" + p.take(2000))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def all(pl: SparkPlan): Seq[SparkPlan] = pl +: pl.children.flatMap(all)
+    val bhjs = all(df.queryExecution.sparkPlan)
+      .collect { case b: BroadcastHashJoinExec => b }
+    assert(bhjs.nonEmpty, "no BroadcastHashJoinExec in the pre-AQE plan")
+    bhjs.foreach { b =>
+      val build = b.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        case _ => b.left
+      }
+      val fileScans = all(build).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(fileScans === 0,
+        s"corpus-side file scan landed on the broadcast BUILD side:\n$b")
+    }
     val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     assert(rs.contains("c_custkey") && !rs.contains("c_name") && !rs.contains("c_acctbal"),
       s"link reads more than the entity key: $rs")
