@@ -12,8 +12,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Session-scoped RELATION cache — catalog semantics, not result
+    * caching: `spark.read.parquet` re-lists the path and re-reads the
+    * footer schema on EVERY call, which is pure per-query driver
+    * overhead once the same ten tables back a 259-query surface
+    * (measured r15: 50-80 ms per table per query build; q_join_multi's
+    * five loads alone cost 0.25 s of its 0.84 s). A registered catalog
+    * table resolves this once per session — this map is exactly that
+    * (the DataFrame is a lazy plan; every execution still scans the
+    * parquet files). Keyed by (session, path) so Verify's local-cluster
+    * session and a tool's local session never share; entries are a few
+    * plan objects, lifetime = session. Regeneration under a cached path
+    * is detected by the table directory's mtime in the key (one ~µs
+    * stat per load vs the ~50 ms listing+schema it replaces) — the
+    * auto-refresh analog of `REFRESH TABLE`, pinned by IoSpec's
+    * staleness contract.
+    */
+  private val rel =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mtime = new java.io.File(path).lastModified
+    rel.computeIfAbsent((spark, path, mtime), k => k._1.read.parquet(k._2))
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")

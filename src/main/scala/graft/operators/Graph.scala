@@ -229,9 +229,17 @@ object Graph {
 
   /** The customer↔supplier trade graph: who transacted with whom, one
     * (distinct) edge per trading pair, symmetrized. Even node ids =
-    * customers (custkey·2), odd = suppliers (suppkey·2+1). */
+    * customers (custkey·2), odd = suppliers (suppkey·2+1).
+    *
+    * The canonical pair list is CHECKPOINTED before the symmetrize
+    * union (r15): Spark does not share common subexpressions across
+    * union branches, so the lazy shape executed the fact-grain
+    * orders⋈lineitem + distinct TWICE — once per direction — in every
+    * consumer (graph_degree_dist, and graph_pagerank's edge checkpoint
+    * job). Same blocks, two lazy views — the graph_bfs shape. */
   def tradeGraph(s: SparkSession, d: String): DataFrame = {
-    val pairs = tradePairs(s, d)
+    val pairs = graft.CacheScope.register(
+      tradePairs(s, d).localCheckpoint(true))
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
