@@ -1303,7 +1303,13 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= width)
     }
-    val bkt = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    // the bucket projection feeds BOTH the capped corpus side and the
+    // query-side seeds — lazy, that is two full corpus scans + sign
+    // projections per search batch; checkpoint the narrow (id, t,
+    // bucket) rows once (r15)
+    val bkt = graft.CacheScope.register(
+      lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+        .localCheckpoint(true))
     // seed candidates and the entry node come from the CORPUS side only
     // (corpusPred; default = whole df) — graphAppend searches a frozen
     // BASE graph, so its seeds must never be other batch nodes
@@ -1380,8 +1386,12 @@ object Similarity {
     // multi-probe against capped buckets) over BATCH rows only —
     // |batch|·tables·(bits+1)·cap bare pairs, symmetrized because
     // caps trim asymmetrically
-    val bktQ = lshBuckets(df, id, emb, tabs)
-      .filter(batchPred).select(col(id), col("t"), col("bucket"))
+    // batch-side buckets feed the cap window AND the probe explode —
+    // checkpoint once instead of two batch scans (r15)
+    val bktQ = graft.CacheScope.register(
+      lshBuckets(df, id, emb, tabs)
+        .filter(batchPred).select(col(id), col("t"), col("bucket"))
+        .localCheckpoint(true))
     val capQ = bktQ.withColumn("bn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("t", "bucket").orderBy(col(id))))
