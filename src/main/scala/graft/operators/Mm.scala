@@ -1330,10 +1330,16 @@ object Mm {
     // table points at — the oracle states every offset/size/slice from
     // doc_id alone, so only a correct six-level walk can match
     "mm_frames_mp4" -> ((s, d) =>
-      mp4SampleTable(Tables.documents(s, d)
-        .select(col("doc_id").cast("bigint").as("doc_id"),
-          graft.functions.GraftFunctions.synthMp4Samples(
-            col("doc_id").cast("bigint"), col("text")).as("blob")))
+      // fixture assembly (per-doc multi-sample MP4 synthesis) is a
+      // session artifact via IndexCache — the mm_frames_gif contract
+      // (r15): a deployment reads MP4 bytes from storage shards, it
+      // doesn't synthesize them, so the steady-state row measures the
+      // six-level sample-table walk + per-sample hash alone
+      mp4SampleTable(graft.IndexCache.of(s"$d|fixture|mp4samples")(
+        Tables.documents(s, d)
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            graft.functions.GraftFunctions.synthMp4Samples(
+              col("doc_id").cast("bigint"), col("text")).as("blob"))))
         .orderBy("doc_id", "si")),
 
     // ANIMATED-GIF frame extraction — the GIF counterpart of

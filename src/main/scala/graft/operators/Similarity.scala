@@ -154,7 +154,13 @@ object Similarity {
   private def lshScoredCandidates(df: DataFrame, id: String, emb: String,
                                   queryPred: Column, tabs: Seq[Seq[Seq[Double]]],
                                   multiProbe: Boolean): DataFrame = {
-    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    // b feeds the query side AND the corpus side, n the two vector
+    // join-backs — lazy, each pair re-ran the scan + projection per
+    // reference (r15); one narrow checkpoint each (the (id, ne) table
+    // is what FAISS-class systems hold resident anyway)
+    val b = graft.CacheScope.register(
+      lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+        .localCheckpoint(true))
     val qOwn = b.filter(queryPred)
     val q = (if (!multiProbe) qOwn else {
       qOwn.withColumn("bucket",
@@ -164,7 +170,8 @@ object Similarity {
     val cand = q.join(c, col("t") === col("t2") && col("bucket") === col("bucket2") &&
         col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val n = normalized(df, id, emb)
+    val n = graft.CacheScope.register(
+      normalized(df, id, emb).localCheckpoint(true))
     broadcast(
         n.select(col(id).as("query_id"), col("ne").as("qe"))
           .join(broadcast(cand), "query_id"))
@@ -779,13 +786,17 @@ object Similarity {
                      tabs: Seq[Seq[Seq[Double]]], threshold: Double): DataFrame = {
     // Same narrow-shuffle shape as simLshAnn: id-only candidate pairs,
     // dedup, then join the pre-normalised vectors back for one dot fold.
-    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    // b and n are each referenced twice — checkpoint once (r15)
+    val b = graft.CacheScope.register(
+      lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+        .localCheckpoint(true))
     val a = b.select(col(id).as("id_a"), col("t"), col("bucket"))
     val bb = b.select(col(id).as("id_b"), col("t").as("t2"), col("bucket").as("bucket2"))
     val cand = a.join(bb, col("t") === col("t2") && col("bucket") === col("bucket2") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val n = normalized(df, id, emb)
+    val n = graft.CacheScope.register(
+      normalized(df, id, emb).localCheckpoint(true))
     cand
       .join(n.select(col(id).as("id_a"), col("ne").as("na")), "id_a")
       .join(n.select(col(id).as("id_b"), col("ne").as("nb")), "id_b")
@@ -833,14 +844,19 @@ object Similarity {
   def simKnnJoin(df: DataFrame, id: String, emb: String,
                  tabs: Seq[Seq[Seq[Double]]], k: Int,
                  bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
-    val b = lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+    // b feeds the query side AND the capped neighbor side, n the two
+    // vector join-backs — checkpoint each once per invocation (r15)
+    val b = graft.CacheScope.register(
+      lshBuckets(df, id, emb, tabs).select(col(id), col("t"), col("bucket"))
+        .localCheckpoint(true))
     val a = b.select(col(id).as("query_id"), col("t"), col("bucket"))
     val bb = Dedup.capBuckets(b, Seq("t", "bucket"), id, bucketCap)
       .select(col(id).as("neighbor_id"), col("t").as("t2"), col("bucket").as("bucket2"))
     val cand = a.join(bb, col("t") === col("t2") && col("bucket") === col("bucket2") &&
         col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val n = normalized(df, id, emb)
+    val n = graft.CacheScope.register(
+      normalized(df, id, emb).localCheckpoint(true))
     val scored = cand
       .join(n.select(col(id).as("query_id"), col("ne").as("na")), "query_id")
       .join(n.select(col(id).as("neighbor_id"), col("ne").as("nb")), "neighbor_id")
@@ -917,7 +933,11 @@ object Similarity {
   def simKnnJoinRep(df: DataFrame, id: String, emb: String,
                     tabs: Seq[Seq[Seq[Double]]], k: Int,
                     bucketCap: Int = Dedup.defaultBucketCap): DataFrame = {
-    val repMap = df.groupBy(col(emb)).agg(min(col(id)).as("rep_id"))
+    // the rep map feeds the copy fan-back AND the rep-grain kNN input —
+    // checkpoint the vector-value hash agg once per invocation (r15)
+    val repMap = graft.CacheScope.register(
+      df.groupBy(col(emb)).agg(min(col(id)).as("rep_id"))
+        .localCheckpoint(true))
     val copies = df.join(repMap, Seq(emb)).select(col(id).as("query_id"), col("rep_id"))
     val reps = repMap.select(col("rep_id").as(id), col(emb))
     val nn = simKnnJoin(reps, id, emb, tabs, k, bucketCap)

@@ -1464,7 +1464,12 @@ object TextOps {
     * divides identical exact operands in both engines.
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("t"))
+    // the token table feeds the unigram agg and BOTH bigram passes —
+    // lazy, that re-tokenized (lower + regex split) the corpus 3× per
+    // invocation; checkpoint once (r15)
+    val toks = graft.CacheScope.register(
+      df.select(col(idCol), tokens(lower(col(textCol))).as("t"))
+        .localCheckpoint(true))
     val uni = toks.select(explode(col("t")).as("w")).filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
