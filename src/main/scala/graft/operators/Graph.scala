@@ -129,9 +129,15 @@ object Graph {
     val e = graft.CacheScope.register(
       edges.select(col("a").cast("bigint").as("a"),
         col("b").cast("bigint").as("b")).localCheckpoint(true))
-    val deg = e.select(col("a").as("node"))
-      .unionByName(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // deg is NODE-grain (two longs/row) and referenced FOUR times (both
+    // degree-attach joins, the map-agg gate count, the final join) —
+    // lazy, each reference re-ran the union + hash agg over the edge
+    // blocks; checkpoint once (r15)
+    val deg = graft.CacheScope.register(
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .localCheckpoint(true))
     // attach both endpoint degrees, then orient by (degree, id)
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
