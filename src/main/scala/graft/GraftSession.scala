@@ -64,7 +64,17 @@ object GraftSession {
       // in one JVM: re-Janino-compiling the biggest classes cost seconds
       // PER EXECUTION (dedup_embedding 7.2s -> 1.9s warm). Static conf —
       // must be set before the first session is created.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // r15 recalibration: the 259-query surface generates >2000 distinct
+      // codegen units, so the r5-era 2000 was evicting BETWEEN the
+      // bench's interleaved visits — every pass re-Janino-compiled
+      // (measured: link_candidates 1.21s warm vs 2.41s with a 5-entry
+      // cache; full suite 177.7s -> 154.3s back-to-back same-window when
+      // raised, median per-query 0.845x). 20000 = "never evict": the
+      // cache only grows to the workload's true working set, and the
+      // cost is driver metaspace for classes that would have been
+      // compiled anyway. Not a local-mode tune — any driver serving this
+      // query surface pays the same recompilation tax.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       // ObjectHashAggregate (collect_set/collect_list/percentile/sketches)
       // falls back to SORT-BASED aggregation once its hash map passes 128
       // rows. MEASURED at sf0.1 (etl_dedup_merge, 150k groups of
