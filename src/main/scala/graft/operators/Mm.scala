@@ -765,7 +765,9 @@ object Mm {
     * explode, zero shuffle.
     */
   def inlineImageHashes(html: DataFrame): DataFrame =
-    html.select(col("doc_id"), posexplode(
+    // the data-URI walk + per-image PNG decode is per-row CPU; the
+    // session-cached fixture materializes single-partition — fan out
+    graft.Par.fanOut(html, col("doc_id")).select(col("doc_id"), posexplode(
         graft.functions.GraftFunctions.inlineDataUris(col("html"), "image/png"))
         .as(Seq("ii", "b64")))
       .select(col("doc_id"), col("ii").cast("bigint").as("ii"),
@@ -1137,7 +1139,8 @@ object Mm {
     // path must reproduce the formula through a real compression
     // container to match
     "mm_dedup_percept" -> ((s, d) =>
-      dedupPercept(synthesizePixelPngs(Tables.documents(s, d), "doc_id"))
+      dedupPercept(synthesizePixelPngs(  // decode-heavy: fan the scan out
+        graft.Par.fanOut(Tables.documents(s, d), col("doc_id")), "doc_id"))
         .orderBy("id_a", "id_b")),
 
     // the JPEG (dominant crawl container) perceptual near-dup pass: a
@@ -1146,7 +1149,8 @@ object Mm {
     // hash bits from the cell FORMULA; block-aligned flat cells with
     // >=72-level margins make every gradient sign survive quantization
     "mm_dedup_percept_jpeg" -> ((s, d) =>
-      dedupPercept(synthesizeGrayJpegs(Tables.documents(s, d), "doc_id"),
+      dedupPercept(synthesizeGrayJpegs(
+        graft.Par.fanOut(Tables.documents(s, d), col("doc_id")), "doc_id"),
         hashOf = graft.functions.GraftFunctions.jpegDhash)
         .orderBy("id_a", "id_b")),
 
@@ -1180,7 +1184,8 @@ object Mm {
     // cells, palette decode + dHash back; GIF is lossless at ≤256
     // colors so the container-blind cell oracle applies unchanged
     "mm_dedup_percept_gif" -> ((s, d) =>
-      dedupPercept(synthesizeCellGifs(Tables.documents(s, d), "doc_id"),
+      dedupPercept(synthesizeCellGifs(
+        graft.Par.fanOut(Tables.documents(s, d), col("doc_id")), "doc_id"),
         hashOf = graft.functions.GraftFunctions.gifDhash)
         .orderBy("id_a", "id_b")),
 
@@ -1336,7 +1341,9 @@ object Mm {
       // doesn't synthesize them, so the steady-state row measures the
       // six-level sample-table walk + per-sample hash alone
       mp4SampleTable(graft.IndexCache.of(s"$d|fixture|mp4samples")(
-        Tables.documents(s, d)
+        // fan the degenerate scan out BEFORE caching so the artifact
+        // itself materializes parallel (walk side pays no exchange)
+        graft.Par.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id").cast("bigint").as("doc_id"),
             graft.functions.GraftFunctions.synthMp4Samples(
               col("doc_id").cast("bigint"), col("text")).as("blob"))))
@@ -1356,7 +1363,7 @@ object Mm {
     // (tools/GifProbe publishes the synth-vs-operator split).
     "mm_frames_gif" -> ((s, d) =>
       graft.IndexCache.of(s"$d|fixture|animgif")(
-        Tables.documents(s, d)
+        graft.Par.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id").cast("bigint").as("doc_id"),
             graft.functions.GraftFunctions.synthAnimGif(
               col("doc_id").cast("bigint")).as("blob")))
@@ -1382,7 +1389,7 @@ object Mm {
     // extract → decode → hash operator alone.
     "mm_inline_images" -> ((s, d) => {
       val html = graft.IndexCache.of(s"$d|fixture|inlinehtml")(
-        Tables.documents(s, d)
+        graft.Par.fanOut(Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
           .select(col("doc_id"), expr(
             """concat('<html><body><p>', substring(text, 1, 40),
@@ -1401,7 +1408,7 @@ object Mm {
     // states every field from doc_id's formulas, so only a correct
     // endian-aware TIFF walk matches
     "mm_exif" -> ((s, d) =>
-      Tables.documents(s, d)
+      graft.Par.fanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id").cast("bigint").as("doc_id"),
           graft.functions.GraftFunctions.exifMeta(
             graft.functions.GraftFunctions.synthExifJpeg(

@@ -768,7 +768,8 @@ object Relational {
     // streaming-moment aggregate whose partial-merge order perturbs the
     // last bits — unusable under a hash compare.
     "stat_corr" -> ((s, d) =>
-      statMoments(Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
+      statMoments(graft.Par.fanOut(Tables.lineitem(s, d), col("l_orderkey")),
+        "l_returnflag", "l_quantity", "l_extendedprice")
         .select(col("l_returnflag"), col("n"),
           round(
             (col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -780,7 +781,8 @@ object Relational {
     // least-squares fit y = slope*x + intercept per group, same exact-sum
     // shape; r2 is the squared correlation of the fit
     "stat_regr" -> ((s, d) =>
-      statMoments(Tables.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
+      statMoments(graft.Par.fanOut(Tables.lineitem(s, d), col("l_orderkey")),
+        "l_returnflag", "l_quantity", "l_extendedprice")
         .select(col("l_returnflag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),

@@ -381,8 +381,10 @@ object TextOps {
     * few dozen elements, never corpus-axis), so the whole operator
     * scales as a projection.
     */
-  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+  def htmlExtract(df0: DataFrame, idCol: String, htmlCol: String,
                   minLineChars: Int = 25): DataFrame = {
+    // five multi-line regex passes per row; fan a degenerate scan out
+    val df = graft.Par.fanOut(df0, col(idCol))
     val noScript = regexp_replace(regexp_replace(col(htmlCol),
       "(?is)<script[^>]*>.*?</script>", " "),
       "(?is)<style[^>]*>.*?</style>", " ")

@@ -297,9 +297,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(!gz.contains("Join") && "Exchange".r.findAllIn(gz).size <= 1,
         s"$q must be a single projection:\n${gz.take(1500)}")
     }
-    // mm_exif likewise: synth + walk fused into the scan projection
+    // mm_exif likewise: synth + walk fused into the scan projection.
+    // The r15 guarded fan-out (Par.fanOut: REPARTITION_BY_NUM above the
+    // scan, fires only on a degenerate single-split input, never on a
+    // production-shaped scan) is NOT a data shuffle — discount it; the
+    // pin still forbids any join/agg exchange sneaking into the walk.
     val ex = plan(run("mm_exif"))
-    assert(!ex.contains("Join") && "Exchange".r.findAllIn(ex).size <= 1,
+    val dataEx = "Exchange".r.findAllIn(ex).size -
+      "REPARTITION_BY_NUM".r.findAllIn(ex).size
+    assert(!ex.contains("Join") && dataEx <= 1,
       s"mm_exif must be a single projection:\n${ex.take(1500)}")
   }
 
